@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin views over ``australia_company_etl_pipeline_spark.plans.registry``:
+- ``entry(spark)`` — flagship blocking-join + top-1-window query at sf0.001
+- ``queries()`` — one named query per implemented SURVEY.md §2 operator
+- ``oracle_sql()`` — DuckDB oracle SQL for every SQL-expressible query
 """
 
 from __future__ import annotations
@@ -13,26 +12,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from australia_company_etl_pipeline_spark import plans
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return plans.REGISTRY["best_supplier_match"].builder(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return plans.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins; keys ⊆ queries().keys()."""
+    return plans.oracles()

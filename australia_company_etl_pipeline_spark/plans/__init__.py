@@ -1,0 +1,11 @@
+"""Query plans — the named-query registry the driver contract consumes.
+
+Importing this package populates ``registry.REGISTRY`` with every named
+query (operator inventory rows from SURVEY.md §2 plus the training-data
+pipeline extensions).
+"""
+
+from . import core  # noqa: F401
+from .registry import REGISTRY, oracles, queries
+
+__all__ = ["REGISTRY", "queries", "oracles"]

@@ -1,0 +1,547 @@
+"""Core relational queries — SURVEY.md §2 operator rows over the catalog.
+
+Each query is the Spark-first expression of a reference operator, mapped
+onto the TPC-H-ish oracle tables per FIXTURES.md §3. Citations in each
+docstring point at the reference implementation the query re-expresses.
+
+Determinism rules used throughout:
+- big double sums go through DECIMAL(30,6) (exact, order-independent) and
+  cast back to double → identical bits in Spark and DuckDB;
+- every window/top-k has an explicit total-order tie-break;
+- doubles surfaced to results are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from .registry import register
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent sum of doubles: exact decimal accumulate, double out."""
+    return F.sum(col.cast("decimal(30,6)")).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Order-independent mean of doubles."""
+    return dsum(col) / F.count(F.lit(1))
+
+
+# SQL twin of dsum/davg for the DuckDB oracles.
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def _davg(expr: str) -> str:
+    return f"({_dsum(expr)} / COUNT(*))"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: blocking join + similarity + top-1-per-group (J1 + J4 + W1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "best_supplier_match",
+    doc="J1 blocking broadcast join (entity_match.py:494-498) + J4 similarity "
+        "θ-filter + W1 top-1 window (dim_companies.sql:15-34), mapped onto "
+        "customer×supplier blocked on nationkey.",
+    tags=("flagship", "join", "window"),
+    oracle="""
+WITH pairs AS (
+  SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name,
+         round(1.0 - abs(c.c_acctbal - s.s_acctbal)
+                     / greatest(abs(c.c_acctbal) + abs(s.s_acctbal), 1.0),
+               6) AS fuzzy_score
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_custkey ORDER BY fuzzy_score DESC, s_suppkey ASC) AS rn
+  FROM pairs WHERE fuzzy_score >= 0.5
+)
+SELECT c_custkey, c_name, s_suppkey, s_name, fuzzy_score
+FROM ranked WHERE rn = 1
+""",
+)
+def best_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    # The reference broadcast the 2M-row side (entity_match.py:496); we
+    # broadcast the genuinely small dimension — supplier is 1/15 the rows.
+    pairs = cust.join(F.broadcast(supp),
+                      cust.c_nationkey == supp.s_nationkey, "inner")
+    sim = F.round(
+        F.lit(1.0) - F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+        / F.greatest(F.abs(F.col("c_acctbal")) + F.abs(F.col("s_acctbal")),
+                     F.lit(1.0)),
+        6)
+    scored = pairs.withColumn("fuzzy_score", sim).filter(
+        F.col("fuzzy_score") >= 0.5)
+    win = Window.partitionBy("c_custkey").orderBy(
+        F.desc("fuzzy_score"), F.asc("s_suppkey"))
+    return (scored
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("c_custkey", "c_name", "s_suppkey", "s_name",
+                    "fuzzy_score"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A2, A5, F23)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    doc="A5 multi-metric rollup (fct_match_statistics.sql:13-50) in its "
+        "classic TPC-H Q1 shape; A1 count, A2 avg, F23 rounding.",
+    tags=("agg",),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       round({_davg('l_quantity')}, 2) AS avg_qty,
+       round({_davg('l_extendedprice')}, 2) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (li
+            .filter(F.to_date("l_shipdate") <= F.lit("2001-06-01").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                 dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      ).alias("sum_disc_price"),
+                 F.round(davg(F.col("l_quantity")), 2).alias("avg_qty"),
+                 F.round(davg(F.col("l_extendedprice")), 2).alias("avg_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register(
+    "stats_rollup",
+    doc="A5/A9 conditional-count + distinct + min/max rollup "
+        "(fct_match_statistics.sql:13-50,74-83) grouped by order priority.",
+    tags=("agg",),
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       count(DISTINCT o_custkey) AS n_customers,
+       round({_davg('o_totalprice')}, 2) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(100.0 * count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+             / NULLIF(count(*), 0), 2) AS finished_rate_pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    finished = F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1)))
+    total = F.count(F.lit(1))
+    return (o.groupBy("o_orderpriority")
+            .agg(total.alias("n_orders"),
+                 finished.alias("n_finished"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 F.round(davg(F.col("o_totalprice")), 2).alias("avg_price"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price"),
+                 F.round(100.0 * finished /
+                         F.when(total == 0, None).otherwise(total),
+                         2).alias("finished_rate_pct")))
+
+
+@register(
+    "events_by_type_ordered",
+    doc="A6 group-by count + order desc (fct_match_statistics.sql:43-50, "
+        "create_tables.sql:178-187) over events.",
+    tags=("agg", "sort"),
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type ASC
+""",
+)
+def events_by_type_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(dsum(F.col("value")), 2).alias("total_value"))
+            .orderBy(F.desc("n_events"), F.asc("event_type")))
+
+
+@register(
+    "priority_count_map",
+    doc="A7 map aggregate (jsonb_object_agg, fct_match_statistics.sql:85-89) "
+        "rendered canonically as a sorted key:value string.",
+    tags=("agg",),
+    oracle="""
+WITH counts AS (
+  SELECT o_orderpriority AS k, count(*) AS v FROM orders GROUP BY 1
+)
+SELECT string_agg(k || ':' || CAST(v AS VARCHAR), ',' ORDER BY k) AS priority_map
+FROM counts
+""",
+)
+def priority_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderpriority").alias("k")).agg(
+        F.count(F.lit(1)).alias("v"))
+    # map_from_entries is the native map form; render sorted for the oracle.
+    return counts.agg(
+        F.array_join(
+            F.sort_array(F.collect_list(
+                F.concat_ws(":", F.col("k"), F.col("v").cast("string")))),
+            ",").alias("priority_map"))
+
+
+@register(
+    "duplicate_keys_having",
+    doc="A8 HAVING duplicate detection (assert_no_duplicate_abns.sql:3-8): "
+        "users with more than 30 events.",
+    tags=("agg",),
+    oracle="""
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id HAVING count(*) > 30
+""",
+)
+def duplicate_keys_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("n_events") > 30))
+
+
+@register(
+    "completeness_score",
+    doc="A10 row-wise completeness ratio (int_matched_companies.sql:53-59): "
+        "non-null flag sum / arity, with synthesized nulls.",
+    tags=("projection",),
+    oracle="""
+SELECT c_custkey,
+       round((CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN NULLIF(c_nationkey, 0) IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) / 3.0, 4) AS completeness
+FROM customer
+""",
+)
+def completeness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    flags = (
+        F.when(F.col("c_mktsegment") != "BUILDING", 1).otherwise(0)
+        + F.when(F.col("c_nationkey") != 0, 1).otherwise(0)
+        + F.when(F.col("c_acctbal") > 0, 1).otherwise(0)
+    )
+    return c.select("c_custkey",
+                    F.round(flags / F.lit(3.0), 4).alias("completeness"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (J5, J6, J7, J9, J10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_enrichment_left",
+    doc="J5 left enrichment join (int_matched_companies.sql:63-67): orders "
+        "enriched with customer attributes.",
+    tags=("join",),
+    oracle="""
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price,
+       c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def order_enrichment_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "left")
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("total_price"),
+                    "c_name", "c_mktsegment"))
+
+
+@register(
+    "promo_revenue_by_brand",
+    doc="J6 inner FK join + filter + agg (create_tables.sql:144-159); part "
+        "dim is broadcast (small side, unlike the reference's inverted "
+        "broadcast at entity_match.py:496).",
+    tags=("join", "agg"),
+    oracle=f"""
+SELECT p.p_brand,
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type = 'PROMO'
+GROUP BY p.p_brand
+""",
+)
+def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+            .groupBy("p_brand")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      ).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
+    "customers_without_orders",
+    doc="J7 anti join (dim_companies.sql:37-61): rows with no match on the "
+        "other side — NOT IN rewritten as left_anti.",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "customers_with_orders_semi",
+    doc="J9 semi join (upsert_logic.py:209-210 isin-exclusion inverted): "
+        "left_semi instead of collecting a key list to the driver.",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "global_stats_cross_join",
+    doc="J10 scalar-CTE cross join (fct_match_statistics.sql:93-95) — three "
+        "1-row aggregates combined; exercised via spark.sql to prove the "
+        "SQL surface (SURVEY §3.3).",
+    tags=("join", "sql"),
+    oracle=f"""
+WITH o AS (SELECT count(*) AS n_orders,
+                  round({_davg('o_totalprice')}, 2) AS avg_order_price
+           FROM orders),
+     c AS (SELECT count(*) AS n_customers FROM customer),
+     l AS (SELECT count(*) AS n_lineitems FROM lineitem)
+SELECT o.n_orders, o.avg_order_price, c.n_customers, l.n_lineitems
+FROM o CROSS JOIN c CROSS JOIN l
+""",
+)
+def global_stats_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        WITH o AS (SELECT count(*) AS n_orders,
+                          round({_davg('o_totalprice')}, 2) AS avg_order_price
+                   FROM orders),
+             c AS (SELECT count(*) AS n_customers FROM customer),
+             l AS (SELECT count(*) AS n_lineitems FROM lineitem)
+        SELECT o.n_orders, o.avg_order_price, c.n_customers, l.n_lineitems
+        FROM o CROSS JOIN c CROSS JOIN l
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / sorts (W1, W2, O1-O4) + set ops (U1, U2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "best_order_per_customer",
+    doc="W1 top-1-per-group argmax (DISTINCT ON, dim_companies.sql:15-34) "
+        "with the deterministic tie-break SURVEY §7.4.3 mandates.",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("total_price")))
+
+
+@register(
+    "order_rank_and_lag",
+    doc="Analytic windows beyond the reference (SURVEY §2.5 'free' surface): "
+        "rank + lag over each customer's order history.",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
+       round(COALESCE(lag(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC), 0.0), 2)
+         AS prev_price
+FROM orders
+""",
+)
+def order_rank_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    by_date = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(by_price).alias("price_rank"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(by_date), F.lit(0.0)),
+                2).alias("prev_price"))
+
+
+@register(
+    "top10_orders",
+    doc="O1/O2 global sort + limit top-k (create_tables.sql:228-232) with "
+        "explicit tie-break key.",
+    tags=("sort",),
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price")))
+
+
+@register(
+    "name_truncation",
+    doc="O4 truncation projections (raw_text[:5000], LEFT(raw_text,500)) as "
+        "substring, plus P9 length guards.",
+    tags=("projection",),
+    oracle="""
+SELECT p_partkey, substr(p_name, 1, 5) AS name5, length(p_name) AS name_len
+FROM part WHERE length(p_name) >= 3
+""",
+)
+def name_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (p.filter(F.length("p_name") >= 3)
+            .select("p_partkey",
+                    F.substring("p_name", 1, 5).alias("name5"),
+                    F.length("p_name").alias("name_len")))
+
+
+@register(
+    "union_score_bands",
+    doc="U1/U2 column-aligned union (entity_match.py:593-601, "
+        "dim_companies.sql:63-67) + M6 cascade banding (P7 band filters, F20 "
+        "weighted rescore, F21 bucketing) on lineitem scores.",
+    tags=("union", "cascade"),
+    oracle="""
+WITH scored AS (
+  SELECT l_orderkey, l_linenumber,
+         round(0.7 * (1 - l_discount) + 0.3 * (1 - l_tax), 6) AS fuzzy_score
+  FROM lineitem
+), confident AS (
+  SELECT l_orderkey, l_linenumber, fuzzy_score AS final_score,
+         'fuzzy' AS match_method
+  FROM scored WHERE fuzzy_score >= 0.85
+), rescued AS (
+  SELECT l_orderkey, l_linenumber,
+         round(0.7 * fuzzy_score + 0.3 * 0.5, 6) AS final_score,
+         'hybrid' AS match_method
+  FROM scored WHERE fuzzy_score >= 0.60 AND fuzzy_score < 0.85
+)
+SELECT * FROM confident UNION ALL SELECT * FROM rescued
+""",
+)
+def union_score_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(0.7 * (1 - F.col("l_discount")) + 0.3 * (1 - F.col("l_tax")),
+                6).alias("fuzzy_score"))
+    confident = (scored.filter(F.col("fuzzy_score") >= 0.85)
+                 .select("l_orderkey", "l_linenumber",
+                         F.col("fuzzy_score").alias("final_score"),
+                         F.lit("fuzzy").alias("match_method")))
+    rescued = (scored.filter((F.col("fuzzy_score") >= 0.60)
+                             & (F.col("fuzzy_score") < 0.85))
+               .select("l_orderkey", "l_linenumber",
+                       F.round(0.7 * F.col("fuzzy_score") + 0.3 * 0.5,
+                               6).alias("final_score"),
+                       F.lit("hybrid").alias("match_method")))
+    return confident.unionByName(rescued)
+
+
+# ---------------------------------------------------------------------------
+# Dedup (A4) and date handling (F18/F19)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_events_first",
+    doc="A4 dedup-by-key keep-first (dropDuplicates, clean_abr.py:280) made "
+        "deterministic: first = lowest event_id per (user_id, event_type).",
+    tags=("dedup",),
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 2) AS value2
+FROM (
+  SELECT event_id, user_id, event_type, value, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 2).alias("value2")))
+
+
+@register(
+    "monthly_order_stats",
+    doc="F18/F19 date coercion + truncation (parse_abr.py:219-240, "
+        "clean_abr.py:97-99) as a monthly rollup.",
+    tags=("agg", "date"),
+    oracle=f"""
+SELECT strftime(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE),
+                '%Y-%m-%d') AS order_month,
+       count(*) AS n_orders,
+       {_dsum('o_totalprice')} AS month_revenue
+FROM orders GROUP BY 1
+""",
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format(F.trunc(F.to_date("o_orderdate"), "month"),
+                                    "yyyy-MM-dd").alias("order_month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum(F.col("o_totalprice")).alias("month_revenue")))

@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for scale-out execution.
+
+Mirrors the intent of the reference's session builder
+(``/root/reference/src/common/spark_session.py:99-203``) but drops its
+anti-patterns: we *require* Arrow (the reference silently fell back to
+row-based exchange, ``rawlog.txt:181-183``), enable AQE skew-join handling,
+and size shuffle partitions from the local core count instead of a fixed 200.
+
+On a real cluster none of the local[] bits apply — the factory only fills in
+defaults when no master is configured, so ``spark-submit --master yarn`` etc.
+override cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for local[32] / 128 GiB test rig; on a cluster the
+# explicit spark-submit conf wins because we use .config() (not .set on a
+# live context) and only when building a brand-new session.
+_DEFAULTS = {
+    # AQE: runtime re-planning — coalesce post-shuffle partitions, convert
+    # sort-merge joins to broadcast when a side turns out small, split skewed
+    # partitions. Essential at 100 TB where static planning guesses wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas boundary. Required, not optional.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # 128m split targets keep scan tasks sized for executor memory at scale.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # quieter local runs
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def cpu_count() -> int:
+    """Local parallelism knob; the driver exports SPARK_GRAFT_CPUS."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "australia-company-etl-pipeline-spark",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults."""
+    cpus = cpu_count()
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    conf = dict(_DEFAULTS)
+    # One shuffle partition per core locally; AQE coalesces further.
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf["spark.default.parallelism"] = str(cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

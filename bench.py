@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query and total wall-clock seconds.
+
+Each query is forced with the noop sink (full computation, no write cost),
+after a warm-up run of the flagship to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from australia_company_etl_pipeline_spark import plans
+from australia_company_etl_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "best_supplier_match",
+    "pricing_summary",
+    "stats_rollup",
+    "promo_revenue_by_brand",
+    "best_order_per_customer",
+    "union_score_bands",
+    "dedup_events_first",
+    "monthly_order_stats",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("ace-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in plans.REGISTRY]
+    # warm-up: JVM, codegen, parquet footer caches
+    force(plans.REGISTRY[names[0]].builder(spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        force(plans.REGISTRY[name].builder(spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
