@@ -1,0 +1,93 @@
+"""Similarity scorers (SURVEY.md §2.9 M1–M2).
+
+Two tiers, per the build plan (§7.3):
+- ``jaccard_tokens`` — fully native (array_intersect/union on split arrays),
+  codegen'd, the oracle-checkable representative.
+- ``token_sort_ratio`` — the one deliberate Python boundary: an Arrow
+  ``pandas_udf`` (vectorized batches, not the reference's row-at-a-time
+  ``@udf`` at ``entity_match.py:473-491``). Uses rapidfuzz when installed,
+  else difflib's SequenceMatcher (same Indel-ratio family: 2·M/(len1+len2)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def _tokens(name: Column) -> Column:
+    return F.array_distinct(
+        F.filter(F.split(F.upper(F.trim(name)), r"\s+"), lambda w: w != ""))
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """M2 — token-set Jaccard similarity: |A∩B| / |A∪B|; empty → 0.0.
+
+    Reference: /root/reference/src/transform/entity_match.py:236-250 and
+    feature_engineering.py:221-232 (Python set ops per row).
+    """
+    ta, tb = _tokens(a), _tokens(b)
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(sim)
+
+
+def token_sorted(name: Column) -> Column:
+    """Canonical token-sorted form (the 'token_sort' in token_sort_ratio)."""
+    return F.array_join(
+        F.sort_array(
+            F.filter(F.split(F.upper(F.trim(name)), r"\s+"),
+                     lambda w: w != "")),
+        " ")
+
+
+def _ratio_batch(a, b):  # pandas Series -> pandas Series
+    try:
+        from rapidfuzz.fuzz import token_sort_ratio as tsr
+
+        def one(x, y):
+            if x is None or y is None:
+                return 0.0
+            return tsr(x, y) / 100.0
+    except ImportError:  # pure-python fallback: Indel ratio on sorted tokens
+        from difflib import SequenceMatcher
+
+        def one(x, y):
+            if x is None or y is None:
+                return 0.0
+            xs = " ".join(sorted(str(x).upper().split()))
+            ys = " ".join(sorted(str(y).upper().split()))
+            if not xs and not ys:
+                return 1.0
+            return SequenceMatcher(None, xs, ys, autojunk=False).ratio()
+    import pandas as pd
+
+    return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+_token_sort_ratio_udf = None
+
+
+def token_sort_ratio(a: Column, b: Column) -> Column:
+    """M1 — token_sort_ratio(a, b) / 100 ∈ [0, 1]; errors/nulls → 0.0.
+
+    Reference: /root/reference/src/transform/entity_match.py:473-491
+    (row-at-a-time UDF; ours is an Arrow-batched pandas_udf).
+    """
+    global _token_sort_ratio_udf
+    if _token_sort_ratio_udf is None:
+        _token_sort_ratio_udf = F.pandas_udf(_ratio_batch, DoubleType())
+    return _token_sort_ratio_udf(a, b)
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """Native fallback scorer (SURVEY §2.9 M1 'pure-Spark fallback'):
+    1 - levenshtein/max_len on token-sorted strings. Stays JVM-side, so
+    it's the scale path when a few % score skew is acceptable."""
+    sa, sb = token_sorted(a), token_sorted(b)
+    max_len = F.greatest(F.length(sa), F.length(sb))
+    sim = F.when(max_len > 0,
+                 1.0 - F.levenshtein(sa, sb) / max_len).otherwise(F.lit(1.0))
+    return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(sim)
