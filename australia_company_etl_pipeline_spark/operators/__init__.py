@@ -1,0 +1,13 @@
+"""Composable DataFrame operators (joins, dedup, quality, similarity)."""
+
+from .block_join import block_join, similarity_join
+from .quality import (assert_accepted_range, assert_accepted_values,
+                      assert_minimum_match_rate, assert_no_duplicates,
+                      assert_not_null, assert_valid_scores, run_assertions)
+
+__all__ = [
+    "block_join", "similarity_join",
+    "assert_accepted_range", "assert_accepted_values",
+    "assert_minimum_match_rate", "assert_no_duplicates", "assert_not_null",
+    "assert_valid_scores", "run_assertions",
+]

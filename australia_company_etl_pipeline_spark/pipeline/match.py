@@ -1,0 +1,141 @@
+"""Match kernel (SURVEY §7.2 M3 — the flagship path).
+
+Re-expression of ``match_companies_spark``
+(``/root/reference/src/transform/entity_match.py:437-628``):
+
+    block join (J1) → pairwise fuzzy score (M1/M2) → band split (P7/M6)
+    → LLM rescore of the uncertain band (M5) → weighted final score (F20)
+    → union (U1) → 11-column contract
+
+Differences by design (SURVEY §4.2):
+- the small CC side is broadcast, not the 2M-row ABR side;
+- the LLM stage is a distributed ``mapInPandas`` against a pluggable
+  scorer, not a driver-side ``toPandas()`` loop over sequential API calls;
+  the default scorer is a deterministic stub (testable, offline — the
+  reference's neutral-0.5 fallback generalized, ``llm_matcher.py:129-136``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import functions as fx
+from ..operators.block_join import block_join
+
+# Output contract, entity_match.py:610-626.
+RESULT_COLUMNS = [
+    "crawl_name", "crawl_url", "abr_name", "abn", "fuzzy_score",
+    "llm_score", "final_score", "match_method", "state", "postcode",
+    "start_date",
+]
+
+SCORERS = {
+    "token_sort": fx.token_sort_ratio,   # M1 parity path (Arrow pandas_udf)
+    "jaccard": fx.jaccard_tokens,        # M2 native path (codegen, scale)
+    "levenshtein": fx.levenshtein_ratio,  # native edit-distance path
+}
+
+
+def stub_llm_scorer(batch: pd.DataFrame) -> pd.Series:
+    """M5 deterministic stub: interface-compatible with the reference's
+    LLMMatcher (llm_matcher.py:69-136) but offline and reproducible.
+
+    Scores name-pair agreement on token overlap, shifted to the LLM's
+    [0.3, 1.0]-ish verdict range; unavailable-LLM neutral is 0.5.
+    """
+    def one(a: str | None, b: str | None) -> float:
+        if not a or not b:
+            return 0.5
+        ta, tb = set(str(a).upper().split()), set(str(b).upper().split())
+        if not ta or not tb:
+            return 0.5
+        j = len(ta & tb) / len(ta | tb)
+        return round(0.3 + 0.7 * j, 4)
+
+    return pd.Series([one(a, b) for a, b in
+                      zip(batch["crawl_name"], batch["abr_name"])])
+
+
+def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
+                    fuzzy_threshold: float = 0.75,
+                    use_llm: bool = False,
+                    llm_threshold_min: float = 0.60,
+                    fuzzy_weight: float = 0.70,
+                    llm_weight: float = 0.30,
+                    scorer: str | Callable = "token_sort",
+                    llm_scorer: Callable[[pd.DataFrame], pd.Series] = stub_llm_scorer,
+                    broadcast_side: str | None = "left") -> DataFrame:
+    """Entity-match cascade; returns the 11-column match contract.
+
+    crawl_df / abr_df must be cleaned (have normalized_name + block_key);
+    see ``pipeline.clean``.
+    """
+    score_fn = SCORERS[scorer] if isinstance(scorer, str) else scorer
+
+    pairs = block_join(crawl_df, abr_df, key="block_key",
+                       broadcast_side=broadcast_side)
+    scored = (pairs
+              .withColumn("fuzzy_score",
+                          score_fn(F.col("l.normalized_name"),
+                                   F.col("r.normalized_name")))
+              .select(F.col("l.company_name").alias("crawl_name"),
+                      F.col("l.url").alias("crawl_url"),
+                      F.col("l.industry").alias("industry"),
+                      F.col("r.entity_name").alias("abr_name"),
+                      F.col("r.abn").alias("abn"),
+                      F.col("fuzzy_score"),
+                      F.col("r.state").alias("state"),
+                      F.col("r.postcode").alias("postcode"),
+                      F.col("r.start_date").alias("start_date")))
+
+    high = (scored
+            .filter(F.col("fuzzy_score") >= fuzzy_threshold)
+            .withColumn("llm_score", F.lit(None).cast("double"))
+            .withColumn("final_score", F.col("fuzzy_score"))
+            .withColumn("match_method", F.lit("fuzzy")))
+
+    if not use_llm:
+        return high.select(*RESULT_COLUMNS)
+
+    uncertain = scored.filter(
+        (F.col("fuzzy_score") >= llm_threshold_min)
+        & (F.col("fuzzy_score") < fuzzy_threshold))
+
+    # Distributed LLM rescore: Arrow batches through the pluggable scorer
+    # (vs the reference's driver-side row loop, entity_match.py:536-576).
+    schema = (uncertain
+              .withColumn("llm_score", F.lit(0.0))
+              .schema)
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            batch = batch.copy()
+            batch["llm_score"] = llm_scorer(batch).astype("float64")
+            yield batch
+
+    rescored = uncertain.mapInPandas(rescore, schema=schema)
+    rescued = (rescored
+               .withColumn("final_score",
+                           F.round(fuzzy_weight * F.col("fuzzy_score")
+                                   + llm_weight * F.col("llm_score"), 6))
+               .withColumn("match_method", F.lit("hybrid"))
+               .filter(F.col("final_score") >= fuzzy_threshold))
+
+    return high.select(*RESULT_COLUMNS).unionByName(
+        rescued.select(*RESULT_COLUMNS))
+
+
+def best_match_per_key(matches: DataFrame, key: str = "abn",
+                       tie_break: str = "crawl_url") -> DataFrame:
+    """W1/W3 — top-1 match per key, deterministic tie-break
+    (score desc, tie_break asc) per SURVEY §7.4.3."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(key).orderBy(
+        F.desc("final_score"), F.asc(tie_break))
+    return (matches.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1).drop("__rn"))

@@ -1,0 +1,202 @@
+"""Entity-matching queries over the oracle tables (SURVEY §2.9, FIXTURES §3).
+
+These run the REAL library operators (normalize → block_join → jaccard →
+top-1 window → golden-record merge) on company-name analogs derived from
+the TPC-H tables, with full DuckDB oracle twins — so the driver's
+correctness gate covers the flagship match path itself, not just its
+relational skeleton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import functions as fx
+from ..catalog import table
+from ..functions.abn import ABN_WEIGHTS
+from ..functions.text import COMPANY_STOPWORDS
+from ..operators.block_join import block_join
+from .registry import register
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in COMPANY_STOPWORDS)
+
+# DuckDB twin of fx.normalize_company_name (F1)
+_NORM_SQL = """
+array_to_string(
+  list_filter(
+    regexp_split_to_array(trim(upper(regexp_replace({col}, '[^\\w\\s]', ' ', 'g'))), '\\s+'),
+    t -> t != '' AND t NOT IN ({stop})),
+  ' ')
+""".replace("{stop}", _STOPWORDS_SQL)
+
+
+def _norm(col: str) -> str:
+    return _NORM_SQL.replace("{col}", col).strip()
+
+
+@register(
+    "entity_match_blocking",
+    doc="The flagship entity-match kernel (J1 block join + M2 jaccard "
+        "scoring + W1 best-match window, entity_match.py:437-628) run on "
+        "company-name analogs derived from part: web names are p_name, "
+        "register names are p_name + brand tokens.",
+    tags=("flagship", "matching"),
+    oracle=f"""
+WITH web AS (
+  SELECT p_partkey AS web_id,
+         p_name || ' Pty Ltd' AS company_name,
+         {_norm("p_name || ' Pty Ltd'")} AS normalized_name
+  FROM part
+), register AS (
+  SELECT p_partkey + 1000000 AS abn,
+         p_name || ' ' || p_brand || ' Holdings' AS entity_name,
+         {_norm("p_name || ' ' || p_brand || ' Holdings'")} AS normalized_name
+  FROM part
+), web_k AS (
+  SELECT *, lower(substr(normalized_name, 1, 4)) AS block_key FROM web
+), reg_k AS (
+  SELECT *, lower(substr(normalized_name, 1, 4)) AS block_key FROM register
+), pairs AS (
+  SELECT w.web_id, w.company_name, r.abn, r.entity_name,
+         round(
+           CAST(len(list_intersect(
+             list_distinct(regexp_split_to_array(w.normalized_name, '\\s+')),
+             list_distinct(regexp_split_to_array(r.normalized_name, '\\s+')))) AS DOUBLE)
+           / len(list_distinct(list_concat(
+             regexp_split_to_array(w.normalized_name, '\\s+'),
+             regexp_split_to_array(r.normalized_name, '\\s+')))), 6)
+           AS fuzzy_score
+  FROM web_k w JOIN reg_k r ON w.block_key = r.block_key
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY web_id ORDER BY fuzzy_score DESC, abn ASC) AS rn
+  FROM pairs WHERE fuzzy_score >= 0.45
+)
+SELECT web_id, company_name, abn, entity_name, fuzzy_score
+FROM ranked WHERE rn = 1
+""",
+)
+def entity_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    web = p.select(
+        F.col("p_partkey").alias("web_id"),
+        F.concat(F.col("p_name"), F.lit(" Pty Ltd")).alias("company_name"))
+    web = web.withColumn(
+        "normalized_name", fx.normalize_company_name(F.col("company_name")))
+    register = p.select(
+        (F.col("p_partkey") + 1000000).alias("abn"),
+        F.concat_ws(" ", "p_name", "p_brand", F.lit("Holdings")
+                    ).alias("entity_name"))
+    register = register.withColumn(
+        "normalized_name", fx.normalize_company_name(F.col("entity_name")))
+    web = web.withColumn(
+        "block_key", F.lower(F.substring("normalized_name", 1, 4)))
+    register = register.withColumn(
+        "block_key", F.lower(F.substring("normalized_name", 1, 4)))
+
+    pairs = block_join(web, register, key="block_key",
+                       broadcast_side="auto")
+    scored = (pairs
+              .withColumn("fuzzy_score",
+                          F.round(fx.jaccard_tokens(
+                              F.col("l.normalized_name"),
+                              F.col("r.normalized_name")), 6))
+              .filter(F.col("fuzzy_score") >= 0.45)
+              .select(F.col("l.web_id").alias("web_id"),
+                      F.col("l.company_name").alias("company_name"),
+                      F.col("r.abn").alias("abn"),
+                      F.col("r.entity_name").alias("entity_name"),
+                      "fuzzy_score"))
+    win = Window.partitionBy("web_id").orderBy(
+        F.desc("fuzzy_score"), F.asc("abn"))
+    return (scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def _checksum_sql(d: str) -> str:
+    terms = [
+        f"(CAST(substr({d}, {i + 1}, 1) AS INT){' - 1' if i == 0 else ''}) * {w}"
+        for i, w in enumerate(ABN_WEIGHTS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "abn_validate_format",
+    doc="F8/F9/F10 — mod-89 ABN checksum + formatting as pure column "
+        "arithmetic (utils.py:246-300), on 11-digit strings derived from "
+        "customer keys; the oracle recomputes the weighted sum in SQL.",
+    tags=("functions",),
+    oracle=f"""
+WITH derived AS (
+  SELECT c_custkey,
+         lpad(CAST((c_custkey * 7919) % 100000000000 AS VARCHAR), 11, '0') AS abn11
+  FROM customer
+)
+SELECT c_custkey, abn11,
+       (({_checksum_sql('abn11')}) % 89 = 0) AS is_valid,
+       substr(abn11,1,2) || ' ' || substr(abn11,3,3) || ' ' ||
+       substr(abn11,6,3) || ' ' || substr(abn11,9,3) AS formatted
+FROM derived
+""",
+)
+def abn_validate_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    derived = c.select(
+        "c_custkey",
+        F.lpad(((F.col("c_custkey") * 7919) % 100000000000)
+               .cast("string"), 11, "0").alias("abn11"))
+    return derived.select(
+        "c_custkey", "abn11",
+        fx.validate_abn(F.col("abn11")).alias("is_valid"),
+        fx.format_abn(F.col("abn11")).alias("formatted"))
+
+
+@register(
+    "golden_record_merge",
+    doc="F22/J7/U2 — golden-record assembly (dim_companies.sql:37-108): "
+        "best order per customer merged with order-less customers tagged "
+        "ABR_ONLY-style, with COALESCE field priority.",
+    tags=("marts",),
+    oracle="""
+WITH best AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+), matched AS (
+  SELECT c.c_custkey, c.c_name AS canonical_name, b.o_orderkey AS best_orderkey,
+         round(b.o_totalprice, 2) AS total_price, 'MERGED' AS data_source
+  FROM customer c JOIN best b ON c.c_custkey = b.o_custkey AND b.rn = 1
+), only_dim AS (
+  SELECT c.c_custkey, c.c_name AS canonical_name,
+         CAST(NULL AS BIGINT) AS best_orderkey,
+         CAST(NULL AS DOUBLE) AS total_price, 'DIM_ONLY' AS data_source
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM only_dim
+""",
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    best = (o.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1))
+    matched = (c.join(best, c.c_custkey == best.o_custkey, "inner")
+               .select(F.col("c_custkey"),
+                       F.col("c_name").alias("canonical_name"),
+                       F.col("o_orderkey").alias("best_orderkey"),
+                       F.round("o_totalprice", 2).alias("total_price"),
+                       F.lit("MERGED").alias("data_source")))
+    only_dim = (c.join(o.select("o_custkey"),
+                       c.c_custkey == F.col("o_custkey"), "left_anti")
+                .select(F.col("c_custkey"),
+                        F.col("c_name").alias("canonical_name"),
+                        F.lit(None).cast("long").alias("best_orderkey"),
+                        F.lit(None).cast("double").alias("total_price"),
+                        F.lit("DIM_ONLY").alias("data_source")))
+    return matched.unionByName(only_dim)

@@ -19,6 +19,7 @@ from australia_company_etl_pipeline_spark import plans
 from australia_company_etl_pipeline_spark.session import get_spark
 
 HEADLINE = [
+    "entity_match_blocking",
     "best_supplier_match",
     "pricing_summary",
     "stats_rollup",
