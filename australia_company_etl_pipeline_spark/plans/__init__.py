@@ -5,7 +5,7 @@ query (operator inventory rows from SURVEY.md §2 plus the training-data
 pipeline extensions).
 """
 
-from . import ann, core, dedup, matching, text  # noqa: F401
+from . import ann, core, dedup, matching, sources, text  # noqa: F401
 from .registry import REGISTRY, oracles, queries
 
 __all__ = ["REGISTRY", "queries", "oracles"]

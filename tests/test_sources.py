@@ -1,0 +1,129 @@
+"""Sources & sinks (SURVEY §2.1): WET shredder, ABR XML shredder,
+parquet upsert sink, JDBC upsert statement generation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.sources import abr_xml, sinks, wet
+
+WET_TEXT = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n"
+    "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+    "\r\n"
+    "software: test\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://www.acme.com.au/about\r\n"
+    "Content-Length: 25\r\n"
+    "\r\n"
+    "ACME Pty Ltd is a company\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://example.org/\r\n"
+    "\r\n"
+    "Not Australian content here\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: https://skip.me/\r\n"
+    "\r\n"
+    "raw http bytes\n"
+)
+
+ABR_XML = """<Transfer><ABR recordLastUpdatedDate="20240101">
+<ABN status="Active" ABNStatusFromDate="20150301">51824753556</ABN>
+<EntityType><EntityTypeInd>PRV</EntityTypeInd><EntityTypeText>Australian Private Company</EntityTypeText></EntityType>
+<MainEntity><NonIndividualName type="MN"><NonIndividualNameText>ACME PTY LTD</NonIndividualNameText></NonIndividualName>
+<BusinessAddress><AddressDetails><State>NSW</State><Postcode>2000</Postcode></AddressDetails></BusinessAddress></MainEntity>
+</ABR>
+<ABR><ABN status="Cancelled" ABNStatusFromDate="2001-05-12">10 000 000 000</ABN>
+<EntityType><EntityTypeInd>IND</EntityTypeInd></EntityType>
+<LegalEntity><IndividualName><GivenName>JANE</GivenName><GivenName>Q</GivenName><FamilyName>CITIZEN</FamilyName></IndividualName>
+<BusinessAddress><AddressDetails><State>VIC</State><Postcode>3000</Postcode></AddressDetails></BusinessAddress></LegalEntity>
+</ABR>
+<ABR><ABN status="Active">123</ABN><EntityType><EntityTypeInd>PRV</EntityTypeInd></EntityType>
+<MainEntity><NonIndividualName><NonIndividualNameText>BAD ABN CO</NonIndividualNameText></NonIndividualName></MainEntity>
+</ABR></Transfer>"""
+
+
+def test_wet_shreds_conversion_records(spark):
+    df = spark.createDataFrame([(WET_TEXT,)], "value string")
+    rows = {r.url: r.text for r in wet.parse_wet_records(df).collect()}
+    # warcinfo + response records dropped, conversion kept
+    assert rows == {
+        "https://www.acme.com.au/about": "ACME Pty Ltd is a company",
+        "https://example.org/": "Not Australian content here",
+    }
+
+
+def test_wet_read_filters(spark, tmp_path):
+    p = tmp_path / "part.warc.wet"
+    p.write_text(WET_TEXT)
+    au = wet.read_wet(spark, str(p), australian_only=True).collect()
+    assert [r.url for r in au] == ["https://www.acme.com.au/about"]
+    long_only = wet.read_wet(spark, str(p), min_text_len=26).collect()
+    assert [r.url for r in long_only] == ["https://example.org/"]
+
+
+def test_abr_xml_shreds_name_cascade_and_dates(spark):
+    df = spark.createDataFrame([(ABR_XML,)], "value string")
+    out = abr_xml.shred_abr_xml(abr_xml.split_abr_records(df))
+    rows = {r.abn: r for r in out.collect()}
+    # 3rd record has a non-11-digit ABN → dropped (parse_abr.py contract)
+    assert set(rows) == {"51824753556", "10000000000"}
+    co = rows["51824753556"]
+    assert (co.entity_name, co.entity_type, co.entity_type_code,
+            co.entity_status, co.state, co.postcode) == (
+        "ACME PTY LTD", "Australian Private Company", "PRV", "Active",
+        "NSW", "2000")
+    assert str(co.start_date) == "2015-03-01"     # yyyyMMdd parsed
+    ind = rows["10000000000"]
+    assert ind.entity_name == "JANE Q CITIZEN"    # given+given+family
+    assert ind.entity_type == "IND"               # Text missing → Ind code
+    assert str(ind.start_date) == "2001-05-12"    # ISO parsed
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ver int")
+    sinks.upsert_parquet(spark, path, v1, keys=["k"], version_col="ver")
+    v2 = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 2)], "k int, v string, ver int")
+    sinks.upsert_parquet(spark, path, v2, keys=["k"], version_col="ver")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    # stale update (lower version) must NOT win
+    v0 = spark.createDataFrame([(2, "old", 0)], "k int, v string, ver int")
+    sinks.upsert_parquet(spark, path, v0, keys=["k"], version_col="ver")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[2] == "b2"
+    assert not os.path.exists(path + ".__staging__")
+
+
+def test_jdbc_upsert_sql_variants():
+    up = sinks.jdbc_upsert_sql("abr_entities", ["abn", "name", "state"],
+                               ["abn"])
+    assert up == ("INSERT INTO abr_entities (abn, name, state) "
+                  "VALUES (%s, %s, %s) ON CONFLICT (abn) DO UPDATE SET "
+                  "name = EXCLUDED.name, state = EXCLUDED.state")
+    ignore = sinks.jdbc_upsert_sql("web_companies", ["url", "name"],
+                                   ["url"], update_columns=[])
+    assert ignore.endswith("ON CONFLICT (url) DO NOTHING")
+    partial = sinks.jdbc_upsert_sql("t", ["a", "b", "c"], ["a"],
+                                    update_columns=["c"])
+    assert partial.endswith("DO UPDATE SET c = EXCLUDED.c")
+
+
+def test_write_jdbc_upsert_needs_driver(spark):
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(Exception) as ei:
+        sinks.write_jdbc_upsert(df, "dbname=none", "t", ["k"])
+    assert "psycopg2" in str(ei.value)
