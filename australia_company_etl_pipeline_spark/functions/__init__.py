@@ -4,7 +4,8 @@ from .abn import abn_checksum, clean_abn, format_abn, validate_abn
 from .dates import coerce_date, parse_date_multi
 from .scoring import (coalesce_merge, completeness, confidence_bucket,
                       differing_or_null, weighted_score)
-from .similarity import (jaccard_tokens, levenshtein_ratio, token_sort_ratio,
+from .similarity import (jaccard_token_arrays, jaccard_tokens,
+                         levenshtein_ratio, token_set, token_sort_ratio,
                          token_sorted)
 from .text import (blocking_key, clean_company_name, clean_entity_name,
                    clean_entity_type, clean_industry, clean_postcode,
@@ -18,7 +19,8 @@ __all__ = [
     "coerce_date", "parse_date_multi",
     "coalesce_merge", "completeness", "confidence_bucket",
     "differing_or_null", "weighted_score",
-    "jaccard_tokens", "levenshtein_ratio", "token_sort_ratio", "token_sorted",
+    "jaccard_token_arrays", "jaccard_tokens", "levenshtein_ratio",
+    "token_set", "token_sort_ratio", "token_sorted",
     "blocking_key", "clean_company_name", "clean_entity_name",
     "clean_entity_type", "clean_industry", "clean_postcode", "clean_state",
     "clean_status", "clean_text", "extract_company_from_text",

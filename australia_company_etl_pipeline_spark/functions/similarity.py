@@ -21,6 +21,27 @@ def _tokens(name: Column) -> Column:
         F.filter(F.split(F.upper(F.trim(name)), r"\s+"), lambda w: w != ""))
 
 
+def token_set(name: Column) -> Column:
+    """Distinct upper-cased whitespace tokens — the precomputable half of
+    ``jaccard_tokens``. Materialize this BEFORE a blocking join so each
+    side is tokenized once (O(rows)), not once per candidate pair
+    (O(pairs)); pair the result with ``jaccard_token_arrays``."""
+    return _tokens(name)
+
+
+def jaccard_token_arrays(ta: Column, tb: Column) -> Column:
+    """M2 on precomputed token-set arrays: |A∩B| / (|A|+|B|−|A∩B|).
+
+    Same math as ``jaccard_tokens`` but the per-pair work is a single
+    ``array_intersect`` — the union size comes from the sizes identity, so
+    no per-pair concat+distinct allocation. This is the hot-path form for
+    candidate-pair scoring after a blocking join."""
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(ta) + F.size(tb) - inter
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return F.when(ta.isNull() | tb.isNull(), F.lit(0.0)).otherwise(sim)
+
+
 def jaccard_tokens(a: Column, b: Column) -> Column:
     """M2 — token-set Jaccard similarity: |A∩B| / |A∪B|; empty → 0.0.
 

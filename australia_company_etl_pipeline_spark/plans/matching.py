@@ -41,7 +41,12 @@ def _norm(col: str) -> str:
     doc="The flagship entity-match kernel (J1 block join + M2 jaccard "
         "scoring + W1 best-match window, entity_match.py:437-628) run on "
         "company-name analogs derived from part: web names are p_name, "
-        "register names are p_name + brand tokens.",
+        "register names are p_name + brand tokens. Blocking key: first TWO "
+        "normalized tokens — the reference's 4-char prefix (utils.py:164-180) "
+        "degenerates on this corpus (~90 distinct prefixes → quadratic "
+        "blocks); composite token blocking bounds block size, the property "
+        "that matters at 100 TB. Key selectivity is data modeling, not a "
+        "constant (SURVEY §4.1).",
     tags=("flagship", "matching"),
     oracle=f"""
 WITH web AS (
@@ -55,9 +60,13 @@ WITH web AS (
          {_norm("p_name || ' ' || p_brand || ' Holdings'")} AS normalized_name
   FROM part
 ), web_k AS (
-  SELECT *, lower(substr(normalized_name, 1, 4)) AS block_key FROM web
+  SELECT *, lower(array_to_string(
+      list_slice(regexp_split_to_array(normalized_name, '\\s+'), 1, 2), ' '))
+      AS block_key FROM web
 ), reg_k AS (
-  SELECT *, lower(substr(normalized_name, 1, 4)) AS block_key FROM register
+  SELECT *, lower(array_to_string(
+      list_slice(regexp_split_to_array(normalized_name, '\\s+'), 1, 2), ' '))
+      AS block_key FROM register
 ), pairs AS (
   SELECT w.web_id, w.company_name, r.abn, r.entity_name,
          round(
@@ -91,28 +100,55 @@ def entity_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("entity_name"))
     register = register.withColumn(
         "normalized_name", fx.normalize_company_name(F.col("entity_name")))
-    web = web.withColumn(
-        "block_key", F.lower(F.substring("normalized_name", 1, 4)))
+    two_tok = lambda c: F.lower(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.split(c, " "), 1, 2)))
+    web = web.withColumn("block_key", two_tok(F.col("normalized_name")))
     register = register.withColumn(
-        "block_key", F.lower(F.substring("normalized_name", 1, 4)))
+        "block_key", two_tok(F.col("normalized_name")))
+
+    # Tokenize each side ONCE before the join (O(rows)); per-pair work is
+    # then a single array_intersect. Re-splitting strings per candidate
+    # pair would be O(pairs) regex work — the difference between minutes
+    # and seconds here, and between feasible and not at 100 TB.
+    web = web.withColumn("toks", fx.token_set(F.col("normalized_name")))
+    register = register.withColumn(
+        "toks", fx.token_set(F.col("normalized_name")))
+    # The register side broadcasts, so the pair explosion runs map-side on
+    # the web side's partitioning. A small parquet scan arrives as ONE
+    # split — spread it so the O(pairs) scoring parallelizes. (On a real
+    # cluster the scan is already many splits; this keeps local[] honest.)
+    from ..session import cpu_count
+    web = web.repartition(cpu_count() * 2)
 
     pairs = block_join(web, register, key="block_key",
-                       broadcast_side="auto")
+                       broadcast_side="right")
     scored = (pairs
               .withColumn("fuzzy_score",
-                          F.round(fx.jaccard_tokens(
-                              F.col("l.normalized_name"),
-                              F.col("r.normalized_name")), 6))
+                          F.round(fx.jaccard_token_arrays(
+                              F.col("l.toks"), F.col("r.toks")), 6))
               .filter(F.col("fuzzy_score") >= 0.45)
               .select(F.col("l.web_id").alias("web_id"),
                       F.col("l.company_name").alias("company_name"),
                       F.col("r.abn").alias("abn"),
                       F.col("r.entity_name").alias("entity_name"),
                       "fuzzy_score"))
-    win = Window.partitionBy("web_id").orderBy(
-        F.desc("fuzzy_score"), F.asc("abn"))
-    return (scored.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1).drop("rn"))
+    # Top-1 per web_id as an AGGREGATE, not a global window: max over
+    # (score, -abn) structs gets map-side partial aggregation, so the
+    # shuffle carries one row per web_id instead of every scored pair.
+    # (W1's row_number form stays covered by best_supplier_match /
+    # golden_record_merge; same semantics, tie-break abn ASC.)
+    best = (scored.groupBy("web_id")
+            .agg(F.max(F.struct(
+                F.col("fuzzy_score"),
+                (-F.col("abn")).alias("neg_abn"),
+                F.col("company_name"),
+                F.col("entity_name"))).alias("b")))
+    return best.select(
+        "web_id",
+        F.col("b.company_name").alias("company_name"),
+        (-F.col("b.neg_abn")).alias("abn"),
+        F.col("b.entity_name").alias("entity_name"),
+        F.col("b.fuzzy_score").alias("fuzzy_score"))
 
 
 def _checksum_sql(d: str) -> str:

@@ -1,0 +1,250 @@
+"""Streaming operators over the ``events`` table.
+
+Design notes (scale-first):
+
+- The stream is a *file source* (``readStream.parquet``) — on a real
+  cluster this is a landing directory fed by an ingest job (the Spark
+  analog of the reference's periodic-batch dbt freshness cadence,
+  ``/root/reference/dbt/models/staging/sources.yml:24-26``). Kafka would
+  drop in by swapping the reader; every transformation below is
+  source-agnostic.
+- Window aggregations are plain ``groupBy(window(...))`` — partial
+  aggregation happens map-side, state lives in the executor state store
+  keyed by (window, group), and the watermark bounds state size. Without
+  a watermark, 100 TB of events would grow state without bound; with it,
+  state is O(active windows × groups).
+- The sessionizer is the one genuinely-stateful custom operator
+  (SURVEY.md §7.2 M7 stretch): ``applyInPandasWithState`` with an
+  Arrow-batched pandas function — state is one open session per user,
+  closed sessions are emitted in append mode. Session merging assumes
+  per-user event-time ordering within the watermark, which the staging
+  helper guarantees and a production deployment gets from
+  ``withWatermark`` + dropped-late semantics.
+
+All window/session semantics have oracle-checked batch twins in
+``plans/streaming.py`` — the functions here are shared by both paths
+(they accept batch *or* streaming DataFrames).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Explicit schema: streaming file sources cannot infer (SURVEY.md §1.2 —
+# the reference also pins explicit schemas, src/pipeline.py:388-413).
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+_SESSION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_s", LongType()),
+    StructField("session_end_s", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+# Open-session state: (start_us, last_us, n, total) per user.
+_SESSION_STATE = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def stage_event_batches(spark: SparkSession, sf_dir: str, out_dir: str,
+                        n_batches: int = 4) -> None:
+    """Replay the batch ``events`` table as ``n_batches`` parquet files in
+    ``out_dir`` — a deterministic micro-batch arrival simulation. Files
+    are written in event-time order so per-user ordering holds across
+    triggers (what a watermark guarantees in production)."""
+    from ..catalog import table
+
+    events = table(spark, sf_dir, "events")
+    ranked = events.withColumn(
+        "_b", F.ntile(n_batches).over(Window.orderBy("ts", "event_id")))
+    ranked.cache()
+    try:
+        for b in range(1, n_batches + 1):
+            (ranked.filter(F.col("_b") == b).drop("_b")
+             .coalesce(1).write.mode("append").parquet(out_dir))
+    finally:
+        ranked.unpersist()
+
+
+def read_events_stream(spark: SparkSession, landing_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a landing directory of event parquet."""
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(landing_dir))
+
+
+def _with_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
+    # Watermarks only apply to streams; batch twins skip them so the same
+    # function body serves both the stream and the oracle-checked twin.
+    if watermark and df.isStreaming:
+        return df.withWatermark("ts", watermark)
+    return df
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window: count + value sum per (window, type).
+
+    Window bounds surface as epoch seconds (engine-portable, no
+    timezone-dependent hashing). Map-side partial aggregation + state-store
+    final merge; watermark bounds state at ~(active windows × types)."""
+    w = F.window("ts", window)
+    return (_with_watermark(events, watermark)
+            .groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").cast("long").alias("window_start_s"),
+                    F.col("w.end").cast("long").alias("window_end_s"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding window twin of ``tumbling_counts`` (each event lands in
+    window/slide overlapping buckets)."""
+    w = F.window("ts", window, slide)
+    return (_with_watermark(events, watermark)
+            .groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").cast("long").alias("window_start_s"),
+                    F.col("w.end").cast("long").alias("window_end_s"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Native session windows per user (``F.session_window``): a session
+    closes after ``gap`` of inactivity; end = last event + gap."""
+    sw = F.session_window("ts", gap)
+    return (_with_watermark(events, watermark)
+            .groupBy(sw.alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.col("sw.start").cast("long").alias("session_start_s"),
+                    F.col("sw.end").cast("long").alias("session_end_s"),
+                    "n_events", "sum_value"))
+
+
+def _gap_seconds(gap: str) -> int:
+    qty, unit = gap.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult
+
+
+def sessionize_stateful(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState``.
+
+    Functionally equivalent to ``session_windows`` but hand-rolled state —
+    the template for session logic Spark's built-in can't express
+    (e.g. value-dependent gaps, per-session ML features). State is one
+    open session per user; a closed session is emitted exactly once
+    (append mode) when a later event exceeds the gap, or on processing-time
+    timeout. Arrow-batched: each micro-batch ships one pandas frame per
+    user group, not per-row Python calls."""
+    gap_us = _gap_seconds(gap) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start_s": [start_us // 1_000_000],
+                "session_end_s": [last_us // 1_000_000 + gap_us // 1_000_000],
+                "n_events": [n],
+                "sum_value": [round(total, 2)],
+            })
+            return
+        open_s = list(state.get) if state.exists else None
+        closed: list[list] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64")).tolist()
+            vals = pdf["value"].tolist()
+            for t, v in zip(ts_us, vals):
+                if open_s is None:
+                    open_s = [t, t, 1, float(v)]
+                elif t - open_s[1] >= gap_us:  # session end is exclusive
+                    closed.append(open_s)
+                    open_s = [t, t, 1, float(v)]
+                else:
+                    open_s[1] = t
+                    open_s[2] += 1
+                    open_s[3] += float(v)
+        if open_s is not None:
+            state.update(tuple(open_s))
+            state.setTimeoutDuration(60_000)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start_s": [c[0] // 1_000_000 for c in closed],
+                "session_end_s": [c[1] // 1_000_000 + gap_us // 1_000_000
+                                  for c in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_value": [round(c[3], 2) for c in closed],
+            })
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn, _SESSION_OUT, _SESSION_STATE, "append",
+        GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def stream_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                      available_now: bool = True):
+    """Parquet sink with exactly-once file-commit semantics (checkpointed
+    offsets + file manifest). ``availableNow`` drains the backlog then
+    stops — the batch-replay trigger."""
+    writer = (stream.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str,
+                  checkpoint_dir: str | None = None):
+    """Drain a stream into an in-memory table (test/debug sink)."""
+    writer = (stream_df.writeStream.format("memory")
+              .queryName(name).outputMode(output_mode)
+              .trigger(availableNow=True))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+__all__ = [
+    "EVENTS_SCHEMA", "stage_event_batches", "read_events_stream",
+    "tumbling_counts", "sliding_counts", "session_windows",
+    "sessionize_stateful", "stream_to_parquet", "run_to_memory",
+]
