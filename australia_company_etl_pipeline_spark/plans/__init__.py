@@ -5,7 +5,8 @@ query (operator inventory rows from SURVEY.md §2 plus the training-data
 pipeline extensions).
 """
 
-from . import ann, core, dedup, matching, sources, text  # noqa: F401
+from . import (ann, core, dedup, matching, multimodal,  # noqa: F401
+               sources, streaming, text)
 from .registry import REGISTRY, oracles, queries
 
 __all__ = ["REGISTRY", "queries", "oracles"]

@@ -151,6 +151,196 @@ def entity_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.fuzzy_score").alias("fuzzy_score"))
 
 
+# ---------------------------------------------------------------------------
+# Full match cascade (M5/M6/F20/U1) under the oracle gate: the REAL
+# match_companies library path with the jaccard scorer and the
+# deterministic LLM stub — both SQL-expressible, so the whole
+# high-band / LLM-rescue / weighted-union cascade is value-checked.
+#
+# Register-name variants tier the fuzzy scores across the bands
+# (thresholds 0.72 / 0.60):
+#   partkey%3==0 -> exact normalized twin        (j = 1.0,  'fuzzy')
+#   partkey%3==1 -> one extra token              (j ~ 0.83, 'fuzzy')
+#   partkey%3==2 -> two extra tokens             (j ~ 0.6-0.71, LLM band;
+#                   stub llm = 0.3+0.7*j_raw -> final >= 0.72, 'hybrid')
+# ---------------------------------------------------------------------------
+
+_STATES_SQL = "['NSW','VIC','QLD','SA','WA','TAS','NT','ACT']"
+
+_CASCADE_CTES = f"""
+web AS (
+  SELECT p_name AS company_name,
+         'https://www.p' || CAST(p_partkey AS VARCHAR) || '.com.au' AS url,
+         p_type AS industry,
+         {_norm("p_name")} AS normalized_name
+  FROM part
+), register AS (
+  SELECT p_partkey + 1000000 AS abn,
+         CASE CAST(p_partkey % 3 AS INT)
+           WHEN 0 THEN p_name || ' Pty Ltd'
+           WHEN 1 THEN p_name || ' Digital'
+           ELSE p_name || ' Digital Media' END AS entity_name,
+         {_STATES_SQL}[CAST(p_size % 8 AS INT) + 1] AS state,
+         CAST(1000 + p_partkey % 8999 AS VARCHAR) AS postcode,
+         strftime(DATE '1990-01-01' + CAST(p_partkey % 10000 AS INT),
+                  '%Y-%m-%d') AS start_date,
+         {_norm('''CASE CAST(p_partkey % 3 AS INT)
+           WHEN 0 THEN p_name || ' Pty Ltd'
+           WHEN 1 THEN p_name || ' Digital'
+           ELSE p_name || ' Digital Media' END''')} AS normalized_name
+  FROM part
+), web_k AS (
+  SELECT *, lower(array_to_string(
+      list_slice(regexp_split_to_array(normalized_name, '\\s+'), 1, 2), ' '))
+      AS block_key FROM web
+), reg_k AS (
+  SELECT *, lower(array_to_string(
+      list_slice(regexp_split_to_array(normalized_name, '\\s+'), 1, 2), ' '))
+      AS block_key FROM register
+), scored AS (
+  SELECT w.company_name AS crawl_name, w.url AS crawl_url,
+         w.industry AS industry, r.entity_name AS abr_name, r.abn,
+         CAST(len(list_intersect(
+           list_distinct(regexp_split_to_array(upper(trim(w.normalized_name)), '\\s+')),
+           list_distinct(regexp_split_to_array(upper(trim(r.normalized_name)), '\\s+')))) AS DOUBLE)
+         / len(list_distinct(list_concat(
+           regexp_split_to_array(upper(trim(w.normalized_name)), '\\s+'),
+           regexp_split_to_array(upper(trim(r.normalized_name)), '\\s+'))))
+           AS fuzzy_score,
+         r.state, r.postcode, r.start_date
+  FROM web_k w JOIN reg_k r ON w.block_key = r.block_key
+), high AS (
+  SELECT crawl_name, crawl_url, abr_name, abn, fuzzy_score,
+         CAST(NULL AS DOUBLE) AS llm_score, fuzzy_score AS final_score,
+         'fuzzy' AS match_method, state, postcode, start_date
+  FROM scored WHERE fuzzy_score >= 0.72
+), rescued AS (
+  SELECT crawl_name, crawl_url, abr_name, abn, fuzzy_score, llm_score,
+         round(0.70 * fuzzy_score + 0.30 * llm_score, 6) AS final_score,
+         'hybrid' AS match_method, state, postcode, start_date
+  FROM (
+    SELECT *,
+           round(0.3 + 0.7 * (
+             CAST(len(list_intersect(
+               list_distinct(regexp_split_to_array(upper(crawl_name), '\\s+')),
+               list_distinct(regexp_split_to_array(upper(abr_name), '\\s+')))) AS DOUBLE)
+             / len(list_distinct(list_concat(
+               regexp_split_to_array(upper(crawl_name), '\\s+'),
+               regexp_split_to_array(upper(abr_name), '\\s+'))))), 4) AS llm_score
+    FROM scored WHERE fuzzy_score >= 0.60 AND fuzzy_score < 0.72
+  ) WHERE round(0.70 * fuzzy_score + 0.30 * llm_score, 6) >= 0.72
+), unioned AS (
+  SELECT * FROM high UNION ALL SELECT * FROM rescued
+)
+"""
+
+
+def _cascade_frames(spark: SparkSession, sf_dir: str):
+    p = table(spark, sf_dir, "part")
+    states = F.array(*[F.lit(s) for s in
+                       ["NSW", "VIC", "QLD", "SA", "WA", "TAS", "NT", "ACT"]])
+    web = p.select(
+        F.col("p_name").alias("company_name"),
+        F.concat(F.lit("https://www.p"), F.col("p_partkey").cast("string"),
+                 F.lit(".com.au")).alias("url"),
+        F.col("p_type").alias("industry"),
+        fx.normalize_company_name(F.col("p_name")).alias("normalized_name"))
+    entity_name = (
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.col("p_name"), F.lit(" Pty Ltd")))
+        .when(F.col("p_partkey") % 3 == 1,
+              F.concat(F.col("p_name"), F.lit(" Digital")))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" Digital Media"))))
+    register = p.select(
+        (F.col("p_partkey") + 1000000).alias("abn"),
+        entity_name.alias("entity_name"),
+        F.element_at(states, (F.col("p_size") % 8 + 1).cast("int"))
+         .alias("state"),
+        (F.lit(1000) + F.col("p_partkey") % 8999).cast("string")
+         .alias("postcode"),
+        F.date_format(
+            F.date_add(F.lit("1990-01-01").cast("date"),
+                       (F.col("p_partkey") % 10000).cast("int")),
+            "yyyy-MM-dd").alias("start_date"))
+    register = register.withColumn(
+        "normalized_name", fx.normalize_company_name(F.col("entity_name")))
+    two_tok = lambda c: F.lower(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.split(c, " "), 1, 2)))
+    web = web.withColumn("block_key", two_tok(F.col("normalized_name")))
+    register = register.withColumn(
+        "block_key", two_tok(F.col("normalized_name")))
+    # spread the probe side (single parquet split otherwise; see
+    # entity_match_blocking) before the broadcast-join pair explosion
+    from ..session import cpu_count
+    return web.repartition(cpu_count() * 2), register
+
+
+def _run_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.match import match_companies
+
+    web, register = _cascade_frames(spark, sf_dir)
+    return match_companies(
+        web, register, fuzzy_threshold=0.72, use_llm=True,
+        llm_threshold_min=0.60, fuzzy_weight=0.70, llm_weight=0.30,
+        scorer="jaccard", broadcast_side="right")
+
+
+@register(
+    "match_cascade_best",
+    doc="M5/M6/F20/U1/W2 end-to-end: the real match_companies cascade "
+        "(block join → jaccard score → band split → distributed stub-LLM "
+        "rescore via mapInPandas → weighted union) then top-1 per "
+        "crawl_url (best_match_per_key, tie-break abn asc). The stub LLM "
+        "is deterministic token arithmetic, so the whole cascade is "
+        "value-checked against SQL.",
+    tags=("flagship", "matching", "pandas-udf"),
+    oracle=f"""
+WITH {_CASCADE_CTES},
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY crawl_url ORDER BY final_score DESC, abn ASC) AS rn
+  FROM unioned
+)
+SELECT crawl_name, crawl_url, abr_name, abn, fuzzy_score, llm_score,
+       final_score, match_method, state, postcode, start_date
+FROM ranked WHERE rn = 1
+""",
+)
+def match_cascade_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.match import best_match_per_key
+
+    return best_match_per_key(
+        _run_cascade(spark, sf_dir), key="crawl_url", tie_break="abn")
+
+
+@register(
+    "match_cascade_stats",
+    doc="A5-parity rollup over the live cascade output: per match_method "
+        "counts and score stats (fct_match_statistics.sql:13-50 analog) — "
+        "verifies the hybrid/LLM band is populated and scored correctly.",
+    tags=("matching",),
+    oracle=f"""
+WITH {_CASCADE_CTES}
+SELECT match_method,
+       COUNT(*) AS n_matches,
+       round(AVG(final_score), 6) AS avg_final,
+       round(MIN(final_score), 6) AS min_final,
+       round(MAX(final_score), 6) AS max_final,
+       COUNT(DISTINCT crawl_url) AS n_urls
+FROM unioned
+GROUP BY match_method
+""",
+)
+def match_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _run_cascade(spark, sf_dir)
+    return m.groupBy("match_method").agg(
+        F.count("*").alias("n_matches"),
+        F.round(F.avg("final_score"), 6).alias("avg_final"),
+        F.round(F.min("final_score"), 6).alias("min_final"),
+        F.round(F.max("final_score"), 6).alias("max_final"),
+        F.countDistinct("crawl_url").alias("n_urls"))
+
+
 def _checksum_sql(d: str) -> str:
     terms = [
         f"(CAST(substr({d}, {i + 1}, 1) AS INT){' - 1' if i == 0 else ''}) * {w}"

@@ -159,16 +159,19 @@ def _gap_seconds(gap: str) -> int:
     return int(qty) * mult
 
 
-def sessionize_stateful(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def sessionize_stateful(events: DataFrame, gap: str = "30 minutes",
+                        timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful sessionizer via ``applyInPandasWithState``.
 
     Functionally equivalent to ``session_windows`` but hand-rolled state —
     the template for session logic Spark's built-in can't express
     (e.g. value-dependent gaps, per-session ML features). State is one
     open session per user; a closed session is emitted exactly once
-    (append mode) when a later event exceeds the gap, or on processing-time
-    timeout. Arrow-batched: each micro-batch ships one pandas frame per
-    user group, not per-row Python calls."""
+    (append mode) when a later event exceeds the gap — or, when
+    ``timeout_ms`` is set, on processing-time timeout (the production
+    knob that flushes idle users; leave None for deterministic replays).
+    Arrow-batched: each micro-batch ships one pandas frame per user
+    group, not per-row Python calls."""
     gap_us = _gap_seconds(gap) * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
@@ -188,7 +191,9 @@ def sessionize_stateful(events: DataFrame, gap: str = "30 minutes") -> DataFrame
         closed: list[list] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
-            ts_us = (pdf["ts"].astype("int64")).tolist()
+            # unit-robust epoch micros (datetime64 resolution varies)
+            ts_us = ((pdf["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(microseconds=1)).tolist()
             vals = pdf["value"].tolist()
             for t, v in zip(ts_us, vals):
                 if open_s is None:
@@ -202,7 +207,8 @@ def sessionize_stateful(events: DataFrame, gap: str = "30 minutes") -> DataFrame
                     open_s[3] += float(v)
         if open_s is not None:
             state.update(tuple(open_s))
-            state.setTimeoutDuration(60_000)
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame({
                 "user_id": [user_id] * len(closed),
@@ -213,9 +219,10 @@ def sessionize_stateful(events: DataFrame, gap: str = "30 minutes") -> DataFrame
                 "sum_value": [round(c[3], 2) for c in closed],
             })
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_ms is not None else GroupStateTimeout.NoTimeout)
     return (events.groupBy("user_id").applyInPandasWithState(
-        fn, _SESSION_OUT, _SESSION_STATE, "append",
-        GroupStateTimeout.ProcessingTimeTimeout))
+        fn, _SESSION_OUT, _SESSION_STATE, "append", timeout))
 
 
 def stream_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,

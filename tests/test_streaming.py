@@ -1,0 +1,111 @@
+"""Structured Streaming tests: the streaming execution path must produce
+exactly the batch-twin results (which are themselves DuckDB-oracled in
+``plans/streaming.py``).
+
+Strategy: replay ``events`` as ordered micro-batch files, run each
+transformation through a real streaming query (file source → memory
+sink, availableNow trigger), and diff against the same transformation
+applied in batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from australia_company_etl_pipeline_spark.catalog import table
+from australia_company_etl_pipeline_spark.streaming import (
+    read_events_stream,
+    session_windows,
+    sessionize_stateful,
+    stage_event_batches,
+    stream_to_parquet,
+    tumbling_counts,
+)
+from australia_company_etl_pipeline_spark.streaming.events_stream import (
+    run_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_landing"))
+    stage_event_batches(spark, sf_dir, d, n_batches=3)
+    return d
+
+
+def _rows(df, key_cols):
+    return sorted(tuple(r) for r in df.select(*key_cols).collect())
+
+
+def test_staged_batches_cover_all_events(spark, sf_dir, landing_dir):
+    batch = table(spark, sf_dir, "events")
+    staged = spark.read.parquet(landing_dir)
+    assert staged.count() == batch.count()
+    assert len(staged.inputFiles()) >= 3  # one file per micro-batch
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir, landing_dir):
+    stream = read_events_stream(spark, landing_dir)
+    assert stream.isStreaming
+    q = run_to_memory(tumbling_counts(stream), "tumbling_t", "complete")
+    q.awaitTermination(120)
+    got = spark.table("tumbling_t")
+    want = tumbling_counts(table(spark, sf_dir, "events"))
+    cols = ["window_start_s", "window_end_s", "event_type",
+            "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_windows_stream_matches_batch(spark, sf_dir, landing_dir):
+    stream = read_events_stream(spark, landing_dir)
+    q = run_to_memory(session_windows(stream, gap="30 minutes"),
+                      "sessions_t", "complete")
+    q.awaitTermination(120)
+    got = spark.table("sessions_t")
+    want = session_windows(table(spark, sf_dir, "events"),
+                           gap="30 minutes")
+    cols = ["user_id", "session_start_s", "session_end_s",
+            "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stateful_sessionizer_emits_closed_sessions(
+        spark, sf_dir, landing_dir, tmp_path):
+    """applyInPandasWithState emits each CLOSED session exactly once
+    (append mode). With availableNow, every session except each user's
+    final one closes — compare against the batch twin minus per-user
+    last sessions."""
+    stream = read_events_stream(spark, landing_dir)
+    q = run_to_memory(sessionize_stateful(stream, gap="30 minutes"),
+                      "stateful_t", "append",
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = spark.table("stateful_t")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    want_all = session_windows(table(spark, sf_dir, "events"),
+                               gap="30 minutes")
+    last = Window.partitionBy("user_id").orderBy(
+        F.desc("session_start_s"))
+    want_closed = (want_all
+                   .withColumn("rn", F.row_number().over(last))
+                   .filter(F.col("rn") > 1).drop("rn"))
+    cols = ["user_id", "session_start_s", "session_end_s",
+            "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want_closed, cols)
+
+
+def test_parquet_sink_checkpointed(spark, landing_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = read_events_stream(spark, landing_dir, max_files_per_trigger=2)
+    q = stream_to_parquet(stream, out, ckpt)
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    assert written.count() == spark.read.parquet(landing_dir).count()
+    # restart with same checkpoint: no new data -> no duplicate rows
+    q2 = stream_to_parquet(read_events_stream(spark, landing_dir), out, ckpt)
+    q2.awaitTermination(60)
+    assert (spark.read.parquet(out).count()
+            == spark.read.parquet(landing_dir).count())
