@@ -1,0 +1,144 @@
+"""Data-quality assertion queries (SURVEY §2.12 Q1–Q4) under the oracle gate.
+
+The reference runs dbt schema tests + three custom assertion SQL files
+(``/root/reference/dbt/tests/*.sql``, ``dbt/models/*/schema.yml``); each is
+a SELECT whose rows are violations. Our engine exposes the same checks as
+library operators (``operators/quality.py``) and registers two driver-gate
+queries here:
+
+- ``dq_suite_report`` — the whole suite as one result: one row per check
+  with its violation count. The checks are aimed at columns of the test
+  catalog that genuinely violate (discount range, status domain, part-size
+  range, duplicate user-days) plus passing checks (PK uniqueness,
+  not-null, match rate ≥ 20%), so the value-compare is meaningful in both
+  directions.
+- ``dq_status_violations`` — one representative row-level assertion
+  (dbt-style: the violating rows themselves).
+
+Scale notes: every check is a single scan→filter→(partial-)agg over one
+table — map-side combined counts, no wide shuffle except the two
+duplicate-key groupBys, which shuffle only the key columns (input pruned
+to the grouping keys). The seven 1-row aggregates union on the driver for
+free (each is its own tiny job; at cluster scale they parallelize
+independently).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.quality import (
+    assert_accepted_range,
+    assert_accepted_values,
+    assert_minimum_match_rate,
+    assert_no_duplicates,
+    assert_not_null,
+    assert_valid_scores,
+)
+from .registry import register
+
+
+def _count_row(name: str, violations: DataFrame) -> DataFrame:
+    return violations.agg(
+        F.count(F.lit(1)).cast("long").alias("violations")).select(
+        F.lit(name).alias("check_name"), "violations")
+
+
+@register(
+    "dq_suite_report",
+    doc="Q1–Q4 assertion suite (dbt/tests/assert_valid_confidence_scores"
+        ".sql:3-7, assert_minimum_match_rate.sql:4-10, "
+        "assert_no_duplicate_abns.sql:3-8, dbt schema tests "
+        "models/staging/schema.yml:9-77) as one violation-count report.",
+    tags=("quality",),
+    oracle="""
+SELECT * FROM (
+  SELECT 'q1_score_range' AS check_name, CAST((
+    SELECT COUNT(*) FROM lineitem
+    WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05
+  ) AS BIGINT) AS violations
+  UNION ALL SELECT 'q2_match_rate', CAST((
+    SELECT CASE WHEN COUNT(DISTINCT o_custkey) * 100.0
+                     / (SELECT COUNT(*) FROM customer) < 20.0
+           THEN 1 ELSE 0 END FROM orders
+  ) AS BIGINT)
+  UNION ALL SELECT 'q3_dup_user_days', CAST((
+    SELECT COUNT(*) FROM (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      GROUP BY user_id, day HAVING COUNT(*) > 1)
+  ) AS BIGINT)
+  UNION ALL SELECT 'q3_pk_orders', CAST((
+    SELECT COUNT(*) FROM (
+      SELECT o_orderkey FROM orders
+      GROUP BY o_orderkey HAVING COUNT(*) > 1)
+  ) AS BIGINT)
+  UNION ALL SELECT 'q4_not_null_docs', CAST((
+    SELECT COUNT(*) FROM documents WHERE text IS NULL OR lang IS NULL
+  ) AS BIGINT)
+  UNION ALL SELECT 'q4_size_range', CAST((
+    SELECT COUNT(*) FROM part
+    WHERE p_size IS NOT NULL AND (p_size < 1 OR p_size > 25)
+  ) AS BIGINT)
+  UNION ALL SELECT 'q4_status_values', CAST((
+    SELECT COUNT(*) FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+  ) AS BIGINT)
+) ORDER BY check_name
+""")
+def dq_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    customer = table(spark, sf_dir, "customer")
+    events = table(spark, sf_dir, "events")
+    documents = table(spark, sf_dir, "documents")
+
+    # Q2 fixture: "match rate" = % of customers with ≥1 order, via the
+    # J10-style 1×1 cross join of scalar aggregates.
+    fct = (orders.agg(F.countDistinct("o_custkey").alias("matched"))
+           .crossJoin(customer.agg(F.count(F.lit(1)).alias("total")))
+           .select((F.col("matched") * 100.0 / F.col("total"))
+                   .alias("match_rate_percent")))
+
+    rows = [
+        _count_row("q1_score_range",
+                   assert_valid_scores(lineitem, col="l_discount",
+                                       lo=0.0, hi=0.05)),
+        _count_row("q2_match_rate", assert_minimum_match_rate(fct, 20.0)),
+        _count_row("q3_dup_user_days",
+                   assert_no_duplicates(
+                       events.select("user_id",
+                                     F.to_date("ts").alias("day")),
+                       ["user_id", "day"])),
+        _count_row("q3_pk_orders",
+                   assert_no_duplicates(orders, ["o_orderkey"])),
+        _count_row("q4_not_null_docs",
+                   assert_not_null(documents, ["text", "lang"])),
+        _count_row("q4_size_range",
+                   assert_accepted_range(part, "p_size", 1, 25)),
+        _count_row("q4_status_values",
+                   assert_accepted_values(orders, "o_orderstatus",
+                                          ["O", "F"])),
+    ]
+    return reduce(DataFrame.unionByName, rows).orderBy("check_name")
+
+
+@register(
+    "dq_status_violations",
+    doc="Q4 accepted_values as a dbt-style row-level assertion: the "
+        "violating rows themselves (dbt/models/staging/schema.yml "
+        "accepted_values; runner semantics dbt/tests/*.sql).",
+    tags=("quality",),
+    oracle="""
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+ORDER BY o_orderkey
+""")
+def dq_status_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (assert_accepted_values(orders, "o_orderstatus", ["O", "F"])
+            .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey"))
