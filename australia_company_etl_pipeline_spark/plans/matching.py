@@ -380,6 +380,57 @@ def abn_validate_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.format_abn(F.col("abn11")).alias("formatted"))
 
 
+_DUCK_FMTS = ("%Y%m%d", "%Y-%m-%d", "%-d/%-m/%Y", "%Y/%-m/%-d", "%-d-%-m-%Y")
+# Single-format try_strptime keeps the result timezone-naive (the list form
+# returns timestamptz, whose DATE cast is session-tz-dependent).
+_DUCK_PARSE = "COALESCE(" + ", ".join(
+    f"CAST(try_strptime(raw, '{f}') AS DATE)" for f in _DUCK_FMTS) + ")"
+
+
+@register(
+    "date_parse_multi",
+    doc="F18/F19 — multi-format date parse cascade (parse_abr.py:219-240, "
+        "clean_abr.py:97-99): order dates rendered in the reference's five "
+        "formats (plus an unparseable band), re-parsed via try_to_date "
+        "coalesce; unparseable → NULL, with a round-trip check column.",
+    tags=("functions", "date"),
+    oracle=f"""
+WITH rendered AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CASE CAST(o_orderkey % 6 AS INT)
+           WHEN 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y%m%d')
+           WHEN 1 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+           WHEN 2 THEN strftime(CAST(o_orderdate AS DATE), '%-d/%-m/%Y')
+           WHEN 3 THEN strftime(CAST(o_orderdate AS DATE), '%Y/%-m/%-d')
+           WHEN 4 THEN strftime(CAST(o_orderdate AS DATE), '%-d-%-m-%Y')
+           ELSE 'not-a-date' END AS raw
+  FROM orders
+)
+SELECT o_orderkey, raw, strftime({_DUCK_PARSE}, '%Y-%m-%d') AS parsed,
+       COALESCE({_DUCK_PARSE} = d, FALSE) AS roundtrip_ok
+FROM rendered
+""",
+)
+def date_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    fmt = F.col("o_orderkey") % 6
+    raw = (F.when(fmt == 0, F.date_format(d, "yyyyMMdd"))
+           .when(fmt == 1, F.date_format(d, "yyyy-MM-dd"))
+           .when(fmt == 2, F.date_format(d, "d/M/yyyy"))
+           .when(fmt == 3, F.date_format(d, "yyyy/M/d"))
+           .when(fmt == 4, F.date_format(d, "d-M-yyyy"))
+           .otherwise(F.lit("not-a-date")))
+    rendered = o.select("o_orderkey", d.alias("d"), raw.alias("raw"))
+    parsed = fx.parse_date_multi(F.col("raw"))
+    return rendered.select(
+        "o_orderkey", "raw",
+        # parquet DATE vs DuckDB datetime64 stringify differently in the
+        # driver's hash — surface ISO strings for engine-portable values.
+        F.date_format(parsed, "yyyy-MM-dd").alias("parsed"),
+        F.coalesce(parsed == F.col("d"), F.lit(False)).alias("roundtrip_ok"))
+
+
 @register(
     "golden_record_merge",
     doc="F22/J7/U2 — golden-record assembly (dim_companies.sql:37-108): "
