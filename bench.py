@@ -19,7 +19,9 @@ from australia_company_etl_pipeline_spark import plans
 from australia_company_etl_pipeline_spark.session import get_spark
 
 HEADLINE = [
+    # entity-resolution core (reference parity)
     "entity_match_blocking",
+    "match_cascade_best",
     "best_supplier_match",
     "pricing_summary",
     "stats_rollup",
@@ -28,6 +30,15 @@ HEADLINE = [
     "union_score_bands",
     "dedup_events_first",
     "monthly_order_stats",
+    # training-data pipeline extensions
+    "exact_dedup_docs",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "doc_quality",
+    "doc_token_stats",
+    "events_session_windows",
 ]
 
 
