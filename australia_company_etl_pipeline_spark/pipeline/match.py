@@ -17,7 +17,7 @@ Differences by design (SURVEY §4.2):
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -47,17 +47,19 @@ def stub_llm_scorer(batch: pd.DataFrame) -> pd.Series:
     Scores name-pair agreement on token overlap, shifted to the LLM's
     [0.3, 1.0]-ish verdict range; unavailable-LLM neutral is 0.5.
     """
-    def one(a: str | None, b: str | None) -> float:
+    # upper-casing vectorized in C; per-row set math stays Python (this is
+    # the stand-in for a per-pair external call — cost model is per row)
+    ca = batch["crawl_name"].fillna("").astype(str).str.upper().str.split()
+    ab = batch["abr_name"].fillna("").astype(str).str.upper().str.split()
+
+    def one(a: list, b: list) -> float:
         if not a or not b:
             return 0.5
-        ta, tb = set(str(a).upper().split()), set(str(b).upper().split())
-        if not ta or not tb:
-            return 0.5
-        j = len(ta & tb) / len(ta | tb)
-        return round(0.3 + 0.7 * j, 4)
+        ta, tb = set(a), set(b)
+        return round(0.3 + 0.7 * (len(ta & tb) / len(ta | tb)), 4)
 
-    return pd.Series([one(a, b) for a, b in
-                      zip(batch["crawl_name"], batch["abr_name"])])
+    return pd.Series([one(a, b) for a, b in zip(ca, ab)],
+                     index=batch.index)
 
 
 def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
@@ -76,12 +78,24 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
     """
     score_fn = SCORERS[scorer] if isinstance(scorer, str) else scorer
 
+    # Hot-path scorer: tokenize each side ONCE before the join (O(rows)),
+    # score pairs with a single array_intersect (O(pairs) but cheap) —
+    # never re-split strings per candidate pair.
+    if scorer == "jaccard":
+        crawl_df = crawl_df.withColumn(
+            "__toks", fx.token_set(F.col("normalized_name")))
+        abr_df = abr_df.withColumn(
+            "__toks", fx.token_set(F.col("normalized_name")))
+        score_expr = lambda: fx.jaccard_token_arrays(  # noqa: E731
+            F.col("l.__toks"), F.col("r.__toks"))
+    else:
+        score_expr = lambda: score_fn(  # noqa: E731
+            F.col("l.normalized_name"), F.col("r.normalized_name"))
+
     pairs = block_join(crawl_df, abr_df, key="block_key",
                        broadcast_side=broadcast_side)
     scored = (pairs
-              .withColumn("fuzzy_score",
-                          score_fn(F.col("l.normalized_name"),
-                                   F.col("r.normalized_name")))
+              .withColumn("fuzzy_score", score_expr())
               .select(F.col("l.company_name").alias("crawl_name"),
                       F.col("l.url").alias("crawl_url"),
                       F.col("l.industry").alias("industry"),
@@ -92,41 +106,50 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
                       F.col("r.postcode").alias("postcode"),
                       F.col("r.start_date").alias("start_date")))
 
-    high = (scored
-            .filter(F.col("fuzzy_score") >= fuzzy_threshold)
-            .withColumn("llm_score", F.lit(None).cast("double"))
-            .withColumn("final_score", F.col("fuzzy_score"))
-            .withColumn("match_method", F.lit("fuzzy")))
-
     if not use_llm:
-        return high.select(*RESULT_COLUMNS)
+        return (scored
+                .filter(F.col("fuzzy_score") >= fuzzy_threshold)
+                .withColumn("llm_score", F.lit(None).cast("double"))
+                .withColumn("final_score", F.col("fuzzy_score"))
+                .withColumn("match_method", F.lit("fuzzy"))
+                .select(*RESULT_COLUMNS))
 
-    uncertain = scored.filter(
-        (F.col("fuzzy_score") >= llm_threshold_min)
-        & (F.col("fuzzy_score") < fuzzy_threshold))
+    # Single-pass cascade. A high/uncertain branch fork + union would scan
+    # the block join TWICE (a DAG fork recomputes its input absent an
+    # explicit materialization); instead: one band filter, then the LLM
+    # score as a band-masked Arrow pandas_udf — the (expensive, possibly
+    # external) scorer fires only for rows inside the uncertain band, and
+    # high-band rows pass through with a NULL llm_score. Distributed, vs
+    # the reference's driver-side sequential loop (entity_match.py:536-576).
+    lo, hi = float(llm_threshold_min), float(fuzzy_threshold)
 
-    # Distributed LLM rescore: Arrow batches through the pluggable scorer
-    # (vs the reference's driver-side row loop, entity_match.py:536-576).
-    schema = (uncertain
-              .withColumn("llm_score", F.lit(0.0))
-              .schema)
+    @F.pandas_udf("double")
+    def llm_batch(crawl: pd.Series, abr: pd.Series,
+                  fuzzy: pd.Series) -> pd.Series:
+        out = pd.Series(pd.NA, index=crawl.index, dtype="Float64")
+        mask = (fuzzy >= lo) & (fuzzy < hi)
+        if mask.any():
+            sub = pd.DataFrame({"crawl_name": crawl[mask].to_numpy(),
+                                "abr_name": abr[mask].to_numpy()})
+            out[mask] = llm_scorer(sub).to_numpy()
+        return out
 
-    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            batch = batch.copy()
-            batch["llm_score"] = llm_scorer(batch).astype("float64")
-            yield batch
-
-    rescored = uncertain.mapInPandas(rescore, schema=schema)
-    rescued = (rescored
-               .withColumn("final_score",
-                           F.round(fuzzy_weight * F.col("fuzzy_score")
-                                   + llm_weight * F.col("llm_score"), 6))
-               .withColumn("match_method", F.lit("hybrid"))
-               .filter(F.col("final_score") >= fuzzy_threshold))
-
-    return high.select(*RESULT_COLUMNS).unionByName(
-        rescued.select(*RESULT_COLUMNS))
+    high_band = F.col("fuzzy_score") >= fuzzy_threshold
+    return (scored
+            .filter(F.col("fuzzy_score") >= llm_threshold_min)
+            .withColumn("llm_score",
+                        llm_batch(F.col("crawl_name"), F.col("abr_name"),
+                                  F.col("fuzzy_score")))
+            .withColumn("final_score",
+                        F.when(high_band, F.col("fuzzy_score"))
+                        .otherwise(F.round(
+                            fuzzy_weight * F.col("fuzzy_score")
+                            + llm_weight * F.col("llm_score"), 6)))
+            .withColumn("match_method",
+                        F.when(high_band, F.lit("fuzzy"))
+                        .otherwise(F.lit("hybrid")))
+            .filter(F.col("final_score") >= fuzzy_threshold)
+            .select(*RESULT_COLUMNS))
 
 
 def best_match_per_key(matches: DataFrame, key: str = "abn",
