@@ -341,6 +341,185 @@ def match_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("crawl_url").alias("n_urls"))
 
 
+# ---------------------------------------------------------------------------
+# M3/M4 feature vector — fixture pairs derived 1:1 from part (this query
+# tests FEATURES, not candidate generation; the block join has its own
+# queries). Variants: %3 drives name suffix + raw_text presence, %2 drives
+# a name-derived vs unrelated domain, %4 drives entity_type.
+# ---------------------------------------------------------------------------
+
+_FULL_STATE_SQL = """CASE state WHEN 'NSW' THEN 'New South Wales'
+  WHEN 'VIC' THEN 'Victoria' WHEN 'QLD' THEN 'Queensland'
+  WHEN 'SA' THEN 'South Australia' WHEN 'WA' THEN 'Western Australia'
+  WHEN 'TAS' THEN 'Tasmania' WHEN 'NT' THEN 'Northern Territory'
+  ELSE 'Canberra' END"""
+
+_JACC_RAW_SQL = """
+CAST(len(list_intersect(
+  list_distinct(regexp_split_to_array(upper(trim(crawl_name)), '\\s+')),
+  list_distinct(regexp_split_to_array(upper(trim(abr_name)), '\\s+')))) AS DOUBLE)
+/ len(list_distinct(list_concat(
+  regexp_split_to_array(upper(trim(crawl_name)), '\\s+'),
+  regexp_split_to_array(upper(trim(abr_name)), '\\s+'))))
+"""
+
+_STATE_MENTIONED_SQL = """CASE WHEN raw_text IS NULL OR state IS NULL THEN 0.0
+  WHEN CASE upper(state)
+    WHEN 'NSW' THEN contains(lower(raw_text),'nsw') OR contains(lower(raw_text),'new south wales') OR contains(lower(raw_text),'sydney')
+    WHEN 'VIC' THEN contains(lower(raw_text),'vic') OR contains(lower(raw_text),'victoria') OR contains(lower(raw_text),'melbourne')
+    WHEN 'QLD' THEN contains(lower(raw_text),'qld') OR contains(lower(raw_text),'queensland') OR contains(lower(raw_text),'brisbane')
+    WHEN 'SA' THEN contains(lower(raw_text),'south australia') OR contains(lower(raw_text),'adelaide')
+    WHEN 'WA' THEN contains(lower(raw_text),'western australia') OR contains(lower(raw_text),'perth')
+    WHEN 'TAS' THEN contains(lower(raw_text),'tasmania') OR contains(lower(raw_text),'hobart')
+    WHEN 'NT' THEN contains(lower(raw_text),'northern territory') OR contains(lower(raw_text),'darwin')
+    WHEN 'ACT' THEN contains(lower(raw_text),'act') OR contains(lower(raw_text),'canberra') OR contains(lower(raw_text),'australian capital')
+    ELSE FALSE END THEN 1.0 ELSE 0.0 END"""
+
+
+@register(
+    "match_feature_vector",
+    doc="M3/M4 — the 12-feature pair vector + linear match probability "
+        "(feature_engineering.py:33-232,256-289) as ONE native select per "
+        "pair (the reference loops rows in Python). Fuzzy features use the "
+        "reference's no-rapidfuzz Jaccard fallback (:106-112).",
+    tags=("matching", "functions"),
+    oracle=f"""
+WITH base AS (
+  SELECT p_partkey, p_name AS crawl_name,
+         p_name || CASE CAST(p_partkey % 3 AS INT)
+           WHEN 0 THEN ' Pty Ltd' WHEN 1 THEN ' Digital'
+           ELSE ' Digital Media' END AS abr_name,
+         {_STATES_SQL}[CAST(p_size % 8 AS INT) + 1] AS state,
+         CAST(1000 + p_partkey % 8999 AS VARCHAR) AS postcode,
+         ['PRV','PUB','IND','TRT'][CAST(p_partkey % 4 AS INT) + 1]
+           AS entity_type,
+         CASE WHEN p_partkey % 2 = 0 THEN p_type END AS industry
+  FROM part
+), derived AS (
+  SELECT *,
+    CASE WHEN p_partkey % 2 = 0 THEN 'https://www.' ||
+      regexp_replace(lower({_norm('crawl_name')}), '[^a-z0-9]', '', 'g')
+      || '.com.au'
+    ELSE 'https://www.site' || CAST(p_partkey AS VARCHAR) || '.com.au'
+    END AS crawl_url,
+    CASE CAST(p_partkey % 3 AS INT)
+      WHEN 0 THEN 'Our offices in ' || {_FULL_STATE_SQL} || ' AU ' || postcode
+      WHEN 1 THEN 'Contact us for more information' END AS raw_text
+  FROM base
+), feat AS (
+  SELECT *,
+    CASE WHEN crawl_name IS NULL OR abr_name IS NULL OR crawl_name = ''
+              OR abr_name = '' THEN 0.0
+         WHEN {_norm('crawl_name')} = {_norm('abr_name')} THEN 1.0
+         ELSE 0.0 END AS name_exact_match,
+    CASE WHEN crawl_name IS NULL OR abr_name IS NULL OR crawl_name = ''
+              OR abr_name = '' THEN 0.0
+         ELSE ({_JACC_RAW_SQL}) END AS name_fuzzy_ratio,
+    CASE WHEN p_partkey % 2 = 0 THEN
+      regexp_replace(lower({_norm('crawl_name')}), '[^a-z0-9]', '', 'g')
+      || '.com.au'
+    ELSE 'site' || CAST(p_partkey AS VARCHAR) || '.com.au' END AS domain,
+    list_filter(regexp_split_to_array(
+      lower({_norm('abr_name')}), '\\s+'), t -> t != '') AS norm_parts
+  FROM derived
+), feat2 AS (
+  SELECT *,
+    CASE WHEN crawl_url IS NULL OR abr_name IS NULL OR crawl_url = ''
+              OR abr_name = '' THEN 0.0
+         WHEN len(list_filter(norm_parts,
+              t -> len(t) >= 4 AND contains(domain, t))) > 0 THEN 1.0
+         ELSE 0.0 END AS domain_contains_name,
+    regexp_replace(regexp_replace(domain, '\\.com\\.au$|\\.au$', ''),
+                   '[^a-z0-9]', '', 'g') AS domain_clean,
+    regexp_replace(array_to_string(norm_parts, ''), '[^a-z0-9]', '', 'g')
+      AS name_clean
+  FROM feat
+), scoredf AS (
+  SELECT p_partkey, crawl_name, abr_name, crawl_url,
+    name_exact_match, name_exact_match AS normalized_exact,
+    name_fuzzy_ratio, name_fuzzy_ratio AS name_token_sort,
+    name_fuzzy_ratio AS name_token_set,
+    name_fuzzy_ratio AS name_partial_ratio,
+    CASE WHEN crawl_url IS NULL OR abr_name IS NULL OR crawl_url = ''
+              OR abr_name = '' THEN 0.0
+         WHEN domain_clean != '' AND name_clean != ''
+              AND domain_clean = name_clean THEN 1.0
+         ELSE 0.0 END AS domain_name_match,
+    domain_contains_name,
+    {_STATE_MENTIONED_SQL} AS state_mentioned,
+    CASE WHEN raw_text IS NULL OR postcode IS NULL THEN 0.0
+         WHEN contains(raw_text, postcode) THEN 1.0 ELSE 0.0 END
+      AS postcode_mentioned,
+    CASE WHEN industry IS NOT NULL AND industry != '' THEN 1.0 ELSE 0.0 END
+      AS industry_present,
+    CASE WHEN entity_type IN ('PRV','PUB','Private Company','Public Company')
+         THEN 1.0 ELSE 0.0 END AS is_company
+  FROM feat2
+)
+SELECT *, round(0.30 * name_exact_match + 0.20 * name_token_sort
+              + 0.15 * name_token_set + 0.15 * domain_name_match
+              + 0.10 * domain_contains_name + 0.05 * state_mentioned
+              + 0.05 * postcode_mentioned, 6) AS match_probability
+FROM scoredf
+""",
+)
+def match_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.features import with_features
+
+    p = table(spark, sf_dir, "part")
+    states = F.array(*[F.lit(s) for s in
+                       ["NSW", "VIC", "QLD", "SA", "WA", "TAS", "NT", "ACT"]])
+    etypes = F.array(*[F.lit(t) for t in ["PRV", "PUB", "IND", "TRT"]])
+    full_state = (
+        F.when(F.col("state") == "NSW", F.lit("New South Wales"))
+        .when(F.col("state") == "VIC", F.lit("Victoria"))
+        .when(F.col("state") == "QLD", F.lit("Queensland"))
+        .when(F.col("state") == "SA", F.lit("South Australia"))
+        .when(F.col("state") == "WA", F.lit("Western Australia"))
+        .when(F.col("state") == "TAS", F.lit("Tasmania"))
+        .when(F.col("state") == "NT", F.lit("Northern Territory"))
+        .otherwise(F.lit("Canberra")))
+    suffix = (F.when(F.col("p_partkey") % 3 == 0, F.lit(" Pty Ltd"))
+              .when(F.col("p_partkey") % 3 == 1, F.lit(" Digital"))
+              .otherwise(F.lit(" Digital Media")))
+    base = p.select(
+        "p_partkey",
+        F.col("p_name").alias("crawl_name"),
+        F.concat(F.col("p_name"), suffix).alias("abr_name"),
+        F.element_at(states, (F.col("p_size") % 8 + 1).cast("int"))
+         .alias("state"),
+        (F.lit(1000) + F.col("p_partkey") % 8999).cast("string")
+         .alias("postcode"),
+        F.element_at(etypes, (F.col("p_partkey") % 4 + 1).cast("int"))
+         .alias("entity_type"),
+        F.when(F.col("p_partkey") % 2 == 0, F.col("p_type"))
+         .alias("industry"))
+    name_slug = F.regexp_replace(
+        F.lower(fx.normalize_company_name(F.col("crawl_name"))),
+        "[^a-z0-9]", "")
+    derived = base.withColumn(
+        "crawl_url",
+        F.when(F.col("p_partkey") % 2 == 0,
+               F.concat(F.lit("https://www."), name_slug, F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("https://www.site"),
+                            F.col("p_partkey").cast("string"),
+                            F.lit(".com.au")))
+    ).withColumn(
+        "raw_text",
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.lit("Our offices in "), full_state,
+                        F.lit(" AU "), F.col("postcode")))
+        .when(F.col("p_partkey") % 3 == 1,
+              F.lit("Contact us for more information")))
+    return with_features(derived).select(
+        "p_partkey", "crawl_name", "abr_name", "crawl_url",
+        "name_exact_match", "normalized_exact", "name_fuzzy_ratio",
+        "name_token_sort", "name_token_set", "name_partial_ratio",
+        "domain_name_match", "domain_contains_name", "state_mentioned",
+        "postcode_mentioned", "industry_present", "is_company",
+        "match_probability")
+
+
 def _checksum_sql(d: str) -> str:
     terms = [
         f"(CAST(substr({d}, {i + 1}, 1) AS INT){' - 1' if i == 0 else ''}) * {w}"

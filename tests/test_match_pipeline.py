@@ -186,3 +186,37 @@ def test_best_match_per_key_tie_break(spark):
     best = {r.abn: r.crawl_url
             for r in pl.best_match_per_key(m, "abn").collect()}
     assert best == {"A": "u1", "B": "u9"}   # score desc, url asc
+
+
+def test_feature_vector_and_probability_bounds(spark):
+    """M3/M4 parity with reference tests (test_matching.py:149-182):
+    identical pair scores high, disjoint pair scores ~0."""
+    from australia_company_etl_pipeline_spark.functions.features import (
+        feature_columns, match_probability)
+
+    df = spark.createDataFrame(
+        [("Acme Pty Ltd", "Acme Pty Ltd", "https://www.acme.com.au",
+          "Offices in Sydney NSW 2000", "NSW", "2000", "Technology", "PRV"),
+         ("Alpha Systems", "Zeta Holdings", "https://www.unrelated.com.au",
+          None, "VIC", "3000", None, "IND")],
+        "crawl_name string, abr_name string, url string, raw_text string, "
+        "state string, postcode string, industry string, entity_type string")
+    feats = feature_columns(
+        *[df[c] for c in ["crawl_name", "abr_name", "url", "raw_text",
+                          "state", "postcode", "industry", "entity_type"]])
+    rows = (df.select(match_probability(feats).alias("p"),
+                      *[c.alias(n) for n, c in feats.items()])
+            .collect())
+    hi, lo = rows[0], rows[1]
+    # normalization strips PTY/LTD → exact; domain derived from the name
+    assert hi["name_exact_match"] == 1.0
+    assert hi["domain_name_match"] == 1.0
+    assert hi["domain_contains_name"] == 1.0
+    assert hi["state_mentioned"] == 1.0      # 'sydney' variant
+    assert hi["postcode_mentioned"] == 1.0
+    assert hi["is_company"] == 1.0           # PRV
+    assert hi["p"] >= 0.9
+    assert lo["name_exact_match"] == 0.0
+    assert lo["name_fuzzy_ratio"] == 0.0
+    assert lo["state_mentioned"] == 0.0      # null raw_text
+    assert lo["p"] <= 0.2
