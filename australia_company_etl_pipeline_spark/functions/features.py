@@ -94,7 +94,10 @@ def feature_columns(crawl_name: Column, entity_name: Column, url: Column,
 
     # location features (:156-196)
     text_lower = F.lower(raw_text)
-    mentioned = F.lit(False)
+    # fallback for codes outside STATE_VARIANTS: check the literal state
+    # string in the text (feature_engineering.py uses [state.lower()] when
+    # the code has no variant list)
+    mentioned = text_lower.contains(F.lower(state))
     for code, variants in STATE_VARIANTS.items():
         any_variant = F.lit(False)
         for v in variants:

@@ -123,23 +123,29 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
     # the reference's driver-side sequential loop (entity_match.py:536-576).
     lo, hi = float(llm_threshold_min), float(fuzzy_threshold)
 
+    # The scorer receives the FULL pair context (not just the two names):
+    # the reference's LLM matcher prompts with url/industry/state/postcode
+    # too (entity_match.py:552-563), so a custom ``llm_scorer`` gets the
+    # same columns here. Struct-typed pandas_udf → the batch arrives as a
+    # pandas DataFrame with one column per struct field.
+    _LLM_CONTEXT_COLS = ["crawl_name", "abr_name", "crawl_url", "industry",
+                         "state", "postcode", "fuzzy_score"]
+
     @F.pandas_udf("double")
-    def llm_batch(crawl: pd.Series, abr: pd.Series,
-                  fuzzy: pd.Series) -> pd.Series:
-        out = pd.Series(pd.NA, index=crawl.index, dtype="Float64")
+    def llm_batch(pair: pd.DataFrame) -> pd.Series:
+        fuzzy = pair["fuzzy_score"]
+        out = pd.Series(pd.NA, index=pair.index, dtype="Float64")
         mask = (fuzzy >= lo) & (fuzzy < hi)
         if mask.any():
-            sub = pd.DataFrame({"crawl_name": crawl[mask].to_numpy(),
-                                "abr_name": abr[mask].to_numpy()})
-            out[mask] = llm_scorer(sub).to_numpy()
+            out[mask] = llm_scorer(
+                pair[mask].reset_index(drop=True)).to_numpy()
         return out
 
     high_band = F.col("fuzzy_score") >= fuzzy_threshold
     return (scored
             .filter(F.col("fuzzy_score") >= llm_threshold_min)
             .withColumn("llm_score",
-                        llm_batch(F.col("crawl_name"), F.col("abr_name"),
-                                  F.col("fuzzy_score")))
+                        llm_batch(F.struct(*_LLM_CONTEXT_COLS)))
             .withColumn("final_score",
                         F.when(high_band, F.col("fuzzy_score"))
                         .otherwise(F.round(

@@ -80,10 +80,12 @@ WITH b AS (
 )
 SELECT media_id, kind, n_bytes,
        CAST(n_bytes AS DOUBLE) AS f_len,
-       floor((CAST(total AS DOUBLE) / n_bytes) * 1000000 + 0.5) / 1000000
-         AS f_mean_byte,
-       CAST(first_byte AS DOUBLE) AS f_first_byte,
-       CAST(total % 997 AS DOUBLE) AS f_checksum
+       CASE WHEN n_bytes = 0 THEN 0.0
+            ELSE floor((CAST(total AS DOUBLE) / n_bytes) * 1000000 + 0.5)
+                 / 1000000 END AS f_mean_byte,
+       CASE WHEN n_bytes = 0 THEN 0.0
+            ELSE CAST(first_byte AS DOUBLE) END AS f_first_byte,
+       CAST(coalesce(total, 0) % 997 AS DOUBLE) AS f_checksum
 FROM b
 """,
 )

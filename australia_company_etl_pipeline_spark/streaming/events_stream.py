@@ -155,8 +155,12 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
 def _gap_seconds(gap: str) -> int:
     qty, unit = gap.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600}[unit]
-    return int(qty) * mult
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+            "week": 604800, "weeks": 604800}
+    if unit not in mult:
+        raise ValueError(
+            f"unsupported gap unit {unit!r}; use one of {sorted(mult)}")
+    return int(qty) * mult[unit]
 
 
 def sessionize_stateful(events: DataFrame, gap: str = "30 minutes",
@@ -189,8 +193,12 @@ def sessionize_stateful(events: DataFrame, gap: str = "30 minutes",
             return
         open_s = list(state.get) if state.exists else None
         closed: list[list] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # A micro-batch may arrive as several Arrow chunks with no time
+        # ordering across chunks — concat the whole group, sort ONCE.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0]).sort_values("ts")
             # unit-robust epoch micros (datetime64 resolution varies)
             ts_us = ((pdf["ts"] - pd.Timestamp(0))
                      // pd.Timedelta(microseconds=1)).tolist()
