@@ -115,7 +115,22 @@ def shred_abr_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
 
 
 def read_abr_xml(spark: SparkSession, path: str) -> DataFrame:
-    """S3 — distributed ABR XML scan: whole-file text read (gzip/zip-
-    extracted landing files), native record split, from_xml shred."""
-    raw = spark.read.text(path, wholetext=True)
-    return shred_abr_xml(split_abr_records(raw))
+    """S3 — distributed ABR XML scan, record-framed.
+
+    The read is framed on ``</ABR>`` close tags (``lineSep``), so one task
+    row is one record (KBs) — a multi-GB bulk-extract file never becomes a
+    single task-resident string. Uncompressed files split across tasks at
+    ``maxPartitionBytes`` granularity (Hadoop's delimiter-aware reader
+    resolves records straddling a split); gzip stays one-task-per-file but
+    streams record-by-record — the memory profile the reference gets from
+    ``ET.iterparse`` + ``elem.clear()`` (parse_abr.py:43-91). Inter-record
+    wrapper XML (header/footer/whitespace) is stripped by the ``<ABR``
+    anchor; rows with no record start (e.g. the trailing footer) drop out.
+    """
+    raw = spark.read.option("lineSep", "</ABR>").text(path)
+    recs = (raw
+            .select(F.regexp_extract("value", r"(?s)<ABR[\s>].*", 0)
+                    .alias("xml"))
+            .filter(F.col("xml") != "")
+            .select(F.concat(F.col("xml"), F.lit("</ABR>")).alias("xml")))
+    return shred_abr_xml(recs)

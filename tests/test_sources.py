@@ -90,6 +90,86 @@ def test_abr_xml_shreds_name_cascade_and_dates(spark):
     assert str(ind.start_date) == "2001-05-12"    # ISO parsed
 
 
+def _with_max_partition_bytes(spark, nbytes):
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
+    return old
+
+
+def test_wet_read_record_framed_splits_one_file(spark, tmp_path):
+    """A single multi-MB uncompressed WET file must split across >1 scan
+    task (record-framed read, not one-row-per-file wholetext) and still
+    parse every record exactly once — including records that straddle a
+    split boundary."""
+    n = 2000
+    recs = []
+    for i in range(n):
+        body = f"Document {i} body " + "x" * 3000
+        recs.append(
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: https://site{i}.com.au/p\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n")
+    p = tmp_path / "big.warc.wet"
+    p.write_text(
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\nsoftware: test\r\n\r\n"
+        + "".join(recs))
+    old = _with_max_partition_bytes(spark, 1 << 20)   # 1 MiB splits
+    try:
+        df = wet.read_wet(spark, str(p))
+        assert df.rdd.getNumPartitions() > 1, "one file must split"
+        out = df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(out) == n
+    got = {r.url: r.text for r in out}
+    assert set(got) == {f"https://site{i}.com.au/p" for i in range(n)}
+    assert got["https://site7.com.au/p"] == "Document 7 body " + "x" * 3000
+
+
+def test_abr_read_record_framed_splits_one_file(spark, tmp_path):
+    """Same splittability contract for the ABR bulk-extract reader."""
+    n = 1200
+    pad = "p" * 2000
+    recs = []
+    for i in range(n):
+        abn = str(10_000_000_000 + i)
+        recs.append(
+            f'<ABR recordLastUpdatedDate="20240101">'
+            f'<ABN status="Active" ABNStatusFromDate="20150301">{abn}</ABN>'
+            f"<EntityType><EntityTypeInd>PRV</EntityTypeInd></EntityType>"
+            f"<MainEntity><NonIndividualName><NonIndividualNameText>"
+            f"COMPANY {i}</NonIndividualNameText></NonIndividualName>"
+            f"<BusinessAddress><AddressDetails><State>NSW</State>"
+            f"<Postcode>2000</Postcode></AddressDetails></BusinessAddress>"
+            f"</MainEntity><Padding>{pad}</Padding></ABR>\n")
+    p = tmp_path / "bulk.xml"
+    p.write_text("<Transfer>\n" + "".join(recs) + "</Transfer>\n")
+    old = _with_max_partition_bytes(spark, 512 << 10)  # 512 KiB splits
+    try:
+        df = abr_xml.read_abr_xml(spark, str(p))
+        assert df.rdd.getNumPartitions() > 1, "one file must split"
+        out = df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(out) == n
+    got = {r.abn: r.entity_name for r in out}
+    assert got[str(10_000_000_000 + 7)] == "COMPANY 7"
+    assert len(got) == n
+
+
+def test_wet_read_gzip_record_rows(spark, tmp_path):
+    """Gzip WET files can't split (codec limit) but must still arrive as
+    one row per record, never one whole-file string."""
+    import gzip
+
+    p = tmp_path / "part.warc.wet.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(WET_TEXT)
+    out = wet.read_wet(spark, str(p)).collect()
+    assert {r.url for r in out} == {"https://www.acme.com.au/about",
+                                    "https://example.org/"}
+
+
 def test_upsert_parquet_merge_semantics(spark, tmp_path):
     path = str(tmp_path / "tbl")
     v1 = spark.createDataFrame(
