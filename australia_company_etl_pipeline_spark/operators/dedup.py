@@ -176,11 +176,96 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     """Greedy near-dup removal: drop the higher id of every verified pair.
 
     (Single-pass greedy, not transitive closure — a kept doc is one that is
-    not a near-dup of any lower-id doc.)
+    not a near-dup of any lower-id doc. For transitive cluster semantics
+    use ``connected_components`` / ``dedup_clusters``.)
     """
     dups = (minhash_dup_pairs(df, text_col, id_col, threshold, **lsh_kwargs)
             .select(F.col("id_b").alias(id_col)).distinct())
     return df.join(dups, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         nodes: DataFrame | None = None,
+                         node_col: str = "id",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components of the undirected pair graph →
+    ``(id, cluster_id)`` where cluster_id is the component's minimum node
+    id. This is what a 100 TB dedup actually emits: A~B and B~C collapse
+    into ONE cluster even when A~C is below threshold (transitive
+    closure), unlike the greedy pair-drop.
+
+    Alternating-min label propagation with pointer jumping: per iteration
+    every node takes the min label over itself and its neighbors, then
+    follows its label's own label one hop (doubling propagation distance —
+    O(log diameter) rounds, the MapReduce-CC recipe of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    is two shuffle joins + one aggregation over the label table; edges are
+    checkpointed once, labels every round, so the loop's lineage stays
+    flat. ``localCheckpoint`` is executor-local — on a real cluster with
+    preemptible executors call ``sc.setCheckpointDir`` and swap these for
+    reliable ``checkpoint()`` calls.
+
+    ``nodes`` (optional) adds isolated ids so singleton docs still get a
+    cluster row; otherwise only ids appearing in ``pairs`` are labeled.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (half.unionByName(half.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    if nodes is not None:
+        ids = nodes.select(F.col(node_col).alias("id")).distinct()
+    else:
+        ids = edges.select(F.col("src").alias("id")).distinct()
+    labels = (ids.select("id", F.col("id").alias("cluster_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
+                   .groupBy("src").agg(F.min("cluster_id").alias("nm")))
+        relab = (labels.join(nbr_min, labels["id"] == nbr_min["src"],
+                             "left")
+                 .select(labels["id"],
+                         F.least(F.col("cluster_id"),
+                                 F.coalesce("nm", "cluster_id"))
+                         .alias("cluster_id")))
+        # pointer jumping: labels are node ids, so follow the label's own
+        # current label — propagation distance doubles every round
+        ptr = labels.select(F.col("id").alias("pid"),
+                            F.col("cluster_id").alias("plabel"))
+        jumped = (relab.join(ptr, relab["cluster_id"] == ptr["pid"], "left")
+                  .select("id",
+                          F.least(F.col("cluster_id"),
+                                  F.coalesce("plabel", "cluster_id"))
+                          .alias("cluster_id"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped
+                   .join(labels.withColumnRenamed("cluster_id", "old"), "id")
+                   .filter(F.col("cluster_id") != F.col("old")).count())
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
+                   threshold: float = 0.8, method: str = "minhash",
+                   **kwargs) -> DataFrame:
+    """Near-dup clustering end-to-end: verified pairs → transitive
+    clusters → ``(id, cluster_id, is_canonical)``. Canonical = the
+    cluster's min id (deterministic keeper, reference keep-first A4
+    semantics lifted to clusters)."""
+    if method == "minhash":
+        pairs = minhash_dup_pairs(df, text_col, id_col, threshold, **kwargs)
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(df, text_col, id_col,
+                                    threshold=threshold, **kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cc = connected_components(pairs, nodes=df.select(id_col),
+                              node_col=id_col)
+    return cc.select(F.col("id").alias(id_col), "cluster_id",
+                     (F.col("id") == F.col("cluster_id"))
+                     .alias("is_canonical"))
 
 
 def simhash(text: Column, bits: int = 64) -> Column:

@@ -118,6 +118,50 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    doc="Connected-components duplicate clustering: exact trigram-Jaccard "
+        "pairs ≥0.8 → transitive closure via alternating-min label "
+        "propagation with pointer jumping (O(log diameter) shuffle "
+        "rounds) → (doc_id, cluster_id=min id in component, is_canonical)."
+        " Singletons keep their own id. Oracle = DuckDB recursive CTE "
+        "reachability over the same pair set.",
+    tags=("dedup",),
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_DOCS_DUPS_SQL}),
+sh AS (
+  SELECT doc_id, {_NGRAMS_SQL} AS ngrams
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM corpus)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id,
+       id = min(r) AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dd.dedup_clusters(corpus, "text", "doc_id", threshold=0.8,
+                             method="ngram")
+
+
+@register(
     "minhash_dup_pairs",
     doc="MinHash+LSH near-dup pairs (64 hashes, 16 bands), LSH candidates "
         "verified with exact trigram Jaccard ≥0.8. Murmur3 signatures are "

@@ -46,6 +46,55 @@ def test_exact_dedup_keeps_lowest_id(spark, sf_dir):
     assert all(i + 100000 not in kept for i in range(0, 500, 10))
 
 
+def test_connected_components_chain_transitive(spark):
+    """A~B and B~C must land in ONE cluster even when A~C is below
+    threshold (transitive closure, not greedy pair-drop)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    doc_a = " ".join(toks)
+    doc_b = " ".join(toks + ["extra1"])            # ~A: high overlap
+    doc_c = " ".join(toks + ["extra1", "extra2", "extra3", "extra4"])
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c),
+         (9, "totally unrelated words nothing shared at all here now")],
+        "doc_id long, text string")
+    pairs = dd.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.7)
+    got = _pairs(pairs)
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got, \
+        f"fixture must form an open chain, got {got}"
+    cc = dd.connected_components(pairs, nodes=df.select("doc_id"),
+                                 node_col="doc_id")
+    labels = {r.id: r.cluster_id for r in cc.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_connected_components_long_chain_and_singletons(spark):
+    """A 40-link path (worst-case diameter) converges via pointer jumping;
+    ids absent from pairs keep their own label."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)]
+        + [(100, 101), (101, 102)], "id_a long, id_b long")
+    nodes = spark.range(0, 120).select(F.col("id"))
+    cc = dd.connected_components(pairs, nodes=nodes)
+    labels = {r.id: r.cluster_id for r in cc.collect()}
+    assert all(labels[i] == 0 for i in range(41))
+    assert labels[100] == labels[101] == labels[102] == 100
+    assert all(labels[i] == i for i in range(41, 100))
+
+
+def test_dedup_clusters_canonical_members(spark, sf_dir):
+    out = plans.REGISTRY["dedup_clusters"].builder(spark, sf_dir)
+    rows = out.collect()
+    labels = {r.doc_id: r.cluster_id for r in rows}
+    canon = {r.doc_id for r in rows if r.is_canonical}
+    # exact copies (+100000) cluster with their originals
+    assert all(labels[i + 100000] == labels[i] for i in range(0, 500, 10))
+    # every cluster id is a canonical member, and it's the min
+    assert canon == set(labels.values())
+    for doc, cl in labels.items():
+        assert cl <= doc
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     brute = plans.REGISTRY["ann_bruteforce_topk"].builder(spark, sf_dir)
     lsh = plans.REGISTRY["ann_lsh_topk"].builder(spark, sf_dir)
