@@ -114,16 +114,66 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
+                     max_iter: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     seed: int = 42) -> DataFrame:
+    """Deterministic Lloyd's k-means in pure DataFrames →
+    ``(centroid_id, centroid_vec)``.
+
+    Spherical flavor to match the cosine search metric: assignment is
+    max-cosine, update is the element-wise mean (direction is what
+    matters; the cosine denominator normalizes). Initial centroids are a
+    deterministic hash-ordered sample (seeded murmur3 of the id — spread
+    like a random sample, reproducible across runs, no ``Math.random``).
+
+    Scale shape per iteration: assignment is a broadcast crossJoin (k
+    centroid rows) reduced by a ``max(struct)`` aggregate — map-side
+    partial agg, one shuffle on id, no window over the pair set; the
+    update is a posexplode → (centroid, dim)-mean — one shuffle of
+    rows×dim slots with partial aggregation. Centroids are materialized
+    each round (k rows) so the loop's lineage stays flat. Empty clusters
+    drop out (k may shrink), the standard Lloyd's degeneracy."""
+    vecs = corpus.select(F.col(id_col).alias("__vid"),
+                         _dbl(F.col(vec_col)).alias("__v"))
+    init_win = Window.orderBy(F.hash(F.col("__vid"), F.lit(seed)), "__vid")
+    cents = (vecs
+             .withColumn("centroid_id", F.row_number().over(init_win))
+             .filter(F.col("centroid_id") <= n_centroids)
+             .select("centroid_id", F.col("__v").alias("centroid_vec"))
+             .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        best = F.max(F.struct(
+            cosine(F.col("__v"), F.col("centroid_vec")).alias("sim"),
+            (-F.col("centroid_id")).alias("neg_cid"),
+            F.col("centroid_id").alias("cid"))).alias("b")
+        assigned = (vecs.crossJoin(F.broadcast(cents))
+                    .groupBy("__vid", "__v").agg(best)
+                    .select(F.col("b.cid").alias("centroid_id"), "__v"))
+        cents = (assigned
+                 .select("centroid_id", F.posexplode("__v")
+                         .alias("pos", "x"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.avg("x").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("centroid_vec"))
+                 .localCheckpoint(eager=True))
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
+             kmeans_iter: int = 5, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
              query_vec_col: str = "query_vec") -> DataFrame:
-    """IVF-Flat: centroids = the n_centroids lowest-id vectors
-    (deterministic; swap in k-means output for production quality)."""
-    centroids = (corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
-                 .select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).alias("centroid_vec")))
+    """IVF-Flat: k-means centroids (deterministic Lloyd's, see
+    ``kmeans_centroids``), nearest-centroid inverted lists, probe the
+    ``n_probe`` closest lists per query."""
+    centroids = kmeans_centroids(corpus, n_centroids, kmeans_iter,
+                                 id_col, vec_col, seed)
 
     def assign(df: DataFrame, v: str, key: str, keep: int) -> DataFrame:
         pairs = df.crossJoin(F.broadcast(centroids))

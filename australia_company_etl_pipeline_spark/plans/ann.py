@@ -73,8 +73,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    doc="IVF-Flat approximate top-10 (16 deterministic centroids, 4-probe)."
-        " Rows-only driver check; recall pinned in tests/test_ann.py.",
+    doc="IVF-Flat approximate top-10: deterministic Lloyd's k-means "
+        "centroids (16, 5 iterations, seeded hash-sample init), 4-probe. "
+        "Rows-only driver check; recall pinned in tests/test_dedup_ann.py.",
     tags=("ann",),
     oracle=None,
 )

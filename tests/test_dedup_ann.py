@@ -115,7 +115,21 @@ def test_ivf_topk_recall(spark, sf_dir):
     i = {(r.query_id, r.vec_id) for r in ivf.collect()}
     assert all((q, q) in i for q in range(5))
     recall = len(b & i) / len(b)
-    assert recall >= 0.3, f"IVF recall {recall} suspiciously low"
+    assert recall >= 0.6, f"IVF recall {recall} too low for k-means lists"
+
+
+def test_kmeans_centroids_deterministic_and_shaped(spark, sf_dir):
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    corpus = table(spark, sf_dir, "embeddings")
+    c1 = ann.kmeans_centroids(corpus, n_centroids=8, max_iter=3)
+    c2 = ann.kmeans_centroids(corpus, n_centroids=8, max_iter=3)
+    r1 = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c1.collect())
+    r2 = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c2.collect())
+    assert r1 == r2, "k-means must be bit-deterministic across runs"
+    assert 1 <= len(r1) <= 8
+    dim = len(corpus.select("embedding").head().embedding)
+    assert all(len(v) == dim for _, v in r1)
 
 
 def test_minhash_signature_similar_docs_collide(spark):
