@@ -52,6 +52,75 @@ def assert_accepted_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
     return df.filter(c.isNotNull() & ((c < lo) | (c > hi)))
 
 
+def suite_report(named: dict[str, DataFrame]) -> DataFrame:
+    """The whole suite as ONE plan: a union of 1-row count aggregates →
+    (check_name, violations). One action schedules every check's scan
+    together instead of N sequential count() jobs."""
+    from functools import reduce
+
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit(name).alias("check_name"), "violations")
+        for name, df in named.items()
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
 def run_assertions(named: dict[str, DataFrame]) -> dict[str, int]:
-    """Run a suite; returns {name: violation_count} (all zeros == green)."""
-    return {name: df.count() for name, df in named.items()}
+    """Run a suite; returns {name: violation_count} (all zeros == green).
+
+    Executes as ONE Spark job (single collect over the unioned count
+    aggregates), not one count() job per check."""
+    return {r.check_name: r.violations
+            for r in suite_report(named).collect()}
+
+
+def row_checks_report(df: DataFrame, checks: dict[str, Column],
+                      table_name: str | None = None) -> DataFrame:
+    """Row-level checks over ONE table in ONE scan: each check is a
+    violation *condition*; counts come from a single
+    ``agg(sum(when(cond,1)))`` pass (map-side partials, no shuffle of
+    data rows), unpivoted with ``stack`` to (check_name, violations).
+
+    Use for the common case of many column checks on the same wide
+    table — one scan regardless of check count; keep the per-row
+    ``assert_*`` operators for violation drill-down.
+    """
+    agg = df.agg(*[
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in checks.items()
+    ])
+    stack = ", ".join(f"'{k}', `{k}`" for k in checks)
+    out = agg.select(F.expr(
+        f"stack({len(checks)}, {stack}) AS (check_name, violations)"))
+    if table_name is not None:
+        out = out.select(F.lit(table_name).alias("table_name"),
+                         "check_name", "violations")
+    return out
+
+
+def cond_invalid_score(col: str = "final_score", lo: float = 0.0,
+                       hi: float = 1.0) -> Column:
+    """Violation condition twin of ``assert_valid_scores``."""
+    c = F.col(col)
+    return c.isNull() | (c < lo) | (c > hi)
+
+
+def cond_null(cols: list[str]) -> Column:
+    """Violation condition twin of ``assert_not_null``."""
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | F.col(c).isNull()
+    return cond
+
+
+def cond_not_accepted_values(col: str, values: list) -> Column:
+    """Violation condition twin of ``assert_accepted_values``."""
+    c = F.col(col)
+    return c.isNotNull() & ~c.isin(*values)
+
+
+def cond_out_of_range(col: str, lo, hi) -> Column:
+    """Violation condition twin of ``assert_accepted_range``."""
+    c = F.col(col)
+    return c.isNotNull() & ((c < lo) | (c > hi))
