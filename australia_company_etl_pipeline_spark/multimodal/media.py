@@ -159,7 +159,10 @@ def decode_features(media: DataFrame, codec: str = "fake",
 
     out = media.select("media_id", "kind", "payload")
     if spread:
-        out = out.repartition(out.sparkSession.sparkContext.defaultParallelism)
+        from ..session import ensure_min_partitions
+
+        out = ensure_min_partitions(
+            out, out.sparkSession.sparkContext.defaultParallelism)
     return out.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -62,15 +62,39 @@ def jaccard_arrays(a: Column, b: Column) -> Column:
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+                        n: int = 3, threshold: float = 0.8,
+                        block_col: str | None = None,
+                        max_unblocked_rows: int = 100_000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, sim ≥ threshold).
 
-    O(n²) per partition — the correctness baseline. At scale use
-    ``minhash_dup_pairs`` (LSH candidates verified by this measure).
+    This is the quadratic correctness baseline. Unblocked it is O(n²)
+    candidate pairs, so it refuses to run on more than
+    ``max_unblocked_rows`` rows (one cheap count up front) — at corpus
+    scale either pass ``block_col`` (pairs are generated only within
+    equal block values, an equi-join like the LSH band join) or use
+    ``minhash_dup_pairs``, whose LSH candidates this measure verifies.
+    Pass ``max_unblocked_rows=None`` to explicitly waive the guard.
     """
-    sh = df.select(F.col(id_col), word_ngrams(F.col(text_col), n).alias("__sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner")
+    cols = [F.col(id_col), word_ngrams(F.col(text_col), n).alias("__sh")]
+    if block_col is not None:
+        sh = df.select(*cols, F.col(block_col).alias("__blk"))
+        a, b = sh.alias("a"), sh.alias("b")
+        cond = (F.col("a.__blk") == F.col("b.__blk")) & \
+               (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        if max_unblocked_rows is not None:
+            n_rows = df.count()
+            if n_rows > max_unblocked_rows:
+                raise ValueError(
+                    f"ngram_jaccard_pairs without block_col is O(n²) and "
+                    f"got {n_rows} rows (> {max_unblocked_rows}); pass "
+                    f"block_col=, use minhash_dup_pairs, or waive with "
+                    f"max_unblocked_rows=None")
+        sh = df.select(*cols)
+        a, b = sh.alias("a"), sh.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    pairs = a.join(b, cond, "inner")
+    # one block value per row → a pair can appear at most once; no distinct
     return (pairs
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),

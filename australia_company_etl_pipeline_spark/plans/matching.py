@@ -115,10 +115,10 @@ def entity_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", fx.token_set(F.col("normalized_name")))
     # The register side broadcasts, so the pair explosion runs map-side on
     # the web side's partitioning. A small parquet scan arrives as ONE
-    # split — spread it so the O(pairs) scoring parallelizes. (On a real
-    # cluster the scan is already many splits; this keeps local[] honest.)
-    from ..session import cpu_count
-    web = web.repartition(cpu_count() * 2)
+    # split — spread it so the O(pairs) scoring parallelizes. Gated on the
+    # actual split count: a well-split cluster scan passes through.
+    from ..session import ensure_min_partitions
+    web = ensure_min_partitions(web)
 
     pairs = block_join(web, register, key="block_key",
                        broadcast_side="right")
@@ -270,9 +270,10 @@ def _cascade_frames(spark: SparkSession, sf_dir: str):
     register = register.withColumn(
         "block_key", two_tok(F.col("normalized_name")))
     # spread the probe side (single parquet split otherwise; see
-    # entity_match_blocking) before the broadcast-join pair explosion
-    from ..session import cpu_count
-    return web.repartition(cpu_count() * 2), register
+    # entity_match_blocking) before the broadcast-join pair explosion —
+    # gated on the actual split count, no-op on a well-split scan
+    from ..session import ensure_min_partitions
+    return ensure_min_partitions(web), register
 
 
 def _run_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:

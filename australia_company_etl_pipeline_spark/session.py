@@ -45,6 +45,22 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def ensure_min_partitions(df, target: int | None = None):
+    """Repartition ONLY when the input arrived under-split.
+
+    A small parquet scan on local[] lands as ONE split, serializing any
+    pair-explosion work that follows; a real cluster scan is already many
+    splits, where an unconditional ``repartition(cpu_count()*2)`` would be
+    a pure-loss full shuffle (possibly *reducing* parallelism). Gate on
+    the actual physical partition count so the knob only fires on the
+    degenerate case.
+    """
+    target = target or cpu_count() * 2
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def get_spark(app_name: str = "australia-company-etl-pipeline-spark",
               shuffle_partitions: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:

@@ -46,6 +46,38 @@ def test_exact_dedup_keeps_lowest_id(spark, sf_dir):
     assert all(i + 100000 not in kept for i in range(0, 500, 10))
 
 
+def test_ngram_pairs_size_guard(spark):
+    big = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text number "), F.col("id")).alias("text"))
+    import pytest
+
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        dd.ngram_jaccard_pairs(big, "text", "doc_id",
+                               max_unblocked_rows=100).count()
+    # waived explicitly -> runs
+    assert dd.ngram_jaccard_pairs(big, "text", "doc_id",
+                                  max_unblocked_rows=None).count() >= 0
+
+
+def test_ngram_pairs_blocked_matches_unblocked(spark):
+    """With a blocking column covering the true pairs, the blocked join
+    returns exactly the unblocked result (pairs only form within
+    blocks)."""
+    rows = []
+    for g in range(5):
+        base = f"group {g} common words shared by this cluster of docs"
+        rows += [(g * 10 + i, f"blk{g}", base + (" tail" if i else ""))
+                 for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+    unblocked = _pairs(dd.ngram_jaccard_pairs(df, "text", "doc_id",
+                                              threshold=0.7))
+    blocked = _pairs(dd.ngram_jaccard_pairs(df, "text", "doc_id",
+                                            threshold=0.7,
+                                            block_col="blk"))
+    assert blocked == unblocked and unblocked
+
+
 def test_connected_components_chain_transitive(spark):
     """A~B and B~C must land in ONE cluster even when A~C is below
     threshold (transitive closure, not greedy pair-drop)."""

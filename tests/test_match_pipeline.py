@@ -96,6 +96,32 @@ def test_no_match_different_blocks(spark):
     assert out.count() == 0
 
 
+def test_block_join_salted_matches_unsalted(spark):
+    """Skew-salting (salt_keys>1) must not change the result set: one
+    pathological hot key carrying most rows joins identically salted and
+    unsalted."""
+    from australia_company_etl_pipeline_spark.operators.block_join import \
+        block_join
+
+    left = spark.createDataFrame(
+        [(i, "HOT" if i % 10 else f"k{i}") for i in range(500)],
+        "lid long, block_key string")
+    right = spark.createDataFrame(
+        [(j, "HOT" if j % 3 else f"k{j * 10}") for j in range(60)],
+        "rid long, block_key string")
+
+    def pairs(salt):
+        out = block_join(left, right, key="block_key",
+                         broadcast_side=None, salt_keys=salt)
+        return {(r.lid, r.rid) for r in
+                out.select(F.col("l.lid"), F.col("r.rid")).collect()}
+
+    unsalted = pairs(1)
+    salted = pairs(8)
+    assert len(unsalted) > 10000      # the hot key really explodes
+    assert salted == unsalted
+
+
 def test_llm_cascade_rescues_uncertain(spark):
     """M6 band logic: a 0.60–0.75 pair goes through the stub LLM scorer and
     is kept iff the weighted final score clears the threshold."""
