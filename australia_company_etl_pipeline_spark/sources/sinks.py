@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 
@@ -61,15 +62,18 @@ def upsert_parquet(spark, path: str, updates: DataFrame, keys: list[str],
 
 
 def jdbc_upsert_sql(table: str, columns: list[str], conflict_keys: list[str],
-                    update_columns: list[str] | None = None) -> str:
+                    update_columns: list[str] | None = None,
+                    placeholder: str = "%s") -> str:
     """Generate the ``INSERT … ON CONFLICT`` statement the reference
     hand-writes per table (load_postgres.py:188-250, 252-309, 311-372).
 
     ``update_columns=None`` → update every non-key column;
     ``update_columns=[]``   → DO NOTHING (conflict-ignore, S8).
+    ``placeholder`` — DB-API paramstyle marker (``%s`` psycopg2, ``?``
+    qmark drivers such as duckdb/sqlite).
     """
     cols = ", ".join(columns)
-    params = ", ".join(["%s"] * len(columns))
+    params = ", ".join([placeholder] * len(columns))
     stmt = f"INSERT INTO {table} ({cols}) VALUES ({params})"
     if update_columns == []:
         return f"{stmt} ON CONFLICT ({', '.join(conflict_keys)}) DO NOTHING"
@@ -83,36 +87,55 @@ def jdbc_upsert_sql(table: str, columns: list[str], conflict_keys: list[str],
 def write_jdbc_upsert(df: DataFrame, dsn: str, table: str,
                       conflict_keys: list[str],
                       update_columns: list[str] | None = None,
-                      batch_size: int = 1000) -> None:
+                      batch_size: int = 1000,
+                      connection_factory=None,
+                      placeholder: str = "%s") -> None:
     """S8/S9 — distributed Postgres upsert: every partition opens its own
     connection and executes batched upserts (vs the reference's single
-    driver connection). Requires psycopg2 at the executors."""
-    import importlib.util
+    driver connection, load_postgres.py:124-372).
 
-    if importlib.util.find_spec("psycopg2") is None:
-        # fail fast on the driver instead of erroring every executor task
-        raise NotImplementedError(
-            "write_jdbc_upsert needs psycopg2 on the executors; install "
-            "it or use upsert_parquet for engine-internal tables")
-    columns = df.columns
-    sql = jdbc_upsert_sql(table, columns, conflict_keys, update_columns)
+    ``connection_factory`` — optional picklable ``dsn -> DB-API
+    connection`` callable for non-psycopg2 backends (tests round-trip the
+    real foreachPartition path against DuckDB this way). ``None`` →
+    psycopg2 with ``execute_batch``; the generic path uses DB-API
+    ``executemany`` in ``batch_size`` chunks.
+    """
+    if connection_factory is None:
+        import importlib.util
 
-    def load_partition(rows) -> None:
-        try:
-            import psycopg2
-            from psycopg2.extras import execute_batch
-        except ImportError as e:  # no driver in this environment
+        if importlib.util.find_spec("psycopg2") is None:
+            # fail fast on the driver instead of erroring every task
             raise NotImplementedError(
                 "write_jdbc_upsert needs psycopg2 on the executors; "
-                "install it or use upsert_parquet for engine-internal "
-                "tables") from e
-        conn = psycopg2.connect(dsn)
+                "install it, pass connection_factory=, or use "
+                "upsert_parquet for engine-internal tables")
+    columns = df.columns
+    sql = jdbc_upsert_sql(table, columns, conflict_keys, update_columns,
+                          placeholder=placeholder)
+
+    def load_partition(rows) -> None:
+        if connection_factory is not None:
+            conn = connection_factory(dsn)
+            run_batch = None
+        else:
+            import psycopg2
+            from psycopg2.extras import execute_batch
+            conn = psycopg2.connect(dsn)
+            run_batch = execute_batch
         try:
-            with conn.cursor() as cur:
-                execute_batch(cur, sql,
-                              ([getattr(r, c) for c in columns]
-                               for r in rows),
-                              page_size=batch_size)
+            cur = conn.cursor()
+            try:
+                params = ([getattr(r, c) for c in columns] for r in rows)
+                if run_batch is not None:
+                    run_batch(cur, sql, params, page_size=batch_size)
+                else:
+                    while True:
+                        chunk = list(itertools.islice(params, batch_size))
+                        if not chunk:
+                            break
+                        cur.executemany(sql, chunk)
+            finally:
+                cur.close()
             conn.commit()
         finally:
             conn.close()
