@@ -34,14 +34,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read nanos as long and expose a proper timestamp col.
+        # events.ts has shipped as both TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) parquet across testdata generations. Spark
+        # rejects NANOS by default — read nanos as long and rebuild a
+        # proper timestamp; MICROS arrives as a timestamp already and
+        # needs nothing.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # session tz is pinned UTC, so NTZ→LTZ keeps wall-clock values;
+            # downstream (windows, epoch casts) expects the LTZ family
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

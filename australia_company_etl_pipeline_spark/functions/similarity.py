@@ -96,6 +96,23 @@ def token_sort_ratio(a: Column, b: Column) -> Column:
 
     Reference: /root/reference/src/transform/entity_match.py:473-491
     (row-at-a-time UDF; ours is an Arrow-batched pandas_udf).
+
+    Backend parity (rapidfuzz vs the difflib fallback): rapidfuzz's
+    ``token_sort_ratio`` is the Indel similarity 2·LCS/(|a|+|b|) on the
+    token-sorted uppercased strings; difflib's ``SequenceMatcher.ratio``
+    is Ratcliff–Obershelp 2·M/(|a|+|b|), where M comes from greedy
+    longest-matching-block recursion, so M ≤ LCS and difflib can only
+    under-score. Golden values for the reference's fixture pairs are
+    IDENTICAL under both backends (pinned in
+    tests/test_functions.py::test_token_sort_ratio_reference_goldens):
+    ("ACME","ACME")→1.0, ("SOLUTIONS TECH","TECH SOLUTIONS")→1.0,
+    ("ACME","ACME CORPORATION")→0.4, ("ACME","ACME PTY LTD")→0.5,
+    ("TECH SOLUTIONS","TECH SOLUTIONS AUSTRALIA")→0.736842. Divergence
+    appears only on adversarial strings where greedy blocking misses the
+    LCS — measured examples: ("A B  BCCA", "AB C A AC ") difflib 0.315789
+    vs Indel 0.526316 (Δ−0.210526); ("BBABB", "CC CA BB ") 0.285714 vs
+    0.428571 (Δ−0.142857) — i.e. far below any match threshold either
+    way, so cascade banding is unaffected.
     """
     global _token_sort_ratio_udf
     if _token_sort_ratio_udf is None:

@@ -117,7 +117,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
                      max_iter: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42,
+                     checkpoint: str = "local") -> DataFrame:
     """Deterministic Lloyd's k-means in pure DataFrames →
     ``(centroid_id, centroid_vec)``.
 
@@ -125,23 +126,34 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     max-cosine, update is the element-wise mean (direction is what
     matters; the cosine denominator normalizes). Initial centroids are a
     deterministic hash-ordered sample (seeded murmur3 of the id — spread
-    like a random sample, reproducible across runs, no ``Math.random``).
+    like a random sample, reproducible across runs, no ``Math.random``)
+    taken with a distributed ``orderBy().limit()`` (TakeOrdered — each
+    partition contributes its local top-k, the driver merges k rows; no
+    global single-task window over the corpus).
 
     Scale shape per iteration: assignment is a broadcast crossJoin (k
     centroid rows) reduced by a ``max(struct)`` aggregate — map-side
     partial agg, one shuffle on id, no window over the pair set; the
     update is a posexplode → (centroid, dim)-mean — one shuffle of
     rows×dim slots with partial aggregation. Centroids are materialized
-    each round (k rows) so the loop's lineage stays flat. Empty clusters
-    drop out (k may shrink), the standard Lloyd's degeneracy."""
+    each round (k rows) so the loop's lineage stays flat;
+    ``checkpoint='reliable'`` (with ``sc.setCheckpointDir``) makes the
+    loop durable on preemptible clusters. Empty clusters drop out (k may
+    shrink), the standard Lloyd's degeneracy."""
+    from ..session import materialize
+
     vecs = corpus.select(F.col(id_col).alias("__vid"),
                          _dbl(F.col(vec_col)).alias("__v"))
-    init_win = Window.orderBy(F.hash(F.col("__vid"), F.lit(seed)), "__vid")
-    cents = (vecs
-             .withColumn("centroid_id", F.row_number().over(init_win))
-             .filter(F.col("centroid_id") <= n_centroids)
-             .select("centroid_id", F.col("__v").alias("centroid_vec"))
-             .localCheckpoint(eager=True))
+    sample_key = F.hash(F.col("__vid"), F.lit(seed))
+    # distributed take-ordered over the corpus; the n_centroids-row window
+    # that numbers the sample runs on k rows, not the corpus
+    init = vecs.orderBy(sample_key.asc(), F.col("__vid").asc()) \
+               .limit(n_centroids)
+    init_win = Window.orderBy(sample_key.asc(), F.col("__vid").asc())
+    cents = materialize(
+        init.withColumn("centroid_id", F.row_number().over(init_win))
+            .select("centroid_id", F.col("__v").alias("centroid_vec")),
+        checkpoint)
     for _ in range(max_iter):
         best = F.max(F.struct(
             cosine(F.col("__v"), F.col("centroid_vec")).alias("sim"),
@@ -150,16 +162,16 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
         assigned = (vecs.crossJoin(F.broadcast(cents))
                     .groupBy("__vid", "__v").agg(best)
                     .select(F.col("b.cid").alias("centroid_id"), "__v"))
-        cents = (assigned
-                 .select("centroid_id", F.posexplode("__v")
-                         .alias("pos", "x"))
-                 .groupBy("centroid_id", "pos")
-                 .agg(F.avg("x").alias("m"))
-                 .groupBy("centroid_id")
-                 .agg(F.transform(
-                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                     lambda s: s["m"]).alias("centroid_vec"))
-                 .localCheckpoint(eager=True))
+        cents = materialize(
+            assigned
+            .select("centroid_id", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("centroid_vec")),
+            checkpoint)
     return cents
 
 
@@ -168,12 +180,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              kmeans_iter: int = 5, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id",
-             query_vec_col: str = "query_vec") -> DataFrame:
+             query_vec_col: str = "query_vec",
+             checkpoint: str = "local") -> DataFrame:
     """IVF-Flat: k-means centroids (deterministic Lloyd's, see
     ``kmeans_centroids``), nearest-centroid inverted lists, probe the
     ``n_probe`` closest lists per query."""
     centroids = kmeans_centroids(corpus, n_centroids, kmeans_iter,
-                                 id_col, vec_col, seed)
+                                 id_col, vec_col, seed, checkpoint)
 
     def assign(df: DataFrame, v: str, key: str, keep: int) -> DataFrame:
         pairs = df.crossJoin(F.broadcast(centroids))

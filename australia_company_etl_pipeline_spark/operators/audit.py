@@ -43,6 +43,9 @@ def stage_counts(stages: dict[str, DataFrame]) -> DataFrame:
     unioning the 1-row aggregates means one action schedules every
     stage's scan together, and cached stages are counted from cache.
     """
+    if not stages:
+        raise ValueError("stage_counts needs at least one named stage; "
+                         "got an empty dict")
     parts = [
         df.agg(F.count(F.lit(1)).cast("long").alias("records"))
         .select(F.lit(name).alias("stage"), "records")
@@ -95,11 +98,19 @@ def quality_metrics(df: DataFrame, table_name: str,
                     run_id: str | None = None) -> DataFrame:
     """data_quality_metrics rows (create_tables.sql:130-137): any number
     of metric expressions over one table in ONE scan (single agg with
-    map-side partials), unpivoted to long format with ``stack``."""
-    agg = df.agg(*[m.cast("double").alias(k) for k, m in metrics.items()])
-    stack = ", ".join(f"'{k}', `{k}`" for k in metrics)
-    out = agg.select(F.expr(
-        f"stack({len(metrics)}, {stack}) AS (metric_name, metric_value)"))
+    map-side partials), unpivoted to long format. Metric names travel as
+    Column literals (positional aliases + ``map_from_arrays``/``explode``,
+    no SQL-text interpolation), so any name is safe."""
+    if not metrics:
+        raise ValueError("quality_metrics needs at least one metric; "
+                         "got an empty dict")
+    names = list(metrics)
+    agg = df.agg(*[m.cast("double").alias(f"__m{i}")
+                   for i, m in enumerate(metrics.values())])
+    out = agg.select(F.explode(F.map_from_arrays(
+        F.array(*[F.lit(n) for n in names]),
+        F.array(*[F.col(f"__m{i}") for i in range(len(names))]),
+    )).alias("metric_name", "metric_value"))
     return out.select(
         F.lit(run_id).cast("string").alias("run_id"),
         F.lit(table_name).alias("table_name"),

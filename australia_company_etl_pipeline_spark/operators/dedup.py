@@ -137,6 +137,21 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
                        bands: int = 16) -> DataFrame:
     """LSH candidate pairs: equal band-slice hash in ≥1 of ``bands`` bands.
 
+    Thin wrapper over ``minhash_candidates_from_shingles`` that computes
+    the shingle projection itself; callers that also need the shingles
+    (e.g. for exact verification) should build them once and call the
+    ``_from_shingles`` form — see ``minhash_dup_pairs``.
+    """
+    sh = df.select(F.col(id_col),
+                   word_ngrams(F.col(text_col), shingle).alias("__sh"))
+    return minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
+
+
+def minhash_candidates_from_shingles(sh: DataFrame, id_col: str,
+                                     num_hashes: int = 64,
+                                     bands: int = 16) -> DataFrame:
+    """LSH candidates from a pre-shingled frame ``(id_col, __sh)``.
+
     The scale path: explode to (band, band_hash) buckets, self-join buckets
     — shuffle-bound candidate generation, no quadratic comparison.
 
@@ -145,8 +160,9 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
     declines to inline a non-trivial alias used more than once.
     """
     rows_per_band = num_hashes // bands
-    hashed = df.select(F.col(id_col),
-                       shingle_hashes(F.col(text_col), shingle).alias("__h"))
+    hashed = sh.select(F.col(id_col),
+                       F.transform("__sh",
+                                   lambda g: F.xxhash64(g)).alias("__h"))
     sig = hashed.select(F.col(id_col),
                         minhash_from_hashes(F.col("__h"),
                                             num_hashes).alias("__sig"))
@@ -179,11 +195,22 @@ def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Candidates from LSH buckets; each candidate pair is then verified, so
     output precision is exact — only recall depends on the LSH parameters.
+    Presets: (64, 16) is the high-recall default; (32, 8) keeps the same
+    4-row bands (same per-band collision curve, recall ≥0.9 pinned in
+    tests at threshold 0.8) at half the signature cost — the dominant
+    term — and is what the registered ``hashed_dup_pairs`` query uses.
+
+    The shingle projection feeds BOTH the signature build and the exact
+    verify join, so it is persisted (memory-and-disk, evicted LRU) and
+    computed once per corpus instead of twice — tokenize+shingle is the
+    second-biggest cost after signatures.
     """
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, shingle,
-                               bands)
-    sh = df.select(F.col(id_col),
-                   word_ngrams(F.col(text_col), shingle).alias("__sh"))
+    from pyspark import StorageLevel
+
+    sh = (df.select(F.col(id_col),
+                    word_ngrams(F.col(text_col), shingle).alias("__sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    cands = minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
     return (cands
             .join(sh.withColumnRenamed(id_col, "id_a")
                   .withColumnRenamed("__sh", "__sh_a"), "id_a")
@@ -212,7 +239,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          nodes: DataFrame | None = None,
                          node_col: str = "id",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint: str = "local",
+                         check_every: int = 2) -> DataFrame:
     """Connected components of the undirected pair graph →
     ``(id, cluster_id)`` where cluster_id is the component's minimum node
     id. This is what a 100 TB dedup actually emits: A~B and B~C collapse
@@ -225,25 +254,39 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     O(log diameter) rounds, the MapReduce-CC recipe of Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14). Each round
     is two shuffle joins + one aggregation over the label table; edges are
-    checkpointed once, labels every round, so the loop's lineage stays
-    flat. ``localCheckpoint`` is executor-local — on a real cluster with
-    preemptible executors call ``sc.setCheckpointDir`` and swap these for
-    reliable ``checkpoint()`` calls.
+    materialized once, labels every round, so the loop's lineage stays
+    flat. ``checkpoint='local'`` (default) uses executor-local
+    ``localCheckpoint`` — fastest, but lost on executor death; on
+    preemptible/spot clusters call ``sc.setCheckpointDir`` and pass
+    ``checkpoint='reliable'`` for durable checkpoints.
+
+    Convergence is tested every ``check_every`` rounds (and on the last),
+    halving the extra count-actions versus checking each round; a
+    fixpoint reached between checks is detected at the next one. If the
+    loop exhausts ``max_iter`` with labels still moving, a
+    ``RuntimeWarning`` is raised — downstream would otherwise silently
+    emit multiple canonicals for one true component.
 
     ``nodes`` (optional) adds isolated ids so singleton docs still get a
     cluster row; otherwise only ids appearing in ``pairs`` are labeled.
     """
+    import warnings
+
+    from ..session import materialize
+
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (half.unionByName(half.select(F.col("dst").alias("src"),
-                                          F.col("src").alias("dst")))
-             .distinct().localCheckpoint(eager=True))
+    edges = materialize(
+        half.unionByName(half.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).distinct(),
+        checkpoint)
     if nodes is not None:
         ids = nodes.select(F.col(node_col).alias("id")).distinct()
     else:
         ids = edges.select(F.col("src").alias("id")).distinct()
-    labels = (ids.select("id", F.col("id").alias("cluster_id"))
-              .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    labels = materialize(ids.select("id", F.col("id").alias("cluster_id")),
+                         checkpoint)
+    converged = False
+    for i in range(max_iter):
         nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
                    .groupBy("src").agg(F.min("cluster_id").alias("nm")))
         relab = (labels.join(nbr_min, labels["id"] == nbr_min["src"],
@@ -256,28 +299,40 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # current label — propagation distance doubles every round
         ptr = labels.select(F.col("id").alias("pid"),
                             F.col("cluster_id").alias("plabel"))
-        jumped = (relab.join(ptr, relab["cluster_id"] == ptr["pid"], "left")
-                  .select("id",
-                          F.least(F.col("cluster_id"),
-                                  F.coalesce("plabel", "cluster_id"))
-                          .alias("cluster_id"))
-                  .localCheckpoint(eager=True))
-        changed = (jumped
-                   .join(labels.withColumnRenamed("cluster_id", "old"), "id")
-                   .filter(F.col("cluster_id") != F.col("old")).count())
+        jumped = materialize(
+            relab.join(ptr, relab["cluster_id"] == ptr["pid"], "left")
+            .select("id",
+                    F.least(F.col("cluster_id"),
+                            F.coalesce("plabel", "cluster_id"))
+                    .alias("cluster_id")),
+            checkpoint)
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            changed = (jumped
+                       .join(labels.withColumnRenamed("cluster_id", "old"),
+                             "id")
+                       .filter(F.col("cluster_id") != F.col("old")).count())
+            if changed == 0:
+                labels = jumped
+                converged = True
+                break
         labels = jumped
-        if changed == 0:
-            break
+    if not converged:
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} without "
+            f"converging — cluster labels may still be split across "
+            f"components; raise max_iter (rounds needed ≈ "
+            f"log2(graph diameter))", RuntimeWarning, stacklevel=2)
     return labels
 
 
 def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
                    threshold: float = 0.8, method: str = "minhash",
-                   **kwargs) -> DataFrame:
+                   checkpoint: str = "local", **kwargs) -> DataFrame:
     """Near-dup clustering end-to-end: verified pairs → transitive
     clusters → ``(id, cluster_id, is_canonical)``. Canonical = the
     cluster's min id (deterministic keeper, reference keep-first A4
-    semantics lifted to clusters)."""
+    semantics lifted to clusters). ``checkpoint`` forwards to
+    ``connected_components`` ('reliable' for preemptible clusters)."""
     if method == "minhash":
         pairs = minhash_dup_pairs(df, text_col, id_col, threshold, **kwargs)
     elif method == "ngram":
@@ -286,7 +341,7 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
     else:
         raise ValueError(f"unknown method {method!r}")
     cc = connected_components(pairs, nodes=df.select(id_col),
-                              node_col=id_col)
+                              node_col=id_col, checkpoint=checkpoint)
     return cc.select(F.col("id").alias(id_col), "cluster_id",
                      (F.col("id") == F.col("cluster_id"))
                      .alias("is_canonical"))

@@ -52,12 +52,51 @@ def assert_accepted_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
     return df.filter(c.isNotNull() & ((c < lo) | (c > hi)))
 
 
+def source_freshness(df: DataFrame, ts_col: str, now: str,
+                     warn_after_hours: float = 24.0,
+                     error_after_hours: float = 48.0,
+                     table_name: str = "source") -> DataFrame:
+    """dbt source-freshness SLA as an engine operator
+    (``/root/reference/dbt/models/staging/sources.yml:24-26``:
+    ``warn_after: 24h`` / ``error_after: 48h`` on a loaded_at field).
+
+    One row: (table_name, max_ts, age_hours, status) where status is
+    'fresh' | 'warn' (age > warn threshold) | 'error' (age > error
+    threshold, or the table is empty / all-NULL — no data is the stalest
+    possible state). ``now`` is caller-supplied (ISO timestamp string,
+    interpreted in the session time zone): the engine never stamps
+    wall-clock into data — the orchestrator owns time, which also keeps
+    the operator deterministic under the oracle gate.
+
+    Scale: a single max() aggregate — map-side partials, no data shuffle
+    (one row per partition reaches the reducer). Feed
+    ``.filter(status != 'fresh')`` into ``suite_report`` to fold the SLA
+    into the assertion suite as a violation check.
+    """
+    now_ts = F.lit(now).cast("timestamp")
+    agg = df.agg(F.max(F.col(ts_col).cast("timestamp")).alias("max_ts"))
+    age = F.round(
+        (now_ts.cast("double") - F.col("max_ts").cast("double")) / 3600.0,
+        6)
+    return agg.select(
+        F.lit(table_name).alias("table_name"),
+        "max_ts",
+        age.alias("age_hours"),
+        F.when(F.col("max_ts").isNull()
+               | (age > error_after_hours), "error")
+        .when(age > warn_after_hours, "warn")
+        .otherwise("fresh").alias("status"))
+
+
 def suite_report(named: dict[str, DataFrame]) -> DataFrame:
     """The whole suite as ONE plan: a union of 1-row count aggregates →
     (check_name, violations). One action schedules every check's scan
     together instead of N sequential count() jobs."""
     from functools import reduce
 
+    if not named:
+        raise ValueError("suite_report needs at least one named check; "
+                         "got an empty dict")
     parts = [
         df.agg(F.count(F.lit(1)).cast("long").alias("violations"))
         .select(F.lit(name).alias("check_name"), "violations")
@@ -85,14 +124,23 @@ def row_checks_report(df: DataFrame, checks: dict[str, Column],
     Use for the common case of many column checks on the same wide
     table — one scan regardless of check count; keep the per-row
     ``assert_*`` operators for violation drill-down.
+
+    Check names are carried as Column literals (positional aliases +
+    ``map_from_arrays``/``explode`` unpivot, never interpolated into SQL
+    text), so quotes/backticks in a name cannot break parsing or inject.
     """
+    if not checks:
+        raise ValueError("row_checks_report needs at least one check; "
+                         "got an empty dict")
+    names = list(checks)
     agg = df.agg(*[
-        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
-        for name, cond in checks.items()
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__c{i}")
+        for i, cond in enumerate(checks.values())
     ])
-    stack = ", ".join(f"'{k}', `{k}`" for k in checks)
-    out = agg.select(F.expr(
-        f"stack({len(checks)}, {stack}) AS (check_name, violations)"))
+    out = agg.select(F.explode(F.map_from_arrays(
+        F.array(*[F.lit(n) for n in names]),
+        F.array(*[F.col(f"__c{i}") for i in range(len(names))]),
+    )).alias("check_name", "violations"))
     if table_name is not None:
         out = out.select(F.lit(table_name).alias("table_name"),
                          "check_name", "violations")

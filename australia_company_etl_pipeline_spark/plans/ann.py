@@ -58,28 +58,25 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_lsh_topk",
-    doc="LSH-bucketed approximate top-10 (4 random hyperplanes, sign-bit "
-        "buckets + hamming-1 multi-probe, equi-join on bucket). Rows-only "
-        "driver check; recall vs brute force pinned in tests/test_dedup_ann.py.",
+    "ann_approx_topk",
+    doc="Both approximate-NN scale paths in one result (fold of r2's "
+        "ann_lsh_topk / ann_ivf_topk to fit the driver's query window): "
+        "method='lsh' rows are LSH-bucketed top-10 (4 random hyperplanes, "
+        "sign-bit buckets + hamming-1 multi-probe, equi-join on bucket); "
+        "method='ivf' rows are IVF-Flat top-10 (deterministic Lloyd's "
+        "k-means centroids — 16, 5 iterations, seeded hash-sample init — "
+        "4-probe). Rows-only driver check; recall vs ann_bruteforce_topk "
+        "pinned per method in tests/test_dedup_ann.py.",
     tags=("ann",),
     oracle=None,
 )
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = table(spark, sf_dir, "embeddings")
-    return ann.lsh_topk(corpus, _queries_df(spark, sf_dir), k=K,
-                        n_planes=4, dim=64, multiprobe=1)
-
-
-@register(
-    "ann_ivf_topk",
-    doc="IVF-Flat approximate top-10: deterministic Lloyd's k-means "
-        "centroids (16, 5 iterations, seeded hash-sample init), 4-probe. "
-        "Rows-only driver check; recall pinned in tests/test_dedup_ann.py.",
-    tags=("ann",),
-    oracle=None,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = table(spark, sf_dir, "embeddings")
-    return ann.ivf_topk(corpus, _queries_df(spark, sf_dir), k=K,
-                        n_centroids=16, n_probe=4)
+    q = _queries_df(spark, sf_dir)
+    lsh = (ann.lsh_topk(corpus, q, k=K, n_planes=4, dim=64, multiprobe=1)
+           .select(F.lit("lsh").alias("method"), "query_id", "vec_id",
+                   "cosine_sim", "rank"))
+    ivf = (ann.ivf_topk(corpus, q, k=K, n_centroids=16, n_probe=4)
+           .select(F.lit("ivf").alias("method"), "query_id", "vec_id",
+                   "cosine_sim", "rank"))
+    return lsh.unionByName(ivf)

@@ -299,37 +299,32 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_without_orders",
-    doc="J7 anti join (dim_companies.sql:37-61): rows with no match on the "
-        "other side — NOT IN rewritten as left_anti.",
+    "customer_order_activity",
+    doc="J9 semi join + J7 anti join in one result (fold of r2's "
+        "customers_with_orders_semi / customers_without_orders to fit the "
+        "driver's query window): left_semi rows tagged has_orders=true "
+        "(upsert_logic.py:209-210 isin-exclusion inverted — no key list "
+        "collected to the driver), left_anti rows tagged has_orders=false "
+        "(dim_companies.sql:37-61 NOT IN rewritten as left_anti).",
     tags=("join",),
     oracle="""
-SELECT c_custkey, c_name FROM customer c
+SELECT c_custkey, c_name, TRUE AS has_orders FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, FALSE AS has_orders FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").select("o_custkey")
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-            .select("c_custkey", "c_name"))
-
-
-@register(
-    "customers_with_orders_semi",
-    doc="J9 semi join (upsert_logic.py:209-210 isin-exclusion inverted): "
-        "left_semi instead of collecting a key list to the driver.",
-    tags=("join",),
-    oracle="""
-SELECT c_custkey, c_name FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-""",
-)
-def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").select("o_custkey")
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-            .select("c_custkey", "c_name"))
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name",
+                    F.lit(True).alias("has_orders")))
+    anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name",
+                    F.lit(False).alias("has_orders")))
+    return semi.unionByName(anti)
 
 
 @register(

@@ -47,44 +47,38 @@ _NGRAMS_SQL = """
 
 @register(
     "exact_dedup_docs",
-    doc="Exact dedup via content-hash groupBy (scales as one shuffle on "
-        "md5 digest); keeps the lowest doc_id per hash. Extension of A4 "
-        "dropDuplicates to content addressing.",
+    doc="Exact content dedup + duplicate-group report in one query (fold "
+        "of r2's exact_dedup_docs / exact_dup_groups to fit the driver's "
+        "query window): one row per distinct content hash with the kept "
+        "doc (lowest id — A4 keep-first lifted to content addressing via "
+        "``exact_dedup``'s hash-partitioned window) and the group size "
+        "(n_docs > 1 is the A8/assert_no_duplicate_abns HAVING check "
+        "generalized to content). Scales as one shuffle on the md5 digest.",
     tags=("dedup",),
     oracle=f"""
 WITH corpus AS ({_DOCS_DUPS_SQL}),
-hashed AS (
-  SELECT doc_id, md5(text) AS h, row_number() OVER (
+keep AS (
+  SELECT doc_id, md5(text) AS content_hash, row_number() OVER (
       PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
   FROM corpus
+),
+grp AS (
+  SELECT md5(text) AS content_hash, count(*) AS n_docs FROM corpus GROUP BY 1
 )
-SELECT doc_id FROM hashed WHERE rn = 1
+SELECT k.content_hash, k.doc_id AS keeper_id, g.n_docs
+FROM keep k JOIN grp g USING (content_hash) WHERE k.rn = 1
 """,
 )
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    return dd.exact_dedup(corpus, ["text"], "doc_id").select("doc_id")
-
-
-@register(
-    "exact_dup_groups",
-    doc="A8-style duplicate detection on content hash: groups with >1 doc "
-        "(assert_no_duplicate_abns.sql generalized to content).",
-    tags=("dedup",),
-    oracle=f"""
-WITH corpus AS ({_DOCS_DUPS_SQL})
-SELECT md5(text) AS content_hash, count(*) AS n_docs,
-       min(doc_id) AS keeper_id
-FROM corpus GROUP BY 1 HAVING count(*) > 1
-""",
-)
-def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_dups(spark, sf_dir)
-    return (corpus
-            .groupBy(F.md5("text").alias("content_hash"))
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.min("doc_id").alias("keeper_id"))
-            .filter(F.col("n_docs") > 1))
+    keepers = (dd.exact_dedup(corpus, ["text"], "doc_id")
+               .select(F.md5("text").alias("content_hash"),
+                       F.col("doc_id").alias("keeper_id")))
+    groups = (corpus
+              .groupBy(F.md5("text").alias("content_hash"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (keepers.join(groups, "content_hash")
+            .select("content_hash", "keeper_id", "n_docs"))
 
 
 @register(
@@ -162,30 +156,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minhash_dup_pairs",
-    doc="MinHash+LSH near-dup pairs (64 hashes, 16 bands), LSH candidates "
-        "verified with exact trigram Jaccard ≥0.8. Murmur3 signatures are "
-        "Spark-specific → rows-only driver check; tests/test_dedup.py "
-        "verifies recall against the exact baseline.",
+    "hashed_dup_pairs",
+    doc="Hash-sketch near-dup pairs, both families in one result (fold of "
+        "r2's minhash_dup_pairs / simhash_dup_pairs to fit the driver's "
+        "query window): method='minhash' rows are MinHash+LSH candidates "
+        "(32 hashes, 8 bands — the fast preset; recall ≥0.9 pinned in "
+        "tests/test_dedup_ann.py) verified with exact trigram Jaccard "
+        "≥0.8 (score = jaccard); method='simhash' rows are 64-bit SimHash "
+        "pairs within hamming ≤ 8 via 16-bit band blocking (score = "
+        "hamming distance). murmur3/xxhash64 are Spark-specific → "
+        "rows-only driver check; tests pin recall against the exact "
+        "ngram_jaccard baseline and planted duplicates.",
     tags=("dedup",),
-    oracle=None,  # hash functions are engine-specific; see test_dedup.py
+    oracle=None,  # hash functions are engine-specific; see test_dedup_ann.py
 )
-def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    return dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8)
-
-
-@register(
-    "simhash_dup_pairs",
-    doc="SimHash 64-bit near-dup pairs (hamming ≤ 8) with 16-bit band "
-        "blocking. xxhash64 is Spark-specific → rows-only driver check; "
-        "tests/test_dedup.py pins planted-pair recall.",
-    tags=("dedup",),
-    oracle=None,
-)
-def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_dups(spark, sf_dir)
-    return dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
+    mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
+                               num_hashes=32, bands=8)
+          .select(F.lit("minhash").alias("method"), "id_a", "id_b",
+                  F.col("jaccard").alias("score")))
+    sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
+          .select(F.lit("simhash").alias("method"), "id_a", "id_b",
+                  F.col("hamming").cast("double").alias("score")))
+    return mh.unionByName(sh)
 
 
 @register(

@@ -28,57 +28,43 @@ _KIND = ("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
 
 
 @register(
-    "media_pack_stats",
-    doc="Multimodal packing: documents → (binary payload, typed metadata "
-        "struct); payload-level stats (byte length, md5) prove the binary "
-        "column round-trips bit-exactly; meta fields are typed and "
-        "kind-dependent (NULL where not applicable).",
-    tags=("multimodal",),
-    oracle=f"""
-SELECT doc_id AS media_id,
-       {_KIND} AS kind,
-       octet_length(encode(text)) AS n_bytes,
-       md5(text) AS payload_md5,
-       CASE WHEN {_KIND} IN ('image', 'video')
-            THEN CAST(doc_id % 640 + 64 AS INT) END AS width,
-       CASE WHEN {_KIND} IN ('image', 'video')
-            THEN CAST(doc_id % 480 + 48 AS INT) END AS height,
-       CASE WHEN {_KIND} IN ('audio', 'video')
-            THEN CAST(doc_id % 90000 + 1000 AS INT) END AS duration_ms,
-       CASE WHEN {_KIND} = 'audio'
-            THEN CAST(16000 AS INT) END AS sample_rate
-FROM documents
-""",
-)
-def media_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = pack_documents_as_media(table(spark, sf_dir, "documents"))
-    return media.select(
-        "media_id", "kind",
-        F.length("payload").cast("long").alias("n_bytes"),
-        F.md5("payload").alias("payload_md5"),
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.duration_ms").alias("duration_ms"),
-        F.col("meta.sample_rate").alias("sample_rate"))
-
-
-@register(
-    "media_fake_features",
-    doc="mapInPandas decode plumbing (real decode stubbed — no codec libs "
-        "here): Arrow-batched byte-statistics featurizer over binary "
-        "payloads. The oracle recomputes every feature from character "
-        "codes — the Python boundary is held to SQL-checkable semantics.",
+    "media_pack_features",
+    doc="Multimodal packing + decode plumbing + resize planning in one "
+        "per-media report (fold of r2's media_pack_stats / "
+        "media_fake_features / media_resize_plan to fit the driver's "
+        "query window; same operators exercised): binary payload stats "
+        "(byte length, md5) prove the binary column round-trips "
+        "bit-exactly; typed kind-dependent metadata (NULL where not "
+        "applicable); aspect-preserving resize targets for visual media; "
+        "and the Arrow-batched mapInPandas byte-statistics featurizer "
+        "(real codecs stubbed — no image/audio libs here). The oracle "
+        "recomputes every column from character codes, so the Python "
+        "boundary is held to SQL-checkable semantics.",
     tags=("multimodal", "pandas-udf"),
     oracle=f"""
 WITH b AS (
   SELECT doc_id AS media_id, {_KIND} AS kind,
          octet_length(encode(text)) AS n_bytes,
+         md5(text) AS payload_md5,
          list_aggregate(list_transform(regexp_split_to_array(text, ''),
                                        c -> ascii(c)), 'sum') AS total,
-         ascii(substr(text, 1, 1)) AS first_byte
+         ascii(substr(text, 1, 1)) AS first_byte,
+         CASE WHEN {_KIND} IN ('image', 'video')
+              THEN CAST(doc_id % 640 + 64 AS INT) END AS width,
+         CASE WHEN {_KIND} IN ('image', 'video')
+              THEN CAST(doc_id % 480 + 48 AS INT) END AS height,
+         CASE WHEN {_KIND} IN ('audio', 'video')
+              THEN CAST(doc_id % 90000 + 1000 AS INT) END AS duration_ms,
+         CASE WHEN {_KIND} = 'audio'
+              THEN CAST(16000 AS INT) END AS sample_rate
   FROM documents
 )
-SELECT media_id, kind, n_bytes,
+SELECT media_id, kind, n_bytes, payload_md5,
+       width, height, duration_ms, sample_rate,
+       CAST(round(width * (CAST(224 AS DOUBLE) / greatest(width, height)))
+            AS INT) AS target_w,
+       CAST(round(height * (CAST(224 AS DOUBLE) / greatest(width, height)))
+            AS INT) AS target_h,
        CAST(n_bytes AS DOUBLE) AS f_len,
        CASE WHEN n_bytes = 0 THEN 0.0
             ELSE floor((CAST(total AS DOUBLE) / n_bytes) * 1000000 + 0.5)
@@ -89,15 +75,29 @@ SELECT media_id, kind, n_bytes,
 FROM b
 """,
 )
-def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_pack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = pack_documents_as_media(table(spark, sf_dir, "documents"))
     feats = decode_features(media, codec="fake")
-    return feats.select(
-        "media_id", "kind", "n_bytes",
-        F.element_at("features", 1).alias("f_len"),
-        F.element_at("features", 2).alias("f_mean_byte"),
-        F.element_at("features", 3).alias("f_first_byte"),
-        F.element_at("features", 4).alias("f_checksum"))
+    meta_side = media.select(
+        "media_id",
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"))
+    targets = resize_plan(media, box=224).select(
+        "media_id", "target_w", "target_h")
+    return (feats
+            .join(meta_side, "media_id")
+            .join(targets, "media_id", "left")
+            .select(
+                "media_id", "kind", "n_bytes", "payload_md5",
+                "width", "height", "duration_ms", "sample_rate",
+                "target_w", "target_h",
+                F.element_at("features", 1).alias("f_len"),
+                F.element_at("features", 2).alias("f_mean_byte"),
+                F.element_at("features", 3).alias("f_first_byte"),
+                F.element_at("features", 4).alias("f_checksum")))
 
 
 @register(
@@ -124,27 +124,3 @@ def media_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "duration_ms", "frame_idx", "offset_ms")
 
 
-@register(
-    "media_resize_plan",
-    doc="Aspect-preserving resize targets (fit longer edge to 224) for "
-        "visual media — metadata-only arithmetic; the payload column is "
-        "pruned from the scan entirely.",
-    tags=("multimodal",),
-    oracle=f"""
-WITH v AS (
-  SELECT doc_id AS media_id, {_KIND} AS kind,
-         CAST(doc_id % 640 + 64 AS INT) AS width,
-         CAST(doc_id % 480 + 48 AS INT) AS height
-  FROM documents WHERE {_KIND} IN ('image', 'video')
-)
-SELECT media_id, kind, width, height,
-       CAST(round(width * (CAST(224 AS DOUBLE) / greatest(width, height)))
-            AS INT) AS target_w,
-       CAST(round(height * (CAST(224 AS DOUBLE) / greatest(width, height)))
-            AS INT) AS target_h
-FROM v
-""",
-)
-def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = pack_documents_as_media(table(spark, sf_dir, "documents"))
-    return resize_plan(media, box=224)

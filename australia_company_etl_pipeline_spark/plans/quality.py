@@ -38,6 +38,7 @@ from ..operators.quality import (
     assert_no_duplicates,
     assert_not_null,
     assert_valid_scores,
+    source_freshness,
 )
 from .registry import register
 
@@ -125,6 +126,54 @@ def dq_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ["O", "F"])),
     ]
     return reduce(DataFrame.unionByName, rows).orderBy("check_name")
+
+
+_FRESH_NOW = "2024-02-01 00:00:00"
+
+
+def _fresh_sql(src_sql: str, tbl: str, warn: float, error: float) -> str:
+    age = (f"round((epoch_us(TIMESTAMP '{_FRESH_NOW}') - epoch_us(max_ts))"
+           f" / 3600000000.0, 6)")
+    return f"""
+SELECT '{tbl}' AS table_name, max_ts, {age} AS age_hours,
+       CASE WHEN max_ts IS NULL OR {age} > {error} THEN 'error'
+            WHEN {age} > {warn} THEN 'warn'
+            ELSE 'fresh' END AS status
+FROM ({src_sql})"""
+
+
+@register(
+    "source_freshness",
+    doc="dbt source-freshness SLA (dbt/models/staging/sources.yml:24-26: "
+        "warn_after 24h / error_after 48h) as an engine operator: max-age "
+        "of a loaded_at timestamp vs a caller-supplied 'now', statused "
+        "fresh/warn/error. Three sources exercise all three states: "
+        "events is ~24.5h stale at the pinned now (warn), orders gets "
+        "wide thresholds (fresh), and an empty slice proves no-data → "
+        "error with NULL max_ts. Single max() aggregate per source — "
+        "map-side partials, no data shuffle.",
+    tags=("quality",),
+    oracle=(
+        _fresh_sql("SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events",
+                   "events", 24, 48)
+        + "\nUNION ALL\n"
+        + _fresh_sql("SELECT max(CAST(o_orderdate AS TIMESTAMP)) AS max_ts "
+                     "FROM orders", "orders", 200000, 300000)
+        + "\nUNION ALL\n"
+        + _fresh_sql("SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM "
+                     "events WHERE event_type = 'no_such_type'",
+                     "events_empty", 24, 48)))
+def source_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    e = source_freshness(events, "ts", _FRESH_NOW, 24, 48, "events")
+    o = source_freshness(
+        orders.select(F.col("o_orderdate").alias("ts")), "ts", _FRESH_NOW,
+        200000, 300000, "orders")
+    n = source_freshness(
+        events.filter(F.col("event_type") == "no_such_type"), "ts",
+        _FRESH_NOW, 24, 48, "events_empty")
+    return e.unionByName(o).unionByName(n)
 
 
 @register(

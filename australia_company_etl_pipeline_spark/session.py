@@ -45,6 +45,40 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def materialize(df, checkpoint: str = "local"):
+    """Materialize a frame and truncate its lineage — the loop-body step of
+    iterative operators (connected components, k-means), whose plans would
+    otherwise grow by two joins per round.
+
+    ``checkpoint='local'`` — ``localCheckpoint``: executor-local blocks,
+    fastest, but lost if an executor dies (fine on a stable rig; risky on
+    preemptible/spot clusters). ``checkpoint='reliable'`` — reliable
+    ``checkpoint()`` to the configured checkpoint dir (HDFS/object store):
+    survives executor loss; call ``spark.sparkContext.setCheckpointDir``
+    first.
+    """
+    if checkpoint == "local":
+        return df.localCheckpoint(eager=True)
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            raise ValueError(
+                "checkpoint='reliable' needs a checkpoint directory: call "
+                "spark.sparkContext.setCheckpointDir('<hdfs-or-local-path>')"
+                " before running the operator")
+        return df.checkpoint(eager=True)
+    raise ValueError(
+        f"unknown checkpoint mode {checkpoint!r}: use 'local' (fast, "
+        f"executor-local) or 'reliable' (survives executor loss)")
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-conf values: plain ints or k/m/g-suffixed."""
+    v = v.strip().lower().rstrip("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(v[-1:], 1)
+    return int(v[:-1] if mult > 1 else v) * mult
+
+
 def ensure_min_partitions(df, target: int | None = None):
     """Repartition ONLY when the input arrived under-split.
 
@@ -52,12 +86,36 @@ def ensure_min_partitions(df, target: int | None = None):
     pair-explosion work that follows; a real cluster scan is already many
     splits, where an unconditional ``repartition(cpu_count()*2)`` would be
     a pure-loss full shuffle (possibly *reducing* parallelism). Gate on
-    the actual physical partition count so the knob only fires on the
+    an estimate of the scan's split count so the knob only fires on the
     degenerate case.
+
+    The estimate comes from the input-file listing (Σ per-file
+    ceil(size / maxPartitionBytes); locally statted, remote files counted
+    as one split each — a lower bound, so remote many-file scans still
+    skip the shuffle). This deliberately avoids
+    ``df.rdd.getNumPartitions()``, which forces a second physical
+    planning of the frame (the RDD conversion plans once, the real action
+    re-plans) — wasteful on catalog-heavy 100 TB plans. Frames with no
+    file inputs (in-memory relations) are repartitioned: they are
+    driver-local single partitions in every case this gate serves.
     """
     target = target or cpu_count() * 2
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        max_bytes = _parse_bytes(df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"))
+        est = 0
+        for uri in files:
+            path = uri[len("file:"):] if uri.startswith("file:") else None
+            if path and os.path.exists(path):
+                est += max(1, -(-os.path.getsize(path) // max_bytes))
+            else:
+                est += 1
+            if est >= target:
+                return df
     return df.repartition(target)
 
 

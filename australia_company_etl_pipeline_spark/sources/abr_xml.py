@@ -13,6 +13,16 @@ Re-expression of the reference's ``ET.iterparse`` streaming parser
 
 No Python row loop, no ``elem.clear()`` memory choreography — Spark's
 per-task batching owns memory.
+
+**Delimiter assumption**: the record frame is the literal ``</ABR>``
+close tag. An attribute or text value containing ``</ABR>`` would split
+that record: the tail fragment has no ``<ABR`` anchor and is dropped by
+the filters, while the head half fails ``from_xml`` (unbalanced tags) and
+shreds to NULL fields. XML escaping makes a literal ``</ABR>`` inside
+text illegal in well-formed documents, so collisions imply corrupt
+input — run ``abr_scan_stats`` on new bulk extracts: ``n_unparsed`` > 0
+(frames that refuse both the anchor filter and the ABN shred) is the
+signal, as a metric instead of silent loss.
 """
 
 from __future__ import annotations
@@ -112,6 +122,36 @@ def shred_abr_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     # Reference drops records without ABN or name (parse_abr.py:97-110).
     return out.filter(F.col("abn").isNotNull()
                       & F.col("entity_name").isNotNull())
+
+
+def abr_scan_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Shred-loss metrics for an ABR scan — one row, one pass:
+    (n_frames, n_records, n_shredded, n_unparsed).
+
+    ``n_frames`` = ``</ABR>``-framed rows (includes the header/footer
+    wrapper); ``n_records`` = frames with an ``<ABR`` record anchor;
+    ``n_shredded`` = records that yield a valid 11-digit ABN + name;
+    ``n_unparsed`` = records whose XML fails to shred (NULL abn AND NULL
+    name out of ``from_xml``) — nonzero means malformed records or a
+    delimiter collision (see module docstring), surfaced as a metric.
+    """
+    raw = spark.read.option("lineSep", "</ABR>").text(path)
+    xml = F.regexp_extract("value", r"(?s)<ABR[\s>].*", 0)
+    r = F.from_xml(F.concat(xml, F.lit("</ABR>")), ABR_RECORD_SCHEMA)
+    abn_digits = F.regexp_replace(F.coalesce(r["ABN"]["_VALUE"], F.lit("")),
+                                  r"\D", "")
+    good = (F.length(abn_digits) == 11) & _entity_name(r).isNotNull()
+    empty_shred = (r["ABN"]["_VALUE"].isNull()
+                   & _entity_name(r).isNull())
+    is_rec = xml != ""
+    return raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.when(is_rec, 1).otherwise(0))
+        .cast("long").alias("n_records"),
+        F.sum(F.when(is_rec & good, 1).otherwise(0))
+        .cast("long").alias("n_shredded"),
+        F.sum(F.when(is_rec & empty_shred, 1).otherwise(0))
+        .cast("long").alias("n_unparsed"))
 
 
 def read_abr_xml(spark: SparkSession, path: str) -> DataFrame:

@@ -95,10 +95,12 @@ def write_jdbc_upsert(df: DataFrame, dsn: str, table: str,
     driver connection, load_postgres.py:124-372).
 
     ``connection_factory`` — optional picklable ``dsn -> DB-API
-    connection`` callable for non-psycopg2 backends (tests round-trip the
-    real foreachPartition path against DuckDB this way). ``None`` →
-    psycopg2 with ``execute_batch``; the generic path uses DB-API
-    ``executemany`` in ``batch_size`` chunks.
+    connection`` callable for non-psycopg2 backends
+    (``tests/test_sources.py::test_write_jdbc_upsert_duckdb_roundtrip``
+    round-trips the real foreachPartition path against a DuckDB file this
+    way, asserting DO UPDATE / DO NOTHING / insert semantics on the final
+    table). ``None`` → psycopg2 with ``execute_batch``; the generic path
+    uses DB-API ``executemany`` in ``batch_size`` chunks.
     """
     if connection_factory is None:
         import importlib.util

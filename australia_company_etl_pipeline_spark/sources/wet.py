@@ -19,6 +19,19 @@ distributed Spark read + native record shredding:
 
 The reference yields only ``conversion`` records with a
 ``WARC-Target-URI`` header; ours keeps the same contract.
+
+**Delimiter assumption**: the record frame is the literal byte sequence
+``\\r\\n\\r\\nWARC/`` — per the WARC spec a record ends with CRLF CRLF and
+the next starts with a version line, so well-formed archives frame
+exactly. A record whose *body text* contains that same sequence would be
+silently split: the fragment after the collision has no WARC headers and
+drops out of the anchor filters (the record's head half keeps its URI but
+loses the tail of its body). WET conversion records are extracted text,
+where a embedded ``\\r\\n\\r\\nWARC/`` is vanishingly rare but not
+impossible — run ``wet_scan_stats`` on a new crawl snapshot: a nonzero
+``n_untyped`` count is the collision/corruption signal (frames with no
+``WARC-Type`` header at all), surfacing the loss as a metric instead of
+silence.
 """
 
 from __future__ import annotations
@@ -86,6 +99,35 @@ def parse_wet_records(df: DataFrame, text_col: str = "value",
                                          _RECORD_SPLIT)).alias("rec"))
                .filter(F.col("rec").startswith("WARC/")))
     return shred_wet_records(records, "rec", record_type)
+
+
+def wet_scan_stats(spark: SparkSession, path: str,
+                   record_type: str = "conversion") -> DataFrame:
+    """Shred-loss metrics for a WET scan — one row, one pass:
+    (n_frames, n_typed, n_kept, n_untyped).
+
+    ``n_untyped`` counts frames carrying no ``WARC-Type`` header at all —
+    the signature of a delimiter collision (a record body containing the
+    frame delimiter, see module docstring) or corrupt input. ``n_typed −
+    n_kept`` is benign skip volume (non-``record_type`` records, missing
+    URIs). Run this beside ``read_wet`` on new snapshots so silent loss
+    becomes an observable metric (ops twin of the reference's per-file
+    record counters, parse_commoncrawl.py:111-119).
+    """
+    raw = spark.read.option("lineSep", _RECORD_FRAME).text(path)
+    rec = F.regexp_replace(F.col("value"), _VERSION_LINE, "")
+    head = F.regexp_extract(rec, _HEAD_BLOCK, 1)
+    head = F.when(head != "", head).otherwise(rec)
+    wtype = header(head, "WARC-Type")
+    uri = header(head, "WARC-Target-URI")
+    kept = (wtype == record_type) & uri.isNotNull()
+    return raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.when(wtype.isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_typed"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(wtype.isNull(), 1).otherwise(0))
+        .cast("long").alias("n_untyped"))
 
 
 def read_wet(spark: SparkSession, path: str,

@@ -32,10 +32,9 @@ HEADLINE = [
     "monthly_order_stats",
     # training-data pipeline extensions
     "exact_dedup_docs",
-    "minhash_dup_pairs",
-    "simhash_dup_pairs",
+    "hashed_dup_pairs",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
+    "ann_approx_topk",
     "doc_quality",
     "doc_token_stats",
     "events_session_windows",

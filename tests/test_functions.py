@@ -292,6 +292,39 @@ def test_token_sort_ratio(spark):
     assert row.null_in == 0.0
 
 
+def test_token_sort_ratio_reference_goldens(spark):
+    """Literal golden scores through the M1 token_sort scorer path
+    (similarity.py:token_sort_ratio), pinned from the reference fixture
+    names (tests/test_matching.py:28-47,55-60: normalized pairs ACME/ACME
+    and TECH SOLUTIONS/TECH SOLUTIONS both score 1.0 → the 2-match ≥0.75
+    fixture). Expected values are the Indel similarity 2·LCS/(|a|+|b|)
+    on token-sorted uppercase strings — hand-derivable, and identical
+    under rapidfuzz AND the difflib fallback for these pairs (divergence
+    analysis in the token_sort_ratio docstring)."""
+    cases = [
+        # reference fixture pairs (normalized_name vs normalized_name)
+        ("ACME", "ACME", 1.0),
+        ("TECH SOLUTIONS", "TECH SOLUTIONS", 1.0),
+        # the "token_sort" in the name: order must not matter
+        ("SOLUTIONS TECH", "TECH SOLUTIONS", 1.0),
+        # Indel goldens: 2·LCS/(|a|+|b|) on sorted-token forms
+        ("ACME", "ACME CORPORATION", 2 * 4 / (4 + 16)),        # 0.4
+        ("ACME", "ACME PTY LTD", 2 * 4 / (4 + 12)),            # 0.5
+        ("TECH SOLUTIONS", "TECH SOLUTIONS AUSTRALIA",
+         2 * 14 / (14 + 24)),                                  # 0.736842…
+        ("ACME Corporation", "ACME CORP",
+         2 * 9 / (16 + 9)),                                    # 0.72
+    ]
+    df = spark.createDataFrame(cases, "a string, b string, exp double")
+    rows = df.select(
+        "a", "b", "exp",
+        fx.token_sort_ratio(F.col("a"), F.col("b")).alias("got")).collect()
+    for r in rows:
+        assert abs(r.got - r.exp) < 1e-9, (r.a, r.b, r.exp, r.got)
+    # reference band behavior: every fixture pair clears the 0.75 gate
+    assert all(r.got >= 0.75 for r in rows[:3])
+
+
 def test_levenshtein_ratio(spark):
     row = spark.range(1).select(
         fx.levenshtein_ratio(F.lit("ACME CORP"), F.lit("CORP ACME")).alias("perm"),

@@ -131,3 +131,63 @@ def test_audit_log_diff_null_images(spark):
                                table_name="t").head()
     assert row.operation == "UPDATE"
     assert json.loads(row.old_data) == {"k": 1, "name": None}
+
+
+def test_source_freshness_thresholds(spark):
+    """dbt sources.yml:24-26 parity: warn 24h / error 48h transitions,
+    empty source → error, and suite_report integration (a stale partition
+    becomes a violation row)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-02 00:00:00",)], "ts string")
+
+    def status(now):
+        return quality.source_freshness(df, "ts", now).head().status
+
+    assert status("2024-01-02 12:00:00") == "fresh"   # 12h old
+    assert status("2024-01-03 12:00:00") == "warn"    # 36h old
+    assert status("2024-01-05 00:00:00") == "error"   # 72h old
+
+    r = quality.source_freshness(df, "ts", "2024-01-02 12:00:00").head()
+    assert abs(r.age_hours - 12.0) < 1e-6
+    assert str(r.max_ts).startswith("2024-01-02")
+
+    empty = quality.source_freshness(
+        df.filter(F.col("ts") == "never"), "ts", "2024-01-02 12:00:00",
+        table_name="stale_partition").head()
+    assert empty.status == "error" and empty.max_ts is None
+
+    # fold into the assertion suite: non-fresh rows are violations
+    stale = quality.source_freshness(df, "ts", "2024-01-05 00:00:00")
+    ok = quality.source_freshness(df, "ts", "2024-01-02 12:00:00")
+    counts = quality.run_assertions({
+        "freshness_stale": stale.filter(F.col("status") != "fresh"),
+        "freshness_ok": ok.filter(F.col("status") != "fresh"),
+    })
+    assert counts == {"freshness_stale": 1, "freshness_ok": 0}
+
+
+def test_row_checks_and_metrics_hostile_names(spark):
+    """Check/metric names carry quotes and backticks — they must pass
+    through verbatim (no stack() SQL-string interpolation to break)."""
+    df = spark.createDataFrame([(1,), (None,)], "x int")
+    name = "bad ' name `q` -- inject"
+    rows = {r.check_name: r.violations for r in quality.row_checks_report(
+        df, {name: F.col("x").isNull()}).collect()}
+    assert rows == {name: 1}
+    m = {r.metric_name: r.metric_value for r in audit.quality_metrics(
+        df, "t", {name: F.count(F.lit(1))}).collect()}
+    assert m == {name: 2.0}
+
+
+def test_empty_check_dicts_raise_clearly(spark):
+    import pytest
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="at least one"):
+        quality.suite_report({})
+    with pytest.raises(ValueError, match="at least one"):
+        quality.row_checks_report(df, {})
+    with pytest.raises(ValueError, match="at least one"):
+        audit.stage_counts({})
+    with pytest.raises(ValueError, match="at least one"):
+        audit.quality_metrics(df, "t", {})

@@ -207,3 +207,117 @@ def test_write_jdbc_upsert_needs_driver(spark):
     with pytest.raises(Exception) as ei:
         sinks.write_jdbc_upsert(df, "dbname=none", "t", ["k"])
     assert "psycopg2" in str(ei.value)
+
+
+def test_write_jdbc_upsert_duckdb_roundtrip(spark, tmp_path):
+    """The REAL foreachPartition path — executor-side ``load_partition`` →
+    ``cursor.executemany`` in batch_size chunks → commit — against a DuckDB
+    file via ``connection_factory``, asserting the reference's ON CONFLICT
+    semantics (load_postgres.py:188-372): DO UPDATE refreshes the
+    conflicting row, DO NOTHING leaves it untouched, new keys insert.
+    Single partition: DuckDB allows one writer process at a time."""
+    import duckdb
+
+    # nested def → cloudpickle ships it by VALUE to executors (a module
+    # top-level function would pickle by reference and fail to import
+    # there; duckdb.connect itself is a PyCapsule — not picklable at all)
+    def _duckdb_factory(dsn):
+        import duckdb
+
+        return duckdb.connect(dsn)
+
+    db = str(tmp_path / "sink.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE abr (abn INTEGER PRIMARY KEY, "
+                "name VARCHAR, state VARCHAR)")
+    con.execute("INSERT INTO abr VALUES (1, 'one-v1', 'NSW'), "
+                "(2, 'two-v1', 'VIC')")
+    con.close()
+
+    # upsert (DO UPDATE): key 2 refreshed, key 3 inserted, key 1 untouched
+    up = spark.createDataFrame(
+        [(2, "two-v2", "QLD"), (3, "three-v1", "SA")],
+        "abn int, name string, state string").coalesce(1)
+    sinks.write_jdbc_upsert(up, db, "abr", ["abn"],
+                            connection_factory=_duckdb_factory,
+                            placeholder="?", batch_size=1)
+    con = duckdb.connect(db)
+    got = {k: (n, s) for k, n, s in
+           con.execute("SELECT abn, name, state FROM abr").fetchall()}
+    con.close()
+    assert got == {1: ("one-v1", "NSW"), 2: ("two-v2", "QLD"),
+                   3: ("three-v1", "SA")}
+
+    # conflict-ignore (DO NOTHING, S8): key 1 NOT overwritten, key 4 added
+    ig = spark.createDataFrame(
+        [(1, "one-overwrite-attempt", "XXX"), (4, "four-v1", "WA")],
+        "abn int, name string, state string").coalesce(1)
+    sinks.write_jdbc_upsert(ig, db, "abr", ["abn"], update_columns=[],
+                            connection_factory=_duckdb_factory,
+                            placeholder="?", batch_size=1000)
+    con = duckdb.connect(db)
+    got = {k: (n, s) for k, n, s in
+           con.execute("SELECT abn, name, state FROM abr").fetchall()}
+    con.close()
+    assert got == {1: ("one-v1", "NSW"), 2: ("two-v2", "QLD"),
+                   3: ("three-v1", "SA"), 4: ("four-v1", "WA")}
+
+
+def test_ensure_min_partitions_gate_without_rdd(spark, tmp_path, sf_dir):
+    """The under-split gate must fire on a 1-file scan, stay out of the
+    way when the scan already has enough splits (identity — no shuffle),
+    and still handle in-memory relations."""
+    from australia_company_etl_pipeline_spark.session import (
+        ensure_min_partitions,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert ensure_min_partitions(df, target=8).rdd.getNumPartitions() >= 8
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        well_split = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert ensure_min_partitions(well_split, target=2) is well_split
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    mem = spark.createDataFrame([(1,)], "x int")
+    assert ensure_min_partitions(mem, target=4).rdd.getNumPartitions() == 4
+
+
+def test_wet_scan_stats_and_delimiter_collision(spark, tmp_path):
+    """Shred-loss metrics: clean archives report zero untyped frames; a
+    record body embedding the frame delimiter surfaces as n_untyped > 0
+    instead of silent loss (the documented delimiter-collision mode)."""
+    p = tmp_path / "clean.warc.wet"
+    p.write_text(WET_TEXT)
+    r = wet.wet_scan_stats(spark, str(p)).head()
+    # warcinfo / conv1 frames + conv2 (whose frame absorbs the LF-only
+    # separated response record — spec-conformant records use CRLF)
+    assert (r.n_frames, r.n_typed, r.n_kept, r.n_untyped) == (3, 3, 2, 0)
+
+    evil = ("WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            "WARC-Target-URI: https://evil.com.au/\r\n"
+            "\r\n"
+            "body first half\r\n\r\nWARC/9.9 fake header in body text\r\n")
+    p2 = tmp_path / "collide.warc.wet"
+    p2.write_text(WET_TEXT + "\r\n\r\n" + evil)
+    r2 = wet.wet_scan_stats(spark, str(p2)).head()
+    assert r2.n_untyped == 1          # split-off body fragment, no headers
+    assert r2.n_kept == 3             # evil's head half still has its URI
+
+
+def test_abr_scan_stats_and_unparsed_records(spark, tmp_path):
+    p = tmp_path / "bulk.xml"
+    p.write_text(ABR_XML)
+    r = abr_xml.abr_scan_stats(spark, str(p)).head()
+    # 3 <ABR> records (+1 footer frame); record 3 has a non-11-digit ABN
+    assert (r.n_frames, r.n_records, r.n_shredded, r.n_unparsed) == (4, 3, 2, 0)
+
+    p2 = tmp_path / "corrupt.xml"
+    p2.write_text(ABR_XML.replace(
+        "</Transfer>", "<ABR><EntityType><Oops></ABR></Transfer>"))
+    r2 = abr_xml.abr_scan_stats(spark, str(p2)).head()
+    assert r2.n_records == 4 and r2.n_unparsed == 1
