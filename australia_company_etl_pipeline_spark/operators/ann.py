@@ -122,28 +122,43 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     """Deterministic Lloyd's k-means in pure DataFrames →
     ``(centroid_id, centroid_vec)``.
 
-    Spherical flavor to match the cosine search metric: assignment is
-    max-cosine, update is the element-wise mean (direction is what
-    matters; the cosine denominator normalizes). Initial centroids are a
-    deterministic hash-ordered sample (seeded murmur3 of the id — spread
-    like a random sample, reproducible across runs, no ``Math.random``)
-    taken with a distributed ``orderBy().limit()`` (TakeOrdered — each
-    partition contributes its local top-k, the driver merges k rows; no
-    global single-task window over the corpus).
+    Spherical flavor to match the cosine search metric: the corpus is
+    unit-normalized ONCE up front and centroids are re-normalized each
+    round, so the per-iteration hot path (n×k pairs) is a plain dot
+    product — no per-pair norm recomputation, ~3× less arithmetic than
+    evaluating full cosine against raw vectors every round. Returned
+    centroids are unit vectors (cosine is scale-invariant, so every
+    consumer is unaffected). Initial centroids are a deterministic
+    hash-ordered sample (seeded murmur3 of the id — spread like a random
+    sample, reproducible across runs, no ``Math.random``) taken with a
+    distributed ``orderBy().limit()`` (TakeOrdered — each partition
+    contributes its local top-k, the driver merges k rows; no global
+    single-task window over the corpus).
 
     Scale shape per iteration: assignment is a broadcast crossJoin (k
-    centroid rows) reduced by a ``max(struct)`` aggregate — map-side
-    partial agg, one shuffle on id, no window over the pair set; the
-    update is a posexplode → (centroid, dim)-mean — one shuffle of
-    rows×dim slots with partial aggregation. Centroids are materialized
-    each round (k rows) so the loop's lineage stays flat;
-    ``checkpoint='reliable'`` (with ``sc.setCheckpointDir``) makes the
-    loop durable on preemptible clusters. Empty clusters drop out (k may
-    shrink), the standard Lloyd's degeneracy."""
+    centroid rows) reduced by a ``max(struct)`` aggregate keyed on the
+    vector id — map-side partial agg, one shuffle on id (the vector rides
+    along via ``first``; it is constant within its group), no window over
+    the pair set; the update is a posexplode → (centroid, dim)-mean —
+    partial aggregation shrinks the shuffle to k×dim slots. Norms are
+    staged in their own projection (higher-order-function lambdas are
+    excluded from codegen CSE — an inline norm would re-sum per element).
+    Centroids are materialized each round (k rows) so the loop's lineage
+    stays flat; ``checkpoint='reliable'`` (with ``sc.setCheckpointDir``)
+    makes the loop durable on preemptible clusters. Empty clusters drop
+    out (k may shrink), the standard Lloyd's degeneracy."""
     from ..session import materialize
 
-    vecs = corpus.select(F.col(id_col).alias("__vid"),
-                         _dbl(F.col(vec_col)).alias("__v"))
+    def unit(df: DataFrame, vec: str) -> DataFrame:
+        staged = df.withColumn("__n", norm(F.col(vec)))
+        return (staged.withColumn(
+            vec,
+            F.when(F.col("__n") > 0,
+                   F.transform(F.col(vec), lambda x: x / F.col("__n")))
+            .otherwise(F.col(vec))).drop("__n"))
+
+    vecs = unit(corpus.select(F.col(id_col).alias("__vid"),
+                              _dbl(F.col(vec_col)).alias("__v")), "__v")
     sample_key = F.hash(F.col("__vid"), F.lit(seed))
     # distributed take-ordered over the corpus; the n_centroids-row window
     # that numbers the sample runs on k rows, not the corpus
@@ -156,21 +171,23 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
         checkpoint)
     for _ in range(max_iter):
         best = F.max(F.struct(
-            cosine(F.col("__v"), F.col("centroid_vec")).alias("sim"),
+            dot(F.col("__v"), F.col("centroid_vec")).alias("sim"),
             (-F.col("centroid_id")).alias("neg_cid"),
             F.col("centroid_id").alias("cid"))).alias("b")
         assigned = (vecs.crossJoin(F.broadcast(cents))
-                    .groupBy("__vid", "__v").agg(best)
+                    .groupBy("__vid")
+                    .agg(best, F.first("__v").alias("__v"))
                     .select(F.col("b.cid").alias("centroid_id"), "__v"))
         cents = materialize(
-            assigned
-            .select("centroid_id", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"]).alias("centroid_vec")),
+            unit(assigned
+                 .select("centroid_id", F.posexplode("__v").alias("pos", "x"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.avg("x").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("centroid_vec")),
+                 "centroid_vec"),
             checkpoint)
     return cents
 

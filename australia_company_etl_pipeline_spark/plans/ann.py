@@ -19,6 +19,15 @@ N_QUERIES = 5
 K = 10
 
 
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings corpus, spread when the scan arrives under-split (one
+    parquet file → one split): cosine math is per-row CPU that would
+    otherwise serialize on a single task."""
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(table(spark, sf_dir, "embeddings"))
+
+
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic query set: the N lowest-id corpus vectors."""
     e = table(spark, sf_dir, "embeddings")
@@ -53,7 +62,7 @@ SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {K}
 """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = table(spark, sf_dir, "embeddings")
+    corpus = _corpus(spark, sf_dir)
     return ann.brute_force_topk(corpus, _queries_df(spark, sf_dir), k=K)
 
 
@@ -71,7 +80,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = table(spark, sf_dir, "embeddings")
+    corpus = _corpus(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
     lsh = (ann.lsh_topk(corpus, q, k=K, n_planes=4, dim=64, multiprobe=1)
            .select(F.lit("lsh").alias("method"), "query_id", "vec_id",

@@ -19,14 +19,21 @@ from .registry import register
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (every 10th doc) ∪ near copies (every 7th
-    doc with one token appended). Copy ids offset by 100k/200k."""
+    doc with one token appended). Copy ids offset by 100k/200k.
+
+    The corpus is spread across the cluster when the scan arrives
+    under-split (the sf* documents table is ONE parquet file → one split
+    per union branch): shingling/signature work is per-row CPU, and three
+    tasks would serialize it on a 32-core rig."""
+    from ..session import ensure_min_partitions
+
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = (d.filter(F.col("doc_id") % 10 == 0)
              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     near = (d.filter(F.col("doc_id") % 7 == 0)
             .select((F.col("doc_id") + 200000).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" zzzz")).alias("text")))
-    return d.unionByName(exact).unionByName(near)
+    return ensure_min_partitions(d.unionByName(exact).unionByName(near))
 
 
 _DOCS_DUPS_SQL = """

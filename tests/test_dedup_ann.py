@@ -274,3 +274,40 @@ def test_cosine_native_matches_python(spark):
         ann.cosine(F.array(*[F.lit(x) for x in a]),
                    F.array(*[F.lit(y) for y in b])).alias("c")).head().c
     assert abs(got - exp) < 1e-12
+
+
+def test_simhash_table_matches_column_form(spark):
+    """The explode-aggregate fingerprint (scale path) must equal the
+    Column-level simhash() bit-for-bit, including tokenless docs → 0."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox the quick"),
+         (2, "completely different words entirely"),
+         (3, ""), (4, "   ")],
+        "doc_id long, text string")
+    fast = {r.doc_id: r["__sh"]
+            for r in dd.simhash_table(df, "text", "doc_id").collect()}
+    slow = {r.doc_id: r.s for r in df.select(
+        "doc_id", dd.simhash(F.col("text")).alias("s")).collect()}
+    assert fast == slow
+    assert fast[3] == 0 and fast[4] == 0
+
+
+def test_minhash_explode_signature_matches_column_form(spark):
+    """The explode-aggregate signature (scale path) must equal the
+    Column-level minhash_signature() slot-for-slot."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    sh = df.select("doc_id", dd.word_ngrams(F.col("text"), 3).alias("__sh"))
+    exploded = sh.select("doc_id", F.explode("__sh").alias("__g"))
+    fast = exploded.select(
+        "doc_id", F.xxhash64("__g").alias("__h")).groupBy("doc_id").agg(*[
+            F.min(F.hash(F.col("__h"), F.lit(s))).alias(f"m{s}")
+            for s in range(16)])
+    fast_rows = {r.doc_id: [r[f"m{s}"] for s in range(16)]
+                 for r in fast.collect()}
+    slow_rows = {r.doc_id: list(r.s) for r in df.select(
+        "doc_id",
+        dd.minhash_signature(F.col("text"), 16, 3).alias("s")).collect()}
+    assert fast_rows == slow_rows
