@@ -123,3 +123,66 @@ def fingerprint(text: Column) -> Column:
     return F.aggregate(
         chars, F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD)
+
+
+def pack_sequences(df, token_count_col: str, id_col: str,
+                   budget: int, partition_col=None):
+    """Token-budget sequence packing plan →
+    ``(id_col, [partition_col,] n_tokens, pack_id, pack_offset,
+    spans_packs)``.
+
+    The pretraining-data step that concatenates documents into a token
+    stream chunked into fixed-``budget`` model sequences: doc d starts in
+    pack ``floor(tokens_before_d / budget)`` at ``tokens_before_d %
+    budget``; ``spans_packs`` marks docs crossing a chunk boundary (the
+    consumer splits them — standard GPT-style packing, zero padding
+    waste). Deterministic: the stream order is ``id_col`` ascending, so
+    the layout is reproducible at any parallelism (greedy first-fit bin
+    packing, by contrast, is inherently sequential AND layout-unstable).
+
+    Scale: ONE running-total window pass. With ``partition_col`` (e.g. a
+    shard/date key) the window partitions by it and pack ids are
+    per-partition — the 100 TB shape, since a single global ordered
+    window funnels every row through one task; the unpartitioned form is
+    for corpus slices that fit a task's sort.
+    """
+    from pyspark.sql.window import Window
+
+    n = F.col(token_count_col).cast("long")
+    if partition_col is not None:
+        win = (Window.partitionBy(partition_col)
+               .orderBy(F.col(id_col).asc()))
+        keep = [F.col(id_col), F.col(partition_col)]
+    else:
+        win = Window.orderBy(F.col(id_col).asc())
+        keep = [F.col(id_col)]
+    cum = F.sum(n).over(win.rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(cum, F.lit(0))
+    offset = before % budget
+    return df.select(
+        *keep,
+        n.alias("n_tokens"),
+        F.floor(before / budget).cast("long").alias("pack_id"),
+        offset.cast("long").alias("pack_offset"),
+        (offset + n > budget).alias("spans_packs"))
+
+
+def deterministic_sample(df, id_col: str, fraction: float,
+                         seed: int = 42, strata_col=None):
+    """Deterministic hash sampling: keep a row iff
+    ``pmod(hash(id, seed), 1e6) < fraction*1e6`` — reproducible across
+    runs/partitionings (unlike ``df.sample``, whose output depends on
+    partition layout), cheap (no shuffle, pushes past scans), and
+    composable: the same (seed, fraction) always selects a superset of a
+    smaller fraction, so train/holdout splits stay stable as the corpus
+    grows. With ``strata_col``, the rate applies per stratum key by
+    salting the hash with it (per-stratum rates stay ≈fraction
+    regardless of skew).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cols = [F.col(id_col), F.lit(seed)]
+    if strata_col is not None:
+        cols.insert(1, F.col(strata_col))
+    bucket = F.pmod(F.hash(*cols), F.lit(1_000_000))
+    return df.filter(bucket < int(fraction * 1_000_000))

@@ -1,0 +1,77 @@
+"""Training-data utility operators: sequence packing, deterministic
+sampling, greedy near-dup removal. (Registry window is at its 50-query
+cap — these are pytest-verified; COVERAGE.md lists them.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.operators import dedup as dd
+from australia_company_etl_pipeline_spark.operators import textstats as ts
+
+
+def test_pack_sequences_layout(spark):
+    df = spark.createDataFrame(
+        [(1, 4), (2, 3), (3, 5), (4, 2)], "doc_id long, n long")
+    rows = {r.doc_id: (r.pack_id, r.pack_offset, r.spans_packs)
+            for r in ts.pack_sequences(df, "n", "doc_id", budget=8)
+            .collect()}
+    # stream: 4+3+5+2 tokens chunked every 8 → doc 3 spans packs 0→1
+    assert rows == {1: (0, 0, False), 2: (0, 4, False),
+                    3: (0, 7, True), 4: (1, 4, False)}
+
+
+def test_pack_sequences_partitioned_independent(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 6), (2, "a", 6), (1, "b", 3), (2, "b", 3)],
+        "doc_id long, shard string, n long")
+    out = ts.pack_sequences(df, "n", "doc_id", budget=8,
+                            partition_col="shard")
+    rows = {(r.shard, r.doc_id): (r.pack_id, r.pack_offset)
+            for r in out.collect()}
+    # per-shard streams start at zero independently
+    assert rows[("a", 1)] == (0, 0) and rows[("a", 2)] == (0, 6)
+    assert rows[("b", 1)] == (0, 0) and rows[("b", 2)] == (0, 3)
+
+
+def test_deterministic_sample_properties(spark):
+    df = spark.range(10000).select(F.col("id").alias("doc_id"))
+    half = ts.deterministic_sample(df, "doc_id", 0.5)
+    n = half.count()
+    assert 4500 < n < 5500                       # ≈ rate, hash-uniform
+    # reproducible across invocations (df.sample is partition-dependent)
+    ids1 = {r.doc_id for r in half.collect()}
+    ids2 = {r.doc_id
+            for r in ts.deterministic_sample(df, "doc_id", 0.5).collect()}
+    assert ids1 == ids2
+    # nested: a smaller fraction at the same seed is a subset
+    fifth = {r.doc_id
+             for r in ts.deterministic_sample(df, "doc_id", 0.1).collect()}
+    assert fifth <= ids1
+    with pytest.raises(ValueError, match="fraction"):
+        ts.deterministic_sample(df, "doc_id", 1.5)
+
+
+def test_deterministic_sample_stratified_rates(spark):
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common")
+        .alias("lang"))
+    out = ts.deterministic_sample(df, "doc_id", 0.3, strata_col="lang")
+    by = {r.lang: r.n for r in
+          out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.2 < by["rare"] / 2000 < 0.4         # rate holds per stratum
+    assert 0.25 < by["common"] / 18000 < 0.35
+
+
+def test_minhash_dedup_greedy_drop(spark):
+    base = [(i, f"document number {i} with shared filler words common "
+                f"to every doc plus unique token u{i}") for i in range(20)]
+    dups = [(i + 1000, t + " zzz") for i, t in base[:5]]   # near copies
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    kept = {r.doc_id for r in
+            dd.minhash_dedup(df, "text", "doc_id", threshold=0.7)
+            .collect()}
+    assert set(range(20)) <= kept                # originals survive
+    assert all(i + 1000 not in kept for i in range(5))
