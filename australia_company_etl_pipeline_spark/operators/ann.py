@@ -10,6 +10,9 @@ Three tiers:
 - ``ivf_topk`` — inverted-file: assign vectors to nearest of C centroids
   (deterministic sample), probe the closest ``n_probe`` centroids per
   query. Classic IVF-Flat recall/latency trade.
+- ``embedding_dup_pairs_lsh`` — corpus-wide cosine near-dup pairs via
+  the same sign buckets: the scale companion of the exact all-pairs
+  baseline (O(n²)) that the oracle gate checks.
 
 All cosine math is native (`zip_with` dot product folded with `aggregate`)
 in double precision — no Python, no UDF.
@@ -226,3 +229,48 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.desc("cosine_sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k))
+
+
+def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,
+                            n_planes: int = 8, dim: int = 64,
+                            seed: int = 42, multiprobe: int = 1,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing — the scale path
+    beside the exact all-pairs baseline (the ``embedding_dup_pairs``
+    registry query, which the oracle gate needs exact and which is O(n²)
+    by construction).
+
+    Candidates are pairs sharing a random-hyperplane sign bucket
+    (``multiprobe`` additionally joins buckets one sign-bit apart —
+    near-identical vectors that straddle a single hyperplane still
+    collide); every candidate is then scored with exact cosine, so
+    precision is exact and only recall depends on the sketch. Shape:
+    bucket-explode + equi-join — shuffle-bound, no cross join. Output:
+    (id_a, id_b, cosine_sim) with id_a < id_b, deduped across probes.
+    """
+    planes = _planes(dim, n_planes, seed)
+    sk = corpus.select(F.col(id_col), F.col(vec_col),
+                       lsh_bucket(F.col(vec_col), planes).alias("__b"))
+    probes = [F.col("__b")]
+    if multiprobe >= 1:
+        probes += [F.col("__b").bitwiseXOR(F.lit(1 << i))
+                   for i in range(n_planes)]
+    left = sk.select(F.col(id_col), F.col(vec_col),
+                     F.explode(F.array(*probes)).alias("__bucket"))
+    right = sk.select(F.col(id_col), F.col(vec_col),
+                      F.col("__b").alias("__bucket"))
+    a, b = left.alias("a"), right.alias("b")
+    cands = (a.join(b, (F.col("a.__bucket") == F.col("b.__bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                    "inner")
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col(f"a.{vec_col}").alias("__va"),
+                     F.col(f"b.{vec_col}").alias("__vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cands
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                    .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))

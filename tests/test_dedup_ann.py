@@ -311,3 +311,33 @@ def test_minhash_explode_signature_matches_column_form(spark):
         "doc_id",
         dd.minhash_signature(F.col("text"), 16, 3).alias("s")).collect()}
     assert fast_rows == slow_rows
+
+
+def test_embedding_dup_pairs_lsh_recall(spark, sf_dir):
+    """The LSH-bucketed embedding near-dup path (scale form) must find
+    ≥90% of the exact baseline's planted perturbed-copy pairs, with
+    exact precision (every emitted pair verified by true cosine)."""
+    exact = _pairs(plans.REGISTRY["embedding_dup_pairs"]
+                   .builder(spark, sf_dir))
+    assert exact, "exact baseline found no planted near-dups"
+
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("v"))
+    perturbed = (e.filter(F.col("vec_id") % 5 == 0)
+                 .select((F.col("vec_id") + 100000).alias("vec_id"),
+                         F.concat(
+                             F.array(F.element_at("embedding", 1)
+                                     .cast("double") * 1.01),
+                             F.transform(F.slice("embedding", 2, 1000000),
+                                         lambda x: x.cast("double"))
+                         ).alias("v")))
+    corpus = base.unionByName(perturbed)
+    got = _pairs(ann.embedding_dup_pairs_lsh(
+        corpus, threshold=0.99, vec_col="v"))
+    assert got <= exact                          # exact-verified: no FPs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"embedding LSH recall {recall} too low"
