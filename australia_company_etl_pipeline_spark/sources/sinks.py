@@ -143,3 +143,27 @@ def write_jdbc_upsert(df: DataFrame, dsn: str, table: str,
             conn.close()
 
     df.foreachPartition(load_partition)
+
+
+def write_bucketed_parquet(df: DataFrame, table_name: str,
+                           bucket_cols: list[str], num_buckets: int,
+                           sort_cols: list[str] | None = None,
+                           mode: str = "overwrite") -> None:
+    """S7 extension — bucketed managed parquet table: pay the shuffle ONCE
+    at write time so every later equi-join/aggregation on the bucket key
+    reads co-located and shuffle-free (Exchange-less SortMergeJoin when
+    both sides share bucket key and count;
+    tests/test_plan_shapes.py::test_cobucketed_join_has_no_exchange
+    asserts that on the actual plan).
+
+    The 100 TB use: fact tables repeatedly joined on the same FK (orders
+    x customer, matches x entities) amortize their shuffle across every
+    downstream query. Buckets are also the skew lever: hash-spread files
+    per key, `num_buckets` sized so a bucket fits an executor.
+    Managed-table (saveAsTable) because bucket metadata lives in the
+    catalog — plain .parquet(path) writes lose it.
+    """
+    w = (df.write.mode(mode).format("parquet")
+         .bucketBy(num_buckets, *bucket_cols)
+         .sortBy(*(sort_cols or bucket_cols)))
+    w.saveAsTable(table_name)

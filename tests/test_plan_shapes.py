@@ -9,6 +9,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from australia_company_etl_pipeline_spark import plans
 
 
@@ -67,3 +69,30 @@ def test_top1_per_group_uses_partial_aggregation(spark, sf_dir):
     assert any(agg in plan for agg in
                ("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
     assert "Window" not in plan
+
+
+def test_cobucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with NO Exchange in
+    the plan (the write-once-shuffle-never-again contract of
+    write_bucketed_parquet) and produce the same rows as the plain join."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.sources import sinks
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = (table(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"))
+    expected = c.join(o, "c_custkey").count()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sinks.write_bucketed_parquet(c, "b_cust", ["c_custkey"], 8)
+        sinks.write_bucketed_parquet(o, "b_ord", ["c_custkey"], 8)
+        j = spark.table("b_cust").join(spark.table("b_ord"), "c_custkey")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
