@@ -233,6 +233,25 @@ def sessionize_stateful(events: DataFrame, gap: str = "30 minutes",
         fn, _SESSION_OUT, _SESSION_STATE, "append", timeout))
 
 
+def dedup_stream(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
+                 watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup — the at-least-once ingest guard a
+    training-data pipeline needs in front of its landing zone (upstream
+    file redelivery / replay re-emits whole batches).
+
+    ``dropDuplicatesWithinWatermark``: per-key state is EVICTED once the
+    key's event time falls behind the watermark, so state is bounded by
+    the (watermark horizon × key arrival rate) instead of growing with
+    the whole stream like plain ``dropDuplicates`` on a stream would —
+    the property that keeps this runnable forever at 100 TB/day. The
+    contract is correspondingly bounded: a duplicate arriving more than
+    ``watermark`` after the original is NOT suppressed (size the horizon
+    to the upstream's maximum redelivery lag).
+    """
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def stream_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,
                       available_now: bool = True):
     """Parquet sink with exactly-once file-commit semantics (checkpointed
@@ -261,5 +280,6 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str,
 __all__ = [
     "EVENTS_SCHEMA", "stage_event_batches", "read_events_stream",
     "tumbling_counts", "sliding_counts", "session_windows",
-    "sessionize_stateful", "stream_to_parquet", "run_to_memory",
+    "sessionize_stateful", "dedup_stream", "stream_to_parquet",
+    "run_to_memory",
 ]
