@@ -88,8 +88,11 @@ def normalize_company_name(name: Column) -> Column:
     Null/empty input → '' (reference contract).
     """
     up = F.upper(name)
+    # (?U) on \s too: Java's \s is ASCII-only by default, but the
+    # reference's Python re treats unicode whitespace (NBSP etc.) as a
+    # token separator — divergence caught by tests/test_parity_fuzz.py
     no_punct = F.regexp_replace(up, r"(?U)[^\w\s]", " ")
-    tokens = F.split(F.trim(no_punct), r"\s+")
+    tokens = F.split(F.trim(no_punct), r"(?U)\s+")
     kept = F.filter(
         tokens,
         lambda w: (w != "") & ~w.isin(*COMPANY_STOPWORDS))
@@ -106,7 +109,7 @@ def clean_text(text: Column) -> Column:
     c = F.regexp_replace(c, r"http[s]?://\S+", " ")
     c = F.regexp_replace(c, r"\S+@\S+", " ")
     c = F.regexp_replace(c, r"(?U)[^\w\s.,!?-]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"(?U)\s+", " ")
     c = F.trim(c)
     return F.when(text.isNull(), F.lit("")).otherwise(c)
 
@@ -185,7 +188,7 @@ def clean_entity_name(name: Column) -> Column:
     Reference: /root/reference/src/transform/clean_abr.py:133-160.
     """
     c = F.trim(name)
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"(?U)\s+", " ")
     c = F.regexp_replace(c, r"(?i)\s+AS\s+TRUSTEE.*$", "")
     is_upper = (c == F.upper(c)) & (c != F.lower(c))  # Python str.isupper()
     titled = F.array_join(
@@ -203,7 +206,7 @@ def clean_company_name(name: Column) -> Column:
     Reference: /root/reference/src/transform/clean_commoncrawl.py:80-115.
     """
     c = F.trim(name)
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"(?U)\s+", " ")
     for pattern in (r"(?i)^welcome to\s+", r"(?i)^about\s+",
                     r"(?i)^home\s*[-–]\s*", r"(?i)\s*[-–]\s*home$",
                     r"(?i)\s*\|\s*official.*$"):

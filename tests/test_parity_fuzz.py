@@ -1,0 +1,146 @@
+"""Randomized parity fuzzing for the native-expression rewrites.
+
+SURVEY §7.4 ranks Python-`re`-vs-Java-regex semantic drift as the #1
+parity risk for the scalar library (``\\w``/``\\b`` Unicode classes,
+anchor behavior). The golden tests pin known values; these fuzz tests
+compare the Catalyst expressions against independent pure-Python oracles
+(written here from the documented semantics, not lifted from anywhere)
+over a seeded adversarial corpus — one DataFrame pass per function, so
+the whole file costs a few Spark jobs, not one per example.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import string
+
+from pyspark.sql import functions as F
+
+import australia_company_etl_pipeline_spark.functions as fx
+from australia_company_etl_pipeline_spark.functions.text import (
+    COMPANY_STOPWORDS,
+)
+
+_ALPHABET = (
+    string.ascii_letters + string.digits + "  \t_-.,!?'\"&()/\\:;@#$%^*+="
+    + "éüñÉÜÑ日本語"  # unicode: \w-class divergence territory
+)
+
+
+def _corpus(n: int = 400, seed: int = 7) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        ln = rng.randint(0, 40)
+        out.append("".join(rng.choice(_ALPHABET) for _ in range(ln)))
+    # targeted adversaries
+    out += ["", "   ", "PTY LTD", "ACME PTY LTD", "A&B (AUST) PTY. LTD.",
+            "...", "１２３", "ÀCMÉ LTD", "x" * 300, "\tTAB\tCO\t",
+            "12 345 678 901", "ABN:51824753556!", "word nbsp"]
+    return out
+
+
+def _batch_compare(spark, values, expr_fn, oracle_fn, label):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [r.o for r in df.select(expr_fn(F.col("s")).alias("o")).collect()]
+    mismatches = [(v, g, oracle_fn(v)) for v, g in zip(values, got)
+                  if g != oracle_fn(v)]
+    assert not mismatches, f"{label}: first 5 = {mismatches[:5]}"
+
+
+def _norm_oracle(s: str) -> str:
+    # documented F1 semantics: upper, unicode-\w-preserving punctuation
+    # strip, stopword drop, whitespace collapse; null/empty -> ''
+    if not s:
+        return ""
+    up = s.upper()
+    kept = []
+    for tok in re.sub(r"[^\w\s]", " ", up, flags=re.UNICODE).split():
+        if tok not in COMPANY_STOPWORDS:
+            kept.append(tok)
+    return " ".join(kept)
+
+
+def test_fuzz_normalize_company_name(spark):
+    _batch_compare(spark, _corpus(), fx.normalize_company_name,
+                   _norm_oracle, "normalize_company_name")
+
+
+def test_fuzz_clean_and_validate_abn(spark):
+    rng = random.Random(11)
+    vals = ["".join(rng.choice("0123456789 -ab.") for _ in range(
+        rng.randint(0, 18))) for _ in range(400)]
+    vals += ["51824753556", "51 824 753 556", "51824753557", ""]
+
+    def clean_oracle(s):
+        d = re.sub(r"\D", "", s)
+        return d if len(d) == 11 else None
+
+    def valid_oracle(s):
+        d = re.sub(r"\D", "", s)
+        if len(d) != 11:
+            return False
+        weights = [10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+        digits = [int(c) for c in d]
+        digits[0] -= 1
+        return sum(a * b for a, b in zip(digits, weights)) % 89 == 0
+
+    _batch_compare(spark, vals, fx.clean_abn, clean_oracle, "clean_abn")
+    _batch_compare(spark, vals, fx.validate_abn, valid_oracle,
+                   "validate_abn")
+
+
+def test_fuzz_clean_postcode(spark):
+    rng = random.Random(13)
+    vals = []
+    for _ in range(400):
+        ln = rng.randint(0, 14)
+        vals.append("".join(rng.choice("0123456789 abcX-") for _ in range(ln)))
+    vals += ["2000", " 3000 ", "20000", "NSW 2000", "postcode2000", "12 3456"]
+
+    def oracle(s):
+        m = re.search(r"\b(\d{4})\b", s)
+        return m.group(1) if m else None
+
+    _batch_compare(spark, vals, fx.clean_postcode, oracle, "clean_postcode")
+
+
+def test_fuzz_extract_domain(spark):
+    rng = random.Random(17)
+    parts = ["http://", "https://", "", "ftp://", "www.", "sub.", "acme",
+             ".com", ".au", ".com.au", ":8080", "/path", "?q=1", "#f",
+             "UPPER", "-x-"]
+    vals = ["".join(rng.choice(parts)
+                    for _ in range(rng.randint(1, 6))) for _ in range(400)]
+    vals += ["https://www.acme.com.au/about", "http://x.au", "acme.com.au",
+             "https://WWW.ACME.COM.AU:443/a?b#c", ""]
+
+    def oracle(s):
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", s)
+        host = m.group(1) if m else ""
+        return re.sub(r"^www\.", "", host).lower()
+
+    _batch_compare(spark, vals, fx.extract_domain, oracle, "extract_domain")
+
+
+def test_fuzz_jaccard_properties(spark):
+    """Algebraic properties over random token sets: symmetry, [0,1]
+    bounds, self-similarity 1 (non-empty), disjoint -> 0."""
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(12)]
+    pairs = [(" ".join(rng.sample(vocab, rng.randint(1, 8))),
+              " ".join(rng.sample(vocab, rng.randint(1, 8))))
+             for _ in range(300)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        fx.jaccard_tokens(F.col("a"), F.col("b")).alias("ab"),
+        fx.jaccard_tokens(F.col("b"), F.col("a")).alias("ba"),
+        fx.jaccard_tokens(F.col("a"), F.col("a")).alias("aa")).collect()
+    for r in rows:
+        assert abs(r.ab - r.ba) < 1e-12          # symmetric
+        assert 0.0 <= r.ab <= 1.0                # bounded
+        assert r.aa == 1.0                       # reflexive (non-empty)
+    disjoint = spark.range(1).select(
+        fx.jaccard_tokens(F.lit("p q r"), F.lit("x y z")).alias("j"))
+    assert disjoint.head().j == 0.0
