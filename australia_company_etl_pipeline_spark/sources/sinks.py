@@ -167,3 +167,49 @@ def write_bucketed_parquet(df: DataFrame, table_name: str,
          .bucketBy(num_buckets, *bucket_cols)
          .sortBy(*(sort_cols or bucket_cols)))
     w.saveAsTable(table_name)
+
+
+def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
+                               keys: list[str], partition_col: str,
+                               version_col: str | None = None) -> None:
+    """S9 at scale — partition-scoped MERGE: only partitions that appear
+    in ``updates`` are rewritten (dynamic partition overwrite), so an
+    incremental load touching K partitions costs O(K partitions), not
+    O(whole table) like ``upsert_parquet``'s full rewrite. The 100 TB
+    shape for date/shard-partitioned fact tables.
+
+    Same row semantics as ``upsert_parquet`` (updates win per key;
+    highest ``version_col`` wins among duplicates), applied within the
+    affected partitions; a key's update must carry its original
+    partition value — cross-partition key moves would leave the old row
+    behind (document of record: partition_col is part of the physical
+    key, as in Hive/Delta static layouts).
+
+    The affected-partition list is collected to the driver (K values —
+    the partition count touched by one load, small by construction) to
+    prune the existing-side read; the merged rows are materialized
+    before the write because Spark refuses a plan that reads and
+    overwrites the same path.
+    """
+    from ..session import materialize
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if not os.path.exists(path):
+        (updates.write.mode("overwrite").partitionBy(partition_col)
+         .parquet(path))
+        return
+    affected = [r[0] for r in
+                updates.select(partition_col).distinct().collect()]
+    existing = (spark.read.parquet(path)
+                .filter(F.col(partition_col).isin(affected))
+                .withColumn("__src", F.lit(0)))
+    merged = existing.unionByName(updates.withColumn("__src", F.lit(1)))
+    order = [F.desc("__src")]
+    if version_col:
+        order.insert(0, F.desc(version_col))
+    win = Window.partitionBy(*keys).orderBy(*order)
+    result = materialize(
+        merged.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+    (result.write.mode("overwrite").partitionBy(partition_col)
+     .parquet(path))

@@ -321,3 +321,44 @@ def test_abr_scan_stats_and_unparsed_records(spark, tmp_path):
         "</Transfer>", "<ABR><EntityType><Oops></ABR></Transfer>"))
     r2 = abr_xml.abr_scan_stats(spark, str(p2)).head()
     assert r2.n_records == 4 and r2.n_unparsed == 1
+
+
+def test_upsert_parquet_partitioned_touches_only_affected(spark, tmp_path):
+    """Partition-scoped MERGE: day=2 merged, day=4 added, day=1/3 files
+    bit-untouched on disk (the O(K partitions) incremental-load claim)."""
+    import glob
+
+    path = str(tmp_path / "ptbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1, 1), (2, "b", 1, 1), (3, "c", 2, 1), (4, "d", 3, 1)],
+        "k int, v string, day int, ver int")
+    sinks.upsert_parquet_partitioned(spark, path, v1, keys=["k"],
+                                     partition_col="day")
+    untouched_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/day=1/*.parquet")
+        + glob.glob(f"{path}/day=3/*.parquet")}
+    assert untouched_before
+
+    updates = spark.createDataFrame(
+        [(3, "c2", 2, 2), (9, "new", 2, 2), (5, "e", 4, 2)],
+        "k int, v string, day int, ver int")
+    sinks.upsert_parquet_partitioned(spark, path, updates, keys=["k"],
+                                     partition_col="day",
+                                     version_col="ver")
+    got = {r.k: (r.v, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1), 2: ("b", 1), 3: ("c2", 2), 9: ("new", 2),
+                   4: ("d", 3), 5: ("e", 4)}
+    untouched_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/day=1/*.parquet")
+        + glob.glob(f"{path}/day=3/*.parquet")}
+    assert untouched_after == untouched_before   # same files, same mtimes
+
+    # stale update (lower version) must NOT win inside its partition
+    stale = spark.createDataFrame([(3, "old", 2, 1)],
+                                  "k int, v string, day int, ver int")
+    sinks.upsert_parquet_partitioned(spark, path, stale, keys=["k"],
+                                     partition_col="day",
+                                     version_col="ver")
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()}[3] == "c2"
