@@ -11,7 +11,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Reference format cascade, /root/reference/src/ingest/parse_abr.py:226-233.
-DATE_FORMATS = ("yyyyMMdd", "yyyy-MM-dd", "d/M/yyyy", "yyyy/M/d", "d-M-yyyy")
+# Single-letter month/day patterns (M, d): Spark's MM/dd REQUIRE zero
+# padding, but the reference's strptime %m/%d accept '1' and '01' alike —
+# M/d match both, keeping parity on unpadded inputs like '2020-1-2'
+# (divergence caught by tests/test_parity_fuzz.py). The compact form
+# stays strict yyyyMMdd: 8 digits only, like %Y%m%d on the 8-digit data
+# it exists for.
+DATE_FORMATS = ("yyyyMMdd", "yyyy-M-d", "d/M/yyyy", "yyyy/M/d", "d-M-yyyy")
 
 
 def parse_date_multi(date_str: Column) -> Column:

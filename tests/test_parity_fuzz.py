@@ -144,3 +144,54 @@ def test_fuzz_jaccard_properties(spark):
     disjoint = spark.range(1).select(
         fx.jaccard_tokens(F.lit("p q r"), F.lit("x y z")).alias("j"))
     assert disjoint.head().j == 0.0
+
+
+def test_fuzz_parse_date_multi(spark):
+    """F18 cascade vs a strptime-cascade oracle over generated date-ish
+    strings: valid dates (padded and unpadded), impossible dates (month
+    13, Feb 30), and garbage. Scope matches the reference's inputs:
+    4-digit years, 8-digit compact forms (7-digit compact strings are a
+    known CPython-leniency corner excluded by construction)."""
+    from datetime import datetime
+
+    rng = random.Random(23)
+    vals = []
+    for _ in range(400):
+        y = rng.randint(1980, 2030)
+        m = rng.randint(0, 14)
+        d = rng.randint(0, 33)
+        pad_m = rng.random() < 0.5
+        pad_d = rng.random() < 0.5
+        ms = f"{m:02d}" if pad_m else str(m)
+        ds = f"{d:02d}" if pad_d else str(d)
+        fmt = rng.randint(0, 5)
+        if fmt == 0:
+            vals.append(f"{y}{m:02d}{d:02d}")
+        elif fmt == 1:
+            vals.append(f"{y}-{ms}-{ds}")
+        elif fmt == 2:
+            vals.append(f"{ds}/{ms}/{y}")
+        elif fmt == 3:
+            vals.append(f"{y}/{ms}/{ds}")
+        elif fmt == 4:
+            vals.append(f"{ds}-{ms}-{y}")
+        else:
+            vals.append("".join(rng.choice("0123456789-/ x")
+                                for _ in range(rng.randint(0, 12))))
+    vals += ["20150301", "2020-1-2", "2/3/2020", "2020/3/2", "2-3-2020",
+             "2019-02-29", "2020-02-29", "", "not a date"]
+
+    def oracle(s):
+        for f in ("%Y%m%d", "%Y-%m-%d", "%d/%m/%Y", "%Y/%m/%d",
+                  "%d-%m-%Y"):
+            try:
+                return datetime.strptime(s, f).date()
+            except ValueError:
+                continue
+        return None
+
+    # exclude 7-digit compact strings: CPython's %m greedily takes two
+    # digits there; the engine's strict 8-digit yyyyMMdd is the contract
+    vals = [v for v in vals if not (v.isdigit() and len(v) != 8)]
+    _batch_compare(spark, vals, fx.parse_date_multi, oracle,
+                   "parse_date_multi")
