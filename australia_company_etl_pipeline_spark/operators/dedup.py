@@ -12,6 +12,9 @@ large-corpus near-dup operators a 100 TB text pipeline needs. Scale design:
   for LSH recall, quadratic per block — keep blocked or small.
 - ``simhash``            — 64-bit near-dup fingerprint; hamming-ball pairs.
 - ``embedding_dup_pairs``— cosine near-dup over embedding columns.
+- ``cross_corpus_dup_pairs`` / ``decontaminate`` — benchmark-leak removal
+  (test-set contamination): MinHash candidates paired only ACROSS
+  corpus×benchmark, exact-verified.
 
 All pure DataFrame/Catalyst expressions — no Python in the hot path.
 """
@@ -164,15 +167,31 @@ def minhash_candidates_from_shingles(sh: DataFrame, id_col: str,
     carries one row per (id, shingle), reduced to one row per id by the
     partial min.
     """
+    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def _minhash_buckets(sh: DataFrame, id_col: str, extra_cols: list[str],
+                     num_hashes: int, bands: int) -> DataFrame:
+    """Pre-shingled ``(id_col, *extra_cols, __sh)`` → LSH band buckets
+    ``(id_col, *extra_cols, band, bh)`` via the explode-aggregate
+    signature build described in ``minhash_candidates_from_shingles``."""
     rows_per_band = num_hashes // bands
-    exploded = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
-    hashed = exploded.select(F.col(id_col), F.xxhash64("__g").alias("__h"))
-    sig = hashed.groupBy(id_col).agg(*[
+    keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
+    exploded = sh.select(*keep, F.explode("__sh").alias("__g"))
+    hashed = exploded.select(*keep, F.xxhash64("__g").alias("__h"))
+    sig = hashed.groupBy(id_col, *extra_cols).agg(*[
         F.min(F.hash(F.col("__h"), F.lit(s))).alias(f"__m{s}")
         for s in range(num_hashes)
     ])
     banded = sig.select(
-        F.col(id_col),
+        *keep,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.hash(F.concat_ws(",", *[
@@ -182,14 +201,7 @@ def minhash_candidates_from_shingles(sh: DataFrame, id_col: str,
                      ])).alias("bh"))
             for b in range(bands)
         ])).alias("bucket"))
-    buckets = banded.select(F.col(id_col), "bucket.band", "bucket.bh")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+    return banded.select(*keep, "bucket.band", "bucket.bh")
 
 
 def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -449,3 +461,60 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                     hamming64(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,
+                           text_col: str, id_col: str,
+                           threshold: float = 0.8, num_hashes: int = 32,
+                           shingle: int = 3, bands: int = 8) -> DataFrame:
+    """Decontamination pairs: corpus documents that near-duplicate a
+    *benchmark/eval* document → ``(corpus_id, benchmark_id, jaccard)``.
+
+    The training-data hygiene step: eval-set passages that leaked into a
+    crawl must come OUT of the training corpus (test-set contamination).
+    Same MinHash+LSH shape as ``minhash_dup_pairs`` but candidates pair
+    only ACROSS the two sides (a corpus row with a benchmark row), so the
+    benchmark side — typically millions of times smaller — never
+    self-joins; every candidate is verified with exact shingle Jaccard,
+    so precision is exact and recall follows the LSH preset.
+    """
+    from pyspark import StorageLevel
+
+    tagged = (corpus.select(F.col(id_col), F.col(text_col))
+              .withColumn("__side", F.lit("c"))
+              .unionByName(benchmark.select(F.col(id_col), F.col(text_col))
+                           .withColumn("__side", F.lit("b"))))
+    sh = (tagged.select(F.col(id_col), "__side",
+                        word_ngrams(F.col(text_col), shingle).alias("__sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    buckets = _minhash_buckets(sh, id_col, ["__side"], num_hashes, bands)
+    c = buckets.filter(F.col("__side") == "c").alias("a")
+    b = buckets.filter(F.col("__side") == "b").alias("b")
+    cands = (c.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh")), "inner")
+             .select(F.col(f"a.{id_col}").alias("corpus_id"),
+                     F.col(f"b.{id_col}").alias("benchmark_id"))
+             .distinct())
+    csh = (sh.filter(F.col("__side") == "c")
+           .select(F.col(id_col).alias("corpus_id"),
+                   F.col("__sh").alias("__sh_c")))
+    bsh = (sh.filter(F.col("__side") == "b")
+           .select(F.col(id_col).alias("benchmark_id"),
+                   F.col("__sh").alias("__sh_b")))
+    return (cands.join(csh, "corpus_id").join(bsh, "benchmark_id")
+            .select("corpus_id", "benchmark_id",
+                    F.round(jaccard_arrays(F.col("__sh_c"),
+                                           F.col("__sh_b")), 6)
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, threshold: float = 0.8,
+                  **lsh_kwargs) -> DataFrame:
+    """Remove benchmark-contaminated documents from a training corpus:
+    drop every corpus row that near-duplicates any benchmark row."""
+    hits = (cross_corpus_dup_pairs(corpus, benchmark, text_col, id_col,
+                                   threshold, **lsh_kwargs)
+            .select(F.col("corpus_id").alias(id_col)).distinct())
+    return corpus.join(hits, id_col, "left_anti")

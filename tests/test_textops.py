@@ -75,3 +75,29 @@ def test_minhash_dedup_greedy_drop(spark):
             .collect()}
     assert set(range(20)) <= kept                # originals survive
     assert all(i + 1000 not in kept for i in range(5))
+
+
+def test_decontaminate_removes_benchmark_leaks(spark):
+    """Corpus docs that near-duplicate a benchmark passage are found
+    (cross-side candidates only) and removed; clean docs survive."""
+    bench_text = ("what is the capital of france paris is the capital "
+                  "and largest city of france")
+    corpus_rows = [(i, f"ordinary web document {i} about topic {i} with "
+                       f"plenty of distinct filler words here")
+                   for i in range(15)]
+    corpus_rows += [(100, bench_text),                     # exact leak
+                    (101, bench_text + " extra trailing words")]  # near
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    benchmark = spark.createDataFrame([(9000, bench_text)],
+                                      "doc_id long, text string")
+
+    pairs = dd.cross_corpus_dup_pairs(corpus, benchmark, "text", "doc_id",
+                                      threshold=0.6)
+    got = {(r.corpus_id, r.benchmark_id) for r in pairs.collect()}
+    assert (100, 9000) in got and (101, 9000) in got
+    assert all(cid in (100, 101) for cid, _ in got)
+
+    kept = {r.doc_id for r in
+            dd.decontaminate(corpus, benchmark, "text", "doc_id",
+                             threshold=0.6).collect()}
+    assert kept == set(range(15))
