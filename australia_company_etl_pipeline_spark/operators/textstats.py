@@ -186,3 +186,42 @@ def deterministic_sample(df, id_col: str, fraction: float,
         cols.insert(1, F.col(strata_col))
     bucket = F.pmod(F.hash(*cols), F.lit(1_000_000))
     return df.filter(bucket < int(fraction * 1_000_000))
+
+
+def corpus_filter(df, text_col: str,
+                  min_tokens: int = 10, max_tokens: int = 100_000,
+                  max_punct_ratio: float = 0.3,
+                  min_quality: float = 0.3,
+                  allowed_langs: list[str] | None = None):
+    """One-pass quality gate with drop-reason observability: adds
+    ``drop_reason`` (NULL = kept; else the FIRST failing rule, checked in
+    a fixed order) so rejected volume is attributable — a filter that
+    silently deletes 40% of a crawl is undebuggable at 100 TB.
+
+    All rules evaluate in a single projection over one scan (the lang /
+    quality / ratio expressions share the tokenization subtrees).
+    ``corpus_filter_stats`` aggregates the reasons; ``.filter(drop_reason
+    IS NULL)`` is the keep path.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    checks = [
+        ("empty", t.isNull() | (F.trim(t) == "")),
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        ("punct_heavy", punct_ratio(t) > max_punct_ratio),
+        ("low_quality", quality_score(t) < min_quality),
+    ]
+    if allowed_langs is not None:
+        checks.append(("lang", ~lang_id(t).isin(*allowed_langs)))
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        reason = F.when(cond, name).otherwise(reason)
+    return df.withColumn("drop_reason", reason)
+
+
+def corpus_filter_stats(filtered) -> "DataFrame":
+    """(drop_reason, n_docs) rollup of a ``corpus_filter`` output —
+    NULL reason row = kept count. One groupBy on a low-cardinality key."""
+    return (filtered.groupBy("drop_reason")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

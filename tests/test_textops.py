@@ -101,3 +101,28 @@ def test_decontaminate_removes_benchmark_leaks(spark):
             dd.decontaminate(corpus, benchmark, "text", "doc_id",
                              threshold=0.6).collect()}
     assert kept == set(range(15))
+
+
+def test_corpus_filter_reasons_and_stats(spark):
+    rows = [
+        (1, "this is a perfectly reasonable document with many common "
+            "words that the quality heuristics should like just fine "
+            "because it is long enough and has normal punctuation and "
+            "the tokens are of plausible length overall today"),
+        (2, ""),                                  # empty
+        (3, "too short"),                         # under min_tokens
+        (4, "!!! ??? *** ### $$$ %%% ^^^ &&& ((( ))) @@@ !!! ??? ***"),
+        (5, None),                                # null -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ts.corpus_filter(df, "text", min_tokens=5)
+    reasons = {r.doc_id: r.drop_reason for r in out.collect()}
+    assert reasons[1] is None                     # kept
+    assert reasons[2] == "empty" and reasons[5] == "empty"
+    assert reasons[3] == "too_short"
+    assert reasons[4] in ("punct_heavy", "low_quality")
+    stats = {r.drop_reason: r.n_docs
+             for r in ts.corpus_filter_stats(out).collect()}
+    assert stats[None] == 1 and stats["empty"] == 2
+    kept = out.filter(F.col("drop_reason").isNull())
+    assert [r.doc_id for r in kept.collect()] == [1]
