@@ -362,3 +362,39 @@ def test_upsert_parquet_partitioned_touches_only_affected(spark, tmp_path):
                                      partition_col="day",
                                      version_col="ver")
     assert {r.k: r.v for r in spark.read.parquet(path).collect()}[3] == "c2"
+
+
+def test_upsert_parquet_model_based(spark, tmp_path_factory):
+    """Property-based MERGE check (the reference repo has no
+    property-based tests at all — SURVEY §5): random upsert-batch
+    sequences must leave the table equal to a dict model where an update
+    wins iff its version >= the incumbent's (ties favor the update, the
+    documented tiebreak). Keys are unique within a batch — duplicate
+    (key, version) pairs inside ONE batch are unordered by contract."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    batch = st.lists(
+        st.tuples(st.integers(0, 5),
+                  st.text(alphabet="abc", min_size=0, max_size=3),
+                  st.integers(0, 3)),
+        min_size=1, max_size=6, unique_by=lambda t: t[0])
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(batches=st.lists(batch, min_size=1, max_size=3))
+    def run(batches):
+        path = str(tmp_path_factory.mktemp("hyp") / "tbl")
+        model = {}
+        for b in batches:
+            df = spark.createDataFrame(b, "k int, v string, ver int")
+            sinks.upsert_parquet(spark, path, df, keys=["k"],
+                                 version_col="ver")
+            for k, v, ver in b:
+                if k not in model or ver >= model[k][1]:
+                    model[k] = (v, ver)
+        got = {r.k: (r.v, r.ver)
+               for r in spark.read.parquet(path).collect()}
+        assert got == model
+
+    run()
