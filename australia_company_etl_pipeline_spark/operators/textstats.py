@@ -225,3 +225,40 @@ def corpus_filter_stats(filtered) -> "DataFrame":
     NULL reason row = kept count. One groupBy on a low-cardinality key."""
     return (filtered.groupBy("drop_reason")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def vocab_counts(df, text_col: str, min_count: int = 1,
+                 top_k: int | None = None):
+    """Corpus vocabulary: ``(token, n_occurrences, n_docs)`` ordered by
+    frequency (ties: token asc). The tokenizer-training / frequency-prune
+    staple. Scale: explode → partial-aggregated groupBy on the token (one
+    shuffle; hot tokens like 'the' are ONE reducer row thanks to map-side
+    combine, so no skew blowup); ``top_k`` cuts with orderBy().limit()
+    (distributed TakeOrdered, no global sort materialized)."""
+    docs = df.select(F.monotonically_increasing_id().alias("__row"),
+                     tokens(F.col(text_col)).alias("__t"))
+    toks = docs.select("__row", F.explode("__t").alias("token"))
+    out = (toks.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("__row").alias("n_docs"))
+           .filter(F.col("n_occurrences") >= min_count)
+           .orderBy(F.desc("n_occurrences"), F.asc("token")))
+    return out.limit(top_k) if top_k else out
+
+
+def ngram_counts(df, text_col: str, n: int = 2, min_count: int = 1):
+    """Word n-gram occurrence counts — the n-gram-LM / collocation
+    statistic. Unlike the dedup shingles (``word_ngrams``, which
+    DISTINCTs per doc), every occurrence counts here. Same scale shape
+    as ``vocab_counts``: explode + one partial-aggregated shuffle."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array())
+    return (df.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= min_count)
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram")))

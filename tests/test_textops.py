@@ -126,3 +126,29 @@ def test_corpus_filter_reasons_and_stats(spark):
     assert stats[None] == 1 and stats["empty"] == 2
     kept = out.filter(F.col("drop_reason").isNull())
     assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_vocab_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "the bird"), (3, "cat cat")],
+        "doc_id long, text string")
+    rows = [(r.token, r.n_occurrences, r.n_docs)
+            for r in ts.vocab_counts(df, "text").collect()]
+    assert rows[0] == ("cat", 3, 2) or rows[0] == ("the", 3, 2)
+    got = {t: (o, d) for t, o, d in rows}
+    assert got == {"the": (3, 2), "cat": (3, 2), "and": (1, 1),
+                   "dog": (1, 1), "bird": (1, 1)}
+    top = [r.token for r in ts.vocab_counts(df, "text", top_k=2).collect()]
+    assert top == ["cat", "the"]                 # count desc, token asc
+    pruned = {r.token for r in
+              ts.vocab_counts(df, "text", min_count=2).collect()}
+    assert pruned == {"the", "cat"}
+
+
+def test_ngram_counts_every_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string")
+    got = {r.ngram: r.n_occurrences
+           for r in ts.ngram_counts(df, "text", n=2).collect()}
+    # doc1: 'a b','b a','a b'; doc2: 'a b'; doc3: too short -> none
+    assert got == {"a b": 3, "b a": 1}
