@@ -195,3 +195,52 @@ def test_fuzz_parse_date_multi(spark):
     vals = [v for v in vals if not (v.isdigit() and len(v) != 8)]
     _batch_compare(spark, vals, fx.parse_date_multi, oracle,
                    "parse_date_multi")
+
+
+def test_fuzz_clean_state(spark):
+    """F13 over full names, codes, paddings, case mixes, and garbage."""
+    from australia_company_etl_pipeline_spark.functions.text import (
+        STATE_NAME_MAP,
+        VALID_STATES,
+    )
+
+    rng = random.Random(29)
+    pool = (list(STATE_NAME_MAP) + VALID_STATES
+            + ["nsw", " Victoria ", "New South Wales", "QLDX", "S A",
+               "ZZZ", "", "  ", "australia", "N.S.W."])
+    vals = [rng.choice(pool) for _ in range(300)]
+    vals += ["".join(rng.choice(string.ascii_letters + " ")
+                     for _ in range(rng.randint(0, 12)))
+             for _ in range(100)]
+
+    def oracle(s):
+        up = s.strip().upper()
+        mapped = STATE_NAME_MAP.get(up, up)
+        return mapped if mapped in VALID_STATES else None
+
+    _batch_compare(spark, vals, fx.clean_state, oracle, "clean_state")
+
+
+def test_fuzz_clean_status(spark):
+    """F16: contains-based mapping then title case, with the engine's
+    initcap contract (first letter of each whitespace token upper)."""
+    rng = random.Random(31)
+    frags = ["active", "Active", "REGISTERED", "cancel", "cancelled",
+             "deregistered", "pending", "in liquidation", "x", ""]
+    vals = [" ".join(rng.choice(frags)
+                     for _ in range(rng.randint(0, 3)))
+            for _ in range(300)]
+
+    def oracle(s):
+        low = s.strip().lower()
+        if low == "":
+            return None
+        if "active" in low or "registered" in low:
+            return "Active"
+        if "cancel" in low or "deregistered" in low:
+            return "Cancelled"
+        # initcap semantics: capitalize first letter of each token
+        return " ".join(w[:1].upper() + w[1:] if w else w
+                        for w in low.split(" "))
+
+    _batch_compare(spark, vals, fx.clean_status, oracle, "clean_status")
