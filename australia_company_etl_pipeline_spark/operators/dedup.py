@@ -115,12 +115,15 @@ def minhash_from_hashes(h: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from pre-hashed shingles: per seed, the min of a
     cheap integer re-hash (murmur3 of the 8-byte base hash + seed).
 
-    Splitting string hashing from the per-seed pass matters enormously:
+    Column-level form for small inputs/tests. Two pitfalls it avoids /
+    carries: string hashing is split from the per-seed pass (a signature
+    built directly over the shingle expression re-tokenizes per seed —
     higher-order functions are excluded from codegen subexpression
-    elimination, so a signature built directly over the shingle expression
-    re-tokenizes and re-hashes every string ``num_hashes`` times (measured
-    ~35× slower at sf0.1). Callers MUST materialize the base-hash array in
-    its own projection (see ``minhash_candidates``) so it is computed once.
+    elimination; measured ~35× slower at sf0.1), but each seed still
+    allocates a fresh array per row. The DataFrame-level scale path
+    (``_minhash_buckets`` via ``minhash_candidates_from_shingles``)
+    explodes shingles into flat per-seed ``min()`` aggregates instead —
+    same values, whole-stage-codegen arithmetic.
     """
     return F.array(*[
         F.array_min(F.transform(h, lambda x: F.hash(x, F.lit(seed))))
