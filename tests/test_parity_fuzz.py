@@ -244,3 +244,65 @@ def test_fuzz_clean_status(spark):
                         for w in low.split(" "))
 
     _batch_compare(spark, vals, fx.clean_status, oracle, "clean_status")
+
+
+def test_fuzz_clean_entity_type(spark):
+    """F15: known ABR codes map to descriptions, unknown non-empty codes
+    pass through upper-trimmed, empty/NULL → NULL."""
+    from australia_company_etl_pipeline_spark.functions.text import (
+        ENTITY_TYPE_MAP,
+    )
+
+    rng = random.Random(37)
+    pool = (list(ENTITY_TYPE_MAP) + ["prv", " Pub ", "XYZ", "ind", "",
+                                     " ", "Trust", "PRV2"])
+    vals = [rng.choice(pool) for _ in range(200)]
+    vals += ["".join(rng.choice(string.ascii_letters)
+                     for _ in range(rng.randint(0, 5)))
+             for _ in range(100)]
+
+    def oracle(s):
+        up = s.strip().upper()
+        if up == "":
+            return None
+        return ENTITY_TYPE_MAP.get(up, up)
+
+    _batch_compare(spark, vals, fx.clean_entity_type, oracle,
+                   "clean_entity_type")
+
+
+def test_fuzz_clean_industry(spark):
+    """F17: label-prefix strip → first matching canonical pattern (search
+    anywhere, first-listed wins) → else initcap truncated to 50."""
+    from australia_company_etl_pipeline_spark.functions.text import (
+        INDUSTRY_PATTERNS,
+    )
+
+    rng = random.Random(41)
+    frags = ["tech", "software", "bank", "health", "retail", "mining",
+             "farm", "hotel", "law", "property", "widgets", "unknown",
+             "Industry:", "Sector: ", "services ", "power"]
+    vals = [" ".join(rng.choice(frags)
+                     for _ in range(rng.randint(0, 3)))
+            for _ in range(300)]
+    vals += ["Industry: tech", "sector:  banking", "Services widgets co",
+             "w" * 60, "", "  "]
+
+    def oracle(s):
+        c = s.strip()
+        c = re.sub(r"^(industry|sector|services?)[\s:]+", "", c,
+                   flags=re.IGNORECASE)
+        if s is None or c == "":
+            return None
+        low = c.lower()
+        for pattern, label in INDUSTRY_PATTERNS:
+            if re.search(pattern, low):
+                return label
+        # Spark initcap: first letter of each whitespace word upper,
+        # rest lower
+        title = " ".join(w[:1].upper() + w[1:].lower() if w else w
+                         for w in c.split(" "))
+        return title[:50]
+
+    _batch_compare(spark, vals, fx.clean_industry, oracle,
+                   "clean_industry")
