@@ -57,35 +57,29 @@ _NGRAMS_SQL = """
     doc="Exact content dedup + duplicate-group report in one query (fold "
         "of r2's exact_dedup_docs / exact_dup_groups to fit the driver's "
         "query window): one row per distinct content hash with the kept "
-        "doc (lowest id — A4 keep-first lifted to content addressing via "
-        "``exact_dedup``'s hash-partitioned window) and the group size "
-        "(n_docs > 1 is the A8/assert_no_duplicate_abns HAVING check "
-        "generalized to content). Scales as one shuffle on the md5 digest.",
+        "doc (lowest id — A4 keep-first lifted to content addressing) and "
+        "the group size (n_docs > 1 is the A8/assert_no_duplicate_abns "
+        "HAVING check generalized to content). ONE partial-aggregated "
+        "shuffle on the md5 digest: keep-first IS min(doc_id) when the "
+        "keep rule is lowest-id, so the r3 window+groupBy+join form "
+        "(3 shuffles) collapses into a single groupBy with map-side "
+        "combine. The generic ``exact_dedup`` operator keeps the window "
+        "form for arbitrary keep rules / full-row survival.",
     tags=("dedup",),
     oracle=f"""
-WITH corpus AS ({_DOCS_DUPS_SQL}),
-keep AS (
-  SELECT doc_id, md5(text) AS content_hash, row_number() OVER (
-      PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
-  FROM corpus
-),
-grp AS (
-  SELECT md5(text) AS content_hash, count(*) AS n_docs FROM corpus GROUP BY 1
-)
-SELECT k.content_hash, k.doc_id AS keeper_id, g.n_docs
-FROM keep k JOIN grp g USING (content_hash) WHERE k.rn = 1
+WITH corpus AS ({_DOCS_DUPS_SQL})
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_docs
+FROM corpus GROUP BY 1
 """,
 )
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    keepers = (dd.exact_dedup(corpus, ["text"], "doc_id")
-               .select(F.md5("text").alias("content_hash"),
-                       F.col("doc_id").alias("keeper_id")))
-    groups = (corpus
-              .groupBy(F.md5("text").alias("content_hash"))
-              .agg(F.count(F.lit(1)).alias("n_docs")))
-    return (keepers.join(groups, "content_hash")
-            .select("content_hash", "keeper_id", "n_docs"))
+    return (corpus
+            .groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_docs")))
 
 
 @register(
@@ -189,13 +183,7 @@ def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionByName(sh)
 
 
-@register(
-    "embedding_dup_pairs",
-    doc="Embedding-cosine near-dup pairs ≥0.99 over embeddings ∪ perturbed "
-        "copies (first component ×1.01). Native zip_with/aggregate cosine.",
-    tags=("dedup", "ann"),
-    oracle="""
-WITH corpus AS (
+_EMB_DUPS_SQL = """
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   UNION ALL
@@ -203,16 +191,12 @@ WITH corpus AS (
          list_concat([CAST(embedding[1] AS DOUBLE) * 1.01],
                      list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS v
   FROM embeddings WHERE vec_id % 5 = 0
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
-FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
-""",
-)
-def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ann import cosine
+"""
 
+
+def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (first component ×1.01, ids +100k) —
+    the planted near-dup corpus shared by both methods below."""
     e = table(spark, sf_dir, "embeddings")
     base = e.select("vec_id",
                     F.transform("embedding",
@@ -225,11 +209,67 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.transform(F.slice("embedding", 2, 1000000),
                                          lambda x: x.cast("double"))
                          ).alias("v")))
-    corpus = base.unionByName(perturbed)
+    return base.unionByName(perturbed)
+
+
+def _lsh_bucket_sql() -> str:
+    """DuckDB twin of ``ann.lsh_bucket`` over column ``v``: same literal
+    hyperplanes (``ann._planes`` is a portable LCG), same sign-bit fold.
+    The oracle can therefore check the LSH *candidate generation* exactly:
+    Spark's explode-probe equi-join emits precisely the pairs whose sign
+    buckets are within hamming distance 1 (multiprobe=1)."""
+    from ..operators.ann import _planes
+
+    bits = []
+    for i, p in enumerate(_planes(64, 8, seed=42)):
+        lits = ", ".join(repr(x) for x in p)
+        bits.append(f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 "
+                    f"THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "embedding_dup_pairs",
+    doc="Embedding-cosine near-dup pairs ≥0.99, both paths in one result "
+        "(r4 fold, mirroring hashed_dup_pairs): method='exact' rows are "
+        "the all-pairs baseline (O(n²) by construction — the correctness "
+        "anchor, guarded for small corpora); method='lsh' rows are the "
+        "scale path — random-hyperplane sign buckets, multiprobe 1 bit, "
+        "bucket equi-join candidates, exact-cosine verify. The LSH branch "
+        "is FULLY oracle-checked too: the portable-LCG planes are inlined "
+        "as SQL literals, so DuckDB reproduces the buckets and the "
+        "candidate set is exactly {pairs: hamming(bucket_a,bucket_b)<=1}.",
+    tags=("dedup", "ann"),
+    oracle=f"""
+WITH corpus AS ({_EMB_DUPS_SQL}),
+sk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM corpus)
+SELECT 'exact' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+UNION ALL
+SELECT 'lsh' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+""",
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import cosine, embedding_dup_pairs_lsh
+
+    corpus = _embeddings_with_dups(spark, sf_dir)
     a, b = corpus.alias("a"), corpus.alias("b")
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"), "inner")
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"),
-                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-                    .alias("cosine_sim"))
-            .filter(F.col("cosine_sim") >= 0.99))
+    exact = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"), "inner")
+             .select(F.lit("exact").alias("method"),
+                     F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                     .alias("cosine_sim"))
+             .filter(F.col("cosine_sim") >= 0.99))
+    lsh = (embedding_dup_pairs_lsh(corpus, threshold=0.99, n_planes=8,
+                                   dim=64, seed=42, multiprobe=1,
+                                   vec_col="v")
+           .select(F.lit("lsh").alias("method"), "id_a", "id_b",
+                   "cosine_sim"))
+    return exact.unionByName(lsh)
