@@ -246,19 +246,27 @@ def vocab_counts(df, text_col: str, min_count: int = 1,
     return out.limit(top_k) if top_k else out
 
 
-def ngram_counts(df, text_col: str, n: int = 2, min_count: int = 1):
+def ngram_counts(df, text_col: str, n: int = 2, min_count: int = 1,
+                 id_col: str | None = None):
     """Word n-gram occurrence counts — the n-gram-LM / collocation
     statistic. Unlike the dedup shingles (``word_ngrams``, which
     DISTINCTs per doc), every occurrence counts here. Same scale shape
-    as ``vocab_counts``: explode + one partial-aggregated shuffle."""
+    as ``vocab_counts``: explode + one partial-aggregated shuffle.
+    With ``id_col`` the document frequency (``n_docs``) is aggregated
+    alongside (countDistinct adds a partial-dedup pass on the same
+    shuffle, no extra exchange)."""
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(0), F.size(toks) - n),
                     lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     ).otherwise(F.array())
-    return (df.select(F.explode(grams).alias("ngram"))
+    keep = [F.col(id_col)] if id_col else []
+    aggs = [F.count(F.lit(1)).alias("n_occurrences")]
+    if id_col:
+        aggs.append(F.countDistinct(id_col).alias("n_docs"))
+    return (df.select(*keep, F.explode(grams).alias("ngram"))
             .groupBy("ngram")
-            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .agg(*aggs)
             .filter(F.col("n_occurrences") >= min_count)
             .orderBy(F.desc("n_occurrences"), F.asc("ngram")))

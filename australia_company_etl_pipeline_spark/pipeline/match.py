@@ -62,6 +62,13 @@ def stub_llm_scorer(batch: pd.DataFrame) -> pd.Series:
                      index=batch.index)
 
 
+# Columns the stub actually reads — the cascade ships ONLY these through
+# Arrow (plus fuzzy_score for the band mask). Custom scorers declare
+# their own ``context_cols``; undeclared scorers get the full reference
+# prompt context (see _LLM_CONTEXT_COLS below).
+stub_llm_scorer.context_cols = ("crawl_name", "abr_name")
+
+
 def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
                     fuzzy_threshold: float = 0.75,
                     use_llm: bool = False,
@@ -123,13 +130,26 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
     # the reference's driver-side sequential loop (entity_match.py:536-576).
     lo, hi = float(llm_threshold_min), float(fuzzy_threshold)
 
-    # The scorer receives the FULL pair context (not just the two names):
-    # the reference's LLM matcher prompts with url/industry/state/postcode
-    # too (entity_match.py:552-563), so a custom ``llm_scorer`` gets the
-    # same columns here. Struct-typed pandas_udf → the batch arrives as a
-    # pandas DataFrame with one column per struct field.
-    _LLM_CONTEXT_COLS = ["crawl_name", "abr_name", "crawl_url", "industry",
-                         "state", "postcode", "fuzzy_score"]
+    # Arrow payload discipline: a projection-level pandas_udf is evaluated
+    # for EVERY surviving row (Catalyst extracts it into an ArrowEvalPython
+    # node — a `when(band, udf)` guard would not skip serialization), so
+    # the transfer is trimmed two ways instead:
+    #   1. only the columns the active scorer DECLARES (``context_cols``
+    #      attribute) cross the boundary — the stub reads just the two
+    #      names; an undeclared custom scorer gets the full reference
+    #      prompt context (url/industry/state/postcode,
+    #      entity_match.py:552-563) for compatibility;
+    #   2. every context field is band-masked to NULL *outside* the udf,
+    #      so high-band rows (the majority) ship one double + null
+    #      bitmaps, not strings.
+    # The in-udf mask then fires the scorer only for uncertain-band rows.
+    _LLM_CONTEXT_COLS = ("crawl_name", "abr_name", "crawl_url", "industry",
+                         "state", "postcode")
+    declared = tuple(getattr(llm_scorer, "context_cols", _LLM_CONTEXT_COLS))
+    in_band = (F.col("fuzzy_score") >= lo) & (F.col("fuzzy_score") < hi)
+    ctx = [F.col("fuzzy_score")] + [
+        F.when(in_band, F.col(c)).otherwise(F.lit(None)).alias(c)
+        for c in declared if c != "fuzzy_score"]
 
     @F.pandas_udf("double")
     def llm_batch(pair: pd.DataFrame) -> pd.Series:
@@ -141,11 +161,17 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
                 pair[mask].reset_index(drop=True)).to_numpy()
         return out
 
+    # An external scorer is not a pure function of its column inputs, and
+    # declaring that stops Catalyst from inlining the call into the
+    # final-score filter downstream — which would materialize a SECOND
+    # ArrowEvalPython stage and send every surviving pair through Arrow
+    # (and the scorer) twice. Locked by tests/test_plan_shapes.py.
+    llm_batch = llm_batch.asNondeterministic()
+
     high_band = F.col("fuzzy_score") >= fuzzy_threshold
     return (scored
             .filter(F.col("fuzzy_score") >= llm_threshold_min)
-            .withColumn("llm_score",
-                        llm_batch(F.struct(*_LLM_CONTEXT_COLS)))
+            .withColumn("llm_score", llm_batch(F.struct(*ctx)))
             .withColumn("final_score",
                         F.when(high_band, F.col("fuzzy_score"))
                         .otherwise(F.round(

@@ -16,10 +16,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..catalog import table
 from ..streaming.events_stream import (
     _SESSION_OUT,
     _gap_seconds,
+    dedup_within_horizon,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -28,50 +31,91 @@ from .registry import register
 
 
 @register(
-    "events_tumbling_counts",
-    doc="Streaming extension: tumbling 1h event-time window — count + value "
-        "sum per (window, event_type). Same function body serves the "
-        "watermarked stream; oracle floors epoch seconds to the hour.",
+    "events_window_counts",
+    doc="Streaming extension, both window families in one result (r4 fold "
+        "of events_tumbling_counts / events_sliding_counts to free a "
+        "driver-window slot): kind='tumbling' rows are the 1h tumbling "
+        "event-time window, kind='sliding' rows the 1h/30min sliding "
+        "window (each event in exactly 2 buckets). Same function bodies "
+        "serve the watermarked streams; oracle floors epoch seconds "
+        "(tumbling) and materializes both bucket starts via unnest "
+        "(sliding).",
     tags=("streaming",),
     oracle="""
-SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+SELECT 'tumbling' AS kind,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
        CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end_s,
        event_type,
        COUNT(*) AS n_events,
        round(SUM(value), 2) AS sum_value
 FROM events
-GROUP BY 1, 2, 3
+GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'sliding' AS kind,
+       (half_bucket - k) * 1800 AS window_start_s,
+       (half_bucket - k) * 1800 + 3600 AS window_end_s,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 2) AS sum_value
+FROM (SELECT event_type, value,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) AS half_bucket
+      FROM events) e
+CROSS JOIN (SELECT unnest([0, 1]) AS k) kk
+GROUP BY 2, 3, 4
 """,
 )
-def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tumbling_counts(table(spark, sf_dir, "events"), window="1 hour")
+def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    tumbling = (tumbling_counts(events, window="1 hour")
+                .select(F.lit("tumbling").alias("kind"), "*"))
+    sliding = (sliding_counts(events, window="1 hour", slide="30 minutes")
+               .select(F.lit("sliding").alias("kind"), "*"))
+    return tumbling.unionByName(sliding)
 
 
 @register(
-    "events_sliding_counts",
-    doc="Streaming extension: sliding window (1h length, 30min slide) — "
-        "each event lands in exactly 2 overlapping buckets; the oracle "
-        "materializes both bucket starts per event via an unnest cross "
-        "join.",
-    tags=("streaming",),
+    "dedup_stream_batch",
+    doc="Batch twin of the streaming at-least-once ingest guard "
+        "(dedup_stream / dropDuplicatesWithinWatermark): events ∪ planted "
+        "redeliveries (every 5th event re-sent 10min later — inside the "
+        "1h horizon, suppressed; every 11th re-sent 2h later — beyond it, "
+        "kept). Keep rule: nearest earlier arrival of the key is more "
+        "than the horizon away — one lag window on the dedup key. The "
+        "live streaming path is pinned by tests/test_streaming.py.",
+    tags=("streaming", "dedup"),
     oracle="""
-WITH e AS (
-  SELECT event_type, value,
-         CAST(floor(epoch(ts) / 1800) AS BIGINT) AS half_bucket
-  FROM events
-), k AS (SELECT unnest([0, 1]) AS k)
-SELECT (e.half_bucket - k.k) * 1800 AS window_start_s,
-       (e.half_bucket - k.k) * 1800 + 3600 AS window_end_s,
-       e.event_type,
-       COUNT(*) AS n_events,
-       round(SUM(e.value), 2) AS sum_value
-FROM e CROSS JOIN k
-GROUP BY 1, 2, 3
+WITH replayed AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 10 MINUTE, user_id, event_type, value
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 2 HOUR, user_id, event_type, value
+  FROM events WHERE event_id % 11 = 0
+), gapped AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         epoch(ts) - epoch(lag(ts) OVER (
+             PARTITION BY event_id ORDER BY ts ASC)) AS gap
+  FROM replayed
+)
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       user_id, event_type, value
+FROM gapped WHERE gap IS NULL OR gap > 3600
 """,
 )
-def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_counts(table(spark, sf_dir, "events"),
-                          window="1 hour", slide="30 minutes")
+def dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    replay = (e.filter(F.col("event_id") % 5 == 0)
+              .withColumn("ts", F.col("ts")
+                          + F.expr("INTERVAL 10 MINUTES")))
+    late = (e.filter(F.col("event_id") % 11 == 0)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")))
+    replayed = e.unionByName(replay).unionByName(late)
+    kept = dedup_within_horizon(replayed, ("event_id",), horizon_s=3600)
+    return kept.select("event_id",
+                       F.col("ts").cast("long").alias("ts_s"),
+                       "user_id", "event_type", "value")
 
 
 # Gaps-and-islands session oracle: break when the gap to the previous

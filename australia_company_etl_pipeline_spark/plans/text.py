@@ -1,7 +1,14 @@
 """Text-analysis queries over `documents` (training-data extensions).
 
 Every operator here is a native expression with a full DuckDB SQL twin —
-token counting, language-ID heuristic, quality scoring, fingerprinting.
+token counting, language-ID heuristic, quality scoring, fingerprinting,
+sequence packing, vocabulary/n-gram statistics, corpus filtering.
+
+``doc_profile`` folds r3's four per-doc projections (doc_token_stats /
+doc_lang_profile / doc_quality / doc_fingerprint) into ONE query: they
+all project the same single scan, so folding keeps all four operator
+families under the driver's oracle gate while freeing three slots of its
+50-query window for the packing / vocab / filter queries below.
 """
 
 from __future__ import annotations
@@ -16,142 +23,210 @@ from .registry import register
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
 
 
-def _hits(markers: list[str]) -> str:
+def _ratio_sql(markers: list[str]) -> str:
     inlist = ", ".join(f"'{m}'" for m in markers)
-    return f"len(list_filter({_TOKS}, t -> t IN ({inlist})))"
+    return ("round(CASE WHEN len(toks) > 0 THEN "
+            f"CAST(len(list_filter(toks, t -> t IN ({inlist}))) AS DOUBLE)"
+            " / len(toks) ELSE 0.0 END, 6)")
 
 
-@register(
-    "doc_token_stats",
-    doc="Token counting: whitespace tokens + BPE-ish pre-tokenization "
-        "units (\\w+ runs and solo symbols) + mean token length.",
-    tags=("text",),
-    oracle=f"""
-SELECT doc_id,
-       len({_TOKS}) AS n_tokens,
-       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_units,
-       round(CASE WHEN len({_TOKS}) > 0 THEN
-             CAST(list_aggregate(list_transform({_TOKS}, t -> length(t)),
-                  'sum') AS DOUBLE) / len({_TOKS})
-             ELSE 0.0 END, 6) AS mean_token_len
-FROM documents
-""",
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        ts.token_count(F.col("text")).alias("n_tokens"),
-        ts.bpe_ish_token_count(F.col("text")).alias("n_units"),
-        ts.mean_token_len(F.col("text")).alias("mean_token_len"))
-
-
-@register(
-    "doc_lang_profile",
-    doc="Language-ID heuristic: per-language marker-word ratios and the "
-        "argmax prediction ('und' below 5% ratio, alphabetical tie-break).",
-    tags=("text",),
-    oracle=f"""
-WITH scored AS (
-  SELECT doc_id,
-         round(CASE WHEN len({_TOKS}) > 0 THEN
-               CAST({_hits(ts.LANG_MARKERS['de'])} AS DOUBLE) / len({_TOKS})
-               ELSE 0.0 END, 6) AS de_ratio,
-         round(CASE WHEN len({_TOKS}) > 0 THEN
-               CAST({_hits(ts.LANG_MARKERS['en'])} AS DOUBLE) / len({_TOKS})
-               ELSE 0.0 END, 6) AS en_ratio,
-         round(CASE WHEN len({_TOKS}) > 0 THEN
-               CAST({_hits(ts.LANG_MARKERS['es'])} AS DOUBLE) / len({_TOKS})
-               ELSE 0.0 END, 6) AS es_ratio,
-         round(CASE WHEN len({_TOKS}) > 0 THEN
-               CAST({_hits(ts.LANG_MARKERS['fr'])} AS DOUBLE) / len({_TOKS})
-               ELSE 0.0 END, 6) AS fr_ratio
-  FROM documents
-)
-SELECT doc_id, de_ratio, en_ratio, es_ratio, fr_ratio,
-       CASE WHEN greatest(de_ratio, en_ratio, es_ratio, fr_ratio) < 0.05
-            THEN 'und'
-            WHEN de_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio)
-            THEN 'de'
-            WHEN en_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio)
-            THEN 'en'
-            WHEN es_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio)
-            THEN 'es'
-            ELSE 'fr' END AS lang_pred
-FROM scored
-""",
-)
-def doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    scores = ts.lang_scores(F.col("text"))
-    return d.select(
-        "doc_id",
-        *[scores[lang].alias(f"{lang}_ratio") for lang in sorted(scores)],
-        ts.lang_id(F.col("text")).alias("lang_pred"))
-
-
-@register(
-    "doc_quality",
-    doc="Document quality scoring: length saturation, punctuation penalty, "
-        "mean-word-length plausibility, stopword signal — weighted to [0,1].",
-    tags=("text",),
-    oracle=f"""
-WITH parts AS (
-  SELECT doc_id,
-         least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS length_score,
+# Per-document metric CTE chain shared by doc_profile and
+# corpus_filter_stats — the SQL twin of operators/textstats.py's
+# expression library (same tokenization, same integer micro-unit quality
+# arithmetic, same rounded ratios).
+_PROFILE_CTES = f"""
+base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_units,
+         round(CASE WHEN len(toks) > 0 THEN
+               CAST(list_aggregate(list_transform(toks, t -> length(t)),
+                    'sum') AS DOUBLE) / len(toks)
+               ELSE 0.0 END, 6) AS mean_token_len,
+         {_ratio_sql(ts.LANG_MARKERS['de'])} AS de_ratio,
+         {_ratio_sql(ts.LANG_MARKERS['en'])} AS en_ratio,
+         {_ratio_sql(ts.LANG_MARKERS['es'])} AS es_ratio,
+         {_ratio_sql(ts.LANG_MARKERS['fr'])} AS fr_ratio,
          round(CASE WHEN length(text) > 0 THEN
-               CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
-               / length(text) ELSE 0.0 END, 6) AS p_ratio,
-         round(CASE WHEN len({_TOKS}) > 0 THEN
-               CAST(list_aggregate(list_transform({_TOKS}, t -> length(t)),
-                    'sum') AS DOUBLE) / len({_TOKS}) ELSE 0.0 END, 6) AS mtl,
-         round(CASE WHEN len({_TOKS}) > 0 THEN
-               CAST({_hits(ts.LANG_MARKERS['en'])} AS DOUBLE) / len({_TOKS})
-               ELSE 0.0 END, 6) AS stop_ratio
-  FROM documents
-), units AS (
-  -- integer micro-units: exact weighted sum on the 1e-7 grid, half-up
-  -- to 1e-6 (same arithmetic as the Spark operator — no float ties)
-  SELECT doc_id, p_ratio, stop_ratio,
-         CAST(round(length_score * 1000000) AS BIGINT) AS ls6,
-         CAST(round(p_ratio * 1000000) AS BIGINT) AS p6,
-         CASE WHEN mtl >= 3.0 AND mtl <= 10.0
-              THEN 1000000 ELSE 500000 END AS ws6,
-         CAST(round(stop_ratio * 1000000) AS BIGINT) AS s6
-  FROM parts
-)
-SELECT doc_id, p_ratio AS punct_ratio, stop_ratio AS stopword_ratio,
-       floor((4 * ls6
-            + 3 * (1000000 - least(p6 * 4, 1000000))
-            + 2 * ws6
-            + least(s6 * 5, 1000000) + 5) / 10.0) / 1000000.0 AS quality
-FROM units
-""",
-)
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        ts.punct_ratio(F.col("text")).alias("punct_ratio"),
-        ts.stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        ts.quality_score(F.col("text")).alias("quality"))
+               CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                    AS DOUBLE) / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM base
+), prof AS (
+  -- quality in exact integer micro-units (weighted sum on the 1e-7 grid,
+  -- half-up to 1e-6) — bit-identical across engines, no float ties
+  SELECT doc_id, text, n_tokens, n_units, mean_token_len,
+         de_ratio, en_ratio, es_ratio, fr_ratio,
+         CASE WHEN greatest(de_ratio, en_ratio, es_ratio, fr_ratio) < 0.05
+              THEN 'und'
+              WHEN de_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio)
+              THEN 'de'
+              WHEN en_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio)
+              THEN 'en'
+              WHEN es_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio)
+              THEN 'es'
+              ELSE 'fr' END AS lang_pred,
+         punct_ratio,
+         en_ratio AS stopword_ratio,
+         floor((4 * CAST(round(least(CAST(length(text) AS DOUBLE) / 500,
+                                     1.0) * 1000000) AS BIGINT)
+              + 3 * (1000000 - least(CAST(round(punct_ratio * 1000000)
+                                          AS BIGINT) * 4, 1000000))
+              + 2 * (CASE WHEN mean_token_len >= 3.0
+                          AND mean_token_len <= 10.0
+                     THEN 1000000 ELSE 500000 END)
+              + least(CAST(round(en_ratio * 1000000) AS BIGINT) * 5,
+                      1000000)
+              + 5) / 10.0) / 1000000.0 AS quality
+  FROM scored
+)"""
 
 
 @register(
-    "doc_fingerprint",
-    doc="Document fingerprinting: polynomial rolling hash mod 1e9+7 over "
-        "characters — engine-portable (same fold in DuckDB via list_reduce).",
+    "doc_profile",
+    doc="Per-document text profile in ONE scan+projection (r4 fold of "
+        "doc_token_stats / doc_lang_profile / doc_quality / "
+        "doc_fingerprint): whitespace + BPE-ish token counts, mean token "
+        "length, per-language marker ratios with argmax language-ID "
+        "('und' below 5%), punctuation/stopword ratios, integer-micro-unit "
+        "quality score, and the rolling-hash fingerprint. All subtrees "
+        "share one tokenization; Catalyst collapses the fold into a "
+        "single whole-stage-codegen projection — shuffle-free.",
     tags=("text",),
-    oracle="""
-SELECT doc_id,
+    oracle=f"""
+WITH {_PROFILE_CTES}
+SELECT doc_id, n_tokens, n_units, mean_token_len,
+       de_ratio, en_ratio, es_ratio, fr_ratio, lang_pred,
+       punct_ratio, stopword_ratio, quality,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(regexp_split_to_array(text, ''),
                           c -> CAST(ascii(c) AS BIGINT))),
          (a, b) -> (a * 31 + b) % 1000000007) AS fp
-FROM documents
+FROM prof
 """,
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+    scores = ts.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        ts.bpe_ish_token_count(F.col("text")).alias("n_units"),
+        ts.mean_token_len(F.col("text")).alias("mean_token_len"),
+        *[scores[lang].alias(f"{lang}_ratio") for lang in sorted(scores)],
+        ts.lang_id(F.col("text")).alias("lang_pred"),
+        ts.punct_ratio(F.col("text")).alias("punct_ratio"),
+        ts.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        ts.quality_score(F.col("text")).alias("quality"),
+        ts.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "pack_docs",
+    doc="Token-budget sequence packing over documents (budget 1024, "
+        "sharded by lang): each doc's pack id / offset in the "
+        "concatenated token stream, spans_packs marking chunk-boundary "
+        "crossers — GPT-style packing layout, deterministic at any "
+        "parallelism. ONE running-total window pass, partitioned by the "
+        "shard key so no global-order funnel.",
+    tags=("text",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS tokens_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(tokens_before / 1024) AS BIGINT) AS pack_id,
+       CAST(tokens_before % 1024 AS BIGINT) AS pack_offset,
+       (tokens_before % 1024 + n_tokens > 1024) AS spans_packs
+FROM w
+""",
+)
+def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counted = d.select("doc_id", "lang",
+                       ts.token_count(F.col("text")).alias("__n_tok"))
+    return ts.pack_sequences(counted, "__n_tok", "doc_id",
+                             budget=1024, partition_col="lang")
+
+
+@register(
+    "vocab_ngram_counts",
+    doc="Corpus vocabulary + word-bigram statistics in one result "
+        "(kind='token' | 'bigram'): occurrence and document frequencies, "
+        "min_count 3. The tokenizer-training / collocation staple. "
+        "Scale: explode → ONE partial-aggregated shuffle per branch; hot "
+        "grams collapse map-side, so no skew blowup.",
+    tags=("text",),
+    oracle=f"""
+WITH tl AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS gram FROM tl
+), bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+             [array_to_string(toks[i:i+1], ' ')
+              for i in generate_series(1, len(toks) - 1)]
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tl
+)
+SELECT 'token' AS kind, gram, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY 2 HAVING count(*) >= 3
+UNION ALL
+SELECT 'bigram' AS kind, gram, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM bi GROUP BY 2 HAVING count(*) >= 3
+""",
+)
+def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = (ts.vocab_counts(d, "text", min_count=3)
+             .select(F.lit("token").alias("kind"),
+                     F.col("token").alias("gram"),
+                     "n_occurrences", "n_docs"))
+    bigrams = (ts.ngram_counts(d, "text", n=2, min_count=3,
+                               id_col="doc_id")
+               .select(F.lit("bigram").alias("kind"),
+                       F.col("ngram").alias("gram"),
+                       "n_occurrences", "n_docs"))
+    return vocab.unionByName(bigrams)
+
+
+@register(
+    "corpus_filter_stats",
+    doc="One-pass corpus quality gate + drop-reason rollup: every doc "
+        "gets its FIRST failing rule (empty / too_short / too_long / "
+        "punct_heavy / low_quality / lang; NULL = kept, allowed langs "
+        "en+und) — the observability layer that makes a filter deleting "
+        "40% of a crawl debuggable. Single projection over one scan, "
+        "then one groupBy on a ≤7-value key.",
+    tags=("text",),
+    oracle=f"""
+WITH {_PROFILE_CTES}
+SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+            WHEN n_tokens < 10 THEN 'too_short'
+            WHEN n_tokens > 100000 THEN 'too_long'
+            WHEN punct_ratio > 0.3 THEN 'punct_heavy'
+            WHEN quality < 0.3 THEN 'low_quality'
+            WHEN lang_pred NOT IN ('en', 'und') THEN 'lang'
+            ELSE NULL END AS drop_reason,
+       count(*) AS n_docs
+FROM prof GROUP BY 1
+""",
+)
+def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    filtered = ts.corpus_filter(d, "text", allowed_langs=["en", "und"])
+    return ts.corpus_filter_stats(filtered)

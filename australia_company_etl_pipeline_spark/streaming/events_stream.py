@@ -252,6 +252,36 @@ def dedup_stream(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def dedup_within_horizon(events: DataFrame,
+                         key_cols: tuple[str, ...] = ("event_id",),
+                         horizon_s: int = 3600,
+                         ts_col: str = "ts") -> DataFrame:
+    """Batch twin of ``dedup_stream``: suppress a row iff the NEAREST
+    earlier row with the same key is within ``horizon_s`` of it.
+
+    One lag window per key — the 100 TB shape (a shuffle on the dedup
+    key, no iteration). The contract relative to the streaming form:
+    ``dropDuplicatesWithinWatermark`` anchors suppression at the FIRST
+    kept occurrence (its state is not refreshed by dropped duplicates),
+    so for redelivery chains a < b < c with b−a and c−b ≤ horizon but
+    c−a > horizon the stream KEEPS c while this batch form suppresses it
+    (nearest-earlier gap). The two agree whenever each key is redelivered
+    at most once per horizon — the at-least-once replay pattern this
+    guard exists for; chains tighter than that are already suppressed by
+    both forms' first element. Ties on ``ts_col`` within a key break by
+    the remaining key ordering being irrelevant (identical redeliveries
+    produce identical rows).
+    """
+    keys = [F.col(c) for c in key_cols]
+    win = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    prev = F.lag(F.col(ts_col)).over(win)
+    gap = F.col(ts_col).cast("long") - prev.cast("long")
+    return (events
+            .withColumn("__gap", gap)
+            .filter(F.col("__gap").isNull() | (F.col("__gap") > horizon_s))
+            .drop("__gap"))
+
+
 def stream_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,
                       available_now: bool = True):
     """Parquet sink with exactly-once file-commit semantics (checkpointed
@@ -280,6 +310,6 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str,
 __all__ = [
     "EVENTS_SCHEMA", "stage_event_batches", "read_events_stream",
     "tumbling_counts", "sliding_counts", "session_windows",
-    "sessionize_stateful", "dedup_stream", "stream_to_parquet",
-    "run_to_memory",
+    "sessionize_stateful", "dedup_stream", "dedup_within_horizon",
+    "stream_to_parquet", "run_to_memory",
 ]

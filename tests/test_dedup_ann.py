@@ -317,25 +317,15 @@ def test_embedding_dup_pairs_lsh_recall(spark, sf_dir):
     """The LSH-bucketed embedding near-dup path (scale form) must find
     ≥90% of the exact baseline's planted perturbed-copy pairs, with
     exact precision (every emitted pair verified by true cosine)."""
-    exact = _pairs(plans.REGISTRY["embedding_dup_pairs"]
-                   .builder(spark, sf_dir))
+    folded = plans.REGISTRY["embedding_dup_pairs"].builder(spark, sf_dir)
+    exact = _pairs(folded.filter(F.col("method") == "exact"))
     assert exact, "exact baseline found no planted near-dups"
 
-    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.plans.dedup import (
+        _embeddings_with_dups,
+    )
 
-    e = table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id",
-                    F.transform("embedding",
-                                lambda x: x.cast("double")).alias("v"))
-    perturbed = (e.filter(F.col("vec_id") % 5 == 0)
-                 .select((F.col("vec_id") + 100000).alias("vec_id"),
-                         F.concat(
-                             F.array(F.element_at("embedding", 1)
-                                     .cast("double") * 1.01),
-                             F.transform(F.slice("embedding", 2, 1000000),
-                                         lambda x: x.cast("double"))
-                         ).alias("v")))
-    corpus = base.unionByName(perturbed)
+    corpus = _embeddings_with_dups(spark, sf_dir)
     got = _pairs(ann.embedding_dup_pairs_lsh(
         corpus, threshold=0.99, vec_col="v"))
     assert got <= exact                          # exact-verified: no FPs
