@@ -71,6 +71,50 @@ def test_top1_per_group_uses_partial_aggregation(spark, sf_dir):
     assert "Window" not in plan
 
 
+def _node_counts(plan: str):
+    import re
+    from collections import Counter
+
+    return Counter(re.findall(r"^\(\d+\) (\w+)", plan, re.M))
+
+
+def test_cascade_single_pass_and_broadcast(spark, sf_dir):
+    """The r1 single-pass cascade rewrite bought three properties; lock
+    them: (a) the block-join subtree is scanned ONCE — no high/uncertain
+    DAG fork (both cascade sides derive from `part`, so exactly 2 scans;
+    a fork would double them); (b) the pandas_udf stage did not break the
+    small-side broadcast; (c) the LLM udf materializes exactly ONE
+    ArrowEvalPython stage — Catalyst must not inline the call into the
+    final-score filter and evaluate the Arrow transfer twice (prevented
+    by asNondeterministic; regressed silently before r4)."""
+    plan = _plan(plans.REGISTRY["match_cascade_best"]
+                 .builder(spark, sf_dir))
+    counts = _node_counts(plan)
+    assert counts["Scan"] == 2, counts
+    assert counts["BroadcastHashJoin"] >= 1, counts
+    assert counts["SortMergeJoin"] == 0, counts
+    assert counts["ArrowEvalPython"] == 1, counts
+
+
+def test_cascade_arrow_payload_trimmed(spark, sf_dir):
+    """The stub scorer declares context_cols=(crawl_name, abr_name): the
+    struct crossing the Arrow boundary must carry only those two (band-
+    masked) fields plus fuzzy_score — not the full 7-column pair
+    context for every row ≥ the LLM band floor."""
+    import re
+
+    plan = _plan(plans.REGISTRY["match_cascade_best"]
+                 .builder(spark, sf_dir))
+    m = re.search(r"^\(\d+\) ArrowEvalPython.*?(?=^\(\d+\) )",
+                  plan, re.M | re.S)
+    assert m, "no ArrowEvalPython node in formatted plan"
+    args = [ln for ln in m.group(0).splitlines()
+            if ln.startswith("Arguments")][0]
+    assert "crawl_url" not in args and "postcode" not in args, args
+    # band mask applied OUTSIDE the udf: context fields are CASE-guarded
+    assert "CASE WHEN" in args, args
+
+
 def test_cobucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must join with NO Exchange in
     the plan (the write-once-shuffle-never-again contract of
