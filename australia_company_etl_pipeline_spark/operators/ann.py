@@ -121,7 +121,8 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
                      max_iter: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      seed: int = 42,
-                     checkpoint: str = "local") -> DataFrame:
+                     checkpoint: str = "local",
+                     on_empty: str = "reseed") -> DataFrame:
     """Deterministic Lloyd's k-means in pure DataFrames →
     ``(centroid_id, centroid_vec)``.
 
@@ -148,8 +149,19 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     excluded from codegen CSE — an inline norm would re-sum per element).
     Centroids are materialized each round (k rows) so the loop's lineage
     stays flat; ``checkpoint='reliable'`` (with ``sc.setCheckpointDir``)
-    makes the loop durable on preemptible clusters. Empty clusters drop
-    out (k may shrink), the standard Lloyd's degeneracy."""
+    makes the loop durable on preemptible clusters.
+
+    Empty clusters (the standard Lloyd's degeneracy — a centroid that
+    wins no vectors, e.g. a duplicated init sample losing every tie to
+    its lower-id twin): ``on_empty='reseed'`` (default) refills each
+    vacated centroid id from a deterministic reserve sample (the next
+    corpus vectors in the seeded hash order after the k init picks), so
+    exactly ``n_centroids`` rows always come back; ``on_empty='drop'``
+    keeps the classic behavior where k silently shrinks. The refill is
+    driver-free: the emptiness check is a count on the k-row materialized
+    frame, and the refill joins run on ≤k-row frames — nothing touches
+    the corpus. (A corpus smaller than 2·n_centroids can exhaust the
+    reserve, in which case uncovered vacancies degrade to 'drop'.)"""
     from ..session import materialize
 
     def unit(df: DataFrame, vec: str) -> DataFrame:
@@ -160,6 +172,9 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
                    F.transform(F.col(vec), lambda x: x / F.col("__n")))
             .otherwise(F.col(vec))).drop("__n"))
 
+    if on_empty not in ("reseed", "drop"):
+        raise ValueError(f"unknown on_empty mode {on_empty!r}: "
+                         "use 'reseed' or 'drop'")
     vecs = unit(corpus.select(F.col(id_col).alias("__vid"),
                               _dbl(F.col(vec_col)).alias("__v")), "__v")
     sample_key = F.hash(F.col("__vid"), F.lit(seed))
@@ -172,6 +187,20 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
         init.withColumn("centroid_id", F.row_number().over(init_win))
             .select("centroid_id", F.col("__v").alias("centroid_vec")),
         checkpoint)
+    reserve = None
+    if on_empty == "reseed":
+        # reserve picks k+1..2k of the same hash order: tiny (≤k rows
+        # after the limit), computed once, numbered 1..k for pairing
+        # with vacated slots in refill order
+        pool = vecs.orderBy(sample_key.asc(), F.col("__vid").asc()) \
+                   .limit(2 * n_centroids)
+        pool_win = Window.orderBy(sample_key.asc(), F.col("__vid").asc())
+        reserve = materialize(
+            pool.withColumn("__pn", F.row_number().over(pool_win))
+                .filter(F.col("__pn") > n_centroids)
+                .select((F.col("__pn") - n_centroids).alias("__rn"),
+                        F.col("__v").alias("centroid_vec")),
+            checkpoint)
     for _ in range(max_iter):
         best = F.max(F.struct(
             dot(F.col("__v"), F.col("centroid_vec")).alias("sim"),
@@ -192,6 +221,18 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
                      lambda s: s["m"]).alias("centroid_vec")),
                  "centroid_vec"),
             checkpoint)
+        if reserve is not None and cents.count() < n_centroids:
+            spark = cents.sparkSession
+            expected = spark.range(1, n_centroids + 1).select(
+                F.col("id").cast("int").alias("centroid_id"))
+            vacated_win = Window.orderBy(F.col("centroid_id").asc())
+            vacated = (expected.join(cents.select("centroid_id"),
+                                     "centroid_id", "left_anti")
+                       .withColumn("__rn",
+                                   F.row_number().over(vacated_win)))
+            refill = (vacated.join(reserve, "__rn", "inner")
+                      .select("centroid_id", "centroid_vec"))
+            cents = materialize(cents.unionByName(refill), checkpoint)
     return cents
 
 

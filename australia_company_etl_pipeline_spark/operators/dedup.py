@@ -27,6 +27,25 @@ from pyspark.sql.window import Window
 
 HASH_PRIME = 1_000_000_007
 
+# Shingle frames persisted by minhash_dup_pairs / cross_corpus_dup_pairs.
+# They must outlive the returned (lazy) DataFrame's actions, so the
+# operators cannot unpersist eagerly; callers release them after their
+# terminal action via unpersist_shingles(). dedup_clusters does this
+# automatically (its CC loop materializes the pair set internally).
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def unpersist_shingles() -> int:
+    """Release every shingle frame persisted by the MinHash operators in
+    this process; returns how many were unpersisted. Call after the
+    terminal action on the returned pairs (safe any time — Spark
+    recomputes if a frame is re-used after release)."""
+    n = 0
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist()
+        n += 1
+    return n
+
 
 def content_key(cols: list[Column]) -> Column:
     """128-bit content digest (md5 hex) over concatenated columns."""
@@ -222,13 +241,16 @@ def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     The shingle projection feeds BOTH the signature build and the exact
     verify join, so it is persisted (memory-and-disk, evicted LRU) and
     computed once per corpus instead of twice — tokenize+shingle is the
-    second-biggest cost after signatures.
+    second-biggest cost after signatures. The cache must outlive this
+    (lazy) result's actions; call ``unpersist_shingles()`` once done to
+    release it instead of waiting for LRU eviction.
     """
     from pyspark import StorageLevel
 
     sh = (df.select(F.col(id_col),
                     word_ngrams(F.col(text_col), shingle).alias("__sh"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    _SHINGLE_CACHE.append(sh)
     cands = minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
     return (cands
             .join(sh.withColumnRenamed(id_col, "id_a")
@@ -359,8 +381,14 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
                                     threshold=threshold, **kwargs)
     else:
         raise ValueError(f"unknown method {method!r}")
-    cc = connected_components(pairs, nodes=df.select(id_col),
-                              node_col=id_col, checkpoint=checkpoint)
+    try:
+        # CC materializes the edge set eagerly in its first step, so the
+        # pair plan (and its persisted shingles) is fully consumed here
+        cc = connected_components(pairs, nodes=df.select(id_col),
+                                  node_col=id_col, checkpoint=checkpoint)
+    finally:
+        if method == "minhash":
+            unpersist_shingles()
     return cc.select(F.col("id").alias(id_col), "cluster_id",
                      (F.col("id") == F.col("cluster_id"))
                      .alias("is_canonical"))
@@ -490,6 +518,7 @@ def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,
     sh = (tagged.select(F.col(id_col), "__side",
                         word_ngrams(F.col(text_col), shingle).alias("__sh"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    _SHINGLE_CACHE.append(sh)
     buckets = _minhash_buckets(sh, id_col, ["__side"], num_hashes, bands)
     c = buckets.filter(F.col("__side") == "c").alias("a")
     b = buckets.filter(F.col("__side") == "b").alias("b")

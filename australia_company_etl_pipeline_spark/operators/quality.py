@@ -73,6 +73,17 @@ def source_freshness(df: DataFrame, ts_col: str, now: str,
     ``.filter(status != 'fresh')`` into ``suite_report`` to fold the SLA
     into the assertion suite as a violation check.
     """
+    # Validate driver-side: an unparseable `now` would cast to NULL,
+    # every age comparison would be NULL, and the status would silently
+    # fall through to 'fresh' — a malformed input passing the SLA.
+    from datetime import datetime
+
+    try:
+        datetime.fromisoformat(str(now))
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"source_freshness: `now` must be an ISO timestamp string, "
+            f"got {now!r}") from exc
     now_ts = F.lit(now).cast("timestamp")
     agg = df.agg(F.max(F.col(ts_col).cast("timestamp")).alias("max_ts"))
     age = F.round(

@@ -90,14 +90,23 @@ def ensure_min_partitions(df, target: int | None = None):
     degenerate case.
 
     The estimate comes from the input-file listing (Σ per-file
-    ceil(size / maxPartitionBytes); locally statted, remote files counted
-    as one split each — a lower bound, so remote many-file scans still
-    skip the shuffle). This deliberately avoids
-    ``df.rdd.getNumPartitions()``, which forces a second physical
+    ceil(size / maxPartitionBytes), locally statted). This deliberately
+    avoids ``df.rdd.getNumPartitions()``, which forces a second physical
     planning of the frame (the RDD conversion plans once, the real action
-    re-plans) — wasteful on catalog-heavy 100 TB plans. Frames with no
-    file inputs (in-memory relations) are repartitioned: they are
-    driver-local single partitions in every case this gate serves.
+    re-plans) — wasteful on catalog-heavy 100 TB plans.
+
+    Conservative fallbacks (the gate only ever SKIPS its shuffle when
+    unsure — a missed spread costs parallelism on one degenerate scan, a
+    wrong full shuffle costs a pass over the data):
+    - remote / unstattable file URIs have unknown sizes: a handful of
+      multi-GB object-store files is ≥ target true splits, so when any
+      size is unknown and the stattable floor hasn't reached the target,
+      the repartition is skipped rather than guessed;
+    - frames with NO file inputs are repartitioned only when their
+      analyzed plan has no shuffle-producing operator (join / aggregate /
+      sort / window / repartition / dedup). Driver-local relations — the
+      case this gate serves — stay spread; a post-shuffle in-memory frame
+      is already ``shuffle.partitions`` wide and is left alone.
     """
     target = target or cpu_count() * 2
     try:
@@ -107,16 +116,37 @@ def ensure_min_partitions(df, target: int | None = None):
     if files:
         max_bytes = _parse_bytes(df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728"))
-        est = 0
+        est, unknown = 0, False
         for uri in files:
             path = uri[len("file:"):] if uri.startswith("file:") else None
             if path and os.path.exists(path):
                 est += max(1, -(-os.path.getsize(path) // max_bytes))
             else:
-                est += 1
+                unknown = True
             if est >= target:
                 return df
+        if unknown:
+            return df
+        return df.repartition(target)
+    if _plan_has_shuffle_op(df):
+        return df
     return df.repartition(target)
+
+
+# Analyzed-plan node names that imply a shuffle (or an explicit
+# partitioning) already widened the frame. Substring match over the
+# analyzed plan string — cheap (no physical planning); a false positive
+# merely skips the spread, never adds a pure-loss shuffle.
+_SHUFFLE_OP_MARKERS = ("Join", "Aggregate", "Repartition", "Sort ",
+                      "Window", "Deduplicate", "Intersect", "Except")
+
+
+def _plan_has_shuffle_op(df) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return any(m in plan for m in _SHUFFLE_OP_MARKERS)
 
 
 def get_spark(app_name: str = "australia-company-etl-pipeline-spark",

@@ -190,18 +190,37 @@ def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
     prune the existing-side read; the merged rows are materialized
     before the write because Spark refuses a plan that reads and
     overwrites the same path.
+
+    Dynamic partition overwrite is scoped to THIS write via the writer
+    option — never set on the shared session conf, which would silently
+    turn every later ``mode('overwrite').partitionBy(...)`` in the same
+    session into a partition-scoped overwrite that leaves stale
+    partitions behind. Rows with a NULL partition value land in the
+    default (``__HIVE_DEFAULT_PARTITION__``) partition and merge against
+    it explicitly (``isin`` alone would skip NULLs under three-valued
+    logic and dynamic overwrite would then drop the partition's
+    un-updated keys).
     """
+    from functools import reduce
+
     from ..session import materialize
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if not os.path.exists(path):
         (updates.write.mode("overwrite").partitionBy(partition_col)
          .parquet(path))
         return
     affected = [r[0] for r in
                 updates.select(partition_col).distinct().collect()]
+    if not affected:  # empty batch: nothing to merge, nothing to rewrite
+        return
+    non_null = [a for a in affected if a is not None]
+    conds = []
+    if non_null:
+        conds.append(F.col(partition_col).isin(non_null))
+    if len(non_null) < len(affected):  # updates touch the NULL partition
+        conds.append(F.col(partition_col).isNull())
     existing = (spark.read.parquet(path)
-                .filter(F.col(partition_col).isin(affected))
+                .filter(reduce(lambda a, b: a | b, conds))
                 .withColumn("__src", F.lit(0)))
     merged = existing.unionByName(updates.withColumn("__src", F.lit(1)))
     order = [F.desc("__src")]
@@ -211,5 +230,7 @@ def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
     result = materialize(
         merged.withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") == 1).drop("__rn", "__src"))
-    (result.write.mode("overwrite").partitionBy(partition_col)
+    (result.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col)
      .parquet(path))

@@ -247,6 +247,45 @@ def test_kmeans_centroids_deterministic_and_shaped(spark, sf_dir):
     assert all(len(v) == dim for _, v in r1)
 
 
+def test_unpersist_shingles_releases_cache(spark):
+    """minhash_dup_pairs persists its shingle projection (it feeds both
+    the signature build and the verify join); unpersist_shingles() must
+    release everything tracked and drain the registry."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words in this one here")],
+        "doc_id long, text string")
+    pairs = dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8)
+    assert pairs.count() >= 1
+    assert dd.unpersist_shingles() >= 1
+    assert dd.unpersist_shingles() == 0
+
+
+def test_kmeans_empty_cluster_reseed_vs_drop(spark):
+    """A corpus with only two distinct vectors but k=3 forces the Lloyd's
+    degeneracy: a duplicated init centroid loses every max(struct) tie to
+    its lower-id twin and wins no vectors. on_empty='reseed' (default)
+    must refill the vacated id from the deterministic reserve so exactly
+    k centroids come back; on_empty='drop' pins the classic shrink."""
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    reseeded = ann.kmeans_centroids(corpus, n_centroids=3, max_iter=2)
+    rows = reseeded.collect()
+    assert len(rows) == 3, "reseed must return exactly n_centroids rows"
+    assert sorted(r.centroid_id for r in rows) == [1, 2, 3]
+    dropped = ann.kmeans_centroids(corpus, n_centroids=3, max_iter=2,
+                                   on_empty="drop")
+    assert dropped.count() < 3, "duplicate-init corpus should shrink k"
+    # deterministic across runs with reseeding in the loop
+    again = sorted((r.centroid_id, tuple(r.centroid_vec))
+                   for r in ann.kmeans_centroids(
+                       corpus, n_centroids=3, max_iter=2).collect())
+    assert again == sorted((r.centroid_id, tuple(r.centroid_vec))
+                           for r in rows)
+
+
 def test_minhash_signature_similar_docs_collide(spark):
     """Two texts sharing most shingles agree on most signature slots."""
     df = spark.createDataFrame(

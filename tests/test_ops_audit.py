@@ -133,6 +133,16 @@ def test_audit_log_diff_null_images(spark):
     assert json.loads(row.old_data) == {"k": 1, "name": None}
 
 
+def test_source_freshness_rejects_malformed_now(spark):
+    """An unparseable `now` used to cast to NULL and fall through to
+    'fresh' — it must raise driver-side instead of passing the SLA."""
+    import pytest
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string")
+    with pytest.raises(ValueError, match="ISO timestamp"):
+        quality.source_freshness(df, "ts", "not-a-timestamp")
+
+
 def test_source_freshness_thresholds(spark):
     """dbt sources.yml:24-26 parity: warn 24h / error 48h transitions,
     empty source → error, and suite_report integration (a stale partition

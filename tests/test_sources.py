@@ -285,6 +285,12 @@ def test_ensure_min_partitions_gate_without_rdd(spark, tmp_path, sf_dir):
     mem = spark.createDataFrame([(1,)], "x int")
     assert ensure_min_partitions(mem, target=4).rdd.getNumPartitions() == 4
 
+    # a post-shuffle in-memory frame is already shuffle.partitions wide —
+    # the gate must leave it alone (identity), not re-shuffle it
+    agg = (spark.range(0, 1000, 1, 8)
+           .groupBy((F.col("id") % 10).alias("g")).count())
+    assert ensure_min_partitions(agg, target=64) is agg
+
 
 def test_wet_scan_stats_and_delimiter_collision(spark, tmp_path):
     """Shred-loss metrics: clean archives report zero untyped frames; a
@@ -362,6 +368,31 @@ def test_upsert_parquet_partitioned_touches_only_affected(spark, tmp_path):
                                      partition_col="day",
                                      version_col="ver")
     assert {r.k: r.v for r in spark.read.parquet(path).collect()}[3] == "c2"
+
+
+def test_upsert_parquet_partitioned_null_partition_scoped_conf(
+        spark, tmp_path):
+    """Rows with a NULL partition value must merge against the existing
+    default partition (not silently delete its un-updated keys), and the
+    dynamic-overwrite setting must stay scoped to the write — the shared
+    session conf is never mutated."""
+    path = str(tmp_path / "ptbl_null")
+    v1 = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1), (3, "c", None)],
+        "k int, v string, day int")
+    sinks.upsert_parquet_partitioned(spark, path, v1, keys=["k"],
+                                     partition_col="day")
+    updates = spark.createDataFrame(
+        [(3, "c2", None), (9, "new", None)], "k int, v string, day int")
+    sinks.upsert_parquet_partitioned(spark, path, updates, keys=["k"],
+                                     partition_col="day")
+    got = {r.k: (r.v, r.day) for r in spark.read.parquet(path).collect()}
+    # key 1 lives in the NULL partition and was NOT in the batch — it
+    # must survive the partition rewrite
+    assert got == {1: ("a", None), 2: ("b", 1), 3: ("c2", None),
+                   9: ("new", None)}
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode").lower() == "static"
 
 
 def test_upsert_parquet_model_based(spark, tmp_path_factory):
