@@ -115,6 +115,31 @@ def quality_score(text: Column,
     return F.floor((q7 + 5) / 10) / 1e6
 
 
+def token_dup_ratio(text: Column) -> Column:
+    """Repetition signal (Gopher-style): fraction of tokens that are
+    repeats of an earlier token — ``1 - distinct/total``. 0 for empty
+    text. High values flag boilerplate/spam (nav bars, keyword stuffing)
+    that length/punctuation rules miss."""
+    t = tokens(text)
+    return F.round(
+        F.when(F.size(t) > 0,
+               1.0 - F.size(F.array_distinct(t)).cast("double")
+               / F.size(t))
+        .otherwise(F.lit(0.0)), 6)
+
+
+def line_dup_ratio(text: Column) -> Column:
+    """Repetition signal: fraction of non-blank lines that are exact
+    repeats of an earlier line — the classic crawl-boilerplate detector
+    (repeated headers/footers/menus)."""
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    return F.round(
+        F.when(F.size(lines) > 0,
+               1.0 - F.size(F.array_distinct(lines)).cast("double")
+               / F.size(lines))
+        .otherwise(F.lit(0.0)), 6)
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash of the full text, mod 1e9+7 — a stable,
     engine-portable document fingerprint (same fold in any SQL engine

@@ -52,13 +52,25 @@ base AS (
          round(CASE WHEN length(text) > 0 THEN
                CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
                     AS DOUBLE) / length(text)
-               ELSE 0.0 END, 6) AS punct_ratio
+               ELSE 0.0 END, 6) AS punct_ratio,
+         round(CASE WHEN len(toks) > 0 THEN
+               1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               ELSE 0.0 END, 6) AS token_dup_ratio,
+         round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\n'),
+                                         l -> trim(l) != '')) > 0 THEN
+               1.0 - CAST(len(list_distinct(list_filter(
+                     regexp_split_to_array(text, '\\n'),
+                     l -> trim(l) != ''))) AS DOUBLE)
+               / len(list_filter(regexp_split_to_array(text, '\\n'),
+                                 l -> trim(l) != ''))
+               ELSE 0.0 END, 6) AS line_dup_ratio
   FROM base
 ), prof AS (
   -- quality in exact integer micro-units (weighted sum on the 1e-7 grid,
   -- half-up to 1e-6) — bit-identical across engines, no float ties
   SELECT doc_id, text, n_tokens, n_units, mean_token_len,
          de_ratio, en_ratio, es_ratio, fr_ratio,
+         token_dup_ratio, line_dup_ratio,
          CASE WHEN greatest(de_ratio, en_ratio, es_ratio, fr_ratio) < 0.05
               THEN 'und'
               WHEN de_ratio = greatest(de_ratio, en_ratio, es_ratio, fr_ratio)
@@ -99,7 +111,8 @@ base AS (
 WITH {_PROFILE_CTES}
 SELECT doc_id, n_tokens, n_units, mean_token_len,
        de_ratio, en_ratio, es_ratio, fr_ratio, lang_pred,
-       punct_ratio, stopword_ratio, quality,
+       punct_ratio, stopword_ratio, token_dup_ratio, line_dup_ratio,
+       quality,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(regexp_split_to_array(text, ''),
@@ -120,6 +133,8 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.lang_id(F.col("text")).alias("lang_pred"),
         ts.punct_ratio(F.col("text")).alias("punct_ratio"),
         ts.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        ts.token_dup_ratio(F.col("text")).alias("token_dup_ratio"),
+        ts.line_dup_ratio(F.col("text")).alias("line_dup_ratio"),
         ts.quality_score(F.col("text")).alias("quality"),
         ts.fingerprint(F.col("text")).alias("fp"))
 

@@ -1,6 +1,8 @@
 """Training-data utility operators: sequence packing, deterministic
-sampling, greedy near-dup removal. (Registry window is at its 50-query
-cap — these are pytest-verified; COVERAGE.md lists them.)"""
+sampling, greedy near-dup removal, repetition signals. Since r4, packing
+/ vocab-ngram counts / filter stats are ALSO driver-gated (pack_docs,
+vocab_ngram_counts, corpus_filter_stats in plans/text.py); these tests
+pin the operator-level parameterizations the registry queries don't."""
 
 from __future__ import annotations
 
@@ -126,6 +128,23 @@ def test_corpus_filter_reasons_and_stats(spark):
     assert stats[None] == 1 and stats["empty"] == 2
     kept = out.filter(F.col("drop_reason").isNull())
     assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_repetition_ratios(spark):
+    """Gopher-style repetition signals: duplicate-token and
+    duplicate-line fractions, 0 on empty text, blank lines ignored."""
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, ""),
+         (4, "menu\nmenu\n\nbody text here")],
+        "doc_id long, text string")
+    rows = {r.doc_id: (r.t, r.l) for r in df.select(
+        "doc_id",
+        ts.token_dup_ratio(F.col("text")).alias("t"),
+        ts.line_dup_ratio(F.col("text")).alias("l")).collect()}
+    assert rows[1][0] == 0.5            # 4 tokens, 2 distinct
+    assert rows[2] == (0.0, 0.0)
+    assert rows[3] == (0.0, 0.0)
+    assert rows[4][1] == round(1 - 2 / 3, 6)  # 3 non-blank lines, 2 distinct
 
 
 def test_vocab_counts(spark):
