@@ -115,6 +115,67 @@ def quality_score(text: Column,
     return F.floor((q7 + 5) / 10) / 1e6
 
 
+# PII patterns, applied in a FIXED order (email before ABN before phone:
+# digit runs inside an already-redacted span can't re-match). Transparent
+# regexes, not a model — the deterministic scrub a training corpus gets
+# before anything else sees it.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    # 11-digit ABN, optional standard 2-3-3-3 spacing (functions/abn.py
+    # validates checksums; here any ABN-shaped number is sensitive)
+    ("abn", r"\b\d{2}[ ]?\d{3}[ ]?\d{3}[ ]?\d{3}\b"),
+    # AU-ish phone: +61/0 prefix then 8-9 digits with optional separators
+    ("phone", r"(?:\+61[ ]?|\(0\d\)[ ]?|0)\d(?:[ \-]?\d){7,8}\b"),
+)
+
+
+def redact_pii(text: Column,
+               kinds: tuple[str, ...] = ("email", "abn", "phone"),
+               marker: str = "[PII-{kind}]") -> Column:
+    """Scrub PII from a text column: each requested kind is replaced by
+    its marker (default ``[PII-email]`` etc.) via a chain of native
+    ``regexp_replace`` — JVM-side, codegen, no Python in the path.
+
+    The chain applies in ``PII_PATTERNS`` order regardless of ``kinds``
+    order, so overlapping matches resolve deterministically (an email's
+    digits are consumed before the ABN/phone patterns see them).
+    """
+    unknown = set(kinds) - {k for k, _ in PII_PATTERNS}
+    if unknown:
+        raise ValueError(f"unknown PII kinds {sorted(unknown)}; "
+                         f"supported: {[k for k, _ in PII_PATTERNS]}")
+    out = text
+    for kind, pattern in PII_PATTERNS:
+        if kind in kinds:
+            out = F.regexp_replace(out, pattern,
+                                   marker.format(kind=kind))
+    return out
+
+
+def pii_stats(df, text_col: str):
+    """(kind, n_docs, n_hits) per PII kind over a corpus — the audit
+    companion to ``redact_pii`` (scrub coverage must be observable: a
+    regex that silently stops matching is a compliance incident, not a
+    clean corpus). One scan; counts via native regexp_count."""
+    hit = df.select(*[
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(k)
+        for k, p in PII_PATTERNS
+    ])
+    agg = hit.agg(*(
+        [F.count(F.when(F.col(k) > 0, 1)).alias(f"{k}_d")
+         for k, _ in PII_PATTERNS]
+        + [F.coalesce(F.sum(k), F.lit(0)).cast("long").alias(f"{k}_h")
+           for k, _ in PII_PATTERNS]))
+    per_kind = F.array(*[
+        F.struct(F.lit(k).alias("kind"),
+                 F.col(f"{k}_d").alias("n_docs"),
+                 F.col(f"{k}_h").alias("n_hits"))
+        for k, _ in PII_PATTERNS
+    ])
+    return (agg.select(F.explode(per_kind).alias("s"))
+            .select("s.kind", "s.n_docs", "s.n_hits"))
+
+
 def token_dup_ratio(text: Column) -> Column:
     """Repetition signal (Gopher-style): fraction of tokens that are
     repeats of an earlier token — ``1 - distinct/total``. 0 for empty

@@ -296,6 +296,40 @@ def stream_to_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
+def stream_upsert_parquet(stream: DataFrame, path: str,
+                          keys: list[str], partition_col: str,
+                          checkpoint_dir: str,
+                          version_col: str | None = None,
+                          available_now: bool = True):
+    """Continuous ingest → partition-scoped MERGE: every micro-batch is
+    upserted into the parquet table via ``upsert_parquet_partitioned``
+    (``foreachBatch`` — the standard Structured Streaming pattern for
+    sinks with merge semantics Spark's file sink lacks).
+
+    Delivery contract: the checkpoint makes batch REPLAY possible (a
+    crashed trigger re-runs its batch), and the keyed MERGE makes replay
+    IDEMPOTENT — re-upserting the same rows is a no-op, so the composite
+    is effectively-once per key, the property an at-least-once source
+    (redelivering landing files, Kafka without transactions) needs
+    before a queryable table. Cost per trigger is O(touched partitions),
+    so a steady stream into a date-partitioned table rewrites only the
+    hot partitions.
+    """
+    from ..sources.sinks import upsert_parquet_partitioned
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet_partitioned(
+            batch_df.sparkSession, path, batch_df,
+            keys=keys, partition_col=partition_col,
+            version_col=version_col)
+
+    writer = (stream.writeStream.foreachBatch(merge_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str,
                   checkpoint_dir: str | None = None):
     """Drain a stream into an in-memory table (test/debug sink)."""
@@ -311,5 +345,5 @@ __all__ = [
     "EVENTS_SCHEMA", "stage_event_batches", "read_events_stream",
     "tumbling_counts", "sliding_counts", "session_windows",
     "sessionize_stateful", "dedup_stream", "dedup_within_horizon",
-    "stream_to_parquet", "run_to_memory",
+    "stream_to_parquet", "stream_upsert_parquet", "run_to_memory",
 ]

@@ -130,6 +130,75 @@ def test_corpus_filter_reasons_and_stats(spark):
     assert [r.doc_id for r in kept.collect()] == [1]
 
 
+def test_redact_pii_and_stats(spark):
+    """PII scrub: emails / ABN-shaped numbers / AU phones replaced by
+    kind markers in a fixed order; the stats companion reports doc and
+    hit counts per kind over one scan."""
+    df = spark.createDataFrame(
+        [(1, "contact jo.bloggs+x@example.com.au or jo@ex.co today"),
+         (2, "ABN 51 824 753 556 and phone 0412 345 678"),
+         (3, "call +61 2 9374 4000 now"),
+         (4, "nothing sensitive here at all")],
+        "doc_id long, text string")
+    red = {r.doc_id: r.t for r in df.select(
+        "doc_id", ts.redact_pii(F.col("text")).alias("t")).collect()}
+    assert red[1] == "contact [PII-email] or [PII-email] today"
+    assert red[2] == "ABN [PII-abn] and phone [PII-phone]"
+    assert red[3] == "call [PII-phone] now"
+    assert red[4] == "nothing sensitive here at all"
+    # kind subsetting + unknown-kind guard
+    only_email = df.select(ts.redact_pii(
+        F.col("text"), kinds=("email",)).alias("t")).collect()
+    assert any("0412" in r.t for r in only_email)
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        ts.redact_pii(F.col("text"), kinds=("ssn",))
+
+    stats = {r.kind: (r.n_docs, r.n_hits)
+             for r in ts.pii_stats(df, "text").collect()}
+    assert stats["email"] == (1, 2)
+    assert stats["abn"] == (1, 1)
+    assert stats["phone"] == (2, 2)
+
+
+def test_stream_upsert_parquet_idempotent_merge(spark, tmp_path):
+    """foreachBatch MERGE sink: a replayed stream (same keys, higher
+    version) upserts instead of appending — the effectively-once-per-key
+    contract an at-least-once source needs."""
+    from australia_company_etl_pipeline_spark.streaming import (
+        events_stream as es,
+    )
+
+    landing = str(tmp_path / "landing")
+    v1 = spark.createDataFrame(
+        [(1, "a", "x", 1), (2, "b", "x", 1), (3, "c", "y", 1)],
+        "k long, v string, shard string, ver int")
+    v1.coalesce(1).write.mode("append").parquet(landing)
+
+    schema = "k long, v string, shard string, ver int"
+    table_dir = str(tmp_path / "table")
+
+    def drain(checkpoint):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(landing))
+        q = es.stream_upsert_parquet(
+            stream, table_dir, keys=["k"], partition_col="shard",
+            checkpoint_dir=checkpoint, version_col="ver")
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "cp1"))
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: ("a", 1), 2: ("b", 1), 3: ("c", 1)}
+
+    # replay + update batch: key 2 updated, key 9 new, key 1 redelivered
+    v2 = spark.createDataFrame(
+        [(2, "b2", "x", 2), (9, "n", "y", 2), (1, "a", "x", 1)],
+        schema)
+    v2.coalesce(1).write.mode("append").parquet(landing)
+    drain(str(tmp_path / "cp1"))  # same checkpoint: only the new file runs
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1), 9: ("n", 2)}
+
+
 def test_repetition_ratios(spark):
     """Gopher-style repetition signals: duplicate-token and
     duplicate-line fractions, 0 on empty text, blank lines ignored."""
