@@ -158,10 +158,11 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     corpus vectors in the seeded hash order after the k init picks), so
     exactly ``n_centroids`` rows always come back; ``on_empty='drop'``
     keeps the classic behavior where k silently shrinks. The refill is
-    driver-free: the emptiness check is a count on the k-row materialized
-    frame, and the refill joins run on ≤k-row frames — nothing touches
-    the corpus. (A corpus smaller than 2·n_centroids can exhaust the
-    reserve, in which case uncovered vacancies degrade to 'drop'.)"""
+    free at the job level: the vacancy anti-join and reserve pairing run
+    on ≤k-row frames inside each round's existing materialize — no extra
+    action, no driver round-trip, nothing touches the corpus. (A corpus
+    smaller than 2·n_centroids can exhaust the reserve, in which case
+    uncovered vacancies degrade to 'drop'.)"""
     from ..session import materialize
 
     def unit(df: DataFrame, vec: str) -> DataFrame:
@@ -210,29 +211,33 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
                     .groupBy("__vid")
                     .agg(best, F.first("__v").alias("__v"))
                     .select(F.col("b.cid").alias("centroid_id"), "__v"))
-        cents = materialize(
-            unit(assigned
-                 .select("centroid_id", F.posexplode("__v").alias("pos", "x"))
-                 .groupBy("centroid_id", "pos")
-                 .agg(F.avg("x").alias("m"))
-                 .groupBy("centroid_id")
-                 .agg(F.transform(
-                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                     lambda s: s["m"]).alias("centroid_vec")),
-                 "centroid_vec"),
-            checkpoint)
-        if reserve is not None and cents.count() < n_centroids:
-            spark = cents.sparkSession
+        updated = unit(
+            assigned
+            .select("centroid_id", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("centroid_vec")),
+            "centroid_vec")
+        if reserve is not None:
+            # refill vacated ids INSIDE this round's materialize: the
+            # anti-join/inner-join run on ≤k-row frames within the same
+            # job — no per-round count() action, a no-op when no
+            # cluster emptied
+            spark = updated.sparkSession
             expected = spark.range(1, n_centroids + 1).select(
                 F.col("id").cast("int").alias("centroid_id"))
             vacated_win = Window.orderBy(F.col("centroid_id").asc())
-            vacated = (expected.join(cents.select("centroid_id"),
+            vacated = (expected.join(updated.select("centroid_id"),
                                      "centroid_id", "left_anti")
                        .withColumn("__rn",
                                    F.row_number().over(vacated_win)))
             refill = (vacated.join(reserve, "__rn", "inner")
                       .select("centroid_id", "centroid_vec"))
-            cents = materialize(cents.unionByName(refill), checkpoint)
+            updated = updated.unionByName(refill)
+        cents = materialize(updated, checkpoint)
     return cents
 
 
@@ -249,7 +254,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     centroids = kmeans_centroids(corpus, n_centroids, kmeans_iter,
                                  id_col, vec_col, seed, checkpoint)
 
-    def assign(df: DataFrame, v: str, key: str, keep: int) -> DataFrame:
+    def assign_nprobe(df: DataFrame, v: str, key: str,
+                      keep: int) -> DataFrame:
+        # window form — fine for the QUERY side (small by definition)
         pairs = df.crossJoin(F.broadcast(centroids))
         win = Window.partitionBy(key).orderBy(
             F.desc("__csim"), F.asc("centroid_id"))
@@ -259,8 +266,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .filter(F.col("__cr") <= keep)
                 .drop("__csim", "__cr", "centroid_vec"))
 
-    c = assign(corpus, vec_col, id_col, 1)
-    q = assign(queries, query_vec_col, query_id_col, n_probe)
+    # CORPUS side: nearest-list assignment via max(struct) partial agg —
+    # map-side combine shrinks the shuffle to one row per vector, where
+    # a row_number window would shuffle and sort all n×k scored pairs
+    # (same shape as the Lloyd's loop; same argmax + lowest-id tie-break)
+    best = F.max(F.struct(
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("sim"),
+        (-F.col("centroid_id")).alias("neg_cid"),
+        F.col("centroid_id").alias("cid"))).alias("b")
+    c = (corpus.crossJoin(F.broadcast(centroids))
+         .groupBy(id_col)
+         .agg(best, F.first(vec_col).alias(vec_col))
+         .select(F.col("b.cid").alias("centroid_id"),
+                 F.col(id_col), F.col(vec_col)))
+    q = assign_nprobe(queries, query_vec_col, query_id_col, n_probe)
     pairs = c.join(F.broadcast(q), "centroid_id", "inner")
     scored = pairs.select(
         F.col(query_id_col), F.col(id_col),
