@@ -158,16 +158,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hashed_dup_pairs",
-    doc="Hash-sketch near-dup pairs, both families in one result (fold of "
-        "r2's minhash_dup_pairs / simhash_dup_pairs to fit the driver's "
-        "query window): method='minhash' rows are MinHash+LSH candidates "
-        "(32 hashes, 8 bands — the fast preset; recall ≥0.9 pinned in "
-        "tests/test_dedup_ann.py) verified with exact trigram Jaccard "
-        "≥0.8 (score = jaccard); method='simhash' rows are 64-bit SimHash "
-        "pairs within hamming ≤ 8 via 16-bit band blocking (score = "
-        "hamming distance). murmur3/xxhash64 are Spark-specific → "
+    doc="Hash-sketch near-dup pairs, three families in one result (r2 "
+        "folded minhash+simhash to fit the driver's query window; r4 adds "
+        "the decontamination pairs): method='minhash' rows are "
+        "MinHash+LSH candidates (32 hashes, 8 bands — the fast preset; "
+        "recall ≥0.9 pinned in tests/test_dedup_ann.py) verified with "
+        "exact trigram Jaccard ≥0.8 (score = jaccard); method='simhash' "
+        "rows are 64-bit SimHash pairs within hamming ≤ 8 via 16-bit "
+        "band blocking (score = hamming distance); method='cross_corpus' "
+        "rows are benchmark-decontamination hits (id_a = corpus doc, "
+        "id_b = benchmark doc — every 13th original stands in as the "
+        "eval set; candidates pair only ACROSS the sides, the benchmark "
+        "never self-joins). murmur3/xxhash64 are Spark-specific → "
         "rows-only driver check; tests pin recall against the exact "
-        "ngram_jaccard baseline and planted duplicates.",
+        "ngram_jaccard baseline, planted duplicates, and planted leaks.",
     tags=("dedup",),
     oracle=None,  # hash functions are engine-specific; see test_dedup_ann.py
 )
@@ -180,7 +184,16 @@ def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
           .select(F.lit("simhash").alias("method"), "id_a", "id_b",
                   F.col("hamming").cast("double").alias("score")))
-    return mh.unionByName(sh)
+    bench = (table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 13 == 0)
+             .select("doc_id", "text"))
+    cc = (dd.cross_corpus_dup_pairs(corpus, bench, "text", "doc_id",
+                                    threshold=0.8, num_hashes=32, bands=8)
+          .select(F.lit("cross_corpus").alias("method"),
+                  F.col("corpus_id").alias("id_a"),
+                  F.col("benchmark_id").alias("id_b"),
+                  F.col("jaccard").alias("score")))
+    return mh.unionByName(sh).unionByName(cc)
 
 
 _EMB_DUPS_SQL = """

@@ -41,6 +41,26 @@ def test_simhash_finds_planted_dups(spark, sf_dir):
     assert all(got[p] == 0.0 for p in found)  # identical text → hamming 0
 
 
+def test_cross_corpus_branch_in_hashed_dup_pairs(spark, sf_dir):
+    """The method='cross_corpus' rows are decontamination hits: corpus
+    docs (incl. the planted copies) that near-duplicate a benchmark doc
+    (every 13th original). Identical texts share every MinHash band, so
+    self-leaks and exact-copy leaks are found with certainty at 1.0."""
+    merged = plans.REGISTRY["hashed_dup_pairs"].builder(spark, sf_dir)
+    cc = {(r.id_a, r.id_b): r.score
+          for r in merged.filter(F.col("method") == "cross_corpus")
+          .collect()}
+    assert cc, "no cross-corpus rows"
+    # benchmark side is always an original doc from the eval slice
+    assert all(b % 13 == 0 and b < 100000 for _, b in cc)
+    # every benchmark doc is itself in the corpus → self-leak at 1.0
+    for b in range(0, 500, 13):
+        assert cc[(b, b)] == 1.0
+    # exact corpus copies (+100000, every 10th) of benchmark docs
+    for b in (0, 130, 260, 390):
+        assert cc[(b + 100000, b)] == 1.0
+
+
 def test_exact_dedup_keeps_lowest_id(spark, sf_dir):
     rows = plans.REGISTRY["exact_dedup_docs"].builder(spark, sf_dir).collect()
     kept = {r.keeper_id for r in rows}
