@@ -27,9 +27,24 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+# Each metric has a tokens-first `*_t(toks, ...)` form plus a text-based
+# convenience wrapper. Callers combining several metrics over one scan
+# (doc_profile, corpus_filter) STAGE the token array once —
+# ``withColumn('__toks', tokens(text))`` — and use the `_t` forms:
+# lambda-bearing expressions are excluded from codegen subexpression
+# elimination, so the wrapper forms would re-split the text per metric
+# (measured ~3× slower for the 13-column profile). CollapseProject keeps
+# a multiply-referenced non-trivial alias staged, so the single split
+# survives optimization.
+
+
+def token_count_t(toks: Column) -> Column:
+    return F.size(toks)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
-    return F.size(tokens(text))
+    return token_count_t(tokens(text))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -38,27 +53,31 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"(?U)\w+|[^\w\s]"))
 
 
-def marker_hits(text: Column, markers: list[str]) -> Column:
+def marker_hits_t(toks: Column, markers: list[str]) -> Column:
     """Number of tokens that are in the marker set."""
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-hit ratios (hits / token count)."""
-    n = token_count(text).cast("double")
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    return marker_hits_t(tokens(text), markers)
+
+
+def lang_scores_t(toks: Column) -> dict[str, Column]:
+    n = token_count_t(toks).cast("double")
     return {
-        lang: F.round(F.when(n > 0, marker_hits(text, m) / n)
+        lang: F.round(F.when(n > 0, marker_hits_t(toks, m) / n)
                       .otherwise(F.lit(0.0)), 6)
         for lang, m in LANG_MARKERS.items()
     }
 
 
-def lang_id(text: Column, min_ratio: float = 0.05) -> Column:
-    """Predicted language: highest marker ratio, 'und' if below min_ratio.
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit ratios (hits / token count)."""
+    return lang_scores_t(tokens(text))
 
-    Ties break by language-code order (deterministic).
-    """
-    scores = lang_scores(text)
+
+def lang_id_t(toks: Column, min_ratio: float = 0.05) -> Column:
+    scores = lang_scores_t(toks)
     best_lang, best_score = F.lit("und"), F.lit(min_ratio - 1e-12)
     for lang in sorted(scores):  # later langs must beat strictly
         s = scores[lang]
@@ -68,26 +87,56 @@ def lang_id(text: Column, min_ratio: float = 0.05) -> Column:
     return best_lang
 
 
+def lang_id(text: Column, min_ratio: float = 0.05) -> Column:
+    """Predicted language: highest marker ratio, 'und' if below min_ratio.
+
+    Ties break by language-code order (deterministic).
+    """
+    return lang_id_t(tokens(text), min_ratio)
+
+
 def punct_ratio(text: Column) -> Column:
     n = F.length(text).cast("double")
     p = F.length(F.regexp_replace(text, r"(?U)[\w\s]", "")).cast("double")
     return F.round(F.when(n > 0, p / n).otherwise(F.lit(0.0)), 6)
 
 
-def stopword_ratio(text: Column) -> Column:
+def stopword_ratio_t(toks: Column) -> Column:
     return F.round(
-        F.when(token_count(text) > 0,
-               marker_hits(text, LANG_MARKERS["en"])
-               / token_count(text).cast("double"))
+        F.when(token_count_t(toks) > 0,
+               marker_hits_t(toks, LANG_MARKERS["en"])
+               / token_count_t(toks).cast("double"))
         .otherwise(F.lit(0.0)), 6)
 
 
-def mean_token_len(text: Column) -> Column:
-    t = tokens(text)
-    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.round(F.when(F.size(t) > 0,
-                          total.cast("double") / F.size(t))
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_t(tokens(text))
+
+
+def mean_token_len_t(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(F.when(F.size(toks) > 0,
+                          total.cast("double") / F.size(toks))
                    .otherwise(F.lit(0.0)), 6)
+
+
+def mean_token_len(text: Column) -> Column:
+    return mean_token_len_t(tokens(text))
+
+
+def quality_score_t(text: Column, toks: Column,
+                    ideal_len: int = 500) -> Column:
+    ls6 = F.round(F.least(F.length(text).cast("double") / ideal_len,
+                          F.lit(1.0)) * 1e6, 0).cast("long")
+    p6 = F.round(punct_ratio(text) * 1e6, 0).cast("long")
+    pp6 = F.lit(1_000_000) - F.least(p6 * 4, F.lit(1_000_000))
+    mtl = mean_token_len_t(toks)
+    ws6 = (F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1_000_000))
+           .otherwise(F.lit(500_000)).cast("long"))
+    s6 = F.round(stopword_ratio_t(toks) * 1e6, 0).cast("long")
+    ss6 = F.least(s6 * 5, F.lit(1_000_000))
+    q7 = 4 * ls6 + 3 * pp6 + 2 * ws6 + ss6
+    return F.floor((q7 + 5) / 10) / 1e6
 
 
 def quality_score(text: Column,
@@ -102,17 +151,7 @@ def quality_score(text: Column,
     lands on exact .5 rounding ties where engines disagree by one ulp.
     Integer arithmetic makes the result bit-identical across engines.
     """
-    ls6 = F.round(F.least(F.length(text).cast("double") / ideal_len,
-                          F.lit(1.0)) * 1e6, 0).cast("long")
-    p6 = F.round(punct_ratio(text) * 1e6, 0).cast("long")
-    pp6 = F.lit(1_000_000) - F.least(p6 * 4, F.lit(1_000_000))
-    mtl = mean_token_len(text)
-    ws6 = (F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1_000_000))
-           .otherwise(F.lit(500_000)).cast("long"))
-    s6 = F.round(stopword_ratio(text) * 1e6, 0).cast("long")
-    ss6 = F.least(s6 * 5, F.lit(1_000_000))
-    q7 = 4 * ls6 + 3 * pp6 + 2 * ws6 + ss6
-    return F.floor((q7 + 5) / 10) / 1e6
+    return quality_score_t(text, tokens(text), ideal_len)
 
 
 # PII patterns, applied in a FIXED order (email before ABN before phone:
@@ -176,17 +215,20 @@ def pii_stats(df, text_col: str):
             .select("s.kind", "s.n_docs", "s.n_hits"))
 
 
+def token_dup_ratio_t(toks: Column) -> Column:
+    return F.round(
+        F.when(F.size(toks) > 0,
+               1.0 - F.size(F.array_distinct(toks)).cast("double")
+               / F.size(toks))
+        .otherwise(F.lit(0.0)), 6)
+
+
 def token_dup_ratio(text: Column) -> Column:
     """Repetition signal (Gopher-style): fraction of tokens that are
     repeats of an earlier token — ``1 - distinct/total``. 0 for empty
     text. High values flag boilerplate/spam (nav bars, keyword stuffing)
     that length/punctuation rules miss."""
-    t = tokens(text)
-    return F.round(
-        F.when(F.size(t) > 0,
-               1.0 - F.size(F.array_distinct(t)).cast("double")
-               / F.size(t))
-        .otherwise(F.lit(0.0)), 6)
+    return token_dup_ratio_t(tokens(text))
 
 
 def line_dup_ratio(text: Column) -> Column:
@@ -284,26 +326,30 @@ def corpus_filter(df, text_col: str,
     a fixed order) so rejected volume is attributable — a filter that
     silently deletes 40% of a crawl is undebuggable at 100 TB.
 
-    All rules evaluate in a single projection over one scan (the lang /
-    quality / ratio expressions share the tokenization subtrees).
-    ``corpus_filter_stats`` aggregates the reasons; ``.filter(drop_reason
-    IS NULL)`` is the keep path.
+    All rules evaluate over one scan with the token array STAGED once
+    (`__toks` projection + the `_t` metric forms — lambda expressions
+    are outside codegen CSE, so sharing the split is an explicit stage,
+    not an optimizer freebie). ``corpus_filter_stats`` aggregates the
+    reasons; ``.filter(drop_reason IS NULL)`` is the keep path.
     """
     t = F.col(text_col)
-    n_tok = token_count(t)
+    toks = F.col("__toks")
+    n_tok = token_count_t(toks)
     checks = [
         ("empty", t.isNull() | (F.trim(t) == "")),
         ("too_short", n_tok < min_tokens),
         ("too_long", n_tok > max_tokens),
         ("punct_heavy", punct_ratio(t) > max_punct_ratio),
-        ("low_quality", quality_score(t) < min_quality),
+        ("low_quality", quality_score_t(t, toks) < min_quality),
     ]
     if allowed_langs is not None:
-        checks.append(("lang", ~lang_id(t).isin(*allowed_langs)))
+        checks.append(("lang", ~lang_id_t(toks).isin(*allowed_langs)))
     reason = F.lit(None).cast("string")
     for name, cond in reversed(checks):
         reason = F.when(cond, name).otherwise(reason)
-    return df.withColumn("drop_reason", reason)
+    return (df.withColumn("__toks", tokens(t))
+            .withColumn("drop_reason", reason)
+            .drop("__toks"))
 
 
 def corpus_filter_stats(filtered) -> "DataFrame":

@@ -122,20 +122,25 @@ FROM prof
 """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    scores = ts.lang_scores(F.col("text"))
+    # stage the token array ONCE (lambda exprs are outside codegen CSE —
+    # the 13 metric columns would otherwise each re-split the text;
+    # staging measured ~3× faster at sf0.1)
+    d = (table(spark, sf_dir, "documents")
+         .withColumn("__toks", ts.tokens(F.col("text"))))
+    toks = F.col("__toks")
+    scores = ts.lang_scores_t(toks)
     return d.select(
         "doc_id",
-        ts.token_count(F.col("text")).alias("n_tokens"),
+        ts.token_count_t(toks).alias("n_tokens"),
         ts.bpe_ish_token_count(F.col("text")).alias("n_units"),
-        ts.mean_token_len(F.col("text")).alias("mean_token_len"),
+        ts.mean_token_len_t(toks).alias("mean_token_len"),
         *[scores[lang].alias(f"{lang}_ratio") for lang in sorted(scores)],
-        ts.lang_id(F.col("text")).alias("lang_pred"),
+        ts.lang_id_t(toks).alias("lang_pred"),
         ts.punct_ratio(F.col("text")).alias("punct_ratio"),
-        ts.stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        ts.token_dup_ratio(F.col("text")).alias("token_dup_ratio"),
+        ts.stopword_ratio_t(toks).alias("stopword_ratio"),
+        ts.token_dup_ratio_t(toks).alias("token_dup_ratio"),
         ts.line_dup_ratio(F.col("text")).alias("line_dup_ratio"),
-        ts.quality_score(F.col("text")).alias("quality"),
+        ts.quality_score_t(F.col("text"), toks).alias("quality"),
         ts.fingerprint(F.col("text")).alias("fp"))
 
 
