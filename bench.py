@@ -65,12 +65,17 @@ def main() -> None:
     # spike on the shared bench machine hits different queries each
     # round); per-query MEDIAN is reported — one slow outlier round no
     # longer masks or fakes a regression (±40% external noise observed).
+    from australia_company_etl_pipeline_spark.operators import dedup as dd
+
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(REPS):
         for name in names:
             t0 = time.perf_counter()
             force(plans.REGISTRY[name].builder(spark, sf_dir))
             times[name].append(time.perf_counter() - t0)
+            # release per-query operator caches (MinHash shingles) so
+            # repetitions don't accumulate executor storage across runs
+            dd.unpersist_shingles()
     per_query = {n: round(statistics.median(ts), 3)
                  for n, ts in times.items()}
     total = round(sum(per_query.values()), 3)
