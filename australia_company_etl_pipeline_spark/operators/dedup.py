@@ -226,9 +226,27 @@ def _minhash_buckets(sh: DataFrame, id_col: str, extra_cols: list[str],
     return banded.select(*keep, "bucket.band", "bucket.bh")
 
 
+def shingle_frame(df: DataFrame, text_col: str, id_col: str,
+                  shingle: int = 3, persist: bool = True) -> DataFrame:
+    """``(id_col, __sh)`` shingle projection — tokenize+shingle is the
+    second-biggest near-dup cost, so callers running several sketch
+    families over one corpus build this ONCE and pass it to each
+    operator. Persisted (memory-and-disk) and tracked for
+    ``unpersist_shingles()`` unless ``persist=False``."""
+    from pyspark import StorageLevel
+
+    sh = df.select(F.col(id_col),
+                   word_ngrams(F.col(text_col), shingle).alias("__sh"))
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE.append(sh)
+    return sh
+
+
 def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.8, num_hashes: int = 64,
-                      shingle: int = 3, bands: int = 16) -> DataFrame:
+                      shingle: int = 3, bands: int = 16,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact n-gram Jaccard.
 
     Candidates from LSH buckets; each candidate pair is then verified, so
@@ -243,14 +261,12 @@ def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     computed once per corpus instead of twice — tokenize+shingle is the
     second-biggest cost after signatures. The cache must outlive this
     (lazy) result's actions; call ``unpersist_shingles()`` once done to
-    release it instead of waiting for LRU eviction.
+    release it instead of waiting for LRU eviction. Pass a pre-built
+    ``shingles`` frame (see ``shingle_frame``) to share the projection
+    with other sketch families over the same corpus.
     """
-    from pyspark import StorageLevel
-
-    sh = (df.select(F.col(id_col),
-                    word_ngrams(F.col(text_col), shingle).alias("__sh"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    _SHINGLE_CACHE.append(sh)
+    sh = (shingles if shingles is not None
+          else shingle_frame(df, text_col, id_col, shingle))
     cands = minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
     return (cands
             .join(sh.withColumnRenamed(id_col, "id_a")
@@ -497,7 +513,9 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
 def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,
                            text_col: str, id_col: str,
                            threshold: float = 0.8, num_hashes: int = 32,
-                           shingle: int = 3, bands: int = 8) -> DataFrame:
+                           shingle: int = 3, bands: int = 8,
+                           corpus_shingles: DataFrame | None = None,
+                           ) -> DataFrame:
     """Decontamination pairs: corpus documents that near-duplicate a
     *benchmark/eval* document → ``(corpus_id, benchmark_id, jaccard)``.
 
@@ -507,18 +525,17 @@ def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,
     only ACROSS the two sides (a corpus row with a benchmark row), so the
     benchmark side — typically millions of times smaller — never
     self-joins; every candidate is verified with exact shingle Jaccard,
-    so precision is exact and recall follows the LSH preset.
+    so precision is exact and recall follows the LSH preset. Pass
+    ``corpus_shingles`` (see ``shingle_frame``) to reuse an
+    already-persisted corpus shingle pass — only the (tiny) benchmark
+    side is then shingled here.
     """
-    from pyspark import StorageLevel
-
-    tagged = (corpus.select(F.col(id_col), F.col(text_col))
-              .withColumn("__side", F.lit("c"))
-              .unionByName(benchmark.select(F.col(id_col), F.col(text_col))
-                           .withColumn("__side", F.lit("b"))))
-    sh = (tagged.select(F.col(id_col), "__side",
-                        word_ngrams(F.col(text_col), shingle).alias("__sh"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    _SHINGLE_CACHE.append(sh)
+    csh = (corpus_shingles if corpus_shingles is not None
+           else shingle_frame(corpus, text_col, id_col, shingle))
+    bsh = shingle_frame(benchmark, text_col, id_col, shingle)
+    sh = (csh.select(F.col(id_col), F.lit("c").alias("__side"), "__sh")
+          .unionByName(bsh.select(F.col(id_col),
+                                  F.lit("b").alias("__side"), "__sh")))
     buckets = _minhash_buckets(sh, id_col, ["__side"], num_hashes, bands)
     c = buckets.filter(F.col("__side") == "c").alias("a")
     b = buckets.filter(F.col("__side") == "b").alias("b")
@@ -527,13 +544,11 @@ def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,
              .select(F.col(f"a.{id_col}").alias("corpus_id"),
                      F.col(f"b.{id_col}").alias("benchmark_id"))
              .distinct())
-    csh = (sh.filter(F.col("__side") == "c")
-           .select(F.col(id_col).alias("corpus_id"),
-                   F.col("__sh").alias("__sh_c")))
-    bsh = (sh.filter(F.col("__side") == "b")
-           .select(F.col(id_col).alias("benchmark_id"),
-                   F.col("__sh").alias("__sh_b")))
-    return (cands.join(csh, "corpus_id").join(bsh, "benchmark_id")
+    csh_v = csh.select(F.col(id_col).alias("corpus_id"),
+                       F.col("__sh").alias("__sh_c"))
+    bsh_v = bsh.select(F.col(id_col).alias("benchmark_id"),
+                       F.col("__sh").alias("__sh_b"))
+    return (cands.join(csh_v, "corpus_id").join(bsh_v, "benchmark_id")
             .select("corpus_id", "benchmark_id",
                     F.round(jaccard_arrays(F.col("__sh_c"),
                                            F.col("__sh_b")), 6)

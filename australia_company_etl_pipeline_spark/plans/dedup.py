@@ -177,8 +177,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
+    # ONE shingle pass feeds both shingle-based families (minhash +
+    # cross-corpus); only the tiny benchmark side is shingled separately
+    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
     mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
-                               num_hashes=32, bands=8)
+                               num_hashes=32, bands=8, shingles=shingles)
           .select(F.lit("minhash").alias("method"), "id_a", "id_b",
                   F.col("jaccard").alias("score")))
     sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
@@ -188,7 +191,8 @@ def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("doc_id") % 13 == 0)
              .select("doc_id", "text"))
     cc = (dd.cross_corpus_dup_pairs(corpus, bench, "text", "doc_id",
-                                    threshold=0.8, num_hashes=32, bands=8)
+                                    threshold=0.8, num_hashes=32, bands=8,
+                                    corpus_shingles=shingles)
           .select(F.lit("cross_corpus").alias("method"),
                   F.col("corpus_id").alias("id_a"),
                   F.col("benchmark_id").alias("id_b"),
