@@ -115,6 +115,28 @@ def test_cascade_arrow_payload_trimmed(spark, sf_dir):
     assert "CASE WHEN" in args, args
 
 
+def test_doc_profile_single_scan_no_shuffle(spark, sf_dir):
+    """The r4 fold's claim: all 13 profile metrics collapse into ONE
+    scan + projection — no Exchange, no second scan, and the staged
+    token array survives as a single split (the plan would show the
+    split inlined per metric if CollapseProject duplicated it)."""
+    plan = _plan(plans.REGISTRY["doc_profile"].builder(spark, sf_dir))
+    counts = _node_counts(plan)
+    assert counts["Scan"] == 1, counts
+    assert counts["Exchange"] == 0, counts
+
+
+def test_pack_docs_single_window_pass(spark, sf_dir):
+    """Sequence packing is ONE running-total window over the shard key:
+    exactly one exchange (hash partitioning on lang), one Window, no
+    join, no global single-partition sort."""
+    plan = _plan(plans.REGISTRY["pack_docs"].builder(spark, sf_dir))
+    counts = _node_counts(plan)
+    assert counts["Window"] == 1, counts
+    assert counts["Exchange"] == 1, counts
+    assert "SinglePartition" not in plan, "global-order funnel"
+
+
 def test_cobucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must join with NO Exchange in
     the plan (the write-once-shuffle-never-again contract of
