@@ -359,6 +359,44 @@ def corpus_filter_stats(filtered) -> "DataFrame":
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def chunk_documents(df, text_col: str, id_col: str,
+                    chunk_tokens: int = 512, overlap: int = 64):
+    """Sliding-window chunking → ``(id_col, chunk_idx, chunk_text,
+    n_chunk_tokens)`` — the embedding/RAG prep step that splits long
+    documents into fixed-size token windows with ``overlap`` tokens of
+    context carried across boundaries.
+
+    Chunk i covers tokens ``[i·step, i·step + chunk_tokens)`` with
+    ``step = chunk_tokens − overlap``; a doc yields
+    ``ceil((n − overlap) / step)`` chunks (one when it fits, zero when
+    empty). Deterministic and shuffle-free: one staged tokenization, one
+    ``posexplode`` — output size scales with input tokens, not doc
+    count², and chunks of one doc stay in its partition (downstream
+    embedding UDFs see collocated batches).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens}) or the window never advances")
+    step = chunk_tokens - overlap
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(overlap)).cast("double") / step).cast("int"))
+    n_chunks = F.greatest(n_chunks, F.when(n > 0, F.lit(1))
+                          .otherwise(F.lit(0)))
+    idx = F.when(n_chunks > 0,
+                 F.sequence(F.lit(0), n_chunks - 1)).otherwise(F.array())
+    chunk = F.slice(toks, F.col("chunk_idx") * step + 1, chunk_tokens)
+    return (df
+            .withColumn("__toks", tokens(F.col(text_col)))
+            .select(F.col(id_col), F.explode(idx).alias("chunk_idx"),
+                    F.col("__toks"))
+            .select(F.col(id_col), "chunk_idx",
+                    F.array_join(chunk, " ").alias("chunk_text"),
+                    F.size(chunk).alias("n_chunk_tokens")))
+
+
 def vocab_counts(df, text_col: str, min_count: int = 1,
                  top_k: int | None = None):
     """Corpus vocabulary: ``(token, n_occurrences, n_docs)`` ordered by

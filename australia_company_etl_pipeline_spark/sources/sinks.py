@@ -169,6 +169,30 @@ def write_bucketed_parquet(df: DataFrame, table_name: str,
     w.saveAsTable(table_name)
 
 
+def write_sharded_corpus(df: DataFrame, path: str, sort_col: str,
+                         shards: int,
+                         max_records_per_file: int | None = None) -> None:
+    """Corpus-release writer: globally range-sharded, locally sorted
+    parquet — shard i holds a contiguous ``sort_col`` range, rows sorted
+    within it, so a consumer can binary-search shards by key, stream the
+    corpus in key order shard-by-shard, and reproduce byte-identical
+    shard contents from the same input (deterministic layout, unlike
+    hash partitioning where shard membership shifts with cluster size).
+
+    Scale: ``repartitionByRange`` samples the key distribution once to
+    pick balanced boundaries (skew-resistant — a hot key range gets
+    split, not funneled); ``maxRecordsPerFile`` caps file size inside a
+    shard without another shuffle, the knob that keeps 100 TB writes in
+    object-store-friendly file sizes.
+    """
+    w = (df.repartitionByRange(shards, F.col(sort_col))
+         .sortWithinPartitions(sort_col)
+         .write.mode("overwrite"))
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
 def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
                                keys: list[str], partition_col: str,
                                version_col: str | None = None) -> None:

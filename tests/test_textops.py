@@ -130,6 +130,60 @@ def test_corpus_filter_reasons_and_stats(spark):
     assert [r.doc_id for r in kept.collect()] == [1]
 
 
+def test_chunk_documents_sliding_layout(spark):
+    """chunk=4/overlap=2 over a 10-token doc → 4 chunks stepping by 2,
+    each window re-including the last 2 tokens of its predecessor;
+    short docs yield one chunk, empty docs none."""
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b c"), (3, "")],
+        "doc_id long, text string")
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+         for r in ts.chunk_documents(df, "text", "doc_id",
+                                     chunk_tokens=4, overlap=2).collect()))
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t2 t3 t4 t5", 4),
+        (1, 2, "t4 t5 t6 t7", 4),
+        (1, 3, "t6 t7 t8 t9", 4),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b c", 3)]
+    assert not [r for r in rows if r[0] == 3]
+    with pytest.raises(ValueError, match="never advances"):
+        ts.chunk_documents(df, "text", "doc_id",
+                           chunk_tokens=4, overlap=4)
+
+
+def test_write_sharded_corpus_layout(spark, tmp_path):
+    """Range sharding: shard files hold disjoint contiguous key ranges,
+    rows sorted within each file, full corpus round-trips."""
+    import glob
+
+    from australia_company_etl_pipeline_spark.sources import sinks
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(100)],
+                               "k long, v string")
+    out = str(tmp_path / "shards")
+    sinks.write_sharded_corpus(df, out, "k", shards=4)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 4
+    import duckdb
+
+    con = duckdb.connect()
+    ranges = []
+    for f in files:
+        ks = [r[0] for r in con.execute(
+            f"SELECT k FROM read_parquet('{f}')").fetchall()]
+        assert ks == sorted(ks), "rows not sorted within shard"
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "shard key ranges overlap"
+    assert sum(len(con.execute(
+        f"SELECT k FROM read_parquet('{f}')").fetchall())
+        for f in files) == 100
+
+
 def test_redact_pii_and_stats(spark):
     """PII scrub: emails / ABN-shaped numbers / AU phones replaced by
     kind markers in a fixed order; the stats companion reports doc and
