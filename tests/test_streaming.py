@@ -11,6 +11,7 @@ applied in batch.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from australia_company_etl_pipeline_spark.catalog import table
 from australia_company_etl_pipeline_spark.streaming import (
@@ -146,3 +147,34 @@ def test_stream_dedup_drops_redelivered_batch(spark, sf_dir, landing_dir,
     out = spark.table("dedup_t")
     assert out.count() == expected
     assert out.select("event_id").distinct().count() == expected
+
+
+def test_dedup_within_horizon_contract(spark):
+    """The batch twin's documented semantics, incl. its one divergence
+    from the streaming form: suppression is measured against the NEAREST
+    earlier arrival, so in a chain a<b<c with b−a and c−b ≤ horizon but
+    c−a > horizon the stream (anchored at a's state) would KEEP c while
+    the batch form suppresses it. Single redelivery per horizon — the
+    pattern the guard exists for — agrees exactly."""
+    from australia_company_etl_pipeline_spark.streaming.events_stream import (
+        dedup_within_horizon,
+    )
+
+    rows = [
+        # k=1: single redelivery inside horizon → dropped
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+        # k=2: redelivery beyond horizon → kept
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-01 02:00:00"),
+        # k=3: the chain case — c is 80min from a but 40min from b
+        (3, "2024-01-01 00:00:00"), (3, "2024-01-01 00:40:00"),
+        (3, "2024-01-01 01:20:00"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    kept = sorted((r.k, str(r.ts)) for r in dedup_within_horizon(
+        df, ("k",), horizon_s=3600, ts_col="ts").collect())
+    assert kept == [
+        (1, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-01 02:00:00"),
+        (3, "2024-01-01 00:00:00"),   # b dropped AND c dropped (chain)
+    ]

@@ -154,6 +154,45 @@ def test_chunk_documents_sliding_layout(spark):
                            chunk_tokens=4, overlap=4)
 
 
+def test_chunk_documents_coverage_property(spark):
+    """Property over random doc lengths: every token index appears in
+    ≥1 chunk, consecutive chunks advance by exactly step = chunk−overlap,
+    and only the final chunk may be short."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(n=st.integers(0, 40), chunk=st.integers(2, 12),
+           overlap_frac=st.floats(0, 0.9))
+    def run(n, chunk, overlap_frac):
+        overlap = min(int(chunk * overlap_frac), chunk - 1)
+        step = chunk - overlap
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n)))],
+            "doc_id long, text string")
+        rows = sorted((r.chunk_idx, r.chunk_text.split() if r.chunk_text
+                       else [], r.n_chunk_tokens)
+                      for r in ts.chunk_documents(
+                          df, "text", "doc_id", chunk_tokens=chunk,
+                          overlap=overlap).collect())
+        if n == 0:
+            assert not rows
+            return
+        covered = set()
+        for i, (idx, toks, cnt) in enumerate(rows):
+            assert idx == i
+            assert toks == [f"t{j}" for j in
+                            range(i * step, min(i * step + chunk, n))]
+            assert cnt == len(toks)
+            if i < len(rows) - 1:
+                assert cnt == chunk, "only the final chunk may be short"
+            covered.update(range(i * step, i * step + cnt))
+        assert covered == set(range(n)), "token coverage gap"
+
+    run()
+
+
 def test_write_sharded_corpus_layout(spark, tmp_path):
     """Range sharding: shard files hold disjoint contiguous key ranges,
     rows sorted within each file, full corpus round-trips."""
