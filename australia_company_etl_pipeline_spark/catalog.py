@@ -28,32 +28,42 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Timestamp-bearing columns per table. Testdata generations have shipped
+# timestamps as TIMESTAMP(MICROS), TIMESTAMP(NANOS) (which Spark rejects
+# by default), and NTZ variants — normalize every one of them to the
+# session-zone timestamp the operators expect, whatever physical type
+# the current generation uses.
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Pure parquet scan — Catalyst handles
     predicate pushdown / column pruning / partition sizing."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    if name == "events":
-        # events.ts has shipped as both TIMESTAMP(NANOS) and
-        # TIMESTAMP(MICROS) parquet across testdata generations. Spark
-        # rejects NANOS by default — read nanos as long and rebuild a
-        # proper timestamp; MICROS arrives as a timestamp already and
-        # needs nothing.
+    ts_cols = _TS_COLS.get(name, ())
+    if ts_cols:
+        # NANOS would otherwise fail the read outright; as long + rebuild
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if ts_cols:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        elif isinstance(ts_type, TimestampNTZType):
-            # session tz is pinned UTC, so NTZ→LTZ keeps wall-clock values;
-            # downstream (windows, epoch casts) expects the LTZ family
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for c in ts_cols:
+            t = df.schema[c].dataType
+            if isinstance(t, LongType):  # NANOS read as epoch-nano longs
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            elif isinstance(t, TimestampNTZType):
+                # session tz is pinned UTC, so NTZ→LTZ keeps wall-clock
+                # values; downstream (windows, epoch casts) expects LTZ
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
