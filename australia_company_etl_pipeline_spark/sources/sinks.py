@@ -42,6 +42,13 @@ def upsert_parquet(spark, path: str, updates: DataFrame, keys: list[str],
     highest ``version_col`` wins (ties: updates side). Written via a
     staging directory + atomic-ish swap, because Spark cannot overwrite a
     path it is still reading.
+
+    This form rewrites the WHOLE table per merge — right for small
+    engine-internal tables (dims, audit state). For big fact tables use
+    ``upsert_parquet_partitioned``: identical row semantics, but only the
+    partitions touched by the batch are rewritten (O(touched partitions),
+    the incremental-load shape), and ``stream_upsert_parquet`` wraps it
+    for continuous ingest.
     """
     if os.path.exists(path):
         existing = spark.read.parquet(path).withColumn("__src", F.lit(0))
