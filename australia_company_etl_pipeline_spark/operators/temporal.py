@@ -1,0 +1,162 @@
+"""Temporal joins — as-of (merge) join and interval range join.
+
+The reference has no dedicated temporal-join operator; its closest moves
+are pandas ``merge`` + date filters inside the enrichment steps
+(``/root/reference/src/transform/dim_companies.sql`` date-bounded lookups
+and the per-row "latest record before date" loops in
+``/root/reference/src/load/load_postgres.py``).  These two operators give
+that semantics a first-class, scale-safe form — the shapes a
+training-data / event pipeline needs constantly (last-touch attribution,
+point-in-time feature lookup, activity-window features).
+
+Scale design (100 TB lens):
+
+``asof_join`` — the naive formulation is a non-equi join
+(``r.ts <= l.ts`` → BroadcastNestedLoopJoin / O(n·m) per key).  Instead we
+use the union + window merge: tag both sides, union them, and run ONE
+window pass per key ordered by (ts, side, tie) taking the last non-null
+right payload at-or-before each left row.  Cost: one shuffle on the key —
+the same price as the equi-join you'd pay anyway — with zero row
+explosion.  Per-column null-skipping is avoided by packing the right
+payload into a single non-null struct.  Caveat: a window partition is one
+key = one task; a pathologically hot key serializes (salting is NOT
+applicable — order matters).  For that case pre-split by coarse time
+bucket and stitch the boundary, or thin the right side first.
+
+``range_join`` — the naive interval join is likewise a nested loop.  We
+bucket time into fixed ``bucket_s`` slices: each left row lands in exactly
+one bucket, each right interval explodes into the buckets it covers, and
+the join becomes an equi-join on (key, bucket) + an exact range residual.
+Each qualifying pair is produced exactly once (the left row's single
+bucket is covered at most once by a given interval), so no dedup pass is
+needed.  Pick ``bucket_s`` near the typical interval length: explosion
+factor ≈ interval/bucket_s + 1.  A runtime guard refuses intervals that
+would explode into more than ``max_buckets`` rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_TIE = "__asof_tie"
+_PAYLOAD = "__asof_payload"
+_BUCKET = "__range_bucket"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              payload: Sequence[str] | None = None,
+              tie_col: str | None = None,
+              tolerance_s: int | None = None,
+              how: str = "left") -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` per ``on`` key (backward as-of join).
+
+    Result: every left column, plus ``<right_ts>_matched`` (timestamp of
+    the matched right row, NULL when none) and the ``payload`` columns
+    (NULL when unmatched).  Payload names must not collide with left's.
+
+    - ``tie_col``: deterministic winner among right rows sharing the same
+      timestamp — the row with the HIGHEST ``tie_col`` wins.  Without it,
+      equal-timestamp winners are nondeterministic.
+    - ``tolerance_s``: matches older than ``left_ts - tolerance_s`` are
+      discarded (treated as no match).
+    - ``how``: 'left' keeps unmatched left rows with NULLs; 'inner' drops
+      them.
+
+    One shuffle (window over ``on``), no non-equi join — see module doc.
+    """
+    keys = list(on)
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if payload is None:
+        payload = [c for c in right.columns
+                   if c not in keys and c != right_ts]
+    collide = set(payload) & set(left.columns)
+    if collide:
+        raise ValueError(f"payload columns collide with left: {collide}")
+
+    matched_ts = f"{right_ts}_matched"
+    # Right rows carry a non-null struct so one last(ignorenulls) fill
+    # can't mix payload fields from different right rows.
+    r = (right.select(
+            *keys,
+            F.col(right_ts).alias(_TS),
+            F.struct(F.col(right_ts).alias(matched_ts),
+                     *[F.col(c) for c in payload]).alias(_PAYLOAD),
+            (F.col(tie_col) if tie_col else F.lit(0)).alias(_TIE))
+         .withColumn(_SIDE, F.lit(0)))
+    lt = (left
+          .withColumn(_TS, F.col(left_ts))
+          .withColumn(_SIDE, F.lit(1))
+          .withColumn(_TIE, F.lit(None).cast(r.schema[_TIE].dataType)))
+    u = lt.unionByName(r, allowMissingColumns=True)
+
+    # Right (side 0) sorts before left (side 1) at equal ts → "at or
+    # before" includes ties; among right ts-ties the max tie_col is last.
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.withColumn(_PAYLOAD,
+                          F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    out = filled.filter(F.col(_SIDE) == 1)
+    if tolerance_s is not None:
+        fresh = (F.col(f"{_PAYLOAD}.{matched_ts}")
+                 >= F.col(_TS) - F.expr(f"INTERVAL {int(tolerance_s)} SECONDS"))
+        out = out.withColumn(
+            _PAYLOAD, F.when(fresh, F.col(_PAYLOAD)))
+    if how == "inner":
+        out = out.filter(F.col(_PAYLOAD).isNotNull())
+    return out.select(
+        *left.columns,
+        F.col(f"{_PAYLOAD}.{matched_ts}").alias(matched_ts),
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload])
+
+
+def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+               left_ts: str, lower_col: str, upper_col: str,
+               bucket_s: int = 3600,
+               max_buckets: int = 1000) -> DataFrame:
+    """Inner-join left rows to right intervals containing them:
+    ``lower_col <= left_ts <= upper_col`` (inclusive both ends) per ``on``
+    key, as a bucketed equi-join (see module doc — no nested loop).
+
+    Sides are aliased ``l`` / ``r`` (like ``block_join``); select through
+    the aliases when names overlap.  Intervals wider than
+    ``max_buckets * bucket_s`` fail the job with a clear error rather than
+    silently exploding.
+    """
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    keys = list(on)
+    lo_b = F.floor(F.col(lower_col).cast("long") / bucket_s)
+    hi_b = F.floor(F.col(upper_col).cast("long") / bucket_s)
+    # Guard is folded INTO the sequence start (assert_true → NULL on pass)
+    # so column pruning can't optimize it away.
+    guard = F.coalesce(
+        F.assert_true(
+            hi_b - lo_b < max_buckets,
+            F.lit(f"range_join: interval exceeds max_buckets={max_buckets} "
+                  f"at bucket_s={bucket_s}; widen bucket_s or split the "
+                  "interval")).cast("long"),
+        F.lit(0))
+    r = (right
+         .withColumn(_BUCKET, F.explode(F.sequence(lo_b + guard, hi_b)))
+         .alias("r"))
+    lt = left.withColumn(
+        _BUCKET, F.floor(F.col(left_ts).cast("long") / bucket_s)
+    ).alias("l")
+    cond = (F.col(f"l.{_BUCKET}") == F.col(f"r.{_BUCKET}"))
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = (cond
+            & (F.col(f"l.{left_ts}") >= F.col(f"r.{lower_col}"))
+            & (F.col(f"l.{left_ts}") <= F.col(f"r.{upper_col}")))
+    return lt.join(r, cond, "inner").drop(_BUCKET)

@@ -6,7 +6,7 @@ pipeline extensions).
 """
 
 from . import (ann, core, dedup, matching, multimodal,  # noqa: F401
-               ops, quality, sources, streaming, text)
+               ops, quality, sources, streaming, temporal, text)
 from .registry import REGISTRY, oracles, queries
 
 __all__ = ["REGISTRY", "queries", "oracles"]

@@ -497,28 +497,9 @@ def union_score_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup (A4) and date handling (F18/F19)
 # ---------------------------------------------------------------------------
 
-@register(
-    "dedup_events_first",
-    doc="A4 dedup-by-key keep-first (dropDuplicates, clean_abr.py:280) made "
-        "deterministic: first = lowest event_id per (user_id, event_type).",
-    tags=("dedup",),
-    oracle="""
-SELECT event_id, user_id, event_type, round(value, 2) AS value2
-FROM (
-  SELECT event_id, user_id, event_type, value, row_number() OVER (
-      PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
-  FROM events
-) WHERE rn = 1
-""",
-)
-def dedup_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
-    win = Window.partitionBy("user_id", "event_type").orderBy(
-        F.asc("event_id"))
-    return (e.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("event_id", "user_id", "event_type",
-                    F.round("value", 2).alias("value2")))
+# A4 dedup keep-first lives in plans/streaming.py since the r4 fold into
+# the kind-tagged `dedup_events` (shares its schema with the streaming
+# horizon-dedup branch, freeing a driver-window slot).
 
 
 @register(

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..streaming.events_stream import (
@@ -74,14 +75,18 @@ def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_stream_batch",
-    doc="Batch twin of the streaming at-least-once ingest guard "
-        "(dedup_stream / dropDuplicatesWithinWatermark): events ∪ planted "
-        "redeliveries (every 5th event re-sent 10min later — inside the "
-        "1h horizon, suppressed; every 11th re-sent 2h later — beyond it, "
-        "kept). Keep rule: nearest earlier arrival of the key is more "
-        "than the horizon away — one lag window on the dedup key. The "
-        "live streaming path is pinned by tests/test_streaming.py.",
+    "dedup_events",
+    doc="A4 dedup keep-first (clean_abr.py:280) + the streaming "
+        "at-least-once ingest guard, folded kind-tagged (r4, frees a "
+        "driver-window slot for purchase_attribution). kind='first': "
+        "deterministic keep-first per (user_id, event_type) — lowest "
+        "event_id. kind='horizon': batch twin of dedup_stream / "
+        "dropDuplicatesWithinWatermark over events ∪ planted redeliveries "
+        "(every 5th event re-sent 10min later — inside the 1h horizon, "
+        "suppressed; every 11th re-sent 2h later — beyond it, kept); keep "
+        "rule = nearest earlier arrival of the key is more than the "
+        "horizon away (one lag window). The live streaming path is pinned "
+        "by tests/test_streaming.py.",
     tags=("streaming", "dedup"),
     oracle="""
 WITH replayed AS (
@@ -98,14 +103,34 @@ WITH replayed AS (
              PARTITION BY event_id ORDER BY ts ASC)) AS gap
   FROM replayed
 )
-SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-       user_id, event_type, value
+SELECT 'first' AS kind, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       user_id, event_type, round(value, 2) AS value2
+FROM (
+  SELECT event_id, ts, user_id, event_type, value, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+UNION ALL
+SELECT 'horizon' AS kind, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       user_id, event_type, round(value, 2) AS value2
 FROM gapped WHERE gap IS NULL OR gap > 3600
 """,
 )
-def dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
+
+    win = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("event_id"))
+    first = (e.withColumn("rn", F.row_number().over(win))
+             .filter(F.col("rn") == 1)
+             .select(F.lit("first").alias("kind"), "event_id",
+                     F.col("ts").cast("long").alias("ts_s"),
+                     "user_id", "event_type",
+                     F.round("value", 2).alias("value2")))
+
     replay = (e.filter(F.col("event_id") % 5 == 0)
               .withColumn("ts", F.col("ts")
                           + F.expr("INTERVAL 10 MINUTES")))
@@ -113,9 +138,11 @@ def dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")))
     replayed = e.unionByName(replay).unionByName(late)
     kept = dedup_within_horizon(replayed, ("event_id",), horizon_s=3600)
-    return kept.select("event_id",
-                       F.col("ts").cast("long").alias("ts_s"),
-                       "user_id", "event_type", "value")
+    horizon = kept.select(F.lit("horizon").alias("kind"), "event_id",
+                          F.col("ts").cast("long").alias("ts_s"),
+                          "user_id", "event_type",
+                          F.round("value", 2).alias("value2"))
+    return first.unionByName(horizon)
 
 
 # Gaps-and-islands session oracle: break when the gap to the previous

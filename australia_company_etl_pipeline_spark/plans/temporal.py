@@ -1,0 +1,102 @@
+"""Temporal-join queries — as-of attribution + interval-window features.
+
+Drives ``operators/temporal.py`` (as-of join, bucketed range join) under
+the driver's DuckDB oracle gate.  The reference computes this family
+row-at-a-time in pandas date-filtered merges
+(``/root/reference/src/load/load_postgres.py`` latest-before lookups);
+here both joins are single-shuffle distributed plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.temporal import asof_join, range_join
+from .registry import register
+
+
+@register(
+    "purchase_attribution",
+    doc="As-of join + range join (temporal extension): last-touch "
+        "attribution — each purchase gets the latest 'view' event by the "
+        "same user at-or-before it (backward as-of, ties broken by max "
+        "event_id) plus activity-window features (count/sum of 'click' "
+        "events in the inclusive hour before the purchase). As-of is the "
+        "union+window merge (one shuffle, no non-equi join); the window "
+        "features come from the bucketed range join (equi-join on "
+        "(user, hour-bucket) + exact residual). Oracle spells both as "
+        "naive inequality joins — DuckDB can afford O(n·m) per key at "
+        "sf0.01.",
+    tags=("temporal", "join"),
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), att AS (
+  SELECT event_id, vts FROM (
+    SELECT p.event_id, v.ts AS vts,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM purchases p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+  ) WHERE rn = 1
+), clicks AS (
+  SELECT p.event_id, COUNT(*) AS n,
+         CAST(SUM(CAST(c.value AS DECIMAL(30,6))) AS DOUBLE) AS sv
+  FROM purchases p JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+  GROUP BY 1
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+       CAST(floor(epoch(a.vts)) AS BIGINT) AS view_ts_s,
+       CAST(floor(epoch(p.ts)) - floor(epoch(a.vts)) AS BIGINT)
+           AS secs_since_view,
+       COALESCE(cl.n, 0) AS n_clicks_1h,
+       round(COALESCE(cl.sv, 0.0), 2) AS sum_click_value_1h
+FROM purchases p
+LEFT JOIN att a ON a.event_id = p.event_id
+LEFT JOIN clicks cl ON cl.event_id = p.event_id
+""",
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts"))
+    views = (events.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id")))
+
+    attributed = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=[], tie_col="view_id", how="left")
+
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"), "value"))
+    windows = purchases.select(
+        F.col("purchase_id").alias("win_purchase_id"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lo"),
+        F.col("ts").alias("hi"))
+    in_window = range_join(clicks, windows, on=["user_id"],
+                           left_ts="click_ts", lower_col="lo",
+                           upper_col="hi", bucket_s=3600)
+    click_feats = (in_window
+                   .groupBy(F.col("r.win_purchase_id").alias("purchase_id"))
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("l.value").cast("decimal(30,6)"))
+                         .cast("double").alias("sv")))
+
+    return (attributed
+            .join(click_feats, "purchase_id", "left")
+            .select("purchase_id", "user_id",
+                    F.col("ts").cast("long").alias("ts_s"),
+                    F.col("ts_matched").cast("long").alias("view_ts_s"),
+                    (F.col("ts").cast("long")
+                     - F.col("ts_matched").cast("long")).cast("long")
+                     .alias("secs_since_view"),
+                    F.coalesce("n", F.lit(0)).alias("n_clicks_1h"),
+                    F.round(F.coalesce("sv", F.lit(0.0)), 2)
+                     .alias("sum_click_value_1h")))

@@ -32,7 +32,7 @@ HEADLINE = [
     "promo_revenue_by_brand",
     "best_order_per_customer",
     "union_score_bands",
-    "dedup_events_first",
+    "dedup_events",
     "monthly_order_stats",
     # training-data pipeline extensions
     "exact_dedup_docs",

@@ -1,0 +1,187 @@
+"""Temporal joins: as-of (union+window merge) and bucketed range join.
+
+Correctness on hand-built edge-case frames, an independent-formulation
+cross-check on the real events table, and plan-shape pins (no nested-loop
+join ever appears — the whole point of both operators)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.catalog import table
+from australia_company_etl_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:00")),
+         (2, "A", _ts("2024-01-01 10:05:00")),
+         (3, "B", _ts("2024-01-01 10:00:30")),
+         (4, "C", _ts("2024-01-01 10:00:00"))],  # no quotes for C
+        "trade_id long, sym string, t timestamp")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:59:00"), 10.0, 1),
+         ("A", _ts("2024-01-01 10:00:00"), 11.0, 2),   # tie ts, higher qid
+         ("A", _ts("2024-01-01 10:00:00"), 11.5, 3),   # wins the tie
+         ("A", _ts("2024-01-01 10:04:00"), None, 4),   # null payload field
+         ("B", _ts("2024-01-01 10:01:00"), 20.0, 5)],  # after B's trade
+        "sym string, qt timestamp, px double, qid long")
+
+
+def test_asof_backward_with_ties_and_nulls(trades, quotes):
+    out = {r["trade_id"]: r for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt",
+        payload=["px", "qid"], tie_col="qid").collect()}
+    # equal-ts quote is eligible; among the 10:00:00 tie, max qid=3 wins
+    assert out[1]["qid"] == 3 and out[1]["px"] == 11.5
+    # the matched row's px is NULL and must NOT fall back to an older quote
+    assert out[2]["qid"] == 4 and out[2]["px"] is None
+    # B's only quote is after the trade → unmatched
+    assert out[3]["qid"] is None and out[3]["qt_matched"] is None
+    # key with no right rows at all
+    assert out[4]["qid"] is None
+    assert len(out) == 4  # left join keeps everything
+
+
+def test_asof_tolerance_and_inner(trades, quotes):
+    out = {r["trade_id"]: r for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt",
+        payload=["qid"], tie_col="qid", tolerance_s=90).collect()}
+    # trade 2 at 10:05 matches quote at 10:04 (60s ≤ 90s) — kept
+    assert out[2]["qid"] == 4
+    # trade 1's best match is at-tie 10:00:00 (0s) — kept
+    assert out[1]["qid"] == 3
+    inner = asof_join(trades, quotes, on=["sym"], left_ts="t",
+                      right_ts="qt", payload=["qid"], tie_col="qid",
+                      how="inner").collect()
+    assert sorted(r["trade_id"] for r in inner) == [1, 2]
+
+    strict = {r["trade_id"]: r for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt",
+        payload=["qid"], tie_col="qid", tolerance_s=30).collect()}
+    # 10:04 quote is 60s old → outside 30s tolerance, nulled not older-matched
+    assert strict[2]["qid"] is None
+
+
+def test_asof_rejects_colliding_payload(trades, quotes):
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes.withColumnRenamed("px", "trade_id"),
+                  on=["sym"], left_ts="t", right_ts="qt",
+                  payload=["trade_id"])
+
+
+def test_asof_matches_naive_formulation(spark, sf_dir):
+    """Independent check on real data: purchases←views as-of equals the
+    naive inequality-join + row_number formulation."""
+    events = table(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("pid"), "user_id", "ts"))
+    views = (events.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("vts"),
+                     F.col("event_id").alias("vid")))
+    fast = asof_join(purchases, views, on=["user_id"], left_ts="ts",
+                     right_ts="vts", payload=["vid"], tie_col="vid")
+    from pyspark.sql.window import Window
+    naive = (purchases.join(
+                views, (purchases["user_id"] == views["user_id"])
+                & (views["vts"] <= purchases["ts"]), "left")
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("pid").orderBy(
+                     F.desc_nulls_last("vts"), F.desc_nulls_last("vid"))))
+             .filter(F.col("rn") == 1)
+             .select("pid", F.col("vts").alias("vts_matched"), "vid"))
+    got = {r["pid"]: (r["vts_matched"], r["vid"]) for r in fast.collect()}
+    want = {r["pid"]: (r["vts_matched"], r["vid"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_asof_plan_one_shuffle_no_nlj(trades, quotes):
+    # simple mode: each physical node appears exactly once in the tree
+    plan = _plan(asof_join(trades, quotes, on=["sym"], left_ts="t",
+                           right_ts="qt", payload=["px"], tie_col="qid"),
+                 mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # union + ONE window shuffle — no join operator at all
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [("A", 100, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00")),
+         ("A", 101, _ts("2024-01-01 11:30:00"), _ts("2024-01-01 11:45:00")),
+         ("B", 102, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:00:00"))],
+        "sym string, iid long, lo timestamp, hi timestamp")
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [("A", 1, _ts("2024-01-01 10:00:00")),    # lower bound inclusive
+         ("A", 2, _ts("2024-01-01 12:00:00")),    # upper bound inclusive
+         ("A", 3, _ts("2024-01-01 11:40:00")),    # inside both A intervals
+         ("A", 4, _ts("2024-01-01 12:00:01")),    # just outside
+         ("B", 5, _ts("2024-01-01 10:00:00")),    # degenerate interval
+         ("C", 6, _ts("2024-01-01 11:00:00"))],   # key with no intervals
+        "sym string, pid long, pt timestamp")
+
+
+def test_range_join_inclusive_bounds_no_dups(points, intervals):
+    got = sorted((r["pid"], r["iid"]) for r in range_join(
+        points, intervals, on=["sym"], left_ts="pt",
+        lower_col="lo", upper_col="hi", bucket_s=1800).collect())
+    assert got == [(1, 100), (2, 100), (3, 100), (3, 101), (5, 102)]
+
+
+def test_range_join_bucket_width_invariance(points, intervals):
+    for bucket_s in (60, 3600, 86400):
+        got = sorted((r["pid"], r["iid"]) for r in range_join(
+            points, intervals, on=["sym"], left_ts="pt",
+            lower_col="lo", upper_col="hi", bucket_s=bucket_s).collect())
+        assert got == [(1, 100), (2, 100), (3, 100), (3, 101), (5, 102)]
+
+
+def test_range_join_guard_refuses_explosion(points, intervals):
+    wide = range_join(points, intervals, on=["sym"], left_ts="pt",
+                      lower_col="lo", upper_col="hi", bucket_s=1,
+                      max_buckets=100)
+    with pytest.raises(Exception, match="max_buckets"):
+        wide.collect()
+    with pytest.raises(ValueError):
+        range_join(points, intervals, on=["sym"], left_ts="pt",
+                   lower_col="lo", upper_col="hi", bucket_s=0)
+
+
+def test_range_join_plan_is_equi_join(points, intervals):
+    plan = _plan(range_join(points, intervals, on=["sym"], left_ts="pt",
+                            lower_col="lo", upper_col="hi", bucket_s=1800))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
