@@ -176,8 +176,18 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     if on_empty not in ("reseed", "drop"):
         raise ValueError(f"unknown on_empty mode {on_empty!r}: "
                          "use 'reseed' or 'drop'")
+    # The loop reads the normalized corpus max_iter+2 times (init, reserve,
+    # one assignment per round). Persist it ONCE: MEMORY_AND_DISK caches
+    # what fits and spills the rest — at cluster scale partitions that
+    # miss the cache are recomputed from the scan, so this is never worse
+    # than the uncached re-scan it replaces. Unpersisted before return
+    # (the returned centroids are checkpointed, so nothing downstream
+    # holds a lineage reference into the cache).
+    from pyspark import StorageLevel
+
     vecs = unit(corpus.select(F.col(id_col).alias("__vid"),
                               _dbl(F.col(vec_col)).alias("__v")), "__v")
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     sample_key = F.hash(F.col("__vid"), F.lit(seed))
     # distributed take-ordered over the corpus; the n_centroids-row window
     # that numbers the sample runs on k rows, not the corpus
@@ -238,6 +248,7 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
                       .select("centroid_id", "centroid_vec"))
             updated = updated.unionByName(refill)
         cents = materialize(updated, checkpoint)
+    vecs.unpersist()
     return cents
 
 
