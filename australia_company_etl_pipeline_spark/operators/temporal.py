@@ -70,6 +70,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     - ``how``: 'left' keeps unmatched left rows with NULLs; 'inner' drops
       them.
 
+    NULL join keys follow SQL equi-join semantics: right rows with a NULL
+    key are discarded, left rows with a NULL key never match (they
+    survive a 'left' join unmatched).  Without this, the window's
+    NULL-groups-together behavior would silently invent NULL==NULL
+    matches no SQL formulation produces.
+
     One shuffle (window over ``on``), no non-equi join — see module doc.
     """
     keys = list(on)
@@ -83,6 +89,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         raise ValueError(f"payload columns collide with left: {collide}")
 
     matched_ts = f"{right_ts}_matched"
+    # SQL NULL-key semantics (see docstring); a NULL right timestamp can
+    # never be "at or before" anything either.
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    right = right.filter(~null_key & F.col(right_ts).isNotNull())
     # Right rows carry a non-null struct so one last(ignorenulls) fill
     # can't mix payload fields from different right rows.
     r = (right.select(

@@ -15,6 +15,7 @@ correctness-gated even though the driver only collects batch DataFrames.
 
 from .events_stream import (  # noqa: F401
     EVENTS_SCHEMA,
+    interval_join_stream,
     read_events_stream,
     session_windows,
     sessionize_stateful,

@@ -252,6 +252,49 @@ def dedup_stream(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         on: str = "user_id",
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         lookback_s: int = 3600,
+                         watermark: str = "2 hours",
+                         right_prefix: str = "r_") -> DataFrame:
+    """Stream-stream interval join: pair each left row with every right
+    row of the same key inside its lookback window —
+    ``left_ts - lookback_s <= right_ts <= left_ts`` (inclusive; the
+    streaming form of ``operators.temporal.range_join`` with
+    right-derived intervals, and the click-window half of the
+    oracle-checked ``purchase_attribution`` query).
+
+    Right columns come back ``right_prefix``-renamed (both sides share
+    the events schema).
+
+    State story (the part that must survive 100 TB/day): BOTH sides are
+    watermarked and the join condition carries an explicit event-time
+    range, so Spark derives per-side state-eviction bounds — a buffered
+    right row is dropped once the watermark passes ``right_ts +
+    lookback_s`` (no future left row can reach back to it), a left row
+    once matches can no longer arrive. Without the time-range condition
+    the state store grows with the whole stream — that shape is refused
+    by Spark for append streams, by design. Size ``watermark`` to the
+    out-of-orderness bound, ``lookback_s`` to the business window.
+
+    Works on batch frames too (watermarks skipped) — the equivalence the
+    streaming test pins against ``range_join``.
+    """
+    r = right.select(*[F.col(c).alias(f"{right_prefix}{c}")
+                       for c in right.columns])
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_prefix}{right_ts}", watermark)
+    rts = F.col(f"{right_prefix}{right_ts}")
+    cond = ((F.col(on) == F.col(f"{right_prefix}{on}"))
+            & (rts >= F.col(left_ts)
+               - F.expr(f"INTERVAL {int(lookback_s)} SECONDS"))
+            & (rts <= F.col(left_ts)))
+    return left.join(r, cond, "inner")
+
+
 def dedup_within_horizon(events: DataFrame,
                          key_cols: tuple[str, ...] = ("event_id",),
                          horizon_s: int = 3600,
@@ -345,5 +388,6 @@ __all__ = [
     "EVENTS_SCHEMA", "stage_event_batches", "read_events_stream",
     "tumbling_counts", "sliding_counts", "session_windows",
     "sessionize_stateful", "dedup_stream", "dedup_within_horizon",
+    "interval_join_stream",
     "stream_to_parquet", "stream_upsert_parquet", "run_to_memory",
 ]

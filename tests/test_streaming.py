@@ -178,3 +178,40 @@ def test_dedup_within_horizon_contract(spark):
         (2, "2024-01-01 00:00:00"), (2, "2024-01-01 02:00:00"),
         (3, "2024-01-01 00:00:00"),   # b dropped AND c dropped (chain)
     ]
+
+
+def test_interval_join_stream_matches_batch_range_join(spark, sf_dir,
+                                                       landing_dir):
+    """Stream-stream interval self-join (purchases ← clicks in the prior
+    hour) must produce exactly the batch range_join pairs."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        range_join,
+    )
+    from australia_company_etl_pipeline_spark.streaming import (
+        interval_join_stream,
+    )
+
+    stream = read_events_stream(spark, landing_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = interval_join_stream(purchases, clicks, lookback_s=3600)
+    q = run_to_memory(joined.select("event_id", "r_event_id"),
+                      "interval_join_t", "append")
+    q.awaitTermination(120)
+    got = _rows(spark.table("interval_join_t"), ["event_id", "r_event_id"])
+
+    events = table(spark, sf_dir, "events")
+    windows = (events.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("purchase_id"), "user_id",
+                       (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lo"),
+                       F.col("ts").alias("hi")))
+    batch_clicks = (events.filter(F.col("event_type") == "click")
+                    .select("user_id", F.col("ts").alias("click_ts"),
+                            F.col("event_id").alias("click_id")))
+    pairs = range_join(batch_clicks, windows, on=["user_id"],
+                       left_ts="click_ts", lower_col="lo", upper_col="hi",
+                       bucket_s=3600)
+    want = _rows(pairs.select(F.col("r.purchase_id").alias("event_id"),
+                              F.col("l.click_id").alias("r_event_id")),
+                 ["event_id", "r_event_id"])
+    assert got == want and len(got) > 0

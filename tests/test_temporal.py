@@ -87,6 +87,26 @@ def test_asof_tolerance_and_inner(trades, quotes):
     assert strict[2]["qid"] is None
 
 
+def test_asof_null_keys_follow_sql_semantics(spark):
+    trades = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01 10:00:00")),
+         (2, "A", _ts("2024-01-01 10:00:00")),
+         (3, "A", None)],
+        "trade_id long, sym string, t timestamp")
+    quotes = spark.createDataFrame(
+        [(None, _ts("2024-01-01 09:00:00"), 1),
+         ("A", _ts("2024-01-01 09:00:00"), 2),
+         ("A", None, 3)],
+        "sym string, qt timestamp, qid long")
+    out = {r["trade_id"]: r for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt",
+        payload=["qid"], tie_col="qid").collect()}
+    assert out[1]["qid"] is None      # NULL key never matches NULL key
+    assert out[2]["qid"] == 2        # NULL-ts quote ineligible, 09:00 wins
+    assert out[3]["qid"] is None      # NULL left ts → unmatched
+    assert len(out) == 3
+
+
 def test_asof_rejects_colliding_payload(trades, quotes):
     with pytest.raises(ValueError, match="collide"):
         asof_join(trades, quotes.withColumnRenamed("px", "trade_id"),
