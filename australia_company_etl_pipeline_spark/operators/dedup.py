@@ -565,3 +565,69 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
                                    threshold, **lsh_kwargs)
             .select(F.col("corpus_id").alias(id_col)).distinct())
     return corpus.join(hits, id_col, "left_anti")
+
+
+def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", words_per_seg: int = 8,
+                  delim: str = " ",
+                  out_col: str = "text_dedup") -> DataFrame:
+    """Sub-document exact dedup: global keep-first over fixed-width word
+    segments, reassembled per document (the scalable approximation of
+    suffix-array substring dedup — fixed windows instead of arbitrary
+    substrings; the C4/RefinedWeb move applied below document level,
+    which ``exact_dedup``'s whole-document digest cannot catch).
+
+    Each document splits into consecutive ``words_per_seg``-word
+    segments. A FULL segment is kept iff it is the globally first
+    occurrence of its content (lowest ``(id, position)``); partial tail
+    segments are always kept — they are not comparable content units and
+    would otherwise dedup against unrelated tails. Kept segments
+    reassemble in position order.
+
+    Returns ``(id_col, n_segs, n_kept, out_col)``. Rows with NULL
+    ``text_col`` are dropped (explode semantics) — filter them first if
+    they must survive.
+
+    Scale shape: one projection builds all segments (no join), ONE
+    shuffle on the segment digest ranks first occurrences (window over
+    md5 — partition skew equals duplication factor, the quantity being
+    removed; the tail-segment split keeps degenerate short strings out
+    of the window entirely), one shuffle on ``id_col`` reassembles.
+    Compare ``minhash_dup_pairs`` for NEAR-dup at segment granularity.
+    """
+    import re as _re
+
+    if words_per_seg < 1:
+        raise ValueError("words_per_seg must be >= 1")
+    w = words_per_seg
+    toks = F.split(F.col(text_col), _re.escape(delim))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("__ntoks"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0),
+                       F.ceil(F.size(toks) / F.lit(w)).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * w + 1, w), delim)))
+        .alias("__idx", "__seg"))
+
+    full = F.col("__ntoks") >= (F.col("__idx") + 1) * w
+    tails = (base.filter(~full)
+             .select(id_col, "__idx", "__seg",
+                     F.lit(True).alias("__keep")))
+    win = Window.partitionBy(F.md5(F.col("__seg"))).orderBy(
+        F.col(id_col).asc(), F.col("__idx").asc())
+    firsts = (base.filter(full)
+              .select(id_col, "__idx", "__seg",
+                      (F.row_number().over(win) == 1).alias("__keep")))
+
+    kept_struct = F.when(F.col("__keep"),
+                         F.struct(F.col("__idx"), F.col("__seg")))
+    return (tails.unionByName(firsts)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_segs"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda s: s["__seg"]),
+                     delim).alias(out_col)))

@@ -83,6 +83,52 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_dedup_docs",
+    doc="Sub-document exact dedup (operators/dedup.py:segment_dedup): "
+        "global keep-first over consecutive 8-word segments, reassembled "
+        "per doc — the fixed-window approximation of suffix-array "
+        "substring dedup (whole-doc digests miss copied passages inside "
+        "otherwise-distinct documents). Full segments rank by global "
+        "first occurrence (ONE shuffle on the segment digest); partial "
+        "tails are always kept and never enter the window. Oracle "
+        "mirrors the split/rank/reassemble in DuckDB list functions.",
+    tags=("dedup", "text"),
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ss FROM documents),
+segs AS (
+  SELECT doc_id, len(ss) AS ntoks,
+         unnest(range(0, CAST(ceil(len(ss) / 8.0) AS BIGINT))) AS idx,
+         ss
+  FROM d
+), cut AS (
+  SELECT doc_id, CAST(idx AS INT) AS idx,
+         array_to_string(list_slice(ss, idx * 8 + 1, idx * 8 + 8), ' ')
+           AS seg,
+         (idx + 1) * 8 <= ntoks AS is_full
+  FROM segs
+), flagged AS (
+  SELECT doc_id, idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1
+           AS keep
+  FROM cut WHERE is_full
+  UNION ALL
+  SELECT doc_id, idx, seg, TRUE AS keep FROM cut WHERE NOT is_full
+)
+SELECT doc_id,
+       count(*) AS n_segs,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY idx),
+                '') AS text_dedup
+FROM flagged GROUP BY doc_id
+""",
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.segment_dedup(docs, id_col="doc_id", text_col="text",
+                            words_per_seg=8)
+
+
+@register(
     "ngram_jaccard_dup_pairs",
     doc="Exact word-trigram Jaccard near-dup pairs ≥0.8 — the correctness "
         "baseline the MinHash+LSH scale path is verified against.",

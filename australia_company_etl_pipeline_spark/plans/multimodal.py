@@ -27,21 +27,7 @@ _KIND = ("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
          "WHEN 1 THEN 'audio' ELSE 'video' END")
 
 
-@register(
-    "media_pack_features",
-    doc="Multimodal packing + decode plumbing + resize planning in one "
-        "per-media report (fold of r2's media_pack_stats / "
-        "media_fake_features / media_resize_plan to fit the driver's "
-        "query window; same operators exercised): binary payload stats "
-        "(byte length, md5) prove the binary column round-trips "
-        "bit-exactly; typed kind-dependent metadata (NULL where not "
-        "applicable); aspect-preserving resize targets for visual media; "
-        "and the Arrow-batched mapInPandas byte-statistics featurizer "
-        "(real codecs stubbed — no image/audio libs here). The oracle "
-        "recomputes every column from character codes, so the Python "
-        "boundary is held to SQL-checkable semantics.",
-    tags=("multimodal", "pandas-udf"),
-    oracle=f"""
+_MEDIA_ORACLE = f"""
 WITH b AS (
   SELECT doc_id AS media_id, {_KIND} AS kind,
          octet_length(encode(text)) AS n_bytes,
@@ -73,9 +59,21 @@ SELECT media_id, kind, n_bytes, payload_md5,
             ELSE CAST(first_byte AS DOUBLE) END AS f_first_byte,
        CAST(coalesce(total, 0) % 997 AS DOUBLE) AS f_checksum
 FROM b
-""",
-)
-def media_pack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+_FRAMES_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 90000 + 1000 AS INT) AS duration_ms
+  FROM documents WHERE {_KIND} = 'video'
+), k AS (SELECT unnest([0, 1, 2, 3, 4]) AS frame_idx)
+SELECT v.media_id, v.duration_ms, k.frame_idx,
+       CAST(floor(k.frame_idx * v.duration_ms / 5.0) AS BIGINT) AS offset_ms
+FROM v CROSS JOIN k
+"""
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = pack_documents_as_media(table(spark, sf_dir, "documents"))
     feats = decode_features(media, codec="fake")
     meta_side = media.select(
@@ -100,27 +98,50 @@ def media_pack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at("features", 4).alias("f_checksum")))
 
 
-@register(
-    "media_frame_offsets",
-    doc="Video frame sampling: 5 equally-spaced sample offsets per video "
-        "from duration metadata — frame *selection* is native expression "
-        "math (sequence + explode); only decoding the chosen frames needs "
-        "the (stubbed) Python codec.",
-    tags=("multimodal",),
-    oracle=f"""
-WITH v AS (
-  SELECT doc_id AS media_id,
-         CAST(doc_id % 90000 + 1000 AS INT) AS duration_ms
-  FROM documents WHERE {_KIND} = 'video'
-), k AS (SELECT unnest([0, 1, 2, 3, 4]) AS frame_idx)
-SELECT v.media_id, v.duration_ms, k.frame_idx,
-       CAST(floor(k.frame_idx * v.duration_ms / 5.0) AS BIGINT) AS offset_ms
-FROM v CROSS JOIN k
-""",
-)
-def media_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = pack_documents_as_media(table(spark, sf_dir, "documents"))
     return frame_offsets(media, n_frames=5).select(
         "media_id", "duration_ms", "frame_idx", "offset_ms")
+
+
+@register(
+    "media_report",
+    doc="The whole multimodal surface in one row_kind-tagged result (r4 "
+        "fold of media_pack_features / media_frame_offsets to free a "
+        "driver-window slot for segment_dedup_docs; same operators "
+        "exercised). row_kind='media': binary payload stats (byte "
+        "length, md5 — the binary column round-trips bit-exactly), typed "
+        "kind-dependent metadata (NULL where not applicable), "
+        "aspect-preserving resize targets, and the Arrow-batched "
+        "mapInPandas byte-statistics featurizer (real codecs stubbed — "
+        "no image/audio libs here). row_kind='frame': 5 equally-spaced "
+        "video frame-sample offsets — frame *selection* is native "
+        "expression math; only decoding needs the (stubbed) codec. The "
+        "oracle recomputes every column from character codes, so the "
+        "Python boundary is held to SQL-checkable semantics.",
+    tags=("multimodal", "pandas-udf"),
+    oracle=f"""
+SELECT 'media' AS row_kind, f.*,
+       CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS offset_ms
+FROM ({_MEDIA_ORACLE}) f
+UNION ALL
+SELECT 'frame' AS row_kind, media_id, CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS payload_md5,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       duration_ms, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS target_w, CAST(NULL AS INT) AS target_h,
+       CAST(NULL AS DOUBLE) AS f_len, CAST(NULL AS DOUBLE) AS f_mean_byte,
+       CAST(NULL AS DOUBLE) AS f_first_byte,
+       CAST(NULL AS DOUBLE) AS f_checksum,
+       frame_idx, offset_ms
+FROM ({_FRAMES_ORACLE}) fr
+""",
+)
+def media_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _media_features(spark, sf_dir).select(
+        F.lit("media").alias("row_kind"), "*")
+    frames = _frame_rows(spark, sf_dir).select(
+        F.lit("frame").alias("row_kind"), "*")
+    return feats.unionByName(frames, allowMissingColumns=True)
 
 

@@ -390,3 +390,60 @@ def test_embedding_dup_pairs_lsh_recall(spark, sf_dir):
     assert got <= exact                          # exact-verified: no FPs
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"embedding LSH recall {recall} too low"
+
+
+def test_segment_dedup_basics(spark):
+    """Keep-first across docs, internal repeats deduped, partial tails
+    always kept, reassembly preserves order."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),        # segs: 'a b c' 'd e f'
+         (2, "a b c x y z tail"),   # 'a b c' dup of doc1 seg0; 'tail' partial
+         (3, "d e f d e f")],       # second 'd e f' dups doc1's AND its own
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd.segment_dedup(
+        docs, words_per_seg=3).collect()}
+    assert out[1]["text_dedup"] == "a b c d e f"
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (2, 2)
+    # doc2 loses 'a b c' (doc1 saw it first) but keeps the partial tail
+    assert out[2]["text_dedup"] == "x y z tail"
+    assert (out[2]["n_segs"], out[2]["n_kept"]) == (3, 2)
+    # doc3: both its segments duplicate doc1's 'd e f'
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["n_segs"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_segment_dedup_within_doc_first_wins(spark):
+    """A repeat INSIDE one doc keeps only the earliest position."""
+    docs = spark.createDataFrame([(7, "p q p q")],
+                                 "doc_id long, text string")
+    row = dd.segment_dedup(docs, words_per_seg=2).collect()[0]
+    assert row["text_dedup"] == "p q"
+    assert (row["n_segs"], row["n_kept"]) == (2, 1)
+
+
+def test_segment_dedup_validates_width(spark):
+    import pytest as _pytest
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        dd.segment_dedup(docs, words_per_seg=0)
+
+
+def test_segment_dedup_no_false_merges_on_real_corpus(spark, sf_dir):
+    """On the real corpus: token totals shrink by exactly the duplicated
+    full segments; no doc gains text; unique docs are untouched."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dd.segment_dedup(docs, words_per_seg=8)
+    joined = (docs.join(out, "doc_id")
+              .select("doc_id", "text", "text_dedup", "n_segs", "n_kept")
+              .collect())
+    assert len(joined) == docs.count()
+    shrunk = 0
+    for r in joined:
+        assert r["n_kept"] <= r["n_segs"]
+        assert len(r["text_dedup"]) <= len(r["text"])
+        if r["n_kept"] == r["n_segs"]:
+            assert r["text_dedup"] == r["text"]
+        else:
+            shrunk += 1
+    assert shrunk > 0  # the corpus does contain cross-doc repeats

@@ -47,11 +47,13 @@ def test_blocking_join_broadcasts(spark, sf_dir):
 
 
 def test_media_metadata_query_prunes_payload(spark, sf_dir):
-    """media_frame_offsets derives everything from doc_id arithmetic —
-    the scan must not read the (stand-in for multi-KB binary) text
-    column. Checked on the scan's ReadSchema."""
-    plan = _plan(plans.REGISTRY["media_frame_offsets"]
-                 .builder(spark, sf_dir))
+    """The frame-offsets half of media_report derives everything from
+    doc_id arithmetic — its scan must not read the (stand-in for
+    multi-KB binary) text column. Checked on the scan's ReadSchema."""
+    from australia_company_etl_pipeline_spark.plans.multimodal import (
+        _frame_rows,
+    )
+    plan = _plan(_frame_rows(spark, sf_dir))
     schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert schemas, "no scan ReadSchema line in formatted plan"
     assert all("text" not in ln for ln in schemas), schemas
