@@ -34,8 +34,10 @@ HEADLINE = [
     "union_score_bands",
     "dedup_events",
     "monthly_order_stats",
+    "purchase_attribution",
     # training-data pipeline extensions
     "exact_dedup_docs",
+    "segment_dedup_docs",
     "hashed_dup_pairs",
     "ann_bruteforce_topk",
     "ann_approx_topk",
