@@ -77,20 +77,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     matches no SQL formulation produces.
 
     One shuffle (window over ``on``), no non-equi join — see module doc.
+    For a single pathologically hot key see ``asof_join_bucketed``.
     """
-    keys = list(on)
+    keys, payload, matched_ts, lt, r = _asof_prep(
+        left, right, keys=list(on), left_ts=left_ts, right_ts=right_ts,
+        payload=payload, tie_col=tie_col, how=how)
+    u = lt.unionByName(r, allowMissingColumns=True)
+
+    # Right (side 0) sorts before left (side 1) at equal ts → "at or
+    # before" includes ties; among right ts-ties the max tie_col is last.
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (u.withColumn(_PAYLOAD,
+                           F.last(_PAYLOAD, ignorenulls=True).over(w))
+              .filter(F.col(_SIDE) == 1))
+    return _asof_finish(filled, left, payload, matched_ts, tolerance_s, how)
+
+
+def _asof_prep(left: DataFrame, right: DataFrame, keys: list[str],
+               left_ts: str, right_ts: str,
+               payload: Sequence[str] | None, tie_col: str | None,
+               how: str):
+    """Shared validation + side tagging for the as-of variants."""
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if payload is None:
         payload = [c for c in right.columns
                    if c not in keys and c != right_ts]
+    payload = list(payload)
     collide = set(payload) & set(left.columns)
     if collide:
         raise ValueError(f"payload columns collide with left: {collide}")
 
     matched_ts = f"{right_ts}_matched"
-    # SQL NULL-key semantics (see docstring); a NULL right timestamp can
-    # never be "at or before" anything either.
+    # SQL NULL-key semantics (see asof_join docstring); a NULL right
+    # timestamp can never be "at or before" anything either.
     null_key = F.lit(False)
     for k in keys:
         null_key = null_key | F.col(k).isNull()
@@ -108,28 +130,97 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
           .withColumn(_TS, F.col(left_ts))
           .withColumn(_SIDE, F.lit(1))
           .withColumn(_TIE, F.lit(None).cast(r.schema[_TIE].dataType)))
-    u = lt.unionByName(r, allowMissingColumns=True)
+    return keys, payload, matched_ts, lt, r
 
-    # Right (side 0) sorts before left (side 1) at equal ts → "at or
-    # before" includes ties; among right ts-ties the max tie_col is last.
-    w = (Window.partitionBy(*keys)
-         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = u.withColumn(_PAYLOAD,
-                          F.last(_PAYLOAD, ignorenulls=True).over(w))
 
-    out = filled.filter(F.col(_SIDE) == 1)
+def _asof_finish(filled: DataFrame, left: DataFrame, payload: list[str],
+                 matched_ts: str, tolerance_s: int | None,
+                 how: str) -> DataFrame:
+    """Shared tolerance / join-mode / projection tail."""
+    out = filled
     if tolerance_s is not None:
         fresh = (F.col(f"{_PAYLOAD}.{matched_ts}")
-                 >= F.col(_TS) - F.expr(f"INTERVAL {int(tolerance_s)} SECONDS"))
-        out = out.withColumn(
-            _PAYLOAD, F.when(fresh, F.col(_PAYLOAD)))
+                 >= F.col(_TS)
+                 - F.expr(f"INTERVAL {int(tolerance_s)} SECONDS"))
+        out = out.withColumn(_PAYLOAD, F.when(fresh, F.col(_PAYLOAD)))
     if how == "inner":
         out = out.filter(F.col(_PAYLOAD).isNotNull())
     return out.select(
         *left.columns,
         F.col(f"{_PAYLOAD}.{matched_ts}").alias(matched_ts),
         *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload])
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: Sequence[str],
+                       left_ts: str, right_ts: str,
+                       payload: Sequence[str] | None = None,
+                       tie_col: str | None = None,
+                       tolerance_s: int | None = None,
+                       how: str = "left",
+                       bucket_s: int = 3600) -> DataFrame:
+    """``asof_join`` semantics, skew-resilient: the hot-key escape hatch.
+
+    ``asof_join`` puts each key's full history in ONE window partition —
+    correct, but a single pathologically hot key (one symbol with 10⁹
+    quotes) serializes into one task.  This variant splits every key by a
+    coarse time bucket so the heavy pass parallelizes across
+    ``(key, bucket)``:
+
+    1. within-bucket merge — the same union+window fill, partitioned by
+       ``(key, floor(ts / bucket_s))``; any in-bucket match is by
+       construction newer than everything in earlier buckets;
+    2. per-``(key, bucket)`` right-side summary — ``max(struct(ts, tie,
+       payload))``, a partial-aggregated groupBy (map-side combine), one
+       row per bucket;
+    3. carry — a running ``last(…, ignorenulls)`` over the SUMMARY spine
+       (left buckets ∪ right summaries) per key, strictly-preceding-rows
+       frame: the best right payload from any EARLIER bucket.  This
+       window is per-key again, but over bucket summaries (rows =
+       buckets, not events) — the skew never reaches it;
+    4. left rows unmatched within their bucket take the carried payload
+       via an equi-join on ``(key, bucket)``.
+
+    Identical results to ``asof_join`` for every input (pinned by fuzz
+    equivalence tests across bucket widths).  Prefer plain ``asof_join``
+    unless a key is hot enough to dominate a stage.
+    """
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    keys, payload, matched_ts, lt, r = _asof_prep(
+        left, right, keys=list(on), left_ts=left_ts, right_ts=right_ts,
+        payload=payload, tie_col=tie_col, how=how)
+    bkt = F.floor(F.col(_TS).cast("long") / bucket_s)
+
+    # 1) within-bucket merge
+    u = lt.unionByName(r, allowMissingColumns=True).withColumn(_BUCKET, bkt)
+    w = (Window.partitionBy(*keys, _BUCKET)
+         .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (u.withColumn(_PAYLOAD,
+                           F.last(_PAYLOAD, ignorenulls=True).over(w))
+              .filter(F.col(_SIDE) == 1))
+
+    # 2) per-bucket best right row (max over (ts, tie) carries its payload)
+    summ = (r.withColumn(_BUCKET, bkt)
+            .groupBy(*keys, _BUCKET)
+            .agg(F.max(F.struct(F.col(_TS).alias("ts"),
+                                F.col(_TIE).alias("tie"),
+                                F.col(_PAYLOAD).alias("p"))).alias("__best")))
+
+    # 3) carry across the summary spine (strictly earlier buckets)
+    spine = (filled.select(*keys, _BUCKET).distinct()
+             .join(summ, [*keys, _BUCKET], "full_outer"))
+    cw = (Window.partitionBy(*keys).orderBy(F.col(_BUCKET).asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = spine.select(
+        *keys, _BUCKET,
+        F.last(F.col("__best.p"), ignorenulls=True).over(cw).alias("__prev"))
+
+    # 4) fill the still-unmatched left rows from the carry
+    merged = (filled.join(carry, [*keys, _BUCKET], "left")
+              .withColumn(_PAYLOAD,
+                          F.coalesce(F.col(_PAYLOAD), F.col("__prev"))))
+    return _asof_finish(merged, left, payload, matched_ts, tolerance_s, how)
 
 
 def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],

@@ -205,3 +205,139 @@ def test_range_join_plan_is_equi_join(points, intervals):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+# ---------------------------------------------------------------------------
+# Randomized parity fuzz vs pure-Python oracles (house style:
+# tests/test_parity_fuzz.py) — seeded, one Spark job per suite.
+# ---------------------------------------------------------------------------
+
+def _dt(epoch_s):
+    from datetime import datetime, timezone
+    return (None if epoch_s is None else
+            datetime.fromtimestamp(epoch_s, tz=timezone.utc)
+            .replace(tzinfo=None))
+
+
+def test_asof_join_fuzz_vs_python_oracle(spark):
+    import random
+    rng = random.Random(11)
+    keys = ["a", "b", "c", None]
+    lefts = [(i, rng.choice(keys),
+              rng.choice([None] + list(range(0, 5000, 7))))
+             for i in range(300)]
+    rights = [(rng.choice(keys),
+               rng.choice([None] + list(range(0, 5000, 13))),
+               j if rng.random() > 0.2 else None,  # nullable payload
+               j)
+              for j in range(300)]
+    # force exact-ts ties on both sides
+    rights += [("a", 700, 9001, 9001), ("a", 700, None, 9002)]
+    lefts += [(9000, "a", 700)]
+
+    ldf = spark.createDataFrame(
+        [(i, k, _dt(t)) for i, k, t in lefts],
+        "lid long, k string, t timestamp")
+    rdf = spark.createDataFrame(
+        [(k, _dt(t), p, tie) for k, t, p, tie in rights],
+        "k string, rt timestamp, payload long, tie long")
+
+    for tol in (None, 500):
+        got = {r["lid"]: (r["rt_matched"], r["payload"], r["tie"])
+               for r in asof_join(ldf, rdf, on=["k"], left_ts="t",
+                                  right_ts="rt", payload=["payload", "tie"],
+                                  tie_col="tie", tolerance_s=tol).collect()}
+        assert len(got) == len(lefts)
+        for lid, k, t in lefts:
+            cands = [(rt, tie, p) for (rk, rt, p, tie) in rights
+                     if rk is not None and rk == k and rt is not None
+                     and t is not None and rt <= t
+                     and (tol is None or rt >= t - tol)]
+            want = max(cands) if cands else None
+            if want is None:
+                assert got[lid] == (None, None, None), (lid, got[lid])
+            else:
+                rt, tie, p = want
+                assert got[lid] == (_dt(rt), p, tie), (lid, got[lid])
+
+
+def test_range_join_fuzz_vs_python_oracle(spark):
+    import random
+    rng = random.Random(13)
+    pts = [(i, rng.choice(["a", "b", "c"]), rng.randrange(0, 3000))
+           for i in range(250)]
+    ivs = []
+    for j in range(120):
+        lo = rng.randrange(0, 3000)
+        ivs.append((j, rng.choice(["a", "b", "c"]), lo,
+                    lo + rng.choice([0, 1, 50, 400])))
+    pdf = spark.createDataFrame([(i, k, _dt(t)) for i, k, t in pts],
+                                "pid long, k string, pt timestamp")
+    idf = spark.createDataFrame(
+        [(j, k, _dt(lo), _dt(hi)) for j, k, lo, hi in ivs],
+        "iid long, k string, lo timestamp, hi timestamp")
+    want = sorted((i, j) for (i, pk, pt) in pts for (j, ik, lo, hi) in ivs
+                  if pk == ik and lo <= pt <= hi)
+    for bucket_s in (37, 500, 4000):
+        got = sorted((r["pid"], r["iid"]) for r in range_join(
+            pdf, idf, on=["k"], left_ts="pt", lower_col="lo",
+            upper_col="hi", bucket_s=bucket_s).collect())
+        assert got == want and len(want) > 0
+
+
+def test_asof_bucketed_equivalent_to_plain(spark):
+    """asof_join_bucketed must be pointwise identical to asof_join on
+    adversarial fuzz data, across bucket widths spanning one-row-per-
+    bucket to everything-in-one-bucket."""
+    import random
+
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        asof_join_bucketed,
+    )
+    rng = random.Random(17)
+    keys = ["hot", "b", None]
+    # 'hot' is a deliberately skewed key: ~80% of all rows
+    lefts = [(i, keys[0] if rng.random() < 0.8 else rng.choice(keys),
+              rng.choice([None] + list(range(0, 5000, 3))))
+             for i in range(400)]
+    rights = [(keys[0] if rng.random() < 0.8 else rng.choice(keys),
+               rng.choice([None] + list(range(0, 5000, 7))),
+               j if rng.random() > 0.2 else None, j)
+              for j in range(400)]
+    ldf = spark.createDataFrame(
+        [(i, k, _dt(t)) for i, k, t in lefts],
+        "lid long, k string, t timestamp")
+    rdf = spark.createDataFrame(
+        [(k, _dt(t), p, tie) for k, t, p, tie in rights],
+        "k string, rt timestamp, payload long, tie long")
+
+    def rows(df):
+        return sorted(
+            (r["lid"], r["rt_matched"], r["payload"], r["tie"])
+            for r in df.collect())
+
+    for tol, how in ((None, "left"), (600, "left"), (None, "inner")):
+        want = rows(asof_join(ldf, rdf, on=["k"], left_ts="t",
+                              right_ts="rt", payload=["payload", "tie"],
+                              tie_col="tie", tolerance_s=tol, how=how))
+        for bucket_s in (1, 97, 1000, 10_000):
+            got = rows(asof_join_bucketed(
+                ldf, rdf, on=["k"], left_ts="t", right_ts="rt",
+                payload=["payload", "tie"], tie_col="tie",
+                tolerance_s=tol, how=how, bucket_s=bucket_s))
+            assert got == want, (tol, how, bucket_s)
+
+
+def test_asof_bucketed_no_nlj_and_validates(trades, quotes):
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        asof_join_bucketed,
+    )
+    plan = _plan(asof_join_bucketed(trades, quotes, on=["sym"],
+                                    left_ts="t", right_ts="qt",
+                                    payload=["px"], tie_col="qid"),
+                 mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        asof_join_bucketed(trades, quotes, on=["sym"], left_ts="t",
+                           right_ts="qt", bucket_s=0)
