@@ -447,3 +447,37 @@ def test_segment_dedup_no_false_merges_on_real_corpus(spark, sf_dir):
         else:
             shrunk += 1
     assert shrunk > 0  # the corpus does contain cross-doc repeats
+
+
+def test_segment_dedup_fuzz_vs_python_oracle(spark):
+    """Randomized parity vs an independent pure-Python implementation:
+    tiny vocabulary forces heavy cross-doc and in-doc collisions."""
+    import math
+    import random
+    rng = random.Random(23)
+    vocab = ["a", "b", "c"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 17))))
+            for i in range(120)]
+    w = 3
+
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text in docs:           # global first = lowest (id, idx)
+        toks = text.split(" ")
+        kept, n_kept = [], 0
+        n_segs = math.ceil(len(toks) / w)
+        for idx in range(n_segs):
+            seg = " ".join(toks[idx * w:(idx + 1) * w])
+            full = (idx + 1) * w <= len(toks)
+            if not full or seg not in seen:
+                kept.append(seg)
+                n_kept += 1
+            if full:
+                seen.add(seg)
+        want[doc_id] = (n_segs, n_kept, " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_segs"], r["n_kept"], r["text_dedup"])
+           for r in dd.segment_dedup(df, words_per_seg=w).collect()}
+    assert got == want

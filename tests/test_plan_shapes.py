@@ -164,3 +164,14 @@ def test_cobucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_cust")
         spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def test_purchase_attribution_has_no_nested_loop(spark, sf_dir):
+    """The temporal query must stay nested-loop-free end to end: the
+    as-of half is a window merge, the window-features half a bucketed
+    equi-join — a regression to a non-equi join would surface as
+    BroadcastNestedLoopJoin/CartesianProduct here."""
+    plan = _plan(plans.REGISTRY["purchase_attribution"]
+                 .builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
