@@ -588,12 +588,15 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
     ``text_col`` are dropped (explode semantics) — filter them first if
     they must survive.
 
-    Scale shape: one projection builds all segments (no join), ONE
-    shuffle on the segment digest ranks first occurrences (window over
-    md5 — partition skew equals duplication factor, the quantity being
-    removed; the tail-segment split keeps degenerate short strings out
-    of the window entirely), one shuffle on ``id_col`` reassembles.
-    Compare ``minhash_dup_pairs`` for NEAR-dup at segment granularity.
+    Scale shape: one projection builds all segments (no join, ONE scan —
+    no tails/firsts DAG fork), ONE shuffle on a salted segment digest
+    ranks first occurrences: full segments partition by their content
+    digest (skew equals duplication factor, the quantity being removed);
+    partial tails get a per-row salted digest, so degenerate short
+    strings (empty docs, common suffixes) can never pile into one window
+    partition — their rank is trivially 1 and they are always kept. One
+    shuffle on ``id_col`` reassembles. Compare ``minhash_dup_pairs`` for
+    NEAR-dup at segment granularity.
     """
     import re as _re
 
@@ -611,18 +614,17 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
         .alias("__idx", "__seg"))
 
     full = F.col("__ntoks") >= (F.col("__idx") + 1) * w
-    tails = (base.filter(~full)
-             .select(id_col, "__idx", "__seg",
-                     F.lit(True).alias("__keep")))
-    win = Window.partitionBy(F.md5(F.col("__seg"))).orderBy(
+    part_key = F.when(full, F.md5(F.col("__seg"))).otherwise(
+        F.md5(F.concat_ws("\x00", F.col("__seg"),
+                          F.col(id_col).cast("string"),
+                          F.col("__idx").cast("string"))))
+    win = Window.partitionBy(part_key).orderBy(
         F.col(id_col).asc(), F.col("__idx").asc())
-    firsts = (base.filter(full)
-              .select(id_col, "__idx", "__seg",
-                      (F.row_number().over(win) == 1).alias("__keep")))
+    flagged = base.withColumn("__keep", F.row_number().over(win) == 1)
 
     kept_struct = F.when(F.col("__keep"),
                          F.struct(F.col("__idx"), F.col("__seg")))
-    return (tails.unionByName(firsts)
+    return (flagged
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_segs"),
                  F.sum(F.col("__keep").cast("long")).alias("n_kept"),
