@@ -175,3 +175,15 @@ def test_purchase_attribution_has_no_nested_loop(spark, sf_dir):
                  .builder(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_single_scan_two_exchanges(spark, sf_dir):
+    """The salted-window rewrite's claim: one corpus scan (no
+    tails/firsts DAG fork), exactly two shuffles (salted segment digest
+    for the keep-first window, doc_id for reassembly)."""
+    plan = _plan(plans.REGISTRY["segment_dedup_docs"]
+                 .builder(spark, sf_dir))
+    counts = _node_counts(plan)
+    assert counts["Scan"] == 1, counts
+    assert counts["Exchange"] == 2, counts
+    assert counts["Window"] == 1, counts
