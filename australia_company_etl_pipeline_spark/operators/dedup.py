@@ -633,3 +633,101 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
                          F.array_sort(F.collect_list(kept_struct)),
                          lambda s: s["__seg"]),
                      delim).alias(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted MinHash index, batch-at-a-time arrival
+# ---------------------------------------------------------------------------
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read a parquet index component, or an empty typed frame before the
+    first batch has been indexed."""
+    import os
+
+    if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
+                      id_col: str, threshold: float = 0.8,
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle: int = 3) -> DataFrame:
+    """Dedup an arriving batch against EVERYTHING seen before without
+    recomputing history — the only near-dup shape that survives a corpus
+    growing by terabytes a day (re-running ``minhash_dup_pairs`` over the
+    full history per batch is O(history) every day; this is O(batch)).
+
+    The index at ``index_path`` persists two parquet tables:
+    ``buckets/`` (id, band, bh — the LSH band buckets) and ``shingles/``
+    (id, __sh — for the exact-Jaccard verify).  Per batch: build the
+    batch's buckets ONCE, equi-join them against the index buckets (and
+    against the batch's own lower-id rows), exact-verify every candidate
+    with n-gram Jaccard, drop verified dups, then append ALL batch rows
+    — kept AND dropped — to the index.
+
+    Contract:
+    - a batch doc is DROPPED iff it verifies ``>= threshold`` against any
+      previously-indexed doc or a lower-``id_col`` doc of its own batch;
+    - dropped docs still index, so transitive chains spanning batch
+      boundaries resolve identically however the stream is chunked
+      (chunk-invariance, pinned in tests) — a doc similar only to an
+      already-dropped doc is still a dup;
+    - ``id_col`` must be globally increasing across batches (append-log
+      ids); ties between "seen earlier" and "lower id" then never
+      conflict;
+    - LSH parameters must stay fixed for the life of one index (bucket
+      keys are parameter-dependent).
+
+    Returns the kept batch rows (all original columns).  The batch
+    shingle projection is persisted for the verify join — call
+    ``unpersist_shingles()`` after the terminal action.  At cluster
+    scale, write the index bucketed on ``bh`` (see
+    ``sinks.write_bucketed_parquet``) to make the per-batch candidate
+    join exchange-free on the index side.
+    """
+    spark = batch.sparkSession
+    buckets_path = f"{index_path}/buckets"
+    shingles_path = f"{index_path}/shingles"
+
+    sh = shingle_frame(batch, text_col, id_col, shingle)
+    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands)
+
+    idx_buckets = _read_or_empty(
+        spark, buckets_path, f"{id_col} long, band int, bh int")
+    idx_sh = _read_or_empty(
+        spark, shingles_path, f"{id_col} long, __sh array<string>")
+
+    hist = (buckets.alias("n")
+            .join(idx_buckets.alias("o"),
+                  (F.col("n.band") == F.col("o.band"))
+                  & (F.col("n.bh") == F.col("o.bh")), "inner")
+            .select(F.col(f"n.{id_col}").alias("new_id"),
+                    F.col(f"o.{id_col}").alias("seen_id")))
+    own = (buckets.alias("a")
+           .join(buckets.alias("b"),
+                 (F.col("a.band") == F.col("b.band"))
+                 & (F.col("a.bh") == F.col("b.bh"))
+                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+           .select(F.col(f"b.{id_col}").alias("new_id"),
+                   F.col(f"a.{id_col}").alias("seen_id")))
+    cands = hist.unionByName(own).distinct()
+
+    seen_sh = idx_sh.unionByName(sh)
+    verified = (cands
+                .join(sh.select(F.col(id_col).alias("new_id"),
+                                F.col("__sh").alias("__sh_n")), "new_id")
+                .join(seen_sh.select(F.col(id_col).alias("seen_id"),
+                                     F.col("__sh").alias("__sh_s")),
+                      "seen_id")
+                .filter(jaccard_arrays(F.col("__sh_n"), F.col("__sh_s"))
+                        >= threshold))
+    drops = verified.select(F.col("new_id").alias(id_col)).distinct()
+
+    # Index listing is captured above (read time), so appending now
+    # cannot feed this batch's rows back into its own history join.
+    buckets.write.mode("append").parquet(buckets_path)
+    sh.write.mode("append").parquet(shingles_path)
+
+    return batch.join(drops, id_col, "left_anti")

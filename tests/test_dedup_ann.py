@@ -481,3 +481,70 @@ def test_segment_dedup_fuzz_vs_python_oracle(spark):
     got = {r["doc_id"]: (r["n_segs"], r["n_kept"], r["text_dedup"])
            for r in dd.segment_dedup(df, words_per_seg=w).collect()}
     assert got == want
+
+
+def _inc_corpus():
+    """40-token docs; every 4th doc gets a 1-token-edited near-copy
+    (trigram jaccard ≈ 0.85) appended with a later id."""
+    import random
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(30)]
+    nid = 100
+    for i, text in list(docs):
+        if i % 4 == 0:
+            toks = text.split()
+            toks[7] = "EDITED"
+            docs.append((nid, " ".join(toks)))
+            nid += 1
+    return sorted(docs)
+
+
+def _run_chunks(spark, tmp_path, docs, chunks, tag):
+    idx = str(tmp_path / f"idx_{tag}")
+    kept: list[int] = []
+    start = 0
+    for size in chunks:
+        batch = spark.createDataFrame(docs[start:start + size],
+                                      "doc_id long, text string")
+        out = dd.incremental_dedup(batch, idx, "text", "doc_id",
+                                   threshold=0.8)
+        kept += [r["doc_id"] for r in out.select("doc_id").collect()]
+        start += size
+    dd.unpersist_shingles()
+    assert start == len(docs)
+    return sorted(kept)
+
+
+def test_incremental_dedup_chunk_invariance(spark, tmp_path):
+    """Re-chunking the arrival stream must never change the outcome —
+    the property that makes the persisted index trustworthy."""
+    docs = _inc_corpus()
+    n = len(docs)
+    whole = _run_chunks(spark, tmp_path, docs, [n], "whole")
+    halves = _run_chunks(spark, tmp_path, docs, [n // 2, n - n // 2],
+                         "halves")
+    thirds = _run_chunks(spark, tmp_path, docs,
+                         [n // 3, n // 3, n - 2 * (n // 3)], "thirds")
+    assert whole == halves == thirds
+    # the planted near-copies (ids >= 100) were dropped; originals kept
+    assert all(i < 100 for i in whole)
+    assert len(whole) == 30
+
+
+def test_incremental_dedup_transitive_chain_across_batches(spark,
+                                                          tmp_path):
+    """a~b and b~c but a≁c: b drops against a; c must still drop against
+    the ALREADY-DROPPED b (dropped docs index too) — in every chunking."""
+    base = [f"t{i}" for i in range(40)]
+    b_toks = list(base)
+    b_toks[5] = "X"       # a~b ≈ 0.85
+    c_toks = list(b_toks)
+    c_toks[25] = "Y"      # b~c ≈ 0.85, a~c ≈ 0.73 < 0.8
+    docs = [(1, " ".join(base)), (2, " ".join(b_toks)),
+            (3, " ".join(c_toks))]
+    for tag, chunks in (("one", [3]), ("ab_c", [2, 1]), ("a_bc", [1, 2]),
+                        ("singles", [1, 1, 1])):
+        assert _run_chunks(spark, tmp_path, docs, chunks,
+                           f"chain_{tag}") == [1], tag
