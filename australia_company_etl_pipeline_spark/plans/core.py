@@ -165,11 +165,19 @@ def stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_by_type_ordered",
     doc="A6 group-by count + order desc (fct_match_statistics.sql:43-50, "
-        "create_tables.sql:178-187) over events.",
-    tags=("agg", "sort"),
+        "create_tables.sql:178-187) over events — r4: also covers "
+        "semi-structured columns: the JSON `props` payload is parsed with "
+        "a TYPED from_json schema (not per-row get_json_object string "
+        "probing — one parse, columnar access, malformed rows → NULL) "
+        "and its `k` field rolls up alongside the native metrics.",
+    tags=("agg", "sort", "json"),
     oracle="""
 SELECT event_type, count(*) AS n_events,
-       round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+       round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value,
+       count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY n_events DESC, event_type ASC
@@ -177,9 +185,15 @@ ORDER BY n_events DESC, event_type ASC
 )
 def events_by_type_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    return (e.groupBy("event_type")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (e.withColumn("__k", k)
+            .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(dsum(F.col("value")), 2).alias("total_value"))
+                 F.round(dsum(F.col("value")), 2).alias("total_value"),
+                 F.count("__k").alias("n_with_k"),
+                 F.sum("__k").cast("bigint").alias("sum_k"),
+                 F.min("__k").alias("min_k"),
+                 F.max("__k").alias("max_k"))
             .orderBy(F.desc("n_events"), F.asc("event_type")))
 
 
