@@ -641,13 +641,16 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     """Read a parquet index component, or an empty typed frame before the
-    first batch has been indexed."""
-    import os
+    first batch has been indexed.  Works on any Hadoop filesystem (local,
+    HDFS, object stores) — a driver-side os.path probe would silently
+    treat every remote index as empty, which for a dedup index means
+    silently re-admitting known duplicates."""
+    from pyspark.errors import AnalysisException
 
-    if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException:  # PATH_NOT_FOUND: nothing indexed yet
+        return spark.createDataFrame([], schema)
 
 
 def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
