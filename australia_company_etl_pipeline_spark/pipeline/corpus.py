@@ -1,0 +1,141 @@
+"""End-to-end training-corpus preparation — the composed pipeline.
+
+The individual operators (quality filter, exact/near dedup,
+decontamination, packing, sharded release) are each driver-gated or
+pytest-pinned on their own; this module is the recipe that chains them
+the way a production pretraining-data run does, with the reference's
+run-record observability (``/root/reference/src/pipeline.py:255-281``
+stage accounting, here ONE unioned count plan instead of per-stage
+re-counts) attached to every stage boundary.
+
+Stage frames are persisted (MEMORY_AND_DISK) because two consumers pull
+on each: the next stage and the stage-count report.  Without the
+persist, the report's count job and the downstream stage would both
+recompute the full prefix of the pipeline.  Call
+``release_corpus_cache()`` after the terminal action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import textstats as ts
+from ..operators.audit import pipeline_run_record
+
+_STAGE_CACHE: list[DataFrame] = []
+
+
+def release_corpus_cache() -> int:
+    """Unpersist every stage frame cached by ``prepare_training_corpus``
+    in this process; returns how many were released."""
+    n = 0
+    while _STAGE_CACHE:
+        _STAGE_CACHE.pop().unpersist()
+        n += 1
+    return n
+
+
+def _stage(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _STAGE_CACHE.append(df)
+    return df
+
+
+def prepare_training_corpus(
+        docs: DataFrame,
+        benchmark: DataFrame | None = None,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        run_id: str = "corpus-run",
+        near_threshold: float = 0.8,
+        num_hashes: int = 32,
+        bands: int = 8,
+        segment_words: int | None = None,
+        pack_budget: int = 2048,
+        filter_kwargs: dict | None = None,
+        out_dir: str | None = None,
+        shards: int = 8) -> tuple[DataFrame, DataFrame]:
+    """Raw documents → packed, deduplicated, decontaminated corpus.
+
+    Stages (each optional knob noted):
+
+    1. quality filter — ``corpus_filter`` one-pass gate, drop reasons
+       attributed (``filter_kwargs`` forwards thresholds);
+    2. exact dedup — content-digest keep-first;
+    3. segment dedup (only when ``segment_words`` is set) — sub-document
+       keep-first over fixed word windows, text REWRITTEN to the
+       deduplicated form;
+    4. near dedup — MinHash+LSH pairs → connected components → keep each
+       cluster's canonical (min-id) member;
+    5. decontamination (only when ``benchmark`` is given) — drop docs
+       near-duplicating the eval set;
+    6. packing — greedy token-budget sequence packing over a BPE-ish
+       token count;
+    7. release (only when ``out_dir`` is set) — range-sharded, locally
+       sorted parquet via ``write_sharded_corpus``.
+
+    Returns ``(packed, report)``: the packed corpus (original columns +
+    ``n_tokens, pack_id, pack_offset, spans_packs``) and the one-row
+    pipeline_runs record whose ``stage_counts`` JSON carries every stage
+    boundary ('ingested' → … → 'packed').  Both are lazy; the report's
+    count job and the packed frame share the persisted stage prefixes —
+    call ``release_corpus_cache()`` when done.
+    """
+    stages: dict[str, DataFrame] = {"ingested": docs}
+
+    flagged = ts.corpus_filter(docs, text_col, **(filter_kwargs or {}))
+    kept = _stage(flagged.filter(F.col("drop_reason").isNull())
+                  .drop("drop_reason"))
+    stages["quality_filtered"] = kept
+
+    exact = _stage(dd.exact_dedup(kept, [text_col], id_col))
+    stages["exact_deduped"] = exact
+    current = exact
+
+    if segment_words is not None:
+        seg = dd.segment_dedup(current, id_col=id_col, text_col=text_col,
+                               words_per_seg=segment_words)
+        current = _stage(
+            current.drop(text_col)
+            .join(seg.select(id_col,
+                             F.col("text_dedup").alias(text_col)), id_col))
+        stages["segment_deduped"] = current
+
+    clusters = dd.dedup_clusters(current, text_col, id_col,
+                                 threshold=near_threshold,
+                                 method="minhash", num_hashes=num_hashes,
+                                 bands=bands)
+    keepers = clusters.filter("is_canonical").select(id_col)
+    current = _stage(current.join(keepers, id_col, "left_semi"))
+    stages["near_deduped"] = current
+
+    if benchmark is not None:
+        current = _stage(dd.decontaminate(
+            current, benchmark, text_col, id_col,
+            threshold=near_threshold, num_hashes=num_hashes, bands=bands))
+        stages["decontaminated"] = current
+
+    counted = current.withColumn(
+        "n_tokens", ts.bpe_ish_token_count(F.col(text_col)))
+    packed = counted.join(
+        ts.pack_sequences(counted, "n_tokens", id_col, budget=pack_budget)
+        .select(id_col, "pack_id", "pack_offset", "spans_packs"), id_col)
+    stages["packed"] = packed
+
+    if out_dir is not None:
+        from ..sources.sinks import write_sharded_corpus
+        write_sharded_corpus(packed, out_dir, sort_col=id_col,
+                             shards=shards)
+
+    report = pipeline_run_record(
+        stages, run_id=run_id, pipeline_name="prepare-training-corpus",
+        config={"near_threshold": near_threshold,
+                "num_hashes": num_hashes, "bands": bands,
+                "segment_words": segment_words,
+                "pack_budget": pack_budget})
+    return packed, report

@@ -1,0 +1,69 @@
+"""End-to-end corpus pipeline: the composed recipe must chain the
+operators coherently — monotone stage counts, rewritten text, packing
+invariants, sharded release — with one run record accounting for it."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.catalog import table
+from australia_company_etl_pipeline_spark.pipeline.corpus import (
+    prepare_training_corpus,
+    release_corpus_cache,
+)
+
+
+def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted near-dups (suffix tweak) + an eval slice for decontamination
+    dups = (docs.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat("text", F.lit(" tail")).alias("text")))
+    corpus = docs.unionByName(dups)
+    benchmark = docs.filter(F.col("doc_id") % 13 == 0)
+
+    out_dir = str(tmp_path / "release")
+    try:
+        packed, report = prepare_training_corpus(
+            corpus, benchmark, segment_words=8, pack_budget=512,
+            out_dir=out_dir, shards=4)
+        rep = report.collect()[0]
+        counts = json.loads(rep["stage_counts"])
+        order = ["ingested", "quality_filtered", "exact_deduped",
+                 "segment_deduped", "near_deduped", "decontaminated",
+                 "packed"]
+        assert list(counts) == sorted(order)  # sorted-key JSON
+        assert counts["ingested"] == corpus.count()
+        # every stage can only shrink the corpus (packing is 1:1)
+        for a, b in zip(order, order[1:]):
+            assert counts[b] <= counts[a], (a, b, counts)
+        assert counts["packed"] == counts["decontaminated"]
+        assert counts["near_deduped"] < counts["exact_deduped"]  # dups died
+        assert counts["decontaminated"] < counts["near_deduped"]  # eval out
+
+        rows = packed.collect()
+        assert len(rows) == counts["packed"]
+        for r in rows:
+            assert 0 <= r["pack_offset"] < 512
+            assert r["pack_id"] >= 0 and r["n_tokens"] > 0
+        # the release hit disk, range-sharded
+        files = spark.read.parquet(out_dir)
+        assert files.count() == counts["packed"]
+    finally:
+        release_corpus_cache()
+
+
+def test_prepare_training_corpus_minimal_knobs(spark, sf_dir):
+    """No benchmark, no segment stage, no sink — optional stages absent
+    from the report, pipeline still coherent."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    try:
+        packed, report = prepare_training_corpus(docs, pack_budget=1024)
+        counts = json.loads(report.collect()[0]["stage_counts"])
+        assert "decontaminated" not in counts
+        assert "segment_deduped" not in counts
+        assert counts["packed"] == packed.count() > 0
+    finally:
+        release_corpus_cache()
