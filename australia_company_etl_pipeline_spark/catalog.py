@@ -57,8 +57,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for c in ts_cols:
             t = df.schema[c].dataType
             if isinstance(t, LongType):  # NANOS read as epoch-nano longs
+                # integer div, NOT (col/1000).cast: double division loses
+                # exactness above 2^53 — epoch-nanos are ~2^60, so the
+                # rounded quotient can land a whole-second boundary on
+                # x.999999s and shift every floor(epoch) comparison
                 df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
             elif isinstance(t, TimestampNTZType):
                 # session tz is pinned UTC, so NTZ→LTZ keeps wall-clock
                 # values; downstream (windows, epoch casts) expects LTZ

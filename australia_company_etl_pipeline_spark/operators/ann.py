@@ -235,15 +235,16 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
             # refill vacated ids INSIDE this round's materialize: the
             # anti-join/inner-join run on ≤k-row frames within the same
             # job — no per-round count() action, a no-op when no
-            # cluster emptied
+            # cluster emptied. Pairing is vacated id i ↔ reserve slot i
+            # (FIXED, not per-round rank): re-ranking vacancies from 1
+            # each round would hand the same reserve vector to different
+            # ids across rounds, silently duplicating centroids.
             spark = updated.sparkSession
             expected = spark.range(1, n_centroids + 1).select(
                 F.col("id").cast("int").alias("centroid_id"))
-            vacated_win = Window.orderBy(F.col("centroid_id").asc())
             vacated = (expected.join(updated.select("centroid_id"),
                                      "centroid_id", "left_anti")
-                       .withColumn("__rn",
-                                   F.row_number().over(vacated_win)))
+                       .withColumn("__rn", F.col("centroid_id")))
             refill = (vacated.join(reserve, "__rn", "inner")
                       .select("centroid_id", "centroid_vec"))
             updated = updated.unionByName(refill)

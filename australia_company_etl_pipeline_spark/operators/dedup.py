@@ -390,6 +390,7 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
     cluster's min id (deterministic keeper, reference keep-first A4
     semantics lifted to clusters). ``checkpoint`` forwards to
     ``connected_components`` ('reliable' for preemptible clusters)."""
+    before = {id(f) for f in _SHINGLE_CACHE}
     if method == "minhash":
         pairs = minhash_dup_pairs(df, text_col, id_col, threshold, **kwargs)
     elif method == "ngram":
@@ -403,8 +404,13 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
         cc = connected_components(pairs, nodes=df.select(id_col),
                                   node_col=id_col, checkpoint=checkpoint)
     finally:
-        if method == "minhash":
-            unpersist_shingles()
+        # Release ONLY the shingle frames THIS call created — a global
+        # unpersist_shingles() here would also evict a caller-shared
+        # shingles= frame (the hashed_dup_pairs pattern) and any other
+        # operator's cached frames, forcing silent recomputes.
+        for f in [f for f in _SHINGLE_CACHE if id(f) not in before]:
+            f.unpersist()
+            _SHINGLE_CACHE.remove(f)
     return cc.select(F.col("id").alias(id_col), "cluster_id",
                      (F.col("id") == F.col("cluster_id"))
                      .alias("is_canonical"))
@@ -639,17 +645,24 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
 # Incremental dedup: persisted MinHash index, batch-at-a-time arrival
 # ---------------------------------------------------------------------------
 
-def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+def _read_or_empty(spark, path: str, schema) -> DataFrame:
     """Read a parquet index component, or an empty typed frame before the
     first batch has been indexed.  Works on any Hadoop filesystem (local,
     HDFS, object stores) — a driver-side os.path probe would silently
     treat every remote index as empty, which for a dedup index means
-    silently re-admitting known duplicates."""
+    silently re-admitting known duplicates.  Only the missing-path error
+    maps to "empty"; every OTHER read failure (corrupt metadata, wrong
+    path root, permissions) re-raises — treating those as empty would be
+    the same silent re-admission."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.schema(schema).parquet(path)
-    except AnalysisException:  # PATH_NOT_FOUND: nothing indexed yet
+    except AnalysisException as exc:
+        cond = (exc.getCondition() if hasattr(exc, "getCondition")
+                else exc.getErrorClass())
+        if cond != "PATH_NOT_FOUND":
+            raise
         return spark.createDataFrame([], schema)
 
 
@@ -672,7 +685,8 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
 
     Contract:
     - a batch doc is DROPPED iff it verifies ``>= threshold`` against any
-      previously-indexed doc or a lower-``id_col`` doc of its own batch;
+      LOWER-``id_col`` seen doc (previously indexed or in its own batch
+      — one rule, id order is the global arrival order);
     - dropped docs still index, so transitive chains spanning batch
       boundaries resolve identically however the stream is chunked
       (chunk-invariance, pinned in tests) — a doc similar only to an
@@ -681,7 +695,12 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
       ids); ties between "seen earlier" and "lower id" then never
       conflict;
     - LSH parameters must stay fixed for the life of one index (bucket
-      keys are parameter-dependent).
+      keys are parameter-dependent);
+    - replaying a batch is SAFE for the kept-set (only lower-id history
+      counts, and a replayed batch's first-run rows all carry ids >= its
+      own, so a re-run returns the same kept rows) but appends duplicate
+      index rows; compact the index or make replays idempotent at the
+      orchestrator when storage matters.
 
     Returns the kept batch rows (all original columns).  The batch
     shingle projection is persisted for the verify join — call
@@ -690,6 +709,9 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     ``sinks.write_bucketed_parquet``) to make the per-batch candidate
     join exchange-free on the index side.
     """
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+
     spark = batch.sparkSession
     buckets_path = f"{index_path}/buckets"
     shingles_path = f"{index_path}/shingles"
@@ -697,15 +719,31 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     sh = shingle_frame(batch, text_col, id_col, shingle)
     buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands)
 
+    # Index schemas derive from the batch's actual id type — a hardcoded
+    # long would corrupt reads for string/decimal append-log ids.
+    id_type = batch.schema[id_col].dataType
     idx_buckets = _read_or_empty(
-        spark, buckets_path, f"{id_col} long, band int, bh int")
+        spark, buckets_path, StructType([
+            StructField(id_col, id_type),
+            StructField("band", IntegerType()),
+            StructField("bh", IntegerType())]))
     idx_sh = _read_or_empty(
-        spark, shingles_path, f"{id_col} long, __sh array<string>")
+        spark, shingles_path, StructType([
+            StructField(id_col, id_type),
+            StructField("__sh", ArrayType(StringType()))]))
 
+    # seen_id < new_id, NOT just a self-pair exclusion: under the
+    # increasing-id contract genuine history ALWAYS has lower ids, so the
+    # only index rows this strictness discards are a replayed batch's own
+    # first-run rows (ids >= the batch's). Without it a replay would
+    # self-verify at jaccard 1.0 (same id) or collide with its own
+    # near-dup family members (higher ids) and silently over-drop.
     hist = (buckets.alias("n")
             .join(idx_buckets.alias("o"),
                   (F.col("n.band") == F.col("o.band"))
-                  & (F.col("n.bh") == F.col("o.bh")), "inner")
+                  & (F.col("n.bh") == F.col("o.bh"))
+                  & (F.col(f"o.{id_col}") < F.col(f"n.{id_col}")),
+                  "inner")
             .select(F.col(f"n.{id_col}").alias("new_id"),
                     F.col(f"o.{id_col}").alias("seen_id")))
     own = (buckets.alias("a")
@@ -730,7 +768,11 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
 
     # Index listing is captured above (read time), so appending now
     # cannot feed this batch's rows back into its own history join.
-    buckets.write.mode("append").parquet(buckets_path)
+    # Shingles FIRST: a crash between the two writes then leaves orphaned
+    # shingle rows (harmless — never candidates without bucket rows),
+    # whereas orphaned BUCKET rows would generate candidates whose verify
+    # join finds no shingles and silently re-admit known duplicates.
     sh.write.mode("append").parquet(shingles_path)
+    buckets.write.mode("append").parquet(buckets_path)
 
     return batch.join(drops, id_col, "left_anti")

@@ -106,11 +106,12 @@ def _asof_prep(left: DataFrame, right: DataFrame, keys: list[str],
         payload = [c for c in right.columns
                    if c not in keys and c != right_ts]
     payload = list(payload)
-    collide = set(payload) & set(left.columns)
-    if collide:
-        raise ValueError(f"payload columns collide with left: {collide}")
-
     matched_ts = f"{right_ts}_matched"
+    collide = (set(payload) | {matched_ts}) & set(left.columns)
+    if collide:
+        # includes matched_ts: chaining two as-of joins whose right sides
+        # share a timestamp name would otherwise emit a duplicate column
+        raise ValueError(f"output columns collide with left: {collide}")
     # SQL NULL-key semantics (see asof_join docstring); a NULL right
     # timestamp can never be "at or before" anything either.
     null_key = F.lit(False)
@@ -239,6 +240,14 @@ def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     if bucket_s <= 0:
         raise ValueError("bucket_s must be positive")
     keys = list(on)
+    # SQL semantics for degenerate intervals: a NULL bound or an inverted
+    # interval (lower > upper) matches nothing — drop the row instead of
+    # letting NULL poison the guard or an inverted pair slip past it as a
+    # negative span (sequence(start, stop) would then DESCEND and explode
+    # |span| rows that the residual filter silently discards).
+    right = right.filter(F.col(lower_col).isNotNull()
+                         & F.col(upper_col).isNotNull()
+                         & (F.col(lower_col) <= F.col(upper_col)))
     lo_b = F.floor(F.col(lower_col).cast("long") / bucket_s)
     hi_b = F.floor(F.col(upper_col).cast("long") / bucket_s)
     # Guard is folded INTO the sequence start (assert_true → NULL on pass)

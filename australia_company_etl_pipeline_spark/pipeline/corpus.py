@@ -29,8 +29,11 @@ _STAGE_CACHE: list[DataFrame] = []
 
 def release_corpus_cache() -> int:
     """Unpersist every stage frame cached by ``prepare_training_corpus``
-    in this process; returns how many were released."""
-    n = 0
+    in this process — plus the shingle frames the decontamination stage
+    persisted through the dedup operators (the dedup_clusters stage
+    drains its own, but ``decontaminate`` follows the caller-releases
+    contract); returns how many frames were released."""
+    n = dd.unpersist_shingles()
     while _STAGE_CACHE:
         _STAGE_CACHE.pop().unpersist()
         n += 1

@@ -548,3 +548,18 @@ def test_incremental_dedup_transitive_chain_across_batches(spark,
                         ("singles", [1, 1, 1])):
         assert _run_chunks(spark, tmp_path, docs, chunks,
                            f"chain_{tag}") == [1], tag
+
+
+def test_incremental_dedup_replay_is_safe(spark, tmp_path):
+    """Re-running a batch after its index append (the at-least-once
+    orchestrator retry) must return the SAME kept set, not drop the
+    whole batch as self-duplicates of its first run."""
+    docs = _inc_corpus()
+    idx = str(tmp_path / "idx_replay")
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+    first = sorted(r["doc_id"] for r in dd.incremental_dedup(
+        batch, idx, "text", "doc_id", threshold=0.8).collect())
+    replay = sorted(r["doc_id"] for r in dd.incremental_dedup(
+        batch, idx, "text", "doc_id", threshold=0.8).collect())
+    dd.unpersist_shingles()
+    assert replay == first and len(first) == 30

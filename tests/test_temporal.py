@@ -341,3 +341,30 @@ def test_asof_bucketed_no_nlj_and_validates(trades, quotes):
     with pytest.raises(ValueError):
         asof_join_bucketed(trades, quotes, on=["sym"], left_ts="t",
                            right_ts="qt", bucket_s=0)
+
+
+def test_range_join_degenerate_intervals_match_nothing(spark):
+    """Inverted (lower > upper) and NULL-bound intervals follow SQL
+    semantics — no match — instead of exploding a descending sequence
+    past the guard or failing the job on a NULL span."""
+    pts = spark.createDataFrame(
+        [("a", 1, _dt(1000))], "k string, pid long, pt timestamp")
+    ivs = spark.createDataFrame(
+        [("a", 10, _dt(2_000_000), _dt(0)),      # inverted, 2M-bucket span
+         ("a", 11, None, _dt(2000)),             # NULL lower
+         ("a", 12, _dt(0), None),                # NULL upper
+         ("a", 13, _dt(500), _dt(1500))],        # sane — must still match
+        "k string, iid long, lo timestamp, hi timestamp")
+    got = [(r["pid"], r["iid"]) for r in range_join(
+        pts, ivs, on=["k"], left_ts="pt", lower_col="lo", upper_col="hi",
+        bucket_s=1, max_buckets=10_000).collect()]
+    assert got == [(1, 13)]
+
+
+def test_asof_rejects_matched_ts_collision(trades, quotes):
+    chained = asof_join(trades, quotes, on=["sym"], left_ts="t",
+                        right_ts="qt", payload=["px"], tie_col="qid")
+    assert "qt_matched" in chained.columns
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(chained, quotes, on=["sym"], left_ts="t",
+                  right_ts="qt", payload=["qid"])
