@@ -295,24 +295,45 @@ def pack_sequences(df, token_count_col: str, id_col: str,
         (offset + n > budget).alias("spans_packs"))
 
 
+def sample_bucket(keys: list, hash_fn: str = "murmur3") -> Column:
+    """Deterministic ``[0, 1e6)`` bucket for hash sampling.
+
+    ``'murmur3'`` — ``F.hash`` (fastest; engine-specific values).
+    ``'md5'`` — first 8 hex digits of md5 over the \\x1f-joined
+    stringified keys (engine-portable; DuckDB twin:
+    ``CAST(concat('0x', substr(md5(concat_ws(chr(31), …)), 1, 8)) AS
+    BIGINT) % 1000000`` — how the driver oracle value-checks the
+    sampling rule)."""
+    if hash_fn == "murmur3":
+        return F.pmod(F.hash(*keys), F.lit(1_000_000))
+    if hash_fn == "md5":
+        joined = F.concat_ws("\x1f", *[k.cast("string") for k in keys])
+        return (F.conv(F.substring(F.md5(joined), 1, 8), 16, 10)
+                .cast("long") % 1_000_000)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}: 'murmur3' or 'md5'")
+
+
 def deterministic_sample(df, id_col: str, fraction: float,
-                         seed: int = 42, strata_col=None):
+                         seed: int = 42, strata_col=None,
+                         hash_fn: str = "murmur3"):
     """Deterministic hash sampling: keep a row iff
-    ``pmod(hash(id, seed), 1e6) < fraction*1e6`` — reproducible across
-    runs/partitionings (unlike ``df.sample``, whose output depends on
-    partition layout), cheap (no shuffle, pushes past scans), and
+    ``sample_bucket(id, [stratum,] seed) < fraction*1e6`` — reproducible
+    across runs/partitionings (unlike ``df.sample``, whose output depends
+    on partition layout), cheap (no shuffle, pushes past scans), and
     composable: the same (seed, fraction) always selects a superset of a
     smaller fraction, so train/holdout splits stay stable as the corpus
     grows. With ``strata_col``, the rate applies per stratum key by
     salting the hash with it (per-stratum rates stay ≈fraction
-    regardless of skew).
+    regardless of skew). ``hash_fn='md5'`` trades hash speed for
+    engine-portable bucket values (cross-system reproducibility — e.g.
+    selecting the identical sample from a DuckDB/Trino mirror).
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cols = [F.col(id_col), F.lit(seed)]
     if strata_col is not None:
         cols.insert(1, F.col(strata_col))
-    bucket = F.pmod(F.hash(*cols), F.lit(1_000_000))
+    bucket = sample_bucket(cols, hash_fn)
     return df.filter(bucket < int(fraction * 1_000_000))
 
 

@@ -105,7 +105,11 @@ base AS (
         "('und' below 5%), punctuation/stopword ratios, integer-micro-unit "
         "quality score, and the rolling-hash fingerprint. All subtrees "
         "share one tokenization; Catalyst collapses the fold into a "
-        "single whole-stage-codegen projection — shuffle-free.",
+        "single whole-stage-codegen projection — shuffle-free. r4: + the "
+        "deterministic-sampling predicates (sample_bucket hash_fn='md5', "
+        "engine-portable) as per-doc flags — plain 20% and "
+        "lang-stratified 20% — putting the train/holdout selection rule "
+        "itself under the value-check gate.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES}
@@ -115,10 +119,16 @@ SELECT doc_id, n_tokens, n_units, mean_token_len,
        quality,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-           list_transform(regexp_split_to_array(text, ''),
+           list_transform(regexp_split_to_array(prof.text, ''),
                           c -> CAST(ascii(c) AS BIGINT))),
-         (a, b) -> (a * 31 + b) % 1000000007) AS fp
-FROM prof
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+       CAST(concat('0x', substr(md5(concat_ws(chr(31),
+            CAST(prof.doc_id AS VARCHAR), '42')), 1, 8)) AS BIGINT)
+         % 1000000 < 200000 AS sample_20,
+       CAST(concat('0x', substr(md5(concat_ws(chr(31),
+            CAST(prof.doc_id AS VARCHAR), d.lang, '42')), 1, 8)) AS BIGINT)
+         % 1000000 < 200000 AS sample_20_lang
+FROM prof JOIN documents d USING (doc_id)
 """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +151,11 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.token_dup_ratio_t(toks).alias("token_dup_ratio"),
         ts.line_dup_ratio(F.col("text")).alias("line_dup_ratio"),
         ts.quality_score_t(F.col("text"), toks).alias("quality"),
-        ts.fingerprint(F.col("text")).alias("fp"))
+        ts.fingerprint(F.col("text")).alias("fp"),
+        (ts.sample_bucket([F.col("doc_id"), F.lit(42)], "md5")
+         < 200_000).alias("sample_20"),
+        (ts.sample_bucket([F.col("doc_id"), F.col("lang"), F.lit(42)],
+                          "md5") < 200_000).alias("sample_20_lang"))
 
 
 @register(

@@ -333,3 +333,37 @@ def test_ngram_counts_every_occurrence(spark):
            for r in ts.ngram_counts(df, "text", n=2).collect()}
     # doc1: 'a b','b a','a b'; doc2: 'a b'; doc3: too short -> none
     assert got == {"a b": 3, "b a": 1}
+
+
+def test_deterministic_sample_md5_portable(spark):
+    """The engine-portable md5 bucket: same determinism/superset/strata
+    properties as murmur3, and values reproducible in DuckDB (the
+    doc_profile oracle re-derives the rule; here pin a python oracle)."""
+    import hashlib
+
+    df = spark.createDataFrame([(i, "en" if i % 3 else "de")
+                                for i in range(400)],
+                               "doc_id long, lang string")
+    half = {r["doc_id"] for r in ts.deterministic_sample(
+        df, "doc_id", 0.5, hash_fn="md5").collect()}
+    again = {r["doc_id"] for r in ts.deterministic_sample(
+        df, "doc_id", 0.5, hash_fn="md5").collect()}
+    tenth = {r["doc_id"] for r in ts.deterministic_sample(
+        df, "doc_id", 0.1, hash_fn="md5").collect()}
+    assert half == again and tenth <= half
+    assert 0.35 < len(half) / 400 < 0.65
+
+    def oracle(i, seed=42):
+        h = hashlib.md5(f"{i}\x1f{seed}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000
+    want = {i for i in range(400) if oracle(i) < 500_000}
+    assert half == want
+
+    strat = {r["doc_id"] for r in ts.deterministic_sample(
+        df, "doc_id", 0.5, strata_col="lang", hash_fn="md5").collect()}
+    def oracle_s(i, lang, seed=42):
+        h = hashlib.md5(f"{i}\x1f{lang}\x1f{seed}".encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000
+    want_s = {i for i in range(400)
+              if oracle_s(i, "en" if i % 3 else "de") < 500_000}
+    assert strat == want_s
