@@ -238,29 +238,69 @@ def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.unionByName(bigrams)
 
 
+_PII_SUFFIX = "@example.com or call 0412 345 678 abn 51 824 753 556 end"
+
+
 @register(
     "corpus_filter_stats",
-    doc="One-pass corpus quality gate + drop-reason rollup: every doc "
-        "gets its FIRST failing rule (empty / too_short / too_long / "
-        "punct_heavy / low_quality / lang; NULL = kept, allowed langs "
-        "en+und) — the observability layer that makes a filter deleting "
-        "40% of a crawl debuggable. Single projection over one scan, "
-        "then one groupBy on a ≤7-value key.",
+    doc="Corpus observability rollups, kind-tagged (r4: + PII audit). "
+        "kind='filter': one-pass quality gate drop-reason counts — every "
+        "doc gets its FIRST failing rule (empty / too_short / too_long / "
+        "punct_heavy / low_quality / lang; 'kept' otherwise, allowed "
+        "langs en+und) — the layer that makes a filter deleting 40% of "
+        "a crawl debuggable. kind='pii': per-kind doc/hit counts of the "
+        "redact_pii patterns over documents ∪ planted PII rows (every "
+        "3rd doc re-emitted with a synthetic email+phone+ABN suffix — "
+        "scrub coverage must be observable, and the base corpus carries "
+        "no PII to count). The patterns are RE2-safe, so the DuckDB "
+        "oracle value-checks the Java-regex hit counts exactly.",
     tags=("text",),
     oracle=f"""
-WITH {_PROFILE_CTES}
-SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+WITH {_PROFILE_CTES},
+planted AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT concat('ping user', CAST(doc_id AS VARCHAR), '{_PII_SUFFIX}')
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT 'filter' AS kind,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
             WHEN n_tokens < 10 THEN 'too_short'
             WHEN n_tokens > 100000 THEN 'too_long'
             WHEN punct_ratio > 0.3 THEN 'punct_heavy'
             WHEN quality < 0.3 THEN 'low_quality'
             WHEN lang_pred NOT IN ('en', 'und') THEN 'lang'
-            ELSE NULL END AS drop_reason,
-       count(*) AS n_docs
-FROM prof GROUP BY 1
+            ELSE 'kept' END AS key,
+       count(*) AS n_docs, CAST(NULL AS BIGINT) AS n_hits
+FROM prof GROUP BY 2
+UNION ALL
+SELECT 'pii' AS kind, k.key,
+       count(*) FILTER (WHERE len(regexp_extract_all(text, k.pat)) > 0)
+         AS n_docs,
+       CAST(coalesce(SUM(len(regexp_extract_all(text, k.pat))), 0)
+            AS BIGINT) AS n_hits
+FROM planted CROSS JOIN (
+  SELECT * FROM (VALUES
+    ('email', '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}'),
+    ('abn', '\\b\\d{{2}}[ ]?\\d{{3}}[ ]?\\d{{3}}[ ]?\\d{{3}}\\b'),
+    ('phone', '(?:\\+61[ ]?|\\(0\\d\\)[ ]?|0)\\d(?:[ \\-]?\\d){{7,8}}\\b')
+  ) AS t(key, pat)) k
+GROUP BY 2
 """,
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     filtered = ts.corpus_filter(d, "text", allowed_langs=["en", "und"])
-    return ts.corpus_filter_stats(filtered)
+    filt = (ts.corpus_filter_stats(filtered)
+            .select(F.lit("filter").alias("kind"),
+                    F.coalesce("drop_reason", F.lit("kept")).alias("key"),
+                    "n_docs", F.lit(None).cast("long").alias("n_hits")))
+    planted = (d.filter(F.col("doc_id") % 3 == 0)
+               .select(F.concat(F.lit("ping user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit(_PII_SUFFIX)).alias("text")))
+    corpus = d.select("text").unionByName(planted)
+    pii = (ts.pii_stats(corpus, "text")
+           .select(F.col("kind").alias("key"), "n_docs", "n_hits")
+           .select(F.lit("pii").alias("kind"), "key", "n_docs", "n_hits"))
+    return filt.unionByName(pii)
