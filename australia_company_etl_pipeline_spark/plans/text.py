@@ -160,17 +160,22 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_docs",
-    doc="Token-budget sequence packing over documents (budget 1024, "
-        "sharded by lang): each doc's pack id / offset in the "
-        "concatenated token stream, spans_packs marking chunk-boundary "
-        "crossers — GPT-style packing layout, deterministic at any "
-        "parallelism. ONE running-total window pass, partitioned by the "
-        "shard key so no global-order funnel.",
+    doc="Corpus layout planning, kind-tagged (r4: + sliding-window "
+        "chunking). kind='pack': token-budget sequence packing (budget "
+        "1024, sharded by lang) — each doc's pack id / offset in the "
+        "concatenated token stream, spans_packs marking boundary "
+        "crossers; GPT-style layout, deterministic at any parallelism, "
+        "ONE running-total window partitioned by the shard key (no "
+        "global-order funnel). kind='chunk': the RAG/embedding prep "
+        "twin — 16-token windows with 4 tokens of overlap (step 12), "
+        "chunk text and token counts value-checked (n_tokens carries "
+        "the chunk token count on chunk rows); shuffle-free posexplode.",
     tags=("text",),
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-  FROM documents
+WITH tl AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+), t AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM tl
 ), w AS (
   SELECT doc_id, lang, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
@@ -178,20 +183,52 @@ WITH t AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            0) AS tokens_before
   FROM t
+), c AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN len(toks) <= 0 THEN 0
+                ELSE greatest(CAST(ceil((len(toks) - 4) / 12.0) AS BIGINT),
+                              1) END)) AS ci,
+         toks
+  FROM tl
 )
-SELECT doc_id, lang, n_tokens,
+SELECT 'pack' AS kind, doc_id, lang, n_tokens,
        CAST(floor(tokens_before / 1024) AS BIGINT) AS pack_id,
        CAST(tokens_before % 1024 AS BIGINT) AS pack_offset,
-       (tokens_before % 1024 + n_tokens > 1024) AS spans_packs
+       (tokens_before % 1024 + n_tokens > 1024) AS spans_packs,
+       CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS VARCHAR) AS chunk_text
 FROM w
+UNION ALL
+SELECT 'chunk' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(len(list_slice(toks, ci * 12 + 1, ci * 12 + 16)) AS BIGINT)
+         AS n_tokens,
+       CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS pack_offset,
+       FALSE AS spans_packs,
+       CAST(ci AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, ci * 12 + 1, ci * 12 + 16), ' ')
+         AS chunk_text
+FROM c
 """,
 )
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     counted = d.select("doc_id", "lang",
                        ts.token_count(F.col("text")).alias("__n_tok"))
-    return ts.pack_sequences(counted, "__n_tok", "doc_id",
-                             budget=1024, partition_col="lang")
+    pack = (ts.pack_sequences(counted, "__n_tok", "doc_id",
+                              budget=1024, partition_col="lang")
+            .select(F.lit("pack").alias("kind"), "doc_id", "lang",
+                    "n_tokens", "pack_id", "pack_offset", "spans_packs",
+                    F.lit(None).cast("int").alias("chunk_idx"),
+                    F.lit(None).cast("string").alias("chunk_text")))
+    chunk = (ts.chunk_documents(d, "text", "doc_id",
+                                chunk_tokens=16, overlap=4)
+             .select(F.lit("chunk").alias("kind"), "doc_id",
+                     F.lit(None).cast("string").alias("lang"),
+                     F.col("n_chunk_tokens").cast("long").alias("n_tokens"),
+                     F.lit(None).cast("long").alias("pack_id"),
+                     F.lit(None).cast("long").alias("pack_offset"),
+                     F.lit(False).alias("spans_packs"),
+                     "chunk_idx", "chunk_text"))
+    return pack.unionByName(chunk)
 
 
 @register(
