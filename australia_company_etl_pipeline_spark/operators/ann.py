@@ -199,6 +199,7 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
             .select("centroid_id", F.col("__v").alias("centroid_vec")),
         checkpoint)
     reserve = None
+    reserve_full = False
     if on_empty == "reseed":
         # reserve picks k+1..2k of the same hash order: tiny (≤k rows
         # after the limit), computed once, numbered 1..k for pairing
@@ -212,6 +213,8 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
                 .select((F.col("__pn") - n_centroids).alias("__rn"),
                         F.col("__v").alias("centroid_vec")),
             checkpoint)
+        # one cheap action on a ≤k-row materialized frame, once per call
+        reserve_full = reserve.count() >= n_centroids
     for _ in range(max_iter):
         best = F.max(F.struct(
             dot(F.col("__v"), F.col("centroid_vec")).alias("sim"),
@@ -235,16 +238,26 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
             # refill vacated ids INSIDE this round's materialize: the
             # anti-join/inner-join run on ≤k-row frames within the same
             # job — no per-round count() action, a no-op when no
-            # cluster emptied. Pairing is vacated id i ↔ reserve slot i
-            # (FIXED, not per-round rank): re-ranking vacancies from 1
-            # each round would hand the same reserve vector to different
-            # ids across rounds, silently duplicating centroids.
+            # cluster emptied. With a full reserve, pairing is vacated
+            # id i ↔ reserve slot i (FIXED, not per-round rank:
+            # re-ranking from 1 each round would hand the same reserve
+            # vector to different ids across rounds, silently
+            # duplicating centroids). A SHORT reserve (corpus < 2k)
+            # falls back to rank pairing so the few slots still refill
+            # the lowest vacated ids — the documented degraded regime,
+            # where cross-round slot reuse is the lesser evil vs
+            # permanently dropping refillable centroids.
             spark = updated.sparkSession
             expected = spark.range(1, n_centroids + 1).select(
                 F.col("id").cast("int").alias("centroid_id"))
-            vacated = (expected.join(updated.select("centroid_id"),
-                                     "centroid_id", "left_anti")
-                       .withColumn("__rn", F.col("centroid_id")))
+            vacated = expected.join(updated.select("centroid_id"),
+                                    "centroid_id", "left_anti")
+            if reserve_full:
+                vacated = vacated.withColumn("__rn", F.col("centroid_id"))
+            else:
+                vacated = vacated.withColumn(
+                    "__rn", F.row_number().over(
+                        Window.orderBy(F.col("centroid_id").asc())))
             refill = (vacated.join(reserve, "__rn", "inner")
                       .select("centroid_id", "centroid_vec"))
             updated = updated.unionByName(refill)

@@ -717,7 +717,14 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     shingles_path = f"{index_path}/shingles"
 
     sh = shingle_frame(batch, text_col, id_col, shingle)
-    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands)
+    # The signature build is the dominant per-batch cost and has THREE
+    # consumers (hist join, own join, index append) — persist it like the
+    # shingles; unpersist_shingles() releases both.
+    from pyspark import StorageLevel
+
+    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE.append(buckets)
 
     # Index schemas derive from the batch's actual id type — a hardcoded
     # long would corrupt reads for string/decimal append-log ids.

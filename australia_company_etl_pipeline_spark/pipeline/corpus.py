@@ -28,12 +28,12 @@ _STAGE_CACHE: list[DataFrame] = []
 
 
 def release_corpus_cache() -> int:
-    """Unpersist every stage frame cached by ``prepare_training_corpus``
-    in this process — plus the shingle frames the decontamination stage
-    persisted through the dedup operators (the dedup_clusters stage
-    drains its own, but ``decontaminate`` follows the caller-releases
-    contract); returns how many frames were released."""
-    n = dd.unpersist_shingles()
+    """Unpersist every frame cached by ``prepare_training_corpus`` in
+    this process (stage frames + the shingle frames its decontamination
+    stage created, which the recipe re-homes into its own cache — a
+    global ``unpersist_shingles()`` here would evict frames owned by
+    unrelated callers); returns how many frames were released."""
+    n = 0
     while _STAGE_CACHE:
         _STAGE_CACHE.pop().unpersist()
         n += 1
@@ -60,6 +60,7 @@ def prepare_training_corpus(
         bands: int = 8,
         segment_words: int | None = None,
         pack_budget: int = 2048,
+        pack_partition_col: str | None = None,
         filter_kwargs: dict | None = None,
         out_dir: str | None = None,
         shards: int = 8) -> tuple[DataFrame, DataFrame]:
@@ -70,15 +71,21 @@ def prepare_training_corpus(
     1. quality filter — ``corpus_filter`` one-pass gate, drop reasons
        attributed (``filter_kwargs`` forwards thresholds);
     2. exact dedup — content-digest keep-first;
-    3. segment dedup (only when ``segment_words`` is set) — sub-document
-       keep-first over fixed word windows, text REWRITTEN to the
-       deduplicated form;
-    4. near dedup — MinHash+LSH pairs → connected components → keep each
+    3. near dedup — MinHash+LSH pairs → connected components → keep each
        cluster's canonical (min-id) member;
-    5. decontamination (only when ``benchmark`` is given) — drop docs
+    4. decontamination (only when ``benchmark`` is given) — drop docs
        near-duplicating the eval set;
+    5. segment dedup (only when ``segment_words`` is set) — sub-document
+       keep-first over fixed word windows, text REWRITTEN to the
+       deduplicated form.  Runs AFTER the fuzzy stages on purpose
+       (RefinedWeb/C4 ordering): rewriting first would shred near-copies
+       into fragments whose jaccard-vs-original is ~0, so they'd evade
+       near-dedup and benchmark matching and ship as junk;
     6. packing — greedy token-budget sequence packing over a BPE-ish
-       token count;
+       token count.  Pass ``pack_partition_col`` (e.g. a language or
+       shard column) at scale — without it the running-sum window is a
+       single global partition, the funnel the registered ``pack_docs``
+       plan test forbids;
     7. release (only when ``out_dir`` is set) — range-sharded, locally
        sorted parquet via ``write_sharded_corpus``.
 
@@ -100,15 +107,6 @@ def prepare_training_corpus(
     stages["exact_deduped"] = exact
     current = exact
 
-    if segment_words is not None:
-        seg = dd.segment_dedup(current, id_col=id_col, text_col=text_col,
-                               words_per_seg=segment_words)
-        current = _stage(
-            current.drop(text_col)
-            .join(seg.select(id_col,
-                             F.col("text_dedup").alias(text_col)), id_col))
-        stages["segment_deduped"] = current
-
     clusters = dd.dedup_clusters(current, text_col, id_col,
                                  threshold=near_threshold,
                                  method="minhash", num_hashes=num_hashes,
@@ -118,15 +116,32 @@ def prepare_training_corpus(
     stages["near_deduped"] = current
 
     if benchmark is not None:
+        # decontaminate persists shingle frames through the dedup module's
+        # global cache; re-home them so release_corpus_cache() frees them
+        # without evicting unrelated callers' shingles
+        before = {id(f) for f in dd._SHINGLE_CACHE}
         current = _stage(dd.decontaminate(
             current, benchmark, text_col, id_col,
             threshold=near_threshold, num_hashes=num_hashes, bands=bands))
+        for f in [f for f in dd._SHINGLE_CACHE if id(f) not in before]:
+            dd._SHINGLE_CACHE.remove(f)
+            _STAGE_CACHE.append(f)
         stages["decontaminated"] = current
+
+    if segment_words is not None:
+        seg = dd.segment_dedup(current, id_col=id_col, text_col=text_col,
+                               words_per_seg=segment_words)
+        current = _stage(
+            current.drop(text_col)
+            .join(seg.select(id_col,
+                             F.col("text_dedup").alias(text_col)), id_col))
+        stages["segment_deduped"] = current
 
     counted = current.withColumn(
         "n_tokens", ts.bpe_ish_token_count(F.col(text_col)))
     packed = counted.join(
-        ts.pack_sequences(counted, "n_tokens", id_col, budget=pack_budget)
+        ts.pack_sequences(counted, "n_tokens", id_col, budget=pack_budget,
+                          partition_col=pack_partition_col)
         .select(id_col, "pack_id", "pack_offset", "spans_packs"), id_col)
     stages["packed"] = packed
 

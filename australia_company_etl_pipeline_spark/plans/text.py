@@ -185,7 +185,7 @@ WITH tl AS (
   FROM t
 ), c AS (
   SELECT doc_id,
-         unnest(range(0, CASE WHEN len(toks) <= 0 THEN 0
+         unnest(range(0, CASE WHEN toks IS NULL OR len(toks) <= 0 THEN 0
                 ELSE greatest(CAST(ceil((len(toks) - 4) / 12.0) AS BIGINT),
                               1) END)) AS ci,
          toks
@@ -338,6 +338,6 @@ def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit(_PII_SUFFIX)).alias("text")))
     corpus = d.select("text").unionByName(planted)
     pii = (ts.pii_stats(corpus, "text")
-           .select(F.col("kind").alias("key"), "n_docs", "n_hits")
-           .select(F.lit("pii").alias("kind"), "key", "n_docs", "n_hits"))
+           .select(F.lit("pii").alias("kind"), F.col("kind").alias("key"),
+                   "n_docs", "n_hits"))
     return filt.unionByName(pii)

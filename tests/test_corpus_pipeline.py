@@ -16,11 +16,13 @@ from australia_company_etl_pipeline_spark.pipeline.corpus import (
 
 
 def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
     # planted near-dups (suffix tweak) + an eval slice for decontamination
     dups = (docs.filter(F.col("doc_id") % 7 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"),
-                    F.concat("text", F.lit(" tail")).alias("text")))
+                    F.concat("text", F.lit(" tail")).alias("text"),
+                    "lang"))
     corpus = docs.unionByName(dups)
     benchmark = docs.filter(F.col("doc_id") % 13 == 0)
 
@@ -28,11 +30,11 @@ def test_prepare_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     try:
         packed, report = prepare_training_corpus(
             corpus, benchmark, segment_words=8, pack_budget=512,
-            out_dir=out_dir, shards=4)
+            pack_partition_col="lang", out_dir=out_dir, shards=4)
         rep = report.collect()[0]
         counts = json.loads(rep["stage_counts"])
         order = ["ingested", "quality_filtered", "exact_deduped",
-                 "segment_deduped", "near_deduped", "decontaminated",
+                 "near_deduped", "decontaminated", "segment_deduped",
                  "packed"]
         assert list(counts) == sorted(order)  # sorted-key JSON
         assert counts["ingested"] == corpus.count()
