@@ -1,0 +1,165 @@
+"""Column profiling — one-pass table statistics + heavy hitters.
+
+The reference collects table-level quality metrics one SQL statement at
+a time into ``data_quality_metrics``
+(``/root/reference/src/load/create_tables.sql:130-137``; dbt test
+queries under ``/root/reference/dbt/models/*/schema.yml`` each issue a
+separate scan per check).  A 100 TB corpus cannot afford a scan per
+metric: ``profile_metrics`` builds EVERY per-column statistic (null
+rate, distinct count, min/max/mean, exact or approximate percentiles,
+string-length stats) as expressions over ONE aggregate, reusing
+``quality_metrics``'s single-scan unpivot, and ``top_values`` finds
+per-column heavy hitters with one partial-aggregated shuffle for ALL
+profiled columns together.
+
+Scale design (100 TB lens):
+
+- **Exact vs sketch distinct counts.** ``distinct='exact'`` plans one
+  ``count(DISTINCT col)`` per column; Catalyst lowers k distinct
+  aggregates into an ``Expand`` node that replicates every input row
+  k+1 times before the shuffle — fine at audit scale, a k× input
+  blowup at corpus scale.  ``distinct='approx'`` swaps in
+  HyperLogLog++ (``approx_count_distinct``, default rsd 5%), an
+  ordinary partial aggregate: no Expand, map-side combine, constant
+  sketch size per column.  The plan delta is pinned by
+  ``tests/test_plan_shapes.py`` (Expand present iff exact).
+- **Exact vs sketch percentiles.** ``percentile_mode='exact'``
+  (``F.percentile``) buffers each group's values — only viable when
+  one table's rows fit an executor spill budget; ``'approx'``
+  (``F.percentile_approx``, Greenwald-Khanna) is mergeable with bounded
+  memory at any scale.
+- **Heavy hitters.** ``top_values`` explodes each row into (column,
+  value) pairs — k columns cost one k× flat-map, NOT k scans — then
+  one partial-aggregated ``groupBy``; hot values collapse map-side, so
+  the shuffle carries one row per distinct (column, value).  The final
+  top-k ranking windows over ``column_name`` (few partitions = a
+  funnel IF the distinct-value set is huge): ``min_count`` prunes the
+  long tail BEFORE the window, bounding its input — at corpus scale
+  pass a threshold like ``rows // 1000`` (a value seen less often is
+  not a "heavy hitter" by any definition you'd report).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DateType, NumericType, StringType,
+                               TimestampType)
+from pyspark.sql.window import Window
+
+from .audit import quality_metrics
+
+
+def _davg(col: Column) -> Column:
+    """Order-independent mean: decimal-accumulated sum / non-null count
+    (same idiom as plans.core.davg — doubles summed in shuffle order
+    drift in the last ulp between runs; decimal accumulation does not).
+    NULLs are excluded from both numerator and denominator; an all-NULL
+    column yields NULL."""
+    return (F.sum(col.cast("decimal(30,6)")).cast("double")
+            / F.count(col))
+
+
+def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
+                    distinct: str = "exact",
+                    rsd: float = 0.05,
+                    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+                    percentile_mode: str = "exact",
+                    accuracy: int = 10000) -> dict[str, Column]:
+    """Per-column statistics as a ``{metric_name: aggregate_expression}``
+    dict — compose with other metrics and evaluate in ONE scan via
+    ``quality_metrics`` (``profile_table`` below does exactly that).
+
+    Every column gets ``<col>.null_rate`` and ``<col>.n_distinct``
+    (exact or HLL++ per ``distinct`` — see module doc for the Expand
+    trade); numerics add min/max/decimal-mean and one ``p<pct>`` per
+    requested percentile (exact or GK-sketch per ``percentile_mode``);
+    strings add length min/max/mean; dates/timestamps add epoch-second
+    min/max.  Ratios and means are rounded to 6 dp so results are
+    engine- and order-stable.
+    """
+    if distinct not in ("exact", "approx"):
+        raise ValueError(f"distinct must be 'exact' or 'approx', "
+                         f"got {distinct!r}")
+    if percentile_mode not in ("exact", "approx"):
+        raise ValueError(f"percentile_mode must be 'exact' or 'approx', "
+                         f"got {percentile_mode!r}")
+    types = {f.name: f.dataType for f in df.schema}
+    cols = list(cols) if cols is not None else list(df.columns)
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise ValueError(f"profile columns not in frame: {missing}")
+
+    out: dict[str, Column] = {}
+    for c in cols:
+        col, t = F.col(c), types[c]
+        out[f"{c}.null_rate"] = F.round(
+            _davg(F.when(col.isNull(), 1.0).otherwise(0.0)), 6)
+        out[f"{c}.n_distinct"] = (
+            F.countDistinct(col) if distinct == "exact"
+            else F.approx_count_distinct(col, rsd))
+        if isinstance(t, NumericType):
+            out[f"{c}.min"] = F.min(col)
+            out[f"{c}.max"] = F.max(col)
+            out[f"{c}.mean"] = F.round(_davg(col), 6)
+            for p in percentiles:
+                pct = (F.percentile(col, F.lit(p))
+                       if percentile_mode == "exact"
+                       else F.percentile_approx(col, F.lit(p),
+                                                F.lit(accuracy)))
+                out[f"{c}.p{int(round(p * 100))}"] = F.round(pct, 6)
+        elif isinstance(t, StringType):
+            out[f"{c}.len_min"] = F.min(F.length(col))
+            out[f"{c}.len_max"] = F.max(F.length(col))
+            out[f"{c}.len_mean"] = F.round(_davg(F.length(col)), 6)
+        elif isinstance(t, (DateType, TimestampType)):
+            out[f"{c}.min_s"] = F.min(col.cast("timestamp").cast("long"))
+            out[f"{c}.max_s"] = F.max(col.cast("timestamp").cast("long"))
+    return out
+
+
+def profile_table(df: DataFrame, table_name: str,
+                  cols: list[str] | None = None,
+                  run_id: str | None = None,
+                  **kwargs) -> DataFrame:
+    """``profile_metrics`` evaluated and unpivoted to the
+    ``data_quality_metrics`` long contract (run_id, table_name,
+    metric_name, metric_value) — one scan, one aggregate, regardless of
+    how many columns are profiled.  ``kwargs`` forward to
+    ``profile_metrics`` (distinct/percentile modes etc.)."""
+    return quality_metrics(df, table_name,
+                           profile_metrics(df, cols, **kwargs),
+                           run_id=run_id)
+
+
+def top_values(df: DataFrame, cols: list[str], k: int = 3,
+               min_count: int = 1) -> DataFrame:
+    """Per-column heavy hitters: the ``k`` most frequent non-null values
+    of each listed column, as (column_name, value, n, rank) with rank
+    1..k per column (ties broken by value ascending — deterministic).
+
+    One flat-map (explode of a column_name→value map — values travel as
+    strings so heterogeneous columns share one shuffle) + ONE
+    partial-aggregated groupBy for all columns together; NULLs are
+    excluded (they are a null_rate metric, not a value).  ``min_count``
+    prunes the tail before the per-column ranking window — set it at
+    scale (see module doc) so the window input stays bounded.
+    """
+    if not cols:
+        raise ValueError("top_values needs at least one column; got none")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"top_values columns not in frame: {missing}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = df.select(F.explode(F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[F.col(c).cast("string") for c in cols]),
+    )).alias("column_name", "value")).filter(F.col("value").isNotNull())
+    counts = (pairs.groupBy("column_name", "value")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= min_count))
+    w = Window.partitionBy("column_name").orderBy(F.desc("n"),
+                                                 F.asc("value"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -124,9 +124,19 @@ def pipeline_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_metrics_long",
-    doc="data_quality_metrics rows (create_tables.sql:130-137): four "
-        "metrics over lineitem in ONE scan (single agg, map-side "
-        "partials) unpivoted with stack to (table, metric, value).",
+    doc="data_quality_metrics rows (create_tables.sql:130-137) + the r4 "
+        "column profiler (operators/profile.py) in the same long "
+        "contract: the original four table metrics AND the full "
+        "per-column profile of l_quantity / l_extendedprice / "
+        "l_returnflag / l_shipdate (null rate, exact distinct, "
+        "min/max/decimal-mean, exact p25/p50/p75, string-length and "
+        "epoch-bound stats) are ALL expressions over ONE scan and one "
+        "aggregate; per-column heavy hitters (top-3 of l_returnflag and "
+        "l_linestatus, both columns through ONE exploded shuffle) union "
+        "in as '<col>.top<rank>:<value>' rows. The sketch modes "
+        "(HLL++ distinct, GK percentiles — the 100 TB path, no Expand "
+        "blowup, mergeable state) are pytest-pinned against these exact "
+        "values (tests/test_ops_audit.py).",
     tags=("ops", "quality"),
     oracle="""
 WITH m AS (
@@ -135,8 +145,54 @@ WITH m AS (
            AS null_shipdate_rate,
          round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
                / COUNT(*), 6) AS avg_quantity,
-         CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS distinct_orders
+         CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS distinct_orders,
+         round(avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS q_null_rate,
+         CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) AS q_n_distinct,
+         CAST(min(l_quantity) AS DOUBLE) AS q_min,
+         CAST(max(l_quantity) AS DOUBLE) AS q_max,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(l_quantity), 6) AS q_mean,
+         round(quantile_cont(l_quantity, 0.25), 6) AS q_p25,
+         round(quantile_cont(l_quantity, 0.5), 6) AS q_p50,
+         round(quantile_cont(l_quantity, 0.75), 6) AS q_p75,
+         round(avg(CASE WHEN l_extendedprice IS NULL THEN 1.0
+                   ELSE 0.0 END), 6) AS ep_null_rate,
+         CAST(COUNT(DISTINCT l_extendedprice) AS DOUBLE) AS ep_n_distinct,
+         CAST(min(l_extendedprice) AS DOUBLE) AS ep_min,
+         CAST(max(l_extendedprice) AS DOUBLE) AS ep_max,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(l_extendedprice), 6) AS ep_mean,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS ep_p25,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS ep_p50,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS ep_p75,
+         round(avg(CASE WHEN l_returnflag IS NULL THEN 1.0
+                   ELSE 0.0 END), 6) AS rf_null_rate,
+         CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) AS rf_n_distinct,
+         CAST(min(length(l_returnflag)) AS DOUBLE) AS rf_len_min,
+         CAST(max(length(l_returnflag)) AS DOUBLE) AS rf_len_max,
+         round(CAST(sum(CAST(length(l_returnflag) AS DECIMAL(30,6)))
+                    AS DOUBLE) / COUNT(l_returnflag), 6) AS rf_len_mean,
+         round(avg(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS sd_null_rate,
+         CAST(COUNT(DISTINCT l_shipdate) AS DOUBLE) AS sd_n_distinct,
+         CAST(min(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS DOUBLE)
+           AS sd_min_s,
+         CAST(max(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS DOUBLE)
+           AS sd_max_s
   FROM lineitem
+), tv AS (
+  SELECT column_name, value, n,
+         row_number() OVER (PARTITION BY column_name
+                            ORDER BY n DESC, value ASC) AS rank
+  FROM (
+    SELECT 'l_returnflag' AS column_name, l_returnflag AS value,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 2
+    UNION ALL
+    SELECT 'l_linestatus', l_linestatus, COUNT(*)
+    FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 2
+  )
 )
 SELECT CAST(NULL AS VARCHAR) AS run_id, 'lineitem' AS table_name, *
 FROM (
@@ -144,16 +200,57 @@ FROM (
   UNION ALL SELECT 'null_shipdate_rate', null_shipdate_rate FROM m
   UNION ALL SELECT 'avg_quantity', avg_quantity FROM m
   UNION ALL SELECT 'distinct_orders', distinct_orders FROM m
+  UNION ALL SELECT 'l_quantity.null_rate', q_null_rate FROM m
+  UNION ALL SELECT 'l_quantity.n_distinct', q_n_distinct FROM m
+  UNION ALL SELECT 'l_quantity.min', q_min FROM m
+  UNION ALL SELECT 'l_quantity.max', q_max FROM m
+  UNION ALL SELECT 'l_quantity.mean', q_mean FROM m
+  UNION ALL SELECT 'l_quantity.p25', q_p25 FROM m
+  UNION ALL SELECT 'l_quantity.p50', q_p50 FROM m
+  UNION ALL SELECT 'l_quantity.p75', q_p75 FROM m
+  UNION ALL SELECT 'l_extendedprice.null_rate', ep_null_rate FROM m
+  UNION ALL SELECT 'l_extendedprice.n_distinct', ep_n_distinct FROM m
+  UNION ALL SELECT 'l_extendedprice.min', ep_min FROM m
+  UNION ALL SELECT 'l_extendedprice.max', ep_max FROM m
+  UNION ALL SELECT 'l_extendedprice.mean', ep_mean FROM m
+  UNION ALL SELECT 'l_extendedprice.p25', ep_p25 FROM m
+  UNION ALL SELECT 'l_extendedprice.p50', ep_p50 FROM m
+  UNION ALL SELECT 'l_extendedprice.p75', ep_p75 FROM m
+  UNION ALL SELECT 'l_returnflag.null_rate', rf_null_rate FROM m
+  UNION ALL SELECT 'l_returnflag.n_distinct', rf_n_distinct FROM m
+  UNION ALL SELECT 'l_returnflag.len_min', rf_len_min FROM m
+  UNION ALL SELECT 'l_returnflag.len_max', rf_len_max FROM m
+  UNION ALL SELECT 'l_returnflag.len_mean', rf_len_mean FROM m
+  UNION ALL SELECT 'l_shipdate.null_rate', sd_null_rate FROM m
+  UNION ALL SELECT 'l_shipdate.n_distinct', sd_n_distinct FROM m
+  UNION ALL SELECT 'l_shipdate.min_s', sd_min_s FROM m
+  UNION ALL SELECT 'l_shipdate.max_s', sd_max_s FROM m
+  UNION ALL
+  SELECT column_name || '.top' || rank || ':' || value, CAST(n AS DOUBLE)
+  FROM tv WHERE rank <= 3
 )
 """,
 )
 def dq_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_metrics, top_values
+
     li = table(spark, sf_dir, "lineitem")
-    return quality_metrics(li, "lineitem", {
+    metrics = {
         "row_count": F.count(F.lit(1)),
         "null_shipdate_rate": F.round(
             davg(F.when(F.col("l_shipdate").isNull(), 1.0).otherwise(0.0)),
             6),
         "avg_quantity": F.round(davg(F.col("l_quantity")), 6),
         "distinct_orders": F.countDistinct("l_orderkey"),
-    })
+        **profile_metrics(li, ["l_quantity", "l_extendedprice",
+                               "l_returnflag", "l_shipdate"]),
+    }
+    base = quality_metrics(li, "lineitem", metrics)
+    tops = (top_values(li, ["l_returnflag", "l_linestatus"], k=3)
+            .select(F.lit(None).cast("string").alias("run_id"),
+                    F.lit("lineitem").alias("table_name"),
+                    F.concat(F.col("column_name"), F.lit(".top"),
+                             F.col("rank").cast("string"), F.lit(":"),
+                             F.col("value")).alias("metric_name"),
+                    F.col("n").cast("double").alias("metric_value")))
+    return base.unionByName(tops)

@@ -201,3 +201,111 @@ def test_empty_check_dicts_raise_clearly(spark):
         audit.stage_counts({})
     with pytest.raises(ValueError, match="at least one"):
         audit.quality_metrics(df, "t", {})
+
+
+# ---------------------------------------------------------------- profiler
+
+
+def _profile_map(df, **kwargs):
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_table)
+
+    return {r.metric_name: r.metric_value
+            for r in profile_table(df, "t", **kwargs).collect()}
+
+
+def test_profile_table_exact_stats(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "aa", "2024-01-01 00:00:00"),
+         (2, 20.0, "bbbb", "2024-01-02 00:00:00"),
+         (3, None, "aa", None),
+         (4, 40.0, None, "2024-01-04 00:00:00")],
+        "id int, v double, s string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    m = _profile_map(df, cols=["v", "s", "ts"])
+    assert m["v.null_rate"] == 0.25
+    assert m["v.n_distinct"] == 3.0
+    assert (m["v.min"], m["v.max"]) == (10.0, 40.0)
+    # mean over NON-NULL values only: (10+20+40)/3
+    assert round(m["v.mean"], 6) == round(70.0 / 3, 6)
+    # exact interpolated percentiles over [10, 20, 40]
+    assert m["v.p50"] == 20.0
+    assert m["v.p25"] == 15.0
+    assert m["v.p75"] == 30.0
+    assert m["s.len_min"] == 2.0 and m["s.len_max"] == 4.0
+    assert round(m["s.len_mean"], 6) == round(8.0 / 3, 6)
+    assert m["ts.null_rate"] == 0.25
+    assert m["ts.min_s"] < m["ts.max_s"]
+    # 3 non-null distinct timestamps
+    assert m["ts.n_distinct"] == 3.0
+
+
+def test_profile_all_null_column_yields_nulls_not_zero(spark):
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "id int, v double")
+    m = _profile_map(df, cols=["v"])
+    assert m["v.null_rate"] == 1.0
+    assert m["v.n_distinct"] == 0.0
+    # no non-null values: min/max/mean/percentiles are NULL, not 0
+    assert m["v.min"] is None and m["v.max"] is None
+    assert m["v.mean"] is None and m["v.p50"] is None
+
+
+def test_profile_sketch_modes_track_exact(spark):
+    """The 100 TB modes (HLL++ distinct, GK percentiles) must land
+    within their documented error bounds of the exact stats."""
+    df = spark.range(5000).select(
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 997).cast("double").alias("w"))
+    exact = _profile_map(df, cols=["v", "w"])
+    approx = _profile_map(df, cols=["v", "w"], distinct="approx",
+                          rsd=0.02, percentile_mode="approx")
+    for c, nd in (("v", 5000), ("w", 997)):
+        assert exact[f"{c}.n_distinct"] == nd
+        # rsd is one standard deviation; allow 3σ
+        assert abs(approx[f"{c}.n_distinct"] - nd) <= 3 * 0.02 * nd
+        for p in ("p25", "p50", "p75"):
+            rel = abs(approx[f"{c}.{p}"] - exact[f"{c}.{p}"]) \
+                / max(exact[f"{c}.{p}"], 1.0)
+            assert rel <= 0.02, (c, p, approx[f"{c}.{p}"],
+                                 exact[f"{c}.{p}"])
+
+
+def test_top_values_ranks_ties_and_min_count(spark):
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        top_values)
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"),
+         ("c", None), (None, "z")], "u string, v string")
+    rows = top_values(df, ["u", "v"], k=2).collect()
+    got = {(r.column_name, r.rank): (r.value, r.n) for r in rows}
+    # u: a=2, b=2 — tie broken by value asc; c=1 pruned by k=2
+    assert got[("u", 1)] == ("a", 2)
+    assert got[("u", 2)] == ("b", 2)
+    # v: x=3 top; y=1/z=1 tie → y first; NULLs never counted
+    assert got[("v", 1)] == ("x", 3)
+    assert got[("v", 2)] == ("y", 1)
+    pruned = top_values(df, ["u", "v"], k=2, min_count=2).collect()
+    assert {(r.column_name, r.value) for r in pruned} == {
+        ("u", "a"), ("u", "b"), ("v", "x")}
+
+
+def test_profile_validation_errors(spark):
+    import pytest
+
+    from australia_company_etl_pipeline_spark.operators import profile
+
+    df = spark.range(3).withColumn("v", F.col("id") * 1.0)
+    with pytest.raises(ValueError, match="not in frame"):
+        profile.profile_metrics(df, ["nope"])
+    with pytest.raises(ValueError, match="distinct"):
+        profile.profile_metrics(df, ["v"], distinct="bogus")
+    with pytest.raises(ValueError, match="percentile_mode"):
+        profile.profile_metrics(df, ["v"], percentile_mode="bogus")
+    with pytest.raises(ValueError, match="at least one"):
+        profile.top_values(df, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        profile.top_values(df, ["nope"])
+    with pytest.raises(ValueError, match="k must be"):
+        profile.top_values(df, ["v"], k=0)

@@ -189,3 +189,26 @@ def test_segment_dedup_single_scan_two_exchanges(spark, sf_dir):
     assert counts["Scan"] == 1, counts
     assert counts["Exchange"] == 2, counts
     assert counts["Window"] == 1, counts
+
+
+def test_profile_sketch_mode_avoids_expand(spark, sf_dir):
+    """profile_table's exact mode plans one count(DISTINCT) per column,
+    which Catalyst lowers to an Expand node replicating every input row
+    (k+1)x before the shuffle — the documented non-scale path. The
+    sketch mode (HLL++) must plan as an ordinary partial aggregate:
+    no Expand anywhere in the physical plan."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_table)
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag"]
+    exact = _plan(profile_table(li, "lineitem", cols))
+    sketch = _plan(profile_table(li, "lineitem", cols,
+                                 distinct="approx",
+                                 percentile_mode="approx"))
+    assert "Expand" in exact
+    assert "Expand" not in sketch
+    # both stay single-aggregate plans: no join, no cartesian product
+    for plan in (exact, sketch):
+        assert "Join" not in plan and "CartesianProduct" not in plan
