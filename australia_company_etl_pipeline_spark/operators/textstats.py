@@ -461,3 +461,120 @@ def ngram_counts(df, text_col: str, n: int = 2, min_count: int = 1,
             .agg(*aggs)
             .filter(F.col("n_occurrences") >= min_count)
             .orderBy(F.desc("n_occurrences"), F.asc("ngram")))
+
+
+def mixture_sample(df, stratum_col: str, weights: dict[str, float],
+                   id_col: str, budget: int,
+                   token_count_col: str | None = None, seed: int = 42,
+                   hash_fn: str = "murmur3", unknown: str = "drop"):
+    """Build a training-data MIXTURE: downsample each stratum (source,
+    language, domain…) so the kept corpus approaches ``budget`` total
+    tokens (or rows when ``token_count_col`` is None) in the target
+    composition ``weights`` — the "X% web, Y% code, Z% books" recipe
+    every pretraining run specifies.
+
+    Per stratum ``s``: target = ``weights[s] * budget``; the keep
+    fraction is ``min(1, target / available)`` applied as the same
+    superset-stable hash rule as ``deterministic_sample`` (rows, not
+    token-exact — the error is one doc per stratum boundary, negligible
+    against a token budget). An UNDER-supplied stratum keeps everything
+    (fraction capped at 1) and the realized mixture shifts — read the
+    returned report. ``unknown``: strata present in the data but absent
+    from ``weights`` are ``'drop'``-ed (default) or ``'error'`` the job.
+
+    Returns ``(sampled, report)``: the filtered frame, and one report
+    row per stratum — ``(stratum, available, target, fraction, kept)``
+    — the observability layer (a mixture that silently misses its
+    recipe is undebuggable).
+
+    Scale: ONE partial-aggregated groupBy over the stratum key computes
+    availability; the K per-stratum fractions (K = len(weights), tiny by
+    construction) come to the driver and return as a broadcast-joined
+    literal map — the sample filter itself is shuffle-free and prunes at
+    the scan. Deterministic at any parallelism; same (seed, hash_fn)
+    keeps nested budgets supersets of each other.
+    """
+    if unknown not in ("drop", "error"):
+        raise ValueError(f"unknown must be 'drop' or 'error', "
+                         f"got {unknown!r}")
+    if not weights:
+        raise ValueError("mixture_sample needs at least one stratum "
+                         "weight; got an empty dict")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative weights: {bad}")
+    tot_w = sum(weights.values())
+    if tot_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    unit = (F.col(token_count_col).cast("double") if token_count_col
+            else F.lit(1.0))
+    avail = {r["s"]: r["avail"] for r in
+             (df.groupBy(F.col(stratum_col).alias("s"))
+              .agg(F.sum(unit).alias("avail")).collect())}
+
+    extra = set(avail) - set(weights)
+    if extra and unknown == "error":
+        raise ValueError(f"strata without a weight: {sorted(extra)}; "
+                         "add weights or pass unknown='drop'")
+
+    plan_rows = []
+    fractions: dict = {}
+    for s, w in weights.items():
+        target = (w / tot_w) * budget
+        a = avail.get(s, 0.0) or 0.0
+        frac = 1.0 if a <= 0 else min(1.0, target / a)
+        fractions[s] = frac
+        plan_rows.append((s, float(a), float(target), float(frac)))
+
+    bucket = sample_bucket([F.col(id_col), F.col(stratum_col),
+                            F.lit(seed)], hash_fn)
+    frac_map = F.create_map(*[x for s, f in fractions.items()
+                              for x in (F.lit(s), F.lit(f))])
+    keep = bucket < (F.element_at(frac_map, F.col(stratum_col))
+                     * 1_000_000).cast("long")
+    sampled = df.filter(keep.isNotNull() & keep)
+
+    spark = df.sparkSession
+    plan = spark.createDataFrame(
+        plan_rows, "stratum string, available double, target double, "
+                   "fraction double")
+    kept = (sampled.groupBy(F.col(stratum_col).alias("stratum"))
+            .agg(F.sum(unit).alias("kept")))
+    report = plan.join(kept, "stratum", "left") \
+        .withColumn("kept", F.coalesce("kept", F.lit(0.0)))
+    return sampled, report
+
+
+def cap_per_key(df, key_cols: list[str], n: int,
+                order_col: str | None = None, seed: int = 42):
+    """Keep at most ``n`` rows per key — the "≤ N documents per domain"
+    anti-over-representation guard (a handful of boilerplate-heavy hosts
+    otherwise dominates a crawl corpus).
+
+    Deterministic: rows rank within their key by ``order_col`` ascending
+    when given (keep-the-best: pass a prepared column, e.g. a negated
+    quality score), else by a seeded murmur3 hash over EVERY column —
+    a stable pseudo-random choice that depends only on row content, not
+    partition layout (full-duplicate rows tie, but they are
+    interchangeable). One shuffle (window over the key).
+
+    Scale caveat: a window partition is one task, so a key with 10⁹ rows
+    serializes — cap AFTER coarser filters, or pre-thin pathological
+    keys with ``deterministic_sample(strata_col=key)`` at fraction
+    ``≈ n / expected_max`` first; the window then ranks a bounded set.
+    """
+    if not key_cols:
+        raise ValueError("cap_per_key needs at least one key column")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql.window import Window
+
+    order = (F.col(order_col).asc_nulls_last() if order_col
+             else F.hash(*[F.col(c) for c in df.columns],
+                         F.lit(seed)).asc())
+    w = Window.partitionBy(*key_cols).orderBy(order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))

@@ -58,6 +58,8 @@ def prepare_training_corpus(
         near_threshold: float = 0.8,
         num_hashes: int = 32,
         bands: int = 8,
+        domain_cap: tuple[str, int] | None = None,
+        mixture: tuple[str, dict[str, float], int] | None = None,
         segment_words: int | None = None,
         pack_budget: int = 2048,
         pack_partition_col: str | None = None,
@@ -70,6 +72,10 @@ def prepare_training_corpus(
 
     1. quality filter — ``corpus_filter`` one-pass gate, drop reasons
        attributed (``filter_kwargs`` forwards thresholds);
+    1b. domain cap (only when ``domain_cap=(key_col, n)`` is given) —
+       ``cap_per_key`` keeps at most n docs per key (host/domain
+       over-representation guard), BEFORE dedup so a boilerplate-heavy
+       host can't dominate the shingle/cluster stages either;
     2. exact dedup — content-digest keep-first;
     3. near dedup — MinHash+LSH pairs → connected components → keep each
        cluster's canonical (min-id) member;
@@ -81,6 +87,15 @@ def prepare_training_corpus(
        (RefinedWeb/C4 ordering): rewriting first would shred near-copies
        into fragments whose jaccard-vs-original is ~0, so they'd evade
        near-dedup and benchmark matching and ship as junk;
+    5b. mixture sampling (only when ``mixture=(stratum_col, weights,
+       token_budget)`` is given) — ``mixture_sample`` downsamples each
+       stratum toward the target composition over BPE-ish token counts.
+       NOTE: this is the one stage that runs a driver-side action at
+       build time (the per-stratum availability aggregate) — the
+       persisted stage prefixes make it a single incremental pass, and
+       the recipe stays lazy otherwise.  The per-stratum detail report
+       is not returned here; call ``textstats.mixture_sample`` directly
+       when you need it;
     6. packing — greedy token-budget sequence packing over a BPE-ish
        token count.  Pass ``pack_partition_col`` (e.g. a language or
        shard column) at scale — without it the running-sum window is a
@@ -102,6 +117,11 @@ def prepare_training_corpus(
     kept = _stage(flagged.filter(F.col("drop_reason").isNull())
                   .drop("drop_reason"))
     stages["quality_filtered"] = kept
+
+    if domain_cap is not None:
+        cap_col, cap_n = domain_cap
+        kept = _stage(ts.cap_per_key(kept, [cap_col], cap_n))
+        stages["domain_capped"] = kept
 
     exact = _stage(dd.exact_dedup(kept, [text_col], id_col))
     stages["exact_deduped"] = exact
@@ -139,6 +159,13 @@ def prepare_training_corpus(
 
     counted = current.withColumn(
         "n_tokens", ts.bpe_ish_token_count(F.col(text_col)))
+    if mixture is not None:
+        mix_col, mix_weights, mix_budget = mixture
+        counted, _ = ts.mixture_sample(
+            counted, mix_col, mix_weights, id_col=id_col,
+            budget=mix_budget, token_count_col="n_tokens")
+        counted = _stage(counted)
+        stages["mixture_sampled"] = counted
     packed = counted.join(
         ts.pack_sequences(counted, "n_tokens", id_col, budget=pack_budget,
                           partition_col=pack_partition_col)
@@ -154,6 +181,9 @@ def prepare_training_corpus(
         stages, run_id=run_id, pipeline_name="prepare-training-corpus",
         config={"near_threshold": near_threshold,
                 "num_hashes": num_hashes, "bands": bands,
+                "domain_cap": list(domain_cap) if domain_cap else None,
+                "mixture": ([mixture[0], mixture[1], mixture[2]]
+                            if mixture else None),
                 "segment_words": segment_words,
                 "pack_budget": pack_budget})
     return packed, report

@@ -69,3 +69,33 @@ def test_prepare_training_corpus_minimal_knobs(spark, sf_dir):
         assert counts["packed"] == packed.count() > 0
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_cap_and_mixture(spark, sf_dir):
+    """The anti-over-representation knobs: ≤N docs per domain before
+    dedup, token-budget mixture sampling before packing."""
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .withColumn("domain",
+                        F.concat(F.lit("host"),
+                                 (F.col("doc_id") % 5).cast("string"))))
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    weights = {lg: 1.0 / len(langs) for lg in langs}
+    try:
+        packed, report = prepare_training_corpus(
+            docs, domain_cap=("domain", 20),
+            mixture=("lang", weights, 2000), pack_budget=512)
+        counts = json.loads(report.collect()[0]["stage_counts"])
+        assert counts["domain_capped"] <= counts["quality_filtered"]
+        assert counts["domain_capped"] <= 5 * 20
+        assert counts["mixture_sampled"] <= counts["near_deduped"]
+        assert counts["packed"] == counts["mixture_sampled"]
+        # per-domain cap actually enforced on the output
+        per_dom = (packed.groupBy("domain")
+                   .agg(F.count(F.lit(1)).alias("n")).collect())
+        assert all(r.n <= 20 for r in per_dom)
+        cfg = json.loads(report.collect()[0]["config"])
+        assert cfg["domain_cap"] == ["domain", 20]
+        assert cfg["mixture"][0] == "lang" and cfg["mixture"][2] == 2000
+    finally:
+        release_corpus_cache()

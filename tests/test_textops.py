@@ -367,3 +367,78 @@ def test_deterministic_sample_md5_portable(spark):
     want_s = {i for i in range(400)
               if oracle_s(i, "en" if i % 3 else "de") < 500_000}
     assert strat == want_s
+
+
+def test_mixture_sample_hits_targets(spark):
+    # 3 strata, heavily skewed supply; recipe wants 50/30/20 of 3000 tokens
+    rows = [(i, "web", 10) for i in range(1000)] \
+        + [(i + 10_000, "code", 10) for i in range(500)] \
+        + [(i + 20_000, "books", 10) for i in range(40)] \
+        + [(i + 30_000, "junk", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n int")
+    sampled, report = ts.mixture_sample(
+        df, "src", {"web": 0.5, "code": 0.3, "books": 0.2},
+        id_col="doc_id", budget=3000, token_count_col="n")
+    rep = {r.stratum: r for r in report.collect()}
+    # fractions: web 1500/10000=0.15, code 900/5000=0.18,
+    # books 600/400 → capped at 1
+    assert abs(rep["web"].fraction - 0.15) < 1e-9
+    assert abs(rep["code"].fraction - 0.18) < 1e-9
+    assert rep["books"].fraction == 1.0
+    kept = {r.src: c for r, c in
+            [(r, r["cnt"]) for r in sampled.groupBy("src")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()]}
+    # unknown stratum dropped entirely; under-supplied kept whole
+    assert "junk" not in kept
+    assert kept["books"] == 40
+    # hash sampling is ±noise around the target doc counts
+    assert abs(kept["web"] - 150) <= 40
+    assert abs(kept["code"] - 90) <= 30
+    assert rep["books"].kept == 400.0  # tokens, not rows
+
+
+def test_mixture_sample_superset_stability_and_errors(spark):
+    df = spark.createDataFrame(
+        [(i, "a", 1) for i in range(400)], "doc_id long, s string, n int")
+    small, _ = ts.mixture_sample(df, "s", {"a": 1.0}, id_col="doc_id",
+                                 budget=100)
+    big, _ = ts.mixture_sample(df, "s", {"a": 1.0}, id_col="doc_id",
+                               budget=200)
+    small_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    big_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids, "growing the budget must only ADD docs"
+    with pytest.raises(ValueError, match="without a weight"):
+        ts.mixture_sample(df, "s", {"b": 1.0}, id_col="doc_id",
+                          budget=10, unknown="error")
+    with pytest.raises(ValueError, match="positive"):
+        ts.mixture_sample(df, "s", {"a": 1.0}, id_col="doc_id", budget=0)
+    with pytest.raises(ValueError, match="at least one"):
+        ts.mixture_sample(df, "s", {}, id_col="doc_id", budget=10)
+    with pytest.raises(ValueError, match="negative"):
+        ts.mixture_sample(df, "s", {"a": -1.0}, id_col="doc_id",
+                          budget=10)
+
+
+def test_cap_per_key_deterministic_and_ordered(spark):
+    df = spark.createDataFrame(
+        [("d1", i, float(i % 7)) for i in range(20)]
+        + [("d2", 100 + i, 0.0) for i in range(3)],
+        "domain string, doc_id long, score double")
+    capped = ts.cap_per_key(df, ["domain"], n=5)
+    counts = {r.domain: r.cnt for r in capped.groupBy("domain")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"d1": 5, "d2": 3}
+    # deterministic across runs and partition layouts
+    again = ts.cap_per_key(df.repartition(7), ["domain"], n=5)
+    assert {tuple(r) for r in capped.collect()} \
+        == {tuple(r) for r in again.collect()}
+    # order_col keeps the LOWEST values (keep-best via prepared column)
+    best = ts.cap_per_key(df, ["domain"], n=3, order_col="score")
+    d1_scores = sorted(r.score for r in best.collect()
+                       if r.domain == "d1")
+    # i%7 zeroes at i=0,7,14 → the three lowest d1 scores are all 0.0
+    assert d1_scores == [0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="at least one key"):
+        ts.cap_per_key(df, [], n=1)
+    with pytest.raises(ValueError, match="n must be"):
+        ts.cap_per_key(df, ["domain"], n=0)
