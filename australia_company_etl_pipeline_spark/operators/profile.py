@@ -163,3 +163,99 @@ def top_values(df: DataFrame, cols: list[str], k: int = 3,
                                                  F.asc("value"))
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def histogram(df: DataFrame, col: str, bins: int = 10,
+              lo: float | None = None,
+              hi: float | None = None) -> DataFrame:
+    """Equi-width histogram of a numeric column: one row per occupied
+    bin — (bin, bin_lo, bin_hi, n), bin 0..bins-1, upper edge inclusive
+    in the last bin.  NULLs are excluded (they are a ``null_rate``
+    metric, not a bin); values outside caller-supplied bounds clamp
+    into the edge bins (so a histogram over known physical bounds never
+    silently drops rows).
+
+    Scale: when bounds are given the plan is ONE partial-aggregated
+    groupBy on the bin id (≤ ``bins`` reducer rows regardless of input
+    size).  When bounds are omitted they come from a min/max aggregate
+    first — a second (cheap, shuffle-free to one row) pass; pass bounds
+    at 100 TB if the extra scan matters.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if lo is None or hi is None:
+        row = df.agg(F.min(F.col(col).cast("double")).alias("lo"),
+                     F.max(F.col(col).cast("double")).alias("hi")) \
+            .collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+        if lo is None or hi is None:  # no non-null values at all
+            return df.sparkSession.createDataFrame(
+                [], "bin int, bin_lo double, bin_hi double, n long")
+    if not lo < hi:
+        # degenerate range (constant column): everything in one bin
+        bins, width = 1, 1.0
+    else:
+        width = (hi - lo) / bins
+    v = F.col(col).cast("double")
+    bin_id = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
+        (v - F.lit(lo)) / F.lit(width)).cast("int")))
+    return (df.filter(v.isNotNull())
+            .groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * width).alias("bin_lo"),
+                    (F.lit(lo) + (F.col("bin") + 1) * width)
+                    .alias("bin_hi"),
+                    "n"))
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema diff between two snapshots of "the same" table: one row
+    per added / removed / retyped column — (column_name, change,
+    old_type, new_type).  Pure metadata (no job runs); the companion to
+    ``audit_log_diff`` (row drift) and ``profile_drift`` (value drift).
+    An empty result = schemas compatible."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema}
+    n = {f.name: f.dataType.simpleString() for f in new.schema}
+    rows = [(c, "removed", o[c], None) for c in o if c not in n]
+    rows += [(c, "added", None, n[c]) for c in n if c not in o]
+    rows += [(c, "retyped", o[c], n[c])
+             for c in o if c in n and o[c] != n[c]]
+    return old.sparkSession.createDataFrame(
+        rows, "column_name string, change string, old_type string, "
+              "new_type string")
+
+
+def profile_drift(old: DataFrame, new: DataFrame,
+                  cols: list[str] | None = None,
+                  table_name: str = "table",
+                  **kwargs) -> DataFrame:
+    """Value-distribution drift between two snapshots: both sides'
+    ``profile_table`` reports full-outer-joined on metric_name —
+    (table_name, metric_name, old_value, new_value, abs_change,
+    rel_change) — the "did the feed silently change under us" monitor
+    (null-rate spikes, cardinality collapse, range shifts).  Profiles
+    only columns present in BOTH schemas when ``cols`` is omitted.
+    ``kwargs`` forward to ``profile_metrics`` — pass
+    ``distinct='approx'``/``percentile_mode='approx'`` at scale.
+
+    Cost: one single-aggregate scan per side + a ≤(metrics) row join —
+    there is no cheaper shape, both datasets must be read."""
+    if cols is None:
+        o = {f.name for f in old.schema}
+        cols = [f.name for f in new.schema if f.name in o]
+        if not cols:
+            raise ValueError("snapshots share no columns to profile")
+    po = profile_table(old, table_name, cols, **kwargs) \
+        .select("metric_name", F.col("metric_value").alias("old_value"))
+    pn = profile_table(new, table_name, cols, **kwargs) \
+        .select("metric_name", F.col("metric_value").alias("new_value"))
+    j = po.join(pn, "metric_name", "full_outer")
+    abs_change = F.col("new_value") - F.col("old_value")
+    rel = F.when(F.col("old_value") != 0,
+                 abs_change / F.abs(F.col("old_value")))
+    return j.select(F.lit(table_name).alias("table_name"), "metric_name",
+                    "old_value", "new_value",
+                    abs_change.alias("abs_change"),
+                    F.round(rel, 6).alias("rel_change"))

@@ -309,3 +309,67 @@ def test_profile_validation_errors(spark):
         profile.top_values(df, ["nope"])
     with pytest.raises(ValueError, match="k must be"):
         profile.top_values(df, ["v"], k=0)
+
+
+def test_histogram_bins_and_clamping(spark):
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        histogram)
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)]
+                               + [(None,)], "v double")
+    h = {r.bin: (r.bin_lo, r.bin_hi, r.n)
+         for r in histogram(df, "v", bins=10).collect()}
+    assert len(h) == 10
+    # 0..99 over [0, 99]: width 9.9; max value lands in the LAST bin
+    assert sum(n for _, _, n in h.values()) == 100  # NULL excluded
+    assert h[0][0] == 0.0 and abs(h[9][1] - 99.0) < 1e-9
+    # explicit bounds clamp out-of-range values into edge bins
+    hc = {r.bin: r.n for r in
+          histogram(df, "v", bins=4, lo=20.0, hi=60.0).collect()}
+    assert hc[0] == 30  # 0..29 clamp into bin 0
+    assert hc[3] == 50  # 50..99 clamp into bin 3
+    # constant column degenerates to one bin, not a div-by-zero
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    rows = histogram(one, "v", bins=8).collect()
+    assert len(rows) == 1 and rows[0].n == 2
+    # all-NULL column: empty histogram with the right schema
+    nul = spark.createDataFrame([(None,), (None,)], "v double")
+    assert histogram(nul, "v").collect() == []
+
+
+def test_schema_drift_reports_adds_removes_retypes(spark):
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        schema_drift)
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "a long, b string, d string")
+    got = {(r.column_name, r.change): (r.old_type, r.new_type)
+           for r in schema_drift(old, new).collect()}
+    assert got == {("a", "retyped"): ("int", "bigint"),
+                   ("c", "removed"): ("double", None),
+                   ("d", "added"): (None, "string")}
+    assert schema_drift(old, old).collect() == []
+
+
+def test_profile_drift_flags_distribution_shift(spark):
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_drift)
+
+    old = spark.range(100).select((F.col("id") % 10).cast("double")
+                                  .alias("v"))
+    new = spark.range(100).select(
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise((F.col("id") % 10).cast("double") * 2).alias("v"))
+    d = {r.metric_name: r for r in profile_drift(old, new).collect()}
+    nr = d["v.null_rate"]
+    assert nr.old_value == 0.0 and nr.new_value == 0.25
+    assert nr.rel_change is None  # old 0 → undefined, not inf
+    mx = d["v.max"]
+    assert mx.old_value == 9.0 and mx.new_value == 18.0
+    assert abs(mx.rel_change - 1.0) < 1e-9
+    # common-column autodetect rejects disjoint schemas loudly
+    import pytest
+
+    other = spark.range(1).select(F.col("id").alias("zzz"))
+    with pytest.raises(ValueError, match="no columns"):
+        profile_drift(old, other)
