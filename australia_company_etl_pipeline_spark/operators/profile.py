@@ -107,7 +107,13 @@ def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
                        if percentile_mode == "exact"
                        else F.percentile_approx(col, F.lit(p),
                                                 F.lit(accuracy)))
-                out[f"{c}.p{int(round(p * 100))}"] = F.round(pct, 6)
+                # %g keeps p25/p50/p75 short but does NOT collapse
+                # distinct tails (p0.1 vs p0.5) into one rounded label
+                name = f"{c}.p{p * 100:g}"
+                if name in out:
+                    raise ValueError(
+                        f"duplicate percentile {p} for column {c!r}")
+                out[name] = F.round(pct, 6)
         elif isinstance(t, StringType):
             out[f"{c}.len_min"] = F.min(F.length(col))
             out[f"{c}.len_max"] = F.max(F.length(col))
@@ -150,6 +156,10 @@ def top_values(df: DataFrame, cols: list[str], k: int = 3,
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"top_values columns not in frame: {missing}")
+    if len(set(cols)) != len(cols):
+        # would otherwise surface as an opaque executor-side
+        # DUPLICATED_MAP_KEY failure from map_from_arrays
+        raise ValueError(f"top_values columns must be unique: {cols}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     pairs = df.select(F.explode(F.map_from_arrays(
@@ -170,10 +180,12 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
               hi: float | None = None) -> DataFrame:
     """Equi-width histogram of a numeric column: one row per occupied
     bin — (bin, bin_lo, bin_hi, n), bin 0..bins-1, upper edge inclusive
-    in the last bin.  NULLs are excluded (they are a ``null_rate``
-    metric, not a bin); values outside caller-supplied bounds clamp
-    into the edge bins (so a histogram over known physical bounds never
-    silently drops rows).
+    in the last bin.  NULLs and NaNs are excluded (they are
+    ``null_rate``-style metrics, not bins; a NaN would otherwise poison
+    ``max()`` and collapse the whole report to one bin); values outside
+    caller-supplied bounds — including infinities — clamp into the edge
+    bins (so a histogram over known physical bounds never silently
+    drops rows).
 
     Scale: when bounds are given the plan is ONE partial-aggregated
     groupBy on the bin id (≤ ``bins`` reducer rows regardless of input
@@ -183,9 +195,10 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(col).cast("double")
+    df = df.filter(v.isNotNull() & ~F.isnan(v))
     if lo is None or hi is None:
-        row = df.agg(F.min(F.col(col).cast("double")).alias("lo"),
-                     F.max(F.col(col).cast("double")).alias("hi")) \
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")) \
             .collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
@@ -197,10 +210,13 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
         bins, width = 1, 1.0
     else:
         width = (hi - lo) / bins
-    v = F.col(col).cast("double")
-    bin_id = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
-        (v - F.lit(lo)) / F.lit(width)).cast("int")))
-    return (df.filter(v.isNotNull())
+    # clamp the VALUE into [lo, hi] before any integer math: a far-out
+    # outlier (or ±inf) would overflow the long→int cast under ANSI
+    # instead of landing in the edge bin the docstring promises
+    vc = F.least(F.lit(float(hi)), F.greatest(F.lit(float(lo)), v))
+    bin_id = F.least(F.lit(bins - 1), F.floor(
+        (vc - F.lit(lo)) / F.lit(width)).cast("int"))
+    return (df
             .groupBy(bin_id.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select("bin",

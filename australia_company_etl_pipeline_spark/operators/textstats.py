@@ -517,7 +517,10 @@ def mixture_sample(df, stratum_col: str, weights: dict[str, float],
 
     extra = set(avail) - set(weights)
     if extra and unknown == "error":
-        raise ValueError(f"strata without a weight: {sorted(extra)}; "
+        # key=str: a NULL stratum (None) must land in the error message,
+        # not blow up the sort that builds it
+        raise ValueError("strata without a weight: "
+                         f"{sorted(extra, key=str)}; "
                          "add weights or pass unknown='drop'")
 
     plan_rows = []
@@ -559,7 +562,9 @@ def cap_per_key(df, key_cols: list[str], n: int,
     quality score), else by a seeded murmur3 hash over EVERY column —
     a stable pseudo-random choice that depends only on row content, not
     partition layout (full-duplicate rows tie, but they are
-    interchangeable). One shuffle (window over the key).
+    interchangeable). The content hash also breaks ``order_col`` TIES,
+    so equal scores don't make the kept set partition-layout-dependent.
+    One shuffle (window over the key).
 
     Scale caveat: a window partition is one task, so a key with 10⁹ rows
     serializes — cap AFTER coarser filters, or pre-thin pathological
@@ -572,9 +577,9 @@ def cap_per_key(df, key_cols: list[str], n: int,
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql.window import Window
 
-    order = (F.col(order_col).asc_nulls_last() if order_col
-             else F.hash(*[F.col(c) for c in df.columns],
-                         F.lit(seed)).asc())
-    w = Window.partitionBy(*key_cols).orderBy(order)
+    content = F.hash(*[F.col(c) for c in df.columns], F.lit(seed)).asc()
+    order = ([F.col(order_col).asc_nulls_last(), content] if order_col
+             else [content])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n).drop("__rn"))

@@ -60,6 +60,7 @@ def prepare_training_corpus(
         bands: int = 8,
         domain_cap: tuple[str, int] | None = None,
         mixture: tuple[str, dict[str, float], int] | None = None,
+        mixture_unknown: str = "error",
         segment_words: int | None = None,
         pack_budget: int = 2048,
         pack_partition_col: str | None = None,
@@ -90,6 +91,12 @@ def prepare_training_corpus(
     5b. mixture sampling (only when ``mixture=(stratum_col, weights,
        token_budget)`` is given) — ``mixture_sample`` downsamples each
        stratum toward the target composition over BPE-ish token counts.
+       In the recipe, strata missing from ``weights`` are an ERROR by
+       default (``mixture_unknown='error'``): a typo'd weight key or a
+       new source value silently deleting a whole stratum from the
+       shipped corpus is the worst failure mode of a curated run; pass
+       ``mixture_unknown='drop'`` to get the operator's permissive
+       default back.
        NOTE: this is the one stage that runs a driver-side action at
        build time (the per-stratum availability aggregate) — the
        persisted stage prefixes make it a single incremental pass, and
@@ -163,7 +170,8 @@ def prepare_training_corpus(
         mix_col, mix_weights, mix_budget = mixture
         counted, _ = ts.mixture_sample(
             counted, mix_col, mix_weights, id_col=id_col,
-            budget=mix_budget, token_count_col="n_tokens")
+            budget=mix_budget, token_count_col="n_tokens",
+            unknown=mixture_unknown)
         counted = _stage(counted)
         stages["mixture_sampled"] = counted
     packed = counted.join(
@@ -182,8 +190,7 @@ def prepare_training_corpus(
         config={"near_threshold": near_threshold,
                 "num_hashes": num_hashes, "bands": bands,
                 "domain_cap": list(domain_cap) if domain_cap else None,
-                "mixture": ([mixture[0], mixture[1], mixture[2]]
-                            if mixture else None),
+                "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,
                 "pack_budget": pack_budget})
     return packed, report

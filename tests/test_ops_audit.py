@@ -373,3 +373,37 @@ def test_profile_drift_flags_distribution_shift(spark):
     other = spark.range(1).select(F.col("id").alias("zzz"))
     with pytest.raises(ValueError, match="no columns"):
         profile_drift(old, other)
+
+
+def test_histogram_outliers_and_nan(spark):
+    """Review regressions: a far-out outlier must clamp into the edge
+    bin (not overflow the ANSI int cast), and a NaN must be excluded
+    (not poison max() and collapse the report to one bin)."""
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        histogram)
+
+    df = spark.createDataFrame([(0.5,), (9.9e99,), (float("-inf"),)],
+                               "v double")
+    h = {r.bin: r.n for r in
+         histogram(df, "v", bins=10, lo=0.0, hi=1.0).collect()}
+    assert h == {0: 1, 5: 1, 9: 1}  # -inf → bin 0, outlier → bin 9
+    nan = spark.createDataFrame(
+        [(float(v),) for v in range(100)] + [(float("nan"),)],
+        "v double")
+    bins = histogram(nan, "v", bins=10).collect()
+    assert len(bins) == 10 and sum(r.n for r in bins) == 100
+
+
+def test_percentile_labels_keep_distinct_tails(spark):
+    import pytest
+
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_metrics, top_values)
+
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    m = profile_metrics(df, ["v"], percentiles=(0.001, 0.005, 0.5))
+    assert {"v.p0.1", "v.p0.5", "v.p50"} <= set(m)
+    with pytest.raises(ValueError, match="duplicate percentile"):
+        profile_metrics(df, ["v"], percentiles=(0.5, 0.5))
+    with pytest.raises(ValueError, match="unique"):
+        top_values(df, ["v", "v"])

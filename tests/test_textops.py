@@ -442,3 +442,26 @@ def test_cap_per_key_deterministic_and_ordered(spark):
         ts.cap_per_key(df, [], n=1)
     with pytest.raises(ValueError, match="n must be"):
         ts.cap_per_key(df, ["domain"], n=0)
+
+
+def test_cap_per_key_order_ties_are_layout_independent(spark):
+    """Review regression: equal order_col values must not make the kept
+    set depend on partition layout — the content hash breaks ties."""
+    df = spark.createDataFrame([("k", i, 0.0) for i in range(50)],
+                               "key string, doc_id long, score double")
+    a = {r.doc_id for r in
+         ts.cap_per_key(df, ["key"], n=5, order_col="score").collect()}
+    b = {r.doc_id for r in
+         ts.cap_per_key(df.repartition(13), ["key"], n=5,
+                        order_col="score").collect()}
+    assert a == b and len(a) == 5
+
+
+def test_mixture_sample_null_stratum_error_message(spark):
+    """Review regression: a NULL stratum plus a string stratum must
+    raise the diagnostic ValueError, not a TypeError from sorted()."""
+    df = spark.createDataFrame([(1, None, 1), (2, "x", 1)],
+                               "doc_id long, s string, n int")
+    with pytest.raises(ValueError, match="without a weight"):
+        ts.mixture_sample(df, "s", {"a": 1.0}, id_col="doc_id",
+                          budget=10, unknown="error")
