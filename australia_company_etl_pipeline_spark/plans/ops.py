@@ -133,10 +133,13 @@ def pipeline_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch-bound stats) are ALL expressions over ONE scan and one "
         "aggregate; per-column heavy hitters (top-3 of l_returnflag and "
         "l_linestatus, both columns through ONE exploded shuffle) union "
-        "in as '<col>.top<rank>:<value>' rows. The sketch modes "
-        "(HLL++ distinct, GK percentiles — the 100 TB path, no Expand "
-        "blowup, mergeable state) are pytest-pinned against these exact "
-        "values (tests/test_ops_audit.py).",
+        "in as '<col>.top<rank>:<value>' rows, and the equi-width "
+        "histogram of l_quantity (8 bins over its [1, 51] physical "
+        "bounds — bounds given, so NO extra min/max pass; ≤8 reducer "
+        "rows) as '<col>.hist<bin>' rows. The sketch modes (HLL++ "
+        "distinct, GK percentiles — the 100 TB path, no Expand blowup, "
+        "mergeable state) are pytest-pinned against these exact values "
+        "(tests/test_ops_audit.py).",
     tags=("ops", "quality"),
     oracle="""
 WITH m AS (
@@ -193,6 +196,16 @@ WITH m AS (
     SELECT 'l_linestatus', l_linestatus, COUNT(*)
     FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 2
   )
+), hist AS (
+  -- clamp-then-bin, the histogram() operator's exact arithmetic:
+  -- width = (51-1)/8 = 6.25, upper edge inclusive in the last bin
+  SELECT CAST(least(7, floor(
+           (least(51.0, greatest(1.0, CAST(l_quantity AS DOUBLE))) - 1.0)
+           / 6.25)) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+  GROUP BY 1
 )
 SELECT CAST(NULL AS VARCHAR) AS run_id, 'lineitem' AS table_name, *
 FROM (
@@ -228,11 +241,14 @@ FROM (
   UNION ALL
   SELECT column_name || '.top' || rank || ':' || value, CAST(n AS DOUBLE)
   FROM tv WHERE rank <= 3
+  UNION ALL
+  SELECT 'l_quantity.hist' || bin, CAST(n AS DOUBLE) FROM hist
 )
 """,
 )
 def dq_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.profile import profile_metrics, top_values
+    from ..operators.profile import (histogram, profile_metrics,
+                                     top_values)
 
     li = table(spark, sf_dir, "lineitem")
     metrics = {
@@ -253,4 +269,11 @@ def dq_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("rank").cast("string"), F.lit(":"),
                              F.col("value")).alias("metric_name"),
                     F.col("n").cast("double").alias("metric_value")))
-    return base.unionByName(tops)
+    hist = (histogram(li, "l_quantity", bins=8, lo=1.0, hi=51.0)
+            .select(F.lit(None).cast("string").alias("run_id"),
+                    F.lit("lineitem").alias("table_name"),
+                    F.concat(F.lit("l_quantity.hist"),
+                             F.col("bin").cast("string"))
+                    .alias("metric_name"),
+                    F.col("n").cast("double").alias("metric_value")))
+    return base.unionByName(tops).unionByName(hist)
