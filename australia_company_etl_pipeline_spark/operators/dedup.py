@@ -47,6 +47,27 @@ def unpersist_shingles() -> int:
     return n
 
 
+def shingle_cache_snapshot() -> set[int]:
+    """Mark the current cache contents; pair with ``new_shingles_since``
+    to scope cleanup to ONE operator call (a global
+    ``unpersist_shingles`` would also evict frames owned by unrelated
+    callers)."""
+    return {id(f) for f in _SHINGLE_CACHE}
+
+
+def new_shingles_since(snapshot: set[int],
+                       remove: bool = True) -> list[DataFrame]:
+    """Frames the cache gained since ``snapshot``; with ``remove`` they
+    leave the module cache, transferring unpersist responsibility to the
+    caller (how ``prepare_training_corpus`` re-homes its
+    decontamination shingles into its own stage cache)."""
+    fresh = [f for f in _SHINGLE_CACHE if id(f) not in snapshot]
+    if remove:
+        for f in fresh:
+            _SHINGLE_CACHE.remove(f)
+    return fresh
+
+
 def content_key(cols: list[Column]) -> Column:
     """128-bit content digest (md5 hex) over concatenated columns."""
     return F.md5(F.concat_ws("\x1f", *cols))
@@ -390,7 +411,7 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
     cluster's min id (deterministic keeper, reference keep-first A4
     semantics lifted to clusters). ``checkpoint`` forwards to
     ``connected_components`` ('reliable' for preemptible clusters)."""
-    before = {id(f) for f in _SHINGLE_CACHE}
+    before = shingle_cache_snapshot()
     if method == "minhash":
         pairs = minhash_dup_pairs(df, text_col, id_col, threshold, **kwargs)
     elif method == "ngram":
@@ -408,9 +429,8 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
         # unpersist_shingles() here would also evict a caller-shared
         # shingles= frame (the hashed_dup_pairs pattern) and any other
         # operator's cached frames, forcing silent recomputes.
-        for f in [f for f in _SHINGLE_CACHE if id(f) not in before]:
+        for f in new_shingles_since(before):
             f.unpersist()
-            _SHINGLE_CACHE.remove(f)
     return cc.select(F.col("id").alias(id_col), "cluster_id",
                      (F.col("id") == F.col("cluster_id"))
                      .alias("is_canonical"))

@@ -195,6 +195,11 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    if lo is not None and hi is not None and lo > hi:
+        # the degenerate one-bin branch below is for DERIVED equal
+        # bounds (constant column); swapped caller arguments must not
+        # silently collapse the report into one fabricated bin
+        raise ValueError(f"inverted bounds: lo ({lo}) > hi ({hi})")
     v = F.col(col).cast("double")
     df = df.filter(v.isNotNull() & ~F.isnan(v))
     if lo is None or hi is None:

@@ -76,14 +76,22 @@ def source_freshness(df: DataFrame, ts_col: str, now: str,
     # Validate driver-side: an unparseable `now` would cast to NULL,
     # every age comparison would be NULL, and the status would silently
     # fall through to 'fresh' — a malformed input passing the SLA.
+    # fromisoformat is the no-job fast path; it is NARROWER than
+    # Catalyst's timestamp parser (e.g. '2024-1-1'), so on failure probe
+    # the actual engine cast before rejecting — the guard must reject
+    # only strings the engine itself would NULL out.
     from datetime import datetime
 
     try:
         datetime.fromisoformat(str(now))
     except (TypeError, ValueError) as exc:
-        raise ValueError(
-            f"source_freshness: `now` must be an ISO timestamp string, "
-            f"got {now!r}") from exc
+        probed = (df.sparkSession.range(1)
+                  .select(F.lit(str(now)).try_cast("timestamp").alias("t"))
+                  .head()["t"])
+        if probed is None:
+            raise ValueError(
+                f"source_freshness: `now` must be a timestamp string the "
+                f"engine can parse, got {now!r}") from exc
     now_ts = F.lit(now).cast("timestamp")
     agg = df.agg(F.max(F.col(ts_col).cast("timestamp")).alias("max_ts"))
     age = F.round(

@@ -201,12 +201,25 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: Sequence[str],
                            F.last(_PAYLOAD, ignorenulls=True).over(w))
               .filter(F.col(_SIDE) == 1))
 
-    # 2) per-bucket best right row (max over (ts, tie) carries its payload)
+    # 2) per-bucket best right row (max over (ts, tie) carries its
+    # payload). max(struct(ts, tie, payload)) orders the WHOLE struct —
+    # fully deterministic (payload breaks (ts, tie) ties) but illegal
+    # when the payload nests a MapType (maps are unorderable); there,
+    # max_by orders by (ts, tie) only — same contract as the plain
+    # variant's window, whose (ts, tie)-tie winner is arbitrary anyway.
+    from ..session import contains_map_type
+
+    if contains_map_type(r.schema[_PAYLOAD].dataType):
+        best = F.max_by(F.struct(F.col(_PAYLOAD).alias("p")),
+                        F.struct(F.col(_TS).alias("ts"),
+                                 F.col(_TIE).alias("tie")))
+    else:
+        best = F.max(F.struct(F.col(_TS).alias("ts"),
+                              F.col(_TIE).alias("tie"),
+                              F.col(_PAYLOAD).alias("p")))
     summ = (r.withColumn(_BUCKET, bkt)
             .groupBy(*keys, _BUCKET)
-            .agg(F.max(F.struct(F.col(_TS).alias("ts"),
-                                F.col(_TIE).alias("tie"),
-                                F.col(_PAYLOAD).alias("p"))).alias("__best")))
+            .agg(best.alias("__best")))
 
     # 3) carry across the summary spine (strictly earlier buckets)
     spine = (filled.select(*keys, _BUCKET).distinct()

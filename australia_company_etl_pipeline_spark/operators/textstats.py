@@ -577,7 +577,14 @@ def cap_per_key(df, key_cols: list[str], n: int,
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql.window import Window
 
-    content = F.hash(*[F.col(c) for c in df.columns], F.lit(seed)).asc()
+    from ..session import contains_map_type
+
+    # maps are unhashable (F.hash raises on MapType at any nesting
+    # depth); rows differing ONLY in map columns tie — interchangeable
+    # enough for a pseudo-random keep choice
+    hashable = [f.name for f in df.schema
+                if not contains_map_type(f.dataType)]
+    content = F.hash(*[F.col(c) for c in hashable], F.lit(seed)).asc()
     order = ([F.col(order_col).asc_nulls_last(), content] if order_col
              else [content])
     w = Window.partitionBy(*key_cols).orderBy(*order)

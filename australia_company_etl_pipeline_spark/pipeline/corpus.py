@@ -144,15 +144,13 @@ def prepare_training_corpus(
 
     if benchmark is not None:
         # decontaminate persists shingle frames through the dedup module's
-        # global cache; re-home them so release_corpus_cache() frees them
+        # cache; re-home them so release_corpus_cache() frees them
         # without evicting unrelated callers' shingles
-        before = {id(f) for f in dd._SHINGLE_CACHE}
+        before = dd.shingle_cache_snapshot()
         current = _stage(dd.decontaminate(
             current, benchmark, text_col, id_col,
             threshold=near_threshold, num_hashes=num_hashes, bands=bands))
-        for f in [f for f in dd._SHINGLE_CACHE if id(f) not in before]:
-            dd._SHINGLE_CACHE.remove(f)
-            _STAGE_CACHE.append(f)
+        _STAGE_CACHE.extend(dd.new_shingles_since(before))
         stages["decontaminated"] = current
 
     if segment_words is not None:
@@ -174,10 +172,13 @@ def prepare_training_corpus(
             unknown=mixture_unknown)
         counted = _stage(counted)
         stages["mixture_sampled"] = counted
-    packed = counted.join(
+    # packed has up to THREE consumers (sharded write, the report's
+    # count, the returned frame) — persist it like every other stage so
+    # the pack window + join run once, not per consumer
+    packed = _stage(counted.join(
         ts.pack_sequences(counted, "n_tokens", id_col, budget=pack_budget,
                           partition_col=pack_partition_col)
-        .select(id_col, "pack_id", "pack_offset", "spans_packs"), id_col)
+        .select(id_col, "pack_id", "pack_offset", "spans_packs"), id_col))
     stages["packed"] = packed
 
     if out_dir is not None:

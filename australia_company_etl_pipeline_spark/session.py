@@ -45,6 +45,23 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def contains_map_type(dtype) -> bool:
+    """True when ``dtype`` is — or nests, at any depth — a ``MapType``.
+    Map columns are neither orderable (``max``/``sort_array``/struct
+    comparison) nor hashable (``F.hash``), so operators that build a
+    deterministic row order from column values must route around them
+    (``cap_per_key`` content hash, ``asof_join_bucketed`` summary)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return contains_map_type(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(contains_map_type(f.dataType) for f in dtype.fields)
+    return False
+
+
 def materialize(df, checkpoint: str = "local"):
     """Materialize a frame and truncate its lineage — the loop-body step of
     iterative operators (connected components, k-means), whose plans would

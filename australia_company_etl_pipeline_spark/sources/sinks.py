@@ -41,7 +41,9 @@ def upsert_parquet(spark, path: str, updates: DataFrame, keys: list[str],
     New rows win over existing rows for the same key; among duplicates the
     highest ``version_col`` wins (ties: updates side). Written via a
     staging directory + atomic-ish swap, because Spark cannot overwrite a
-    path it is still reading.
+    path it is still reading. LOCAL-FILESYSTEM ONLY: the staging swap is
+    ``os.replace`` and the existence probe is driver-local — both forms
+    below (partitioned, streaming) work on any Hadoop filesystem.
 
     This form rewrites the WHOLE table per merge — right for small
     engine-internal tables (dims, audit state). For big fact tables use
@@ -231,12 +233,26 @@ def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
     it explicitly (``isin`` alone would skip NULLs under three-valued
     logic and dynamic overwrite would then drop the partition's
     un-updated keys).
+
+    The does-the-table-exist bootstrap probes by READING the path (like
+    ``dedup._read_or_empty``), not ``os.path`` — a driver-local stat of
+    an object-store URI is always False, and the resulting "first
+    write" full-overwrite would silently wipe every previously merged
+    partition on each call.
     """
     from functools import reduce
 
+    from pyspark.errors import AnalysisException
+
     from ..session import materialize
 
-    if not os.path.exists(path):
+    try:
+        full = spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = (exc.getCondition() if hasattr(exc, "getCondition")
+                else exc.getErrorClass())
+        if cond != "PATH_NOT_FOUND":
+            raise  # corrupt/permission errors must not masquerade as new
         (updates.write.mode("overwrite").partitionBy(partition_col)
          .parquet(path))
         return
@@ -250,7 +266,7 @@ def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
         conds.append(F.col(partition_col).isin(non_null))
     if len(non_null) < len(affected):  # updates touch the NULL partition
         conds.append(F.col(partition_col).isNull())
-    existing = (spark.read.parquet(path)
+    existing = (full
                 .filter(reduce(lambda a, b: a | b, conds))
                 .withColumn("__src", F.lit(0)))
     merged = existing.unionByName(updates.withColumn("__src", F.lit(1)))

@@ -139,7 +139,7 @@ def test_source_freshness_rejects_malformed_now(spark):
     import pytest
 
     df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string")
-    with pytest.raises(ValueError, match="ISO timestamp"):
+    with pytest.raises(ValueError, match="timestamp string"):
         quality.source_freshness(df, "ts", "not-a-timestamp")
 
 
@@ -407,3 +407,23 @@ def test_percentile_labels_keep_distinct_tails(spark):
         profile_metrics(df, ["v"], percentiles=(0.5, 0.5))
     with pytest.raises(ValueError, match="unique"):
         top_values(df, ["v", "v"])
+
+
+def test_histogram_rejects_inverted_bounds(spark):
+    import pytest
+
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        histogram)
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="inverted bounds"):
+        histogram(df, "v", bins=10, lo=100.0, hi=0.0)
+
+
+def test_source_freshness_accepts_what_spark_parses(spark):
+    """Review regression: the `now` guard must reject only strings the
+    ENGINE would NULL-cast — '2024-1-2 12:0:0' fails fromisoformat but
+    parses fine in Catalyst, so it must pass."""
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string")
+    r = quality.source_freshness(df, "ts", "2024-1-2 12:0:0").head()
+    assert r.status == "warn"  # 36h old

@@ -429,3 +429,24 @@ def test_upsert_parquet_model_based(spark, tmp_path_factory):
         assert got == model
 
     run()
+
+
+def test_upsert_partitioned_bootstrap_probe_not_os_path(
+        spark, tmp_path, monkeypatch):
+    """Review regression: the does-the-table-exist probe must READ the
+    path, not stat it driver-locally — on an object store os.path is
+    always False and every batch would take the first-write overwrite
+    branch, wiping prior merges. Simulated by forcing os.path.exists to
+    False: the second merge must still MERGE, not overwrite."""
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a", "p1"), (2, "b", "p2")],
+                               "k long, v string, part string")
+    sinks.upsert_parquet_partitioned(spark, path, v1, keys=["k"],
+                                     partition_col="part")
+    monkeypatch.setattr(os.path, "exists", lambda p: False)
+    up = spark.createDataFrame([(3, "c", "p2")],
+                               "k long, v string, part string")
+    sinks.upsert_parquet_partitioned(spark, path, up, keys=["k"],
+                                     partition_col="part")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}

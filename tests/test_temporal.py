@@ -368,3 +368,29 @@ def test_asof_rejects_matched_ts_collision(trades, quotes):
     with pytest.raises(ValueError, match="collide"):
         asof_join(chained, quotes, on=["sym"], left_ts="t",
                   right_ts="qt", payload=["qid"])
+
+
+def test_asof_bucketed_map_payload_matches_plain(spark):
+    """Review regression: a MapType payload is unorderable, so the
+    bucketed summary must switch from max(struct(..payload)) to max_by
+    — and still agree with the plain variant."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        asof_join, asof_join_bucketed)
+
+    left = spark.createDataFrame(
+        [("a", i * 100) for i in range(1, 8)], "sym string, t long") \
+        .withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", 50, 1, "x"), ("a", 250, 2, "y"), ("a", 650, 3, "z")],
+        "sym string, qt long, qid long, tag string") \
+        .withColumn("qt", F.col("qt").cast("timestamp")) \
+        .withColumn("attrs", F.create_map(F.lit("tag"), F.col("tag"))) \
+        .drop("tag")
+    kw = dict(on=["sym"], left_ts="t", right_ts="qt",
+              payload=["attrs"], tie_col="qid")
+    plain = {(r.sym, r.t): (r.qt_matched, dict(r.attrs or {}))
+             for r in asof_join(left, right, **kw).collect()}
+    bucketed = {(r.sym, r.t): (r.qt_matched, dict(r.attrs or {}))
+                for r in asof_join_bucketed(left, right, bucket_s=300,
+                                            **kw).collect()}
+    assert plain == bucketed and len(plain) == 7

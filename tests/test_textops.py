@@ -465,3 +465,15 @@ def test_mixture_sample_null_stratum_error_message(spark):
     with pytest.raises(ValueError, match="without a weight"):
         ts.mixture_sample(df, "s", {"a": 1.0}, id_col="doc_id",
                           budget=10, unknown="error")
+
+
+def test_cap_per_key_tolerates_map_columns(spark):
+    """Review regression: the content-hash tiebreak must skip MapType
+    columns (F.hash rejects maps) instead of failing analysis."""
+    df = spark.createDataFrame(
+        [("k", i, {"m": str(i)}) for i in range(10)],
+        "key string, doc_id long, meta map<string,string>")
+    kept = ts.cap_per_key(df, ["key"], n=4).collect()
+    assert len(kept) == 4
+    again = ts.cap_per_key(df.repartition(5), ["key"], n=4).collect()
+    assert {r.doc_id for r in kept} == {r.doc_id for r in again}
