@@ -306,3 +306,46 @@ def test_fuzz_clean_industry(spark):
 
     _batch_compare(spark, vals, fx.clean_industry, oracle,
                    "clean_industry")
+
+
+def test_profile_stats_fuzz_vs_pandas(spark):
+    """Profiler parity: exact profile_table stats over a seeded random
+    numeric/string frame (with NULL and NaN adversaries) must match a
+    pandas-computed oracle."""
+    import math
+
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_table)
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(500):
+        v = (None if rng.random() < 0.1
+             else round(rng.uniform(-1000, 1000), 3))
+        s = (None if rng.random() < 0.1
+             else "".join(rng.choice(_ALPHABET)
+                          for _ in range(rng.randint(0, 20))))
+        rows.append((i, v, s))
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    m = {r.metric_name: r.metric_value
+         for r in profile_table(df, "t", ["v", "s"]).collect()}
+
+    vs = [v for _, v, _ in rows if v is not None]
+    ss = [s for _, _, s in rows if s is not None]
+    assert m["v.null_rate"] == round((500 - len(vs)) / 500, 6)
+    assert m["v.n_distinct"] == len(set(vs))
+    assert m["v.min"] == min(vs) and m["v.max"] == max(vs)
+    assert abs(m["v.mean"] - sum(vs) / len(vs)) < 1e-6
+
+    def pctl(xs, p):  # exact interpolated percentile (Spark semantics)
+        xs = sorted(xs)
+        k = (len(xs) - 1) * p
+        f, c = math.floor(k), math.ceil(k)
+        return xs[f] + (xs[c] - xs[f]) * (k - f)
+
+    for p, name in ((0.25, "v.p25"), (0.5, "v.p50"), (0.75, "v.p75")):
+        assert abs(m[name] - pctl(vs, p)) < 1e-5, name
+    lens = [len(s) for s in ss]
+    assert m["s.len_min"] == min(lens) and m["s.len_max"] == max(lens)
+    assert abs(m["s.len_mean"] - sum(lens) / len(lens)) < 1e-6
+    assert m["s.n_distinct"] == len(set(ss))

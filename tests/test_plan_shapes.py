@@ -212,3 +212,23 @@ def test_profile_sketch_mode_avoids_expand(spark, sf_dir):
     # both stay single-aggregate plans: no join, no cartesian product
     for plan in (exact, sketch):
         assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_mixture_sample_filter_shuffle_free(spark, sf_dir):
+    """mixture_sample's output plan must be a pure scan+filter — the
+    per-stratum fractions arrive as a literal map, so sampling adds NO
+    exchange (the one availability aggregate runs eagerly at build
+    time, not in the returned plan)."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators.textstats import (
+        mixture_sample)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                    "text")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    sampled, _ = mixture_sample(
+        docs, "lang", {lg: 1.0 / len(langs) for lg in langs},
+        id_col="doc_id", budget=1000)
+    plan = _plan(sampled)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
