@@ -280,3 +280,22 @@ def profile_drift(old: DataFrame, new: DataFrame,
                     "old_value", "new_value",
                     abs_change.alias("abs_change"),
                     F.round(rel, 6).alias("rel_change"))
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Physical-partition balance report: one row per non-empty
+    partition — (partition_id, n_rows) — THE first diagnostic when a
+    stage straggles (one hot partition = one slow task; AQE splits skew
+    only at shuffle boundaries, not inside a pathological scan or after
+    a custom repartition).
+
+    Cost: one partial-aggregated groupBy on ``spark_partition_id()`` —
+    each input partition contributes exactly one map-side row, so the
+    shuffle is O(partitions), not O(rows).  Summarize driver-side
+    (``max(n_rows)/avg`` = skew factor); empty partitions produce no
+    row, so compare the row count against
+    ``df.rdd.getNumPartitions()``-style expectations separately if you
+    need to find THEM.
+    """
+    return (df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows")))

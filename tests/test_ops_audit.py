@@ -427,3 +427,18 @@ def test_source_freshness_accepts_what_spark_parses(spark):
     df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string")
     r = quality.source_freshness(df, "ts", "2024-1-2 12:0:0").head()
     assert r.status == "warn"  # 36h old
+
+
+def test_partition_stats_balance_report(spark):
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        partition_stats)
+
+    df = spark.range(1000).repartition(8)
+    rows = partition_stats(df).collect()
+    assert sum(r.n_rows for r in rows) == 1000
+    assert 1 <= len(rows) <= 8
+    # round-robin repartition is balanced: no partition dominates
+    assert max(r.n_rows for r in rows) <= 2 * (1000 // len(rows))
+    skewed = spark.range(1000).repartition(8, F.lit(1))  # one hot key
+    srows = partition_stats(skewed).collect()
+    assert max(r.n_rows for r in srows) == 1000  # diagnosis visible
