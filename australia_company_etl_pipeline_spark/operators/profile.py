@@ -77,6 +77,13 @@ def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
     strings add length min/max/mean; dates/timestamps add epoch-second
     min/max.  Ratios and means are rounded to 6 dp so results are
     engine- and order-stable.
+
+    Float/double columns additionally get ``<col>.nan_rate``, and their
+    NaNs are EXCLUDED from min/max/mean/percentiles — a NaN would
+    otherwise poison max() and the percentiles outright and silently
+    deflate the decimal-accumulated mean (NaN→decimal casts to NULL,
+    leaving the numerator while staying in a row-count denominator).
+    The monitor reports the anomaly instead of being corrupted by it.
     """
     if distinct not in ("exact", "approx"):
         raise ValueError(f"distinct must be 'exact' or 'approx', "
@@ -90,6 +97,8 @@ def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
     if missing:
         raise ValueError(f"profile columns not in frame: {missing}")
 
+    from pyspark.sql.types import DoubleType, FloatType
+
     out: dict[str, Column] = {}
     for c in cols:
         col, t = F.col(c), types[c]
@@ -98,6 +107,11 @@ def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
         out[f"{c}.n_distinct"] = (
             F.countDistinct(col) if distinct == "exact"
             else F.approx_count_distinct(col, rsd))
+        if isinstance(t, (FloatType, DoubleType)):
+            out[f"{c}.nan_rate"] = F.round(
+                _davg(F.when(col.isNotNull() & F.isnan(col), 1.0)
+                      .otherwise(0.0)), 6)
+            col = F.when(~F.isnan(col), col)  # NaN → NULL for the stats
         if isinstance(t, NumericType):
             out[f"{c}.min"] = F.min(col)
             out[f"{c}.max"] = F.max(col)
@@ -203,11 +217,16 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
     v = F.col(col).cast("double")
     df = df.filter(v.isNotNull() & ~F.isnan(v))
     if lo is None or hi is None:
-        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")) \
-            .collect()[0]
+        # derive bounds from FINITE values only — a single ±inf as the
+        # derived bound makes width infinite and floor-divides every
+        # finite value into one garbage bin; the infinities themselves
+        # still count (they clamp into the edge bins below)
+        finite = F.when((v > float("-inf")) & (v < float("inf")), v)
+        row = df.agg(F.min(finite).alias("lo"),
+                     F.max(finite).alias("hi")).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-        if lo is None or hi is None:  # no non-null values at all
+        if lo is None or hi is None:  # no finite values to bound by
             return df.sparkSession.createDataFrame(
                 [], "bin int, bin_lo double, bin_hi double, n long")
     if not lo < hi:

@@ -76,8 +76,15 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return lang_scores_t(tokens(text))
 
 
-def lang_id_t(toks: Column, min_ratio: float = 0.05) -> Column:
-    scores = lang_scores_t(toks)
+def lang_id_t(toks: Column, min_ratio: float = 0.05,
+              scores: dict[str, Column] | None = None) -> Column:
+    """Argmax language over the marker ratios. Pass ``scores`` when the
+    caller already built ``lang_scores_t(toks)`` in the same projection:
+    the marker filters are lambda expressions, which codegen CSE does
+    NOT deduplicate — without sharing, every ratio is computed twice
+    per row (see the staging note in ``plans/text.py:doc_profile``)."""
+    if scores is None:
+        scores = lang_scores_t(toks)
     best_lang, best_score = F.lit("und"), F.lit(min_ratio - 1e-12)
     for lang in sorted(scores):  # later langs must beat strictly
         s = scores[lang]

@@ -151,6 +151,9 @@ WITH m AS (
          CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS distinct_orders,
          round(avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END), 6)
            AS q_null_rate,
+         round(avg(CASE WHEN l_quantity IS NOT NULL
+                        AND isnan(CAST(l_quantity AS DOUBLE))
+                   THEN 1.0 ELSE 0.0 END), 6) AS q_nan_rate,
          CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) AS q_n_distinct,
          CAST(min(l_quantity) AS DOUBLE) AS q_min,
          CAST(max(l_quantity) AS DOUBLE) AS q_max,
@@ -161,6 +164,9 @@ WITH m AS (
          round(quantile_cont(l_quantity, 0.75), 6) AS q_p75,
          round(avg(CASE WHEN l_extendedprice IS NULL THEN 1.0
                    ELSE 0.0 END), 6) AS ep_null_rate,
+         round(avg(CASE WHEN l_extendedprice IS NOT NULL
+                        AND isnan(CAST(l_extendedprice AS DOUBLE))
+                   THEN 1.0 ELSE 0.0 END), 6) AS ep_nan_rate,
          CAST(COUNT(DISTINCT l_extendedprice) AS DOUBLE) AS ep_n_distinct,
          CAST(min(l_extendedprice) AS DOUBLE) AS ep_min,
          CAST(max(l_extendedprice) AS DOUBLE) AS ep_max,
@@ -214,6 +220,7 @@ FROM (
   UNION ALL SELECT 'avg_quantity', avg_quantity FROM m
   UNION ALL SELECT 'distinct_orders', distinct_orders FROM m
   UNION ALL SELECT 'l_quantity.null_rate', q_null_rate FROM m
+  UNION ALL SELECT 'l_quantity.nan_rate', q_nan_rate FROM m
   UNION ALL SELECT 'l_quantity.n_distinct', q_n_distinct FROM m
   UNION ALL SELECT 'l_quantity.min', q_min FROM m
   UNION ALL SELECT 'l_quantity.max', q_max FROM m
@@ -222,6 +229,7 @@ FROM (
   UNION ALL SELECT 'l_quantity.p50', q_p50 FROM m
   UNION ALL SELECT 'l_quantity.p75', q_p75 FROM m
   UNION ALL SELECT 'l_extendedprice.null_rate', ep_null_rate FROM m
+  UNION ALL SELECT 'l_extendedprice.nan_rate', ep_nan_rate FROM m
   UNION ALL SELECT 'l_extendedprice.n_distinct', ep_n_distinct FROM m
   UNION ALL SELECT 'l_extendedprice.min', ep_min FROM m
   UNION ALL SELECT 'l_extendedprice.max', ep_max FROM m

@@ -145,7 +145,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.bpe_ish_token_count(F.col("text")).alias("n_units"),
         ts.mean_token_len_t(toks).alias("mean_token_len"),
         *[scores[lang].alias(f"{lang}_ratio") for lang in sorted(scores)],
-        ts.lang_id_t(toks).alias("lang_pred"),
+        ts.lang_id_t(toks, scores=scores).alias("lang_pred"),
         ts.punct_ratio(F.col("text")).alias("punct_ratio"),
         ts.stopword_ratio_t(toks).alias("stopword_ratio"),
         ts.token_dup_ratio_t(toks).alias("token_dup_ratio"),

@@ -151,19 +151,31 @@ def ensure_min_partitions(df, target: int | None = None):
 
 
 # Analyzed-plan node names that imply a shuffle (or an explicit
-# partitioning) already widened the frame. Substring match over the
-# analyzed plan string — cheap (no physical planning); a false positive
+# partitioning) already widened the frame. Matched at NODE-HEAD
+# position only — a raw substring scan would also hit attribute names
+# the plan prints ('JoinDate', 'WindowStart'), making the gate skip the
+# spread for exactly the driver-local frames it exists to fix. Still
+# analyzed-plan-only (no physical planning); a residual false positive
 # merely skips the spread, never adds a pure-loss shuffle.
-_SHUFFLE_OP_MARKERS = ("Join", "Aggregate", "Repartition", "Sort ",
-                      "Window", "Deduplicate", "Intersect", "Except")
+_SHUFFLE_OP_RE = None  # compiled lazily; see _plan_has_shuffle_op
 
 
 def _plan_has_shuffle_op(df) -> bool:
+    global _SHUFFLE_OP_RE
+    import re
+
+    if _SHUFFLE_OP_RE is None:
+        names = ("Join", "Aggregate", "Repartition", "Sort", "Window",
+                 "Deduplicate", "Intersect", "Except")
+        # tree lines look like ':  +- Aggregate [k], [count(1) ...]' —
+        # anchor each marker to the start of a node label
+        _SHUFFLE_OP_RE = re.compile(
+            r"^[\s:+\-']*(?:" + "|".join(names) + r")\b", re.MULTILINE)
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    return any(m in plan for m in _SHUFFLE_OP_MARKERS)
+    return bool(_SHUFFLE_OP_RE.search(plan))
 
 
 def get_spark(app_name: str = "australia-company-etl-pipeline-spark",

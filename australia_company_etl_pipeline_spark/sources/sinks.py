@@ -251,8 +251,17 @@ def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
     except AnalysisException as exc:
         cond = (exc.getCondition() if hasattr(exc, "getCondition")
                 else exc.getErrorClass())
-        if cond != "PATH_NOT_FOUND":
-            raise  # corrupt/permission errors must not masquerade as new
+        # UNABLE_TO_INFER_SCHEMA = the directory exists but holds no
+        # parquet files (e.g. only _SUCCESS) — the table is effectively
+        # absent and bootstrapping over it is non-destructive. Anything
+        # else (corrupt footers, permissions) must not masquerade as new.
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        if updates.isEmpty():
+            # writing an empty bootstrap would leave a _SUCCESS-only dir
+            # whose later reads die on UNABLE_TO_INFER_SCHEMA — routine
+            # for a stream's first micro-batch; just wait for data
+            return
         (updates.write.mode("overwrite").partitionBy(partition_col)
          .parquet(path))
         return

@@ -442,3 +442,35 @@ def test_partition_stats_balance_report(spark):
     skewed = spark.range(1000).repartition(8, F.lit(1))  # one hot key
     srows = partition_stats(skewed).collect()
     assert max(r.n_rows for r in srows) == 1000  # diagnosis visible
+
+
+def test_profile_nan_reported_not_poisoning(spark):
+    """Review regression: a NaN must surface as nan_rate and be EXCLUDED
+    from min/max/mean/percentiles — not poison max/percentiles to NaN
+    while silently deflating the decimal mean."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (None,)], "v double")
+    m = _profile_map(df, cols=["v"])
+    assert m["v.null_rate"] == 0.25
+    assert m["v.nan_rate"] == 0.25
+    assert m["v.max"] == 2.0 and not math.isnan(m["v.max"])
+    assert m["v.mean"] == 1.5
+    assert m["v.p50"] == 1.5 and not math.isnan(m["v.p50"])
+
+
+def test_histogram_derived_bounds_ignore_infinities(spark):
+    """Review regression: a single inf must not become the derived
+    bound (infinite width → one garbage bin); it clamps into the edge
+    bin over the finite range instead."""
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        histogram)
+
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (float("inf",),)], "v double")
+    h = {r.bin: (r.bin_lo, r.bin_hi, r.n)
+         for r in histogram(df, "v", bins=4).collect()}
+    assert sum(n for _, _, n in h.values()) == 4  # inf still counted
+    assert h[3][1] == 100.0  # upper edge is the finite max
+    assert h[3][2] == 2      # 100.0 and the clamped inf

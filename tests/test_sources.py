@@ -450,3 +450,38 @@ def test_upsert_partitioned_bootstrap_probe_not_os_path(
                                      partition_col="part")
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_upsert_partitioned_empty_first_batch_does_not_wedge(
+        spark, tmp_path):
+    """Review regression: an empty FIRST batch must not write a
+    _SUCCESS-only directory that wedges every later merge with
+    UNABLE_TO_INFER_SCHEMA (routine for a stream's first micro-batch)."""
+    path = str(tmp_path / "t")
+    schema = "k long, v string, part string"
+    empty = spark.createDataFrame([], schema)
+    sinks.upsert_parquet_partitioned(spark, path, empty, keys=["k"],
+                                     partition_col="part")
+    v1 = spark.createDataFrame([(1, "a", "p1")], schema)
+    sinks.upsert_parquet_partitioned(spark, path, v1, keys=["k"],
+                                     partition_col="part")
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} \
+        == {(1, "a")}
+
+
+def test_ensure_min_partitions_column_name_no_false_positive(spark):
+    """Review regression: shuffle-op detection matches node HEADS, not
+    raw substrings — a column literally named 'JoinDate' must not make
+    the gate think the frame is post-shuffle and skip the spread."""
+    from australia_company_etl_pipeline_spark.session import (
+        _plan_has_shuffle_op,
+        ensure_min_partitions,
+    )
+
+    mem = spark.createDataFrame(
+        [(str(i), "t") for i in range(100)],
+        "JoinDate string, WindowStart string")
+    assert not _plan_has_shuffle_op(mem)
+    assert ensure_min_partitions(mem, target=4).rdd.getNumPartitions() == 4
+    agged = mem.groupBy("JoinDate").count()
+    assert _plan_has_shuffle_op(agged)  # real Aggregate still detected
