@@ -232,3 +232,28 @@ def test_mixture_sample_filter_shuffle_free(spark, sf_dir):
     plan = _plan(sampled)
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
+
+
+def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan: a CartesianProduct
+    or BroadcastNestedLoopJoin may appear only where it is the
+    documented design — broadcast-scalar cross joins (J10, the
+    match-rate fixture), broadcast query×corpus ANN baselines, and the
+    guarded O(n²) correctness oracles. Anything else is a plan
+    regression a refactor must not introduce silently."""
+    allowed = {
+        "ann_bruteforce_topk",     # broadcast queries × corpus baseline
+        "ann_approx_topk",         # IVF: broadcast-k centroid assignment
+        "global_stats_cross_join", # J10 scalar cross join by definition
+        "ngram_jaccard_dup_pairs", # guarded quadratic baseline
+        "embedding_dup_pairs",     # method='exact' guarded baseline
+        "dq_suite_report",         # 1×1 scalar cross join (match rate)
+    }
+    offenders = {}
+    for name, q in plans.REGISTRY.items():
+        plan = _plan(q.builder(spark, sf_dir))
+        marks = [m for m in ("CartesianProduct",
+                             "BroadcastNestedLoopJoin") if m in plan]
+        if marks and name not in allowed:
+            offenders[name] = marks
+    assert not offenders, offenders
