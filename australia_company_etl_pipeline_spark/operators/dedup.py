@@ -803,3 +803,39 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     buckets.write.mode("append").parquet(buckets_path)
 
     return batch.join(drops, id_col, "left_anti")
+
+
+def cluster_keepers(clusters: DataFrame, df: DataFrame, id_col: str,
+                    order_col: str,
+                    descending: bool = True) -> DataFrame:
+    """Re-elect each near-dup cluster's keeper by QUALITY instead of the
+    min-id default: per cluster, keep the row with the best
+    ``order_col`` (highest when ``descending``, the RefinedWeb-style
+    "keep the longest / highest-quality member" rule), ties broken by
+    min id so the choice is deterministic.
+
+    ``clusters`` is ``dedup_clusters``' output (id, cluster_id);
+    ``df`` carries ``order_col`` per id. Returns (id_col, cluster_id,
+    is_canonical) with exactly one canonical row per cluster —
+    drop-in for the places that consume ``dedup_clusters`` directly.
+
+    Scale: one equi-join on the id + ONE partial-aggregated
+    ``max_by``-style argmax per cluster (``max(struct(score, -id))``,
+    map-side combine, one row per cluster in the shuffle) + a broadcast-
+    friendly join back. No windows, no per-cluster funneling.
+    """
+    if order_col not in df.columns:
+        raise ValueError(f"order_col {order_col!r} not in frame")
+    score = F.col(order_col).cast("double")
+    rank = score if descending else -score
+    joined = clusters.join(df.select(id_col, order_col), id_col)
+    best = (joined.groupBy("cluster_id")
+            .agg(F.max(F.struct(
+                F.coalesce(rank, F.lit(float("-inf"))).alias("r"),
+                (-F.col(id_col)).alias("neg_id"))).alias("__b"))
+            .select("cluster_id",
+                    (-F.col("__b.neg_id")).alias("__keeper")))
+    return (joined.join(best, "cluster_id")
+            .select(id_col, "cluster_id",
+                    (F.col(id_col) == F.col("__keeper"))
+                    .alias("is_canonical")))

@@ -58,6 +58,7 @@ def prepare_training_corpus(
         near_threshold: float = 0.8,
         num_hashes: int = 32,
         bands: int = 8,
+        near_keep_col: str | None = None,
         domain_cap: tuple[str, int] | None = None,
         mixture: tuple[str, dict[str, float], int] | None = None,
         mixture_unknown: str = "error",
@@ -79,7 +80,10 @@ def prepare_training_corpus(
        host can't dominate the shingle/cluster stages either;
     2. exact dedup — content-digest keep-first;
     3. near dedup — MinHash+LSH pairs → connected components → keep each
-       cluster's canonical (min-id) member;
+       cluster's canonical member: min id by default, or the member
+       with the highest ``near_keep_col`` value (RefinedWeb-style
+       keep-the-best — pass a quality/length column present on the
+       docs) via ``cluster_keepers``;
     4. decontamination (only when ``benchmark`` is given) — drop docs
        near-duplicating the eval set;
     5. segment dedup (only when ``segment_words`` is set) — sub-document
@@ -138,6 +142,10 @@ def prepare_training_corpus(
                                  threshold=near_threshold,
                                  method="minhash", num_hashes=num_hashes,
                                  bands=bands)
+    if near_keep_col is not None:
+        clusters = dd.cluster_keepers(
+            clusters.select(id_col, "cluster_id"),
+            current.select(id_col, near_keep_col), id_col, near_keep_col)
     keepers = clusters.filter("is_canonical").select(id_col)
     current = _stage(current.join(keepers, id_col, "left_semi"))
     stages["near_deduped"] = current

@@ -99,3 +99,35 @@ def test_prepare_training_corpus_cap_and_mixture(spark, sf_dir):
         assert cfg["mixture"][0] == "lang" and cfg["mixture"][2] == 2000
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_keep_best_member(spark, sf_dir):
+    """near_keep_col: the kept member of each near-dup cluster is the
+    LONGEST text, not the min id — the planted longer near-copy with a
+    HIGHER id must survive in place of its original."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    longer = (docs.filter(F.col("doc_id") % 11 == 0)
+              .select((F.col("doc_id") + 500000).alias("doc_id"),
+                      F.concat("text", F.lit(" extra tail words here"))
+                      .alias("text")))
+    corpus = docs.unionByName(longer).withColumn("n_chars",
+                                                 F.length("text"))
+    try:
+        packed, _ = prepare_training_corpus(
+            corpus, near_keep_col="n_chars", pack_budget=2048)
+        kept = {r.doc_id for r in packed.select("doc_id").collect()}
+        planted = {r.doc_id for r in longer.select("doc_id").collect()}
+        # most planted longer copies should win their cluster; their
+        # originals should be gone (near-dup detection at the default
+        # 0.8 threshold may miss very short docs, so assert majority)
+        won = len(kept & planted)
+        assert won >= len(planted) * 0.6, (won, len(planted))
+        # whenever the pair WAS detected (exactly one side survived),
+        # the survivor must be the longer planted copy — an original
+        # kept while its longer twin was dropped means min-id election
+        # leaked through
+        shorter_won = {p for p in planted
+                       if p not in kept and (p - 500000) in kept}
+        assert not shorter_won, shorter_won
+    finally:
+        release_corpus_cache()

@@ -563,3 +563,30 @@ def test_incremental_dedup_replay_is_safe(spark, tmp_path):
         batch, idx, "text", "doc_id", threshold=0.8).collect())
     dd.unpersist_shingles()
     assert replay == first and len(first) == 30
+
+
+def test_cluster_keepers_quality_election(spark):
+    """Keeper re-election: the highest-quality member wins its cluster
+    (ties → min id), replacing the min-id default."""
+    from australia_company_etl_pipeline_spark.operators.dedup import (
+        cluster_keepers)
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id long, cluster_id long")
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9),     # tie on 0.9 → min id 2 wins
+         (10, None), (11, 0.1),            # NULL ranks below any score
+         (20, 0.5)],
+        "doc_id long, q double")
+    out = cluster_keepers(clusters, quality, "doc_id", "q")
+    keepers = {r.cluster_id: r.doc_id for r in out.collect()
+               if r.is_canonical}
+    assert keepers == {1: 2, 10: 11, 20: 20}
+    assert out.count() == 6  # every member still labeled
+    # ascending election: keep the SMALLEST score instead
+    asc = cluster_keepers(clusters, quality, "doc_id", "q",
+                          descending=False)
+    akeep = {r.cluster_id: r.doc_id for r in asc.collect()
+             if r.is_canonical}
+    assert akeep[1] == 1  # 0.2 is the lowest real score
