@@ -818,24 +818,30 @@ def cluster_keepers(clusters: DataFrame, df: DataFrame, id_col: str,
     ``df`` carries ``order_col`` per id. Returns (id_col, cluster_id,
     is_canonical) with exactly one canonical row per cluster —
     drop-in for the places that consume ``dedup_clusters`` directly.
+    Works for ANY orderable id type (numeric, string/UUID, timestamp).
 
-    Scale: one equi-join on the id + ONE partial-aggregated
-    ``max_by``-style argmax per cluster (``max(struct(score, -id))``,
-    map-side combine, one row per cluster in the shuffle) + a broadcast-
-    friendly join back. No windows, no per-cluster funneling.
+    Scale: one equi-join on the id + TWO partial-aggregated passes per
+    cluster (max score, then min id among the rows achieving it — both
+    map-side combined, one row per cluster in each shuffle) + joins
+    back. No windows, no per-cluster funneling. A numeric-only
+    single-agg form (``max(struct(score, -id))``) would save one pass
+    but silently breaks on string ids; generality wins here.
     """
     if order_col not in df.columns:
         raise ValueError(f"order_col {order_col!r} not in frame")
     score = F.col(order_col).cast("double")
-    rank = score if descending else -score
-    joined = clusters.join(df.select(id_col, order_col), id_col)
-    best = (joined.groupBy("cluster_id")
-            .agg(F.max(F.struct(
-                F.coalesce(rank, F.lit(float("-inf"))).alias("r"),
-                (-F.col(id_col)).alias("neg_id"))).alias("__b"))
-            .select("cluster_id",
-                    (-F.col("__b.neg_id")).alias("__keeper")))
-    return (joined.join(best, "cluster_id")
+    rank = F.coalesce(score if descending else -score,
+                      F.lit(float("-inf")))
+    joined = (clusters.join(df.select(id_col, order_col), id_col)
+              .withColumn("__r", rank))
+    best = joined.groupBy("cluster_id").agg(F.max("__r").alias("__best_r"))
+    keeper = (joined.join(best, "cluster_id")
+              # exact equality is safe: both sides are the SAME computed
+              # double values, compared bit-for-bit, not re-derived
+              .filter(F.col("__r") == F.col("__best_r"))
+              .groupBy("cluster_id")
+              .agg(F.min(id_col).alias("__keeper")))
+    return (joined.join(keeper, "cluster_id")
             .select(id_col, "cluster_id",
                     (F.col(id_col) == F.col("__keeper"))
                     .alias("is_canonical")))

@@ -590,3 +590,19 @@ def test_cluster_keepers_quality_election(spark):
     akeep = {r.cluster_id: r.doc_id for r in asc.collect()
              if r.is_canonical}
     assert akeep[1] == 1  # 0.2 is the lowest real score
+
+
+def test_cluster_keepers_string_ids(spark):
+    """Keeper election must work for non-numeric ids (UUID-style) — a
+    numeric-negation tie-break would break analysis on strings."""
+    from australia_company_etl_pipeline_spark.operators.dedup import (
+        cluster_keepers)
+
+    clusters = spark.createDataFrame(
+        [("b", "a"), ("a", "a"), ("c", "a")],
+        "doc_id string, cluster_id string")
+    quality = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", 0.9)], "doc_id string, q double")
+    out = cluster_keepers(clusters, quality, "doc_id", "q")
+    keepers = {r.doc_id for r in out.collect() if r.is_canonical}
+    assert keepers == {"b"}  # 0.9 tie -> min string id
