@@ -815,24 +815,52 @@ def cluster_keepers(clusters: DataFrame, df: DataFrame, id_col: str,
     min id so the choice is deterministic.
 
     ``clusters`` is ``dedup_clusters``' output (id, cluster_id);
-    ``df`` carries ``order_col`` per id. Returns (id_col, cluster_id,
-    is_canonical) with exactly one canonical row per cluster —
-    drop-in for the places that consume ``dedup_clusters`` directly.
-    Works for ANY orderable id type (numeric, string/UUID, timestamp).
+    ``df`` carries a NUMERIC ``order_col`` per id (non-numeric types
+    raise — a silent cast-to-NULL would degrade every election back to
+    the min-id default the caller opted out of). Returns (id_col,
+    cluster_id, is_canonical) with exactly one canonical row per
+    cluster — drop-in for the places that consume ``dedup_clusters``
+    directly; every cluster member stays labeled (members missing a
+    score row rank lowest, they are not dropped). Works for ANY
+    orderable id type (numeric, string/UUID, timestamp). NULL and NaN
+    scores both rank below every real score.
 
-    Scale: one equi-join on the id + TWO partial-aggregated passes per
-    cluster (max score, then min id among the rows achieving it — both
-    map-side combined, one row per cluster in each shuffle) + joins
-    back. No windows, no per-cluster funneling. A numeric-only
-    single-agg form (``max(struct(score, -id))``) would save one pass
-    but silently breaks on string ids; generality wins here.
+    Scale: singleton clusters (the overwhelming majority — every
+    unclustered doc is its own CC node) bypass election entirely via a
+    cheap count over the narrow (id, cluster) frame; only multi-member
+    clusters pay the score join + TWO partial-aggregated passes (max
+    score, then min id among the rows achieving it — both map-side
+    combined, one row per cluster in each shuffle). No windows, no
+    per-cluster funneling. A numeric-only single-agg form
+    (``max(struct(score, -id))``) would save one pass but silently
+    breaks on string ids; generality wins here.
     """
+    from pyspark.sql.types import NumericType
+
     if order_col not in df.columns:
         raise ValueError(f"order_col {order_col!r} not in frame")
-    score = F.col(order_col).cast("double")
+    if not isinstance(df.schema[order_col].dataType, NumericType):
+        raise ValueError(
+            f"order_col {order_col!r} must be numeric, got "
+            f"{df.schema[order_col].dataType.simpleString()} — a silent "
+            "cast would NULL every score and fall back to min-id")
+    # nanvl: a NaN quality score (0/0 ratio) sorts ABOVE every double in
+    # Spark and NaN==NaN is true, so without the remap a NaN member
+    # would win every election in both directions
+    score = F.nanvl(F.col(order_col).cast("double"),
+                    F.lit(None).cast("double"))
     rank = F.coalesce(score if descending else -score,
                       F.lit(float("-inf")))
-    joined = (clusters.join(df.select(id_col, order_col), id_col)
+
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__n"))
+    multi = sizes.filter(F.col("__n") > 1).select("cluster_id")
+    singles = (clusters.join(multi, "cluster_id", "left_anti")
+               .select(id_col, "cluster_id",
+                       F.lit(True).alias("is_canonical")))
+
+    contested = clusters.join(multi, "cluster_id", "left_semi")
+    joined = (contested.join(df.select(id_col, order_col), id_col, "left")
               .withColumn("__r", rank))
     best = joined.groupBy("cluster_id").agg(F.max("__r").alias("__best_r"))
     keeper = (joined.join(best, "cluster_id")
@@ -841,7 +869,8 @@ def cluster_keepers(clusters: DataFrame, df: DataFrame, id_col: str,
               .filter(F.col("__r") == F.col("__best_r"))
               .groupBy("cluster_id")
               .agg(F.min(id_col).alias("__keeper")))
-    return (joined.join(keeper, "cluster_id")
-            .select(id_col, "cluster_id",
-                    (F.col(id_col) == F.col("__keeper"))
-                    .alias("is_canonical")))
+    elected = (joined.join(keeper, "cluster_id")
+               .select(id_col, "cluster_id",
+                       (F.col(id_col) == F.col("__keeper"))
+                       .alias("is_canonical")))
+    return elected.unionByName(singles)

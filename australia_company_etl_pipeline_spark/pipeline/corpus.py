@@ -198,6 +198,7 @@ def prepare_training_corpus(
         stages, run_id=run_id, pipeline_name="prepare-training-corpus",
         config={"near_threshold": near_threshold,
                 "num_hashes": num_hashes, "bands": bands,
+                "near_keep_col": near_keep_col,
                 "domain_cap": list(domain_cap) if domain_cap else None,
                 "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,

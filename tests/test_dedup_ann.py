@@ -606,3 +606,31 @@ def test_cluster_keepers_string_ids(spark):
     out = cluster_keepers(clusters, quality, "doc_id", "q")
     keepers = {r.doc_id for r in out.collect() if r.is_canonical}
     assert keepers == {"b"}  # 0.9 tie -> min string id
+
+
+def test_cluster_keepers_nan_missing_and_nonnumeric(spark):
+    """Review regressions: a NaN score must LOSE the election (Spark
+    sorts NaN above every double), members missing a score row stay
+    labeled (lowest rank, not dropped), and a non-numeric order column
+    raises instead of silently degrading to min-id."""
+    import pytest
+
+    from australia_company_etl_pipeline_spark.operators.dedup import (
+        cluster_keepers)
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "doc_id long, cluster_id long")
+    # doc 4 has NO score row at all; doc 1 scores NaN
+    quality = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.9), (3, 0.1)], "doc_id long, q double")
+    out = {r.doc_id: r.is_canonical
+           for r in cluster_keepers(clusters, quality, "doc_id", "q")
+           .collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False}
+    asc = {r.doc_id: r.is_canonical
+           for r in cluster_keepers(clusters, quality, "doc_id", "q",
+                                    descending=False).collect()}
+    assert asc[3] and not asc[1]  # lowest real score wins; NaN loses
+    strings = spark.createDataFrame([(1, "high")], "doc_id long, q string")
+    with pytest.raises(ValueError, match="must be numeric"):
+        cluster_keepers(clusters, strings, "doc_id", "q")

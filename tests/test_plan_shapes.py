@@ -249,11 +249,18 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "embedding_dup_pairs",     # method='exact' guarded baseline
         "dq_suite_report",         # 1×1 scalar cross join (match rate)
     }
+    from australia_company_etl_pipeline_spark.operators import dedup as dd
+
     offenders = {}
-    for name, q in plans.REGISTRY.items():
-        plan = _plan(q.builder(spark, sf_dir))
-        marks = [m for m in ("CartesianProduct",
-                             "BroadcastNestedLoopJoin") if m in plan]
-        if marks and name not in allowed:
-            offenders[name] = marks
+    try:
+        for name, q in plans.REGISTRY.items():
+            plan = _plan(q.builder(spark, sf_dir))
+            marks = [m for m in ("CartesianProduct",
+                                 "BroadcastNestedLoopJoin") if m in plan]
+            if marks and name not in allowed:
+                offenders[name] = marks
+    finally:
+        # some builders (dedup family) persist shingle frames; don't
+        # leak them into the rest of the pytest session
+        dd.unpersist_shingles()
     assert not offenders, offenders
