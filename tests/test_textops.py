@@ -477,3 +477,41 @@ def test_cap_per_key_tolerates_map_columns(spark):
     assert len(kept) == 4
     again = ts.cap_per_key(df.repartition(5), ["key"], n=4).collect()
     assert {r.doc_id for r in kept} == {r.doc_id for r in again}
+
+
+def test_mixture_and_cap_properties(spark):
+    """Property sweep over random weight/budget configurations: kept set
+    is always a subset of input, per-stratum keeps never exceed
+    availability, nested budgets nest, and the cap bound always holds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = [(i, ["a", "b", "c"][i % 3], 1 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, s string, n int")
+    all_ids = {r[0] for r in rows}
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(wa=st.floats(0.1, 5), wb=st.floats(0.1, 5),
+           budget=st.integers(10, 2000), n=st.integers(1, 10))
+    def check(wa, wb, budget, n):
+        sampled, report = ts.mixture_sample(
+            df, "s", {"a": wa, "b": wb}, id_col="doc_id",
+            budget=budget, token_count_col="n")
+        got = sampled.collect()
+        assert {r.doc_id for r in got} <= all_ids
+        assert all(r.s in ("a", "b") for r in got)  # 'c' unweighted
+        rep = {r.stratum: r for r in report.collect()}
+        for srow in rep.values():
+            assert 0.0 <= srow.fraction <= 1.0
+            assert srow.kept <= srow.available + 1e-9
+        bigger, _ = ts.mixture_sample(
+            df, "s", {"a": wa, "b": wb}, id_col="doc_id",
+            budget=budget * 2, token_count_col="n")
+        assert {r.doc_id for r in got} <= \
+            {r.doc_id for r in bigger.collect()}
+        capped = ts.cap_per_key(df, ["s"], n=n).groupBy("s").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+        assert all(r.c <= n for r in capped)
+
+    check()
