@@ -1,0 +1,216 @@
+"""Term-based ranked retrieval over a document corpus: TF-IDF and Okapi
+BM25 — the relevance-scoring layer of a training-data pipeline (targeted
+subset extraction "give me the top-N docs about X", keyword profiling of
+a crawl slice, quality-proxy ranking before an expensive classifier).
+
+Complements the embedding side (`operators/ann.py`): ANN answers "near
+this vector", retrieval answers "relevant to these terms" — a curation
+pipeline uses both.
+
+Scale shape (the 100 TB lens):
+
+- The postings list is ``explode → groupBy(id, term)`` — ONE shuffle with
+  map-side partial counts; the shuffle carries (id, term) pairs, never
+  document text. Both consumers (per-term document frequencies AND the
+  score assembly) read the SAME postings frame, which ``postings_frame``
+  persists — without it Catalyst forks the DAG and tokenizes the corpus
+  once per consumer (measured: the registered query dropped from four
+  corpus scans to one). Mirrors the ``shingle_frame`` pattern in
+  ``operators/dedup.py``; release with ``unpersist_postings()``.
+- Document frequencies are a ``groupBy(term)`` partial-aggregated count —
+  map-side combine collapses hot terms, so a corpus-universal term is NOT
+  a skewed-shuffle hot key (a window over a term partition would be).
+- For a search the postings are filtered to the query's terms with an
+  IN-predicate that Catalyst pushes BELOW the postings aggregate
+  (plan-pinned in tests/test_retrieval.py), so the (id, term) shuffle
+  carries only matching terms and the full-vocabulary DF table is never
+  built on the query path.
+- Corpus-level constants (N, avgdl) are one map-side-combined scalar
+  aggregate, crossed in as a broadcast single row.
+- Per-document score assembly is an order-independent decimal
+  accumulation (per-term contributions pre-rounded to the 1e-6 grid),
+  so results are bit-stable at any parallelism and reproducible in any
+  engine — the DuckDB oracle for ``doc_search_bm25`` value-checks them.
+- Top-N is ``orderBy(...).limit(n)`` → TakeOrdered (per-partition heaps +
+  driver merge of N·P candidates), never a global sort.
+
+No reference counterpart (the reference pipeline has no retrieval
+operator); the Okapi BM25 formula follows Robertson et al.'s published
+form (k1 tf saturation, b length normalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .textstats import tokens
+
+# persisted postings frames awaiting release — same contract as
+# dedup._SHINGLE_CACHE: operators can't unpersist eagerly (the returned
+# DataFrame's lineage references the cache), so callers release after
+# their terminal action.
+_POSTINGS_CACHE: list[DataFrame] = []
+
+
+def unpersist_postings() -> int:
+    """Release postings frames persisted by ``postings_frame`` in this
+    process; returns how many were released. Call after the consuming
+    query's terminal action."""
+    n = len(_POSTINGS_CACHE)
+    while _POSTINGS_CACHE:
+        _POSTINGS_CACHE.pop().unpersist()
+    return n
+
+
+def term_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Postings list ``(id_col, term, tf, dl)``: per-document term
+    frequency plus the document's whitespace-token length.
+
+    One explode + ONE partial-aggregated shuffle on (id, term); ``dl``
+    rides the groupBy as ``min()`` (constant within a document, and min
+    is deterministic under partial aggregation where first() is not).
+    Unpersisted plan-only form — multi-consumer callers want
+    ``postings_frame``.
+    """
+    tok = df.select(F.col(id_col),
+                    tokens(F.col(text_col)).alias("__toks"))
+    exploded = tok.select(id_col, F.size("__toks").alias("dl"),
+                          F.explode("__toks").alias("term"))
+    return (exploded.groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")))
+
+
+def postings_frame(df: DataFrame, text_col: str, id_col: str,
+                   persist: bool = True) -> DataFrame:
+    """``term_postings`` persisted (memory-and-disk) and tracked for
+    ``unpersist_postings()`` — build ONCE per corpus and share across
+    searches / keyterm profiling, exactly like ``dedup.shingle_frame``."""
+    from pyspark import StorageLevel
+
+    post = term_postings(df, text_col, id_col)
+    if persist:
+        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+        _POSTINGS_CACHE.append(post)
+    return post
+
+
+def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Single-row ``(n_docs, avgdl)`` — one map-side-combined aggregate.
+
+    Computed over the base corpus, not the postings, so empty documents
+    still count toward N (and toward the average length, as zeros) — the
+    one extra text-column pass this costs is a shuffle-free scalar scan.
+    """
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(tokens(F.col(text_col)))) /
+         F.count(F.lit(1))).alias("avgdl"))
+
+
+def _bm25_term_score(tf: Column, df_t: Column, n_docs: Column, dl: Column,
+                     avgdl: Column, k1: float, b: float) -> Column:
+    """Okapi BM25 contribution of one (doc, term): idf · saturated tf.
+
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — always positive, so a term
+    matching every document still contributes (degenerates toward 0).
+    Rounded to the 1e-6 grid so the cross-document sum can accumulate in
+    exact decimal (order-independent, engine-portable).
+    """
+    idf = F.log(F.lit(1.0) + (n_docs.cast("double") - df_t + 0.5)
+                / (df_t + 0.5))
+    sat = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return F.round(idf * sat, 6)
+
+
+def bm25_search_from_postings(post: DataFrame, stats: DataFrame,
+                              id_col: str, query_terms: list[str],
+                              k1: float = 1.2, b: float = 0.75,
+                              top_n: int = 10) -> DataFrame:
+    """Top-``top_n`` documents under Okapi BM25 from a prebuilt postings
+    frame (``postings_frame``) + corpus stats:
+    ``(id_col, n_terms_matched, score, rank)``.
+
+    Query terms are lowercased and collapsed to a set (a repeated query
+    term is one term, per Robertson's bag-of-terms form). Ties rank by
+    ascending id. Terms absent from the corpus contribute nothing.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
+    fpost = post.filter(F.col("term").isin(terms))
+    # per-term document frequency over the filtered slice: (id, term) is
+    # unique post-groupBy, so count(*) == countDistinct(id)
+    df_t = fpost.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (fpost.join(F.broadcast(df_t), "term")
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col),
+                      _bm25_term_score(
+                          F.col("tf").cast("double"), F.col("df_t"),
+                          F.col("n_docs"), F.col("dl").cast("double"),
+                          F.col("avgdl"), k1, b).alias("__s")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+                F.sum(F.col("__s").cast("decimal(30,6)"))
+                .cast("double").alias("score")))
+    # limit() first so the rank window sees only top_n rows — the window
+    # is a single-partition sort of top_n rows, not of the corpus
+    return (agg.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(top_n)
+            .select(id_col, "n_terms_matched", "score",
+                    F.row_number().over(
+                        Window.orderBy(F.col("score").desc(),
+                                       F.col(id_col).asc())).alias("rank")))
+
+
+def bm25_search(df: DataFrame, text_col: str, id_col: str,
+                query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+                top_n: int = 10) -> DataFrame:
+    """One-shot convenience form: builds (unpersisted) postings + stats.
+    Running several searches, or a search plus ``tfidf_keyterms``, over
+    one corpus? Build ``postings_frame`` once and use the
+    ``_from_postings`` forms — otherwise each consumer re-tokenizes."""
+    return bm25_search_from_postings(
+        term_postings(df, text_col, id_col), corpus_stats(df, text_col),
+        id_col, query_terms, k1, b, top_n)
+
+
+def tfidf_keyterms_from_postings(post: DataFrame, stats: DataFrame,
+                                 id_col: str,
+                                 top_k: int = 3) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by TF-IDF from a
+    prebuilt postings frame: ``(id_col, term, score, rank)`` — the
+    keyword-profile operator (what is this document about,
+    corpus-relatively?).
+
+    tfidf = tf · ln((N+1)/(df+1)); the +1 smoothing keeps a
+    corpus-universal term at exactly 0 in every engine (no negative
+    drift). This path DOES build the full-vocabulary DF table — it is a
+    corpus-profiling operator, so that cost is the point; DF is
+    (term, count) only, partial-aggregated (hot terms collapse map-side —
+    no skewed shuffle), and joined back on the term key. Per-doc top-k is
+    one window over the (id) partition — scales with documents, not
+    vocabulary. Ties rank by ascending term.
+    """
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (post.join(df_t, "term")
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col), "term",
+                      F.round(F.col("tf") *
+                              F.log((F.col("n_docs") + F.lit(1.0)) /
+                                    (F.col("df_t") + F.lit(1.0))), 6)
+                      .alias("score")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(id_col, "term", "score", "rank"))
+
+
+def tfidf_keyterms(df: DataFrame, text_col: str, id_col: str,
+                   top_k: int = 3) -> DataFrame:
+    """One-shot convenience form — see ``bm25_search`` for when to prefer
+    the ``_from_postings`` form."""
+    return tfidf_keyterms_from_postings(
+        term_postings(df, text_col, id_col), corpus_stats(df, text_col),
+        id_col, top_k)

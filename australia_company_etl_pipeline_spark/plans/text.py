@@ -275,6 +275,117 @@ def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.unionByName(bigrams)
 
 
+_BM25_TERMS = ["hash", "quantum", "spark", "vector"]  # 'quantum' absent
+                                                      # from the corpus —
+                                                      # missing-term path
+_BM25_SQL_CTES = f"""
+tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+post AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM post GROUP BY 1, 2
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM tl
+), q AS (
+  SELECT unnest({_BM25_TERMS!r}) AS term
+), fpost AS (
+  SELECT tf.* FROM tf JOIN q USING (term)
+), dft AS (
+  SELECT term, count(*) AS df_t FROM fpost GROUP BY 1
+), bm AS (
+  -- every constant cast to DOUBLE so DuckDB's DECIMAL-literal arithmetic
+  -- can't diverge from Spark's IEEE doubles
+  -- grouping mirrors the Spark expression tree exactly: idf * (num/den),
+  -- not (idf*num)/den — FP multiply/divide don't reassociate bit-safely
+  SELECT doc_id,
+         round(ln(CAST(1 AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - df_t + CAST(0.5 AS DOUBLE))
+                    / (df_t + CAST(0.5 AS DOUBLE)))
+               * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                  / (CAST(tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS s
+  FROM fpost JOIN dft USING (term) CROSS JOIN stats
+), bagg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_matched,
+         CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS score
+  FROM bm GROUP BY 1
+), btop AS (
+  SELECT doc_id, n_matched, score
+  FROM bagg ORDER BY score DESC, doc_id ASC LIMIT 10
+), kt AS (
+  SELECT doc_id, term,
+         round(CAST(tf AS DOUBLE)
+               * ln((CAST(n_docs AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                    / (df_t + CAST(1.0 AS DOUBLE))), 6) AS score
+  FROM tf
+  JOIN (SELECT term, count(*) AS df_t FROM tf GROUP BY 1) AS dfull
+       USING (term)
+  CROSS JOIN stats
+), ktr AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS INT)
+           AS rank
+  FROM kt
+)"""
+
+
+@register(
+    "doc_search_bm25",
+    doc="Term-based ranked retrieval (operators/retrieval.py) — the "
+        "capability the embedding-ANN side can't express: relevance to "
+        "NAMED terms. kind='search': Okapi BM25 top-10 documents for the "
+        f"query {_BM25_TERMS} (one term deliberately absent from the "
+        "corpus — missing terms contribute nothing, no NULL poisoning); "
+        "postings are broadcast-filtered to the query terms BEFORE any "
+        "per-term statistic, so the full-vocabulary DF table never "
+        "materializes on the search path. kind='keyterm': top-3 TF-IDF "
+        "characteristic terms per document (the corpus-profiling twin, "
+        "which IS vocabulary-wide by design). Per-doc score assembly is "
+        "order-independent decimal accumulation on the 1e-6 grid → fully "
+        "value-checked against DuckDB.",
+    tags=("text",),
+    oracle=f"""
+WITH {_BM25_SQL_CTES}
+SELECT 'search' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+       n_matched, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM btop
+UNION ALL
+SELECT 'keyterm' AS kind, doc_id, term, CAST(NULL AS INT) AS n_matched,
+       score, rank
+FROM ktr WHERE rank <= 3
+""",
+)
+def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval as rt
+
+    d = table(spark, sf_dir, "documents")
+    # ONE persisted postings build feeds both branches and the DF counts
+    # (four corpus tokenizations without it — see postings_frame docs);
+    # released by bench via unpersist_postings()
+    post = rt.postings_frame(d, "text", "doc_id")
+    stats = rt.corpus_stats(d, "text")
+    search = (rt.bm25_search_from_postings(post, stats, "doc_id",
+                                           _BM25_TERMS, top_n=10)
+              .select(F.lit("search").alias("kind"), "doc_id",
+                      F.lit(None).cast("string").alias("term"),
+                      F.col("n_terms_matched").alias("n_matched"),
+                      "score", "rank"))
+    keyterms = (rt.tfidf_keyterms_from_postings(post, stats, "doc_id",
+                                                top_k=3)
+                .select(F.lit("keyterm").alias("kind"), "doc_id", "term",
+                        F.lit(None).cast("int").alias("n_matched"),
+                        "score", "rank"))
+    return search.unionByName(keyterms)
+
+
 _PII_SUFFIX = "@example.com or call 0412 345 678 abn 51 824 753 556 end"
 
 

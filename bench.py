@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_approx_topk",
     "doc_profile",
+    "doc_search_bm25",
     "events_session_windows",
 ]
 
@@ -68,6 +69,9 @@ def main() -> None:
     # round); per-query MEDIAN is reported — one slow outlier round no
     # longer masks or fakes a regression (±40% external noise observed).
     from australia_company_etl_pipeline_spark.operators import dedup as dd
+    from australia_company_etl_pipeline_spark.operators import (
+        retrieval as rt,
+    )
 
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(REPS):
@@ -75,9 +79,10 @@ def main() -> None:
             t0 = time.perf_counter()
             force(plans.REGISTRY[name].builder(spark, sf_dir))
             times[name].append(time.perf_counter() - t0)
-            # release per-query operator caches (MinHash shingles) so
-            # repetitions don't accumulate executor storage across runs
+            # release per-query operator caches (MinHash shingles, BM25
+            # postings) so repetitions don't accumulate executor storage
             dd.unpersist_shingles()
+            rt.unpersist_postings()
     per_query = {n: round(statistics.median(ts), 3)
                  for n, ts in times.items()}
     total = round(sum(per_query.values()), 3)

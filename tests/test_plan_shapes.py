@@ -248,8 +248,12 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "ngram_jaccard_dup_pairs", # guarded quadratic baseline
         "embedding_dup_pairs",     # method='exact' guarded baseline
         "dq_suite_report",         # 1×1 scalar cross join (match rate)
+        "doc_search_bm25",         # broadcast 1-row (n_docs, avgdl) stats
     }
     from australia_company_etl_pipeline_spark.operators import dedup as dd
+    from australia_company_etl_pipeline_spark.operators import (
+        retrieval as rt,
+    )
 
     offenders = {}
     try:
@@ -260,7 +264,8 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
             if marks and name not in allowed:
                 offenders[name] = marks
     finally:
-        # some builders (dedup family) persist shingle frames; don't
-        # leak them into the rest of the pytest session
+        # some builders persist operator frames (dedup shingles, BM25
+        # postings); don't leak them into the rest of the pytest session
         dd.unpersist_shingles()
+        rt.unpersist_postings()
     assert not offenders, offenders

@@ -1,0 +1,162 @@
+"""Term-based ranked retrieval (operators/retrieval.py): BM25 semantics
+against a hand-computed oracle, missing-term/case/dup handling, TF-IDF
+keyterm selection, and the scale-defining plan shapes of the registered
+``doc_search_bm25`` query."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from australia_company_etl_pipeline_spark.operators import retrieval as rt
+
+
+def _mini_corpus(spark):
+    return spark.createDataFrame(
+        [(1, "spark shuffle spark join"),
+         (2, "join join join filter"),
+         (3, "quantum spark"),
+         (4, "filter scan scan scan scan scan")],
+        "doc_id long, text string")
+
+
+def _bm25_oracle(corpus: dict[int, list[str]], terms: list[str],
+                 k1=1.2, b=0.75) -> dict[int, float]:
+    """Independent pure-Python BM25 (same formula, same rounding grid)."""
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    want: dict[int, float] = {}
+    for term in sorted(set(terms)):
+        df_t = sum(1 for toks in corpus.values() if term in toks)
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        for doc, toks in corpus.items():
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            sat = (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+            want[doc] = round(want.get(doc, 0.0) + round(idf * sat, 6), 6)
+    return want
+
+
+def test_bm25_matches_hand_computed_oracle(spark):
+    df = _mini_corpus(spark)
+    corpus = {r.doc_id: r.text.split() for r in df.collect()}
+    got = {r.doc_id: r.score
+           for r in rt.bm25_search(df, "text", "doc_id",
+                                   ["spark", "join"]).collect()}
+    want = _bm25_oracle(corpus, ["spark", "join"])
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_bm25_ranks_are_dense_and_tiebroken(spark):
+    out = rt.bm25_search(_mini_corpus(spark), "text", "doc_id",
+                         ["spark", "join"], top_n=10).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    scores = [(r.score, r.doc_id) for r in out]
+    assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+
+
+def test_bm25_missing_term_contributes_nothing(spark):
+    df = _mini_corpus(spark)
+    base = {(r.doc_id, r.score)
+            for r in rt.bm25_search(df, "text", "doc_id",
+                                    ["spark"]).collect()}
+    plus = {(r.doc_id, r.score)
+            for r in rt.bm25_search(df, "text", "doc_id",
+                                    ["spark", "zzz_absent"]).collect()}
+    assert base == plus
+
+
+def test_bm25_query_terms_lowercased_and_deduped(spark):
+    df = _mini_corpus(spark)
+    a = {(r.doc_id, r.score, r.n_terms_matched)
+         for r in rt.bm25_search(df, "text", "doc_id", ["spark"]).collect()}
+    b = {(r.doc_id, r.score, r.n_terms_matched)
+         for r in rt.bm25_search(df, "text", "doc_id",
+                                 ["SPARK", "Spark", "spark"]).collect()}
+    assert a == b
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError, match="query term"):
+        rt.bm25_search(_mini_corpus(spark), "text", "doc_id", [])
+
+
+def test_tfidf_keyterms_prefers_distinctive_terms(spark):
+    spark_df = spark.createDataFrame(
+        [(1, "common common rare_a"),
+         (2, "common common rare_b rare_b"),
+         (3, "common common common")],
+        "doc_id long, text string")
+    out = rt.tfidf_keyterms(spark_df, "text", "doc_id", top_k=1).collect()
+    best = {r.doc_id: r.term for r in out}
+    # the distinctive term wins despite lower tf; doc 3 has only the
+    # universal term (score ties at... no: 'common' df=3 < N+1 so idf>0)
+    assert best[1] == "rare_a" and best[2] == "rare_b"
+    assert best[3] == "common"
+
+
+def test_tfidf_universal_term_scores_zero_when_df_is_n_plus_smoothing(spark):
+    # df == N → ln((N+1)/(N+1)) = 0 exactly under the +1 smoothing
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "doc_id long, text string")
+    rows = rt.tfidf_keyterms(df, "text", "doc_id", top_k=1).collect()
+    assert all(r.score == 0.0 for r in rows)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_oneshot_bm25_plan_prefilters_below_postings_aggregate(spark,
+                                                               sf_dir):
+    """In the standalone search form the query-term IN-filter must sit
+    BELOW the postings aggregate (between the explode and the partial
+    HashAggregate), so the (id, term) shuffle carries only matching
+    terms at 100 TB; the per-term DF join must be a broadcast."""
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    plan = _plan(rt.bm25_search(d, "text", "doc_id", ["spark", "quantum"]))
+    assert "BroadcastHashJoin" in plan
+    # formatted plans list Generate (the explode) with a higher node id
+    # than operators above it; the IN-filter must be applied directly on
+    # the Generate output — assert a Filter condition naming both the
+    # exploded term attribute and the literal term list
+    filt = [ln for ln in plan.splitlines()
+            if "Condition" in ln and "quantum" in ln]
+    assert filt, plan
+
+
+def test_registered_query_shares_one_postings_build(spark, sf_dir):
+    """doc_search_bm25 persists the postings frame, so its two branches
+    (search + keyterms) and their DF counts all read ONE cached build —
+    the plan must reference the in-memory relation, not four separate
+    parquet scans of documents."""
+    from australia_company_etl_pipeline_spark import plans
+
+    try:
+        plan = _plan(plans.REGISTRY["doc_search_bm25"]
+                     .builder(spark, sf_dir))
+        # all four postings consumers (2 branches × score side + DF side)
+        # read the cache
+        assert plan.count("InMemoryTableScan") >= 4, plan
+        # distinct parquet-scan NODES (formatted explain reprints the
+        # cached build subtree — same node id — under every consumer):
+        # one for the shared postings build + one per corpus_stats copy
+        import re
+
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+        assert len(scan_ids) <= 3, sorted(scan_ids)
+    finally:
+        rt.unpersist_postings()
