@@ -316,6 +316,110 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def semdedup(corpus: DataFrame, threshold: float = 0.95,
+             n_clusters: int = 16, kmeans_iter: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42, keep: str = "far",
+             checkpoint: str = "local") -> DataFrame:
+    """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    near-identical pairs only WITHIN each cluster, and keep one
+    representative per semantic-duplicate group.
+
+    Pipeline (all existing primitives, no new shuffle shapes):
+
+    1. ``kmeans_centroids`` — deterministic spherical Lloyd's (same
+       centroids the IVF index uses, so an IVF deployment gets SemDeDup
+       for one extra within-list pass).
+    2. Nearest-centroid assignment via the ``max(struct)`` partial-agg
+       argmax (one shuffle on the vector id, map-side combined).
+    3. Within-cluster candidate pairs: self-equi-join on ``centroid_id``
+       (id_a < id_b), exact cosine ≥ ``threshold``. Vectors are
+       unit-normalized ONCE before the join so the per-pair score is a
+       plain dot product. Cost is Σ|cluster|² — the SemDeDup bargain:
+       ``n_clusters`` is the knob that keeps clusters small (the paper
+       runs 50k clusters on 8B embeddings); it trades recall across
+       cluster boundaries for never touching the O(n²) pair space.
+    4. ``connected_components`` over the pair graph (every corpus id a
+       node, so singletons keep their own cluster) → transitive dup
+       groups.
+    5. Keeper election with ``cluster_keepers``: ``keep='far'`` (paper
+       rule — keep the member with the LOWEST cosine to its centroid,
+       preserving the diversity extreme), ``keep='near'`` (most central
+       member — the "cleanest exemplar" variant), or ``keep='min_id'``
+       (cheapest, order-free).
+
+    Returns one row per corpus id:
+    ``(id_col, centroid_id, centroid_sim, group_id, is_canonical)`` —
+    ``group_id`` is the semantic-dup component (min member id),
+    ``centroid_sim`` the cosine to the assigned centroid (rounded 1e-6),
+    and filtering ``is_canonical`` is the dedup. Deterministic at any
+    partitioning: seeded k-means, explicit tie-breaks, min-id labels.
+    """
+    from .dedup import cluster_keepers, connected_components
+
+    if keep not in ("far", "near", "min_id"):
+        raise ValueError(f"unknown keep mode {keep!r}: "
+                         "use 'far', 'near' or 'min_id'")
+    cents = kmeans_centroids(corpus, n_clusters, kmeans_iter, id_col,
+                             vec_col, seed, checkpoint)
+    # unit-normalize once; downstream centroid_sim AND pair cosine are
+    # then plain dots (centroids come back unit-length already)
+    staged = corpus.select(F.col(id_col),
+                           _dbl(F.col(vec_col)).alias("__v")) \
+                   .withColumn("__n", norm(F.col("__v")))
+    unit = staged.select(
+        F.col(id_col),
+        F.when(F.col("__n") > 0,
+               F.transform(F.col("__v"), lambda x: x / F.col("__n")))
+        .otherwise(F.col("__v")).alias("__v"))
+    best = F.max(F.struct(
+        dot(F.col("__v"), F.col("centroid_vec")).alias("sim"),
+        (-F.col("centroid_id")).alias("neg_cid"),
+        F.col("centroid_id").alias("cid"))).alias("b")
+    assign = (unit.crossJoin(F.broadcast(cents))
+              .groupBy(id_col)
+              .agg(best, F.first("__v").alias("__v"))
+              .select(F.col(id_col), F.col("__v"),
+                      F.col("b.cid").alias("centroid_id"),
+                      F.col("b.sim").alias("centroid_sim")))
+    a = assign.select(F.col(id_col).alias("id_a"),
+                      F.col("__v").alias("__va"), "centroid_id")
+    b = assign.select(F.col(id_col).alias("id_b"),
+                      F.col("__v").alias("__vb"), "centroid_id")
+    pairs = (a.join(b, "centroid_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(dot(F.col("__va"), F.col("__vb")), 6)
+                     .alias("cosine_sim"))
+             .filter(F.col("cosine_sim") >= threshold))
+    comps = connected_components(
+        pairs, "id_a", "id_b",
+        nodes=assign.select(F.col(id_col).alias("id")),
+        checkpoint=checkpoint)
+    comps = comps.select(F.col("id").alias(id_col),
+                         F.col("cluster_id").alias("group_id"))
+    meta = assign.select(
+        F.col(id_col), "centroid_id",
+        F.round("centroid_sim", 6).alias("centroid_sim"))
+    if keep == "min_id":
+        grp = comps.groupBy("group_id").agg(
+            F.min(id_col).alias("__keeper"))
+        elected = (comps.join(grp, "group_id")
+                   .select(id_col, "group_id",
+                           (F.col(id_col) == F.col("__keeper"))
+                           .alias("is_canonical")))
+    else:
+        elected = cluster_keepers(
+            comps.withColumnRenamed("group_id", "cluster_id"),
+            meta.select(id_col, "centroid_sim"), id_col,
+            order_col="centroid_sim",
+            descending=(keep == "near")) \
+            .withColumnRenamed("cluster_id", "group_id")
+    return meta.join(elected, id_col).select(
+        id_col, "centroid_id", "centroid_sim", "group_id", "is_canonical")
+
+
 def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,
                             n_planes: int = 8, dim: int = 64,
                             seed: int = 42, multiprobe: int = 1,

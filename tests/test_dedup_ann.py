@@ -634,3 +634,73 @@ def test_cluster_keepers_nan_missing_and_nonnumeric(spark):
     strings = spark.createDataFrame([(1, "high")], "doc_id long, q string")
     with pytest.raises(ValueError, match="must be numeric"):
         cluster_keepers(clusters, strings, "doc_id", "q")
+
+
+def _semdedup_fixture(spark):
+    """4 orthogonal concepts × 4 near-copies each (perturbations well
+    inside the 0.95 cosine ball) + 4 orthogonal singletons, dim 16."""
+    rows = []
+    vid = 0
+    for c in range(4):                       # concepts on axes e0..e3
+        for j, eps in enumerate((0.0, 0.01, 0.02, 0.04)):
+            v = [0.0] * 16
+            v[c] = 1.0
+            v[8 + c] = eps                   # perturb a dedicated axis
+            rows.append((vid, v))
+            vid += 1
+    for s in range(4):                       # singletons on axes e4..e7
+        v = [0.0] * 16
+        v[4 + s] = 1.0
+        rows.append((vid, v))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_groups_and_far_election(spark):
+    """SemDeDup invariants: each planted concept collapses to ONE
+    semantic-dup group with exactly one canonical member; orthogonal
+    concepts never merge; singletons stay canonical; keep='far' elects
+    the group's minimum-centroid-sim member and keep='near' its
+    maximum (the paper rule and its exemplar variant)."""
+    corpus = _semdedup_fixture(spark)
+    out = ann.semdedup(corpus, threshold=0.95, n_clusters=4,
+                       kmeans_iter=3, keep="far").collect()
+    assert len(out) == 20                      # one row per input id
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r)
+    # the 4 concepts: ids 0-3, 4-7, 8-11, 12-15 → groups keyed by min id
+    for lead in (0, 4, 8, 12):
+        members = by_group[lead]
+        assert sorted(r.vec_id for r in members) == list(
+            range(lead, lead + 4))
+        canon = [r for r in members if r.is_canonical]
+        assert len(canon) == 1
+        # farthest-from-centroid member wins under keep='far'
+        assert canon[0].centroid_sim == min(r.centroid_sim
+                                            for r in members)
+    for sid in (16, 17, 18, 19):               # singletons: own group
+        (r,) = by_group[sid]
+        assert r.is_canonical
+    near = ann.semdedup(corpus, threshold=0.95, n_clusters=4,
+                        kmeans_iter=3, keep="near").collect()
+    for lead in (0, 4, 8, 12):
+        members = [r for r in near if r.group_id == lead]
+        canon = [r for r in members if r.is_canonical]
+        assert len(canon) == 1
+        assert canon[0].centroid_sim == max(r.centroid_sim
+                                            for r in members)
+
+
+def test_semdedup_min_id_and_bad_mode(spark):
+    import pytest
+
+    corpus = _semdedup_fixture(spark)
+    out = ann.semdedup(corpus, threshold=0.95, n_clusters=4,
+                       kmeans_iter=3, keep="min_id").collect()
+    for lead in (0, 4, 8, 12):
+        canon = [r.vec_id for r in out
+                 if r.group_id == lead and r.is_canonical]
+        assert canon == [lead]                 # min id IS the group label
+    with pytest.raises(ValueError, match="keep mode"):
+        ann.semdedup(corpus, keep="best")
