@@ -1,0 +1,80 @@
+"""BPE tokenizer: deterministic merge learning on the classic low/lower
+corpus, greedy encoding, round-trip, and degenerate-corpus stops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.operators import bpe
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [("low low low low low",),
+         ("lower lower newer newer newer newer",),
+         ("newest widest",)],
+        "text string")
+
+
+def test_train_bpe_merge_order(spark):
+    """Hand-computed first three merges: (l,o) wins the 7-count tie
+    lexicographically, then (lo,w) the next tie, then (e,r) at 6."""
+    merges = bpe.train_bpe(_corpus(spark), "text", n_merges=3)
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "r")]
+
+
+def test_encode_greedy_and_roundtrip(spark):
+    merges = bpe.train_bpe(_corpus(spark), "text", n_merges=3)
+    df = spark.createDataFrame(
+        [(0, "low"), (1, "lower"), (2, "newest"), (3, "low-er"),
+         (4, None)],
+        "id long, text string")
+    got = {r.id: r.toks for r in
+           df.select("id", bpe.encode(F.col("text"), merges)
+                     .alias("toks")).collect()}
+    assert got[0] == ["low"]
+    assert got[1] == ["low", "er"]
+    assert got[2] == ["n", "e", "w", "e", "s", "t"]
+    assert got[3] == ["low", "-", "er"]        # punctuation is its own unit
+    assert got[4] is None
+    # lossless per unit: decode(encode) == unit concatenation
+    back = {r.id: r.t for r in
+            df.filter(F.col("text").isNotNull())
+            .select("id", bpe.decode(bpe.encode(F.col("text"), merges))
+                    .alias("t")).collect()}
+    assert back == {0: "low", 1: "lower", 2: "newest", 3: "low-er"}
+
+
+def test_token_count_vs_upper_bound(spark):
+    """The trained count is at most the unit count times max word length
+    and at least the unit count; with enough merges frequent words
+    compress to one token."""
+    corpus = _corpus(spark)
+    merges = bpe.train_bpe(corpus, "text", n_merges=50)
+    out = corpus.select(
+        bpe.token_count(F.col("text"), merges).alias("n_bpe"),
+        F.regexp_count(F.col("text"), F.lit(r"(?U)\w+|[^\w\s]"))
+        .alias("n_units")).collect()
+    for r in out:
+        assert r.n_bpe >= r.n_units            # subwords ≥ whole words
+    # every repeated word in the training corpus compresses fully
+    single = spark.createDataFrame([("low lower newer",)], "text string")
+    (row,) = single.select(
+        bpe.encode(F.col("text"), merges).alias("t")).collect()
+    assert row.t == ["low", "lower", "newer"]
+
+
+def test_train_bpe_stops_when_no_pairs_repeat(spark):
+    """All-distinct single-char words: nothing reaches min_pair_count."""
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    assert bpe.train_bpe(df, "text", n_merges=10) == []
+    # min_pair_count=1 lets singleton pairs merge (multi-char words)
+    df2 = spark.createDataFrame([("ab",)], "text string")
+    assert bpe.train_bpe(df2, "text", n_merges=10,
+                         min_pair_count=1) == [("a", "b")]
+
+
+def test_word_counts_ordering_and_cap(spark):
+    wc = bpe.word_counts(_corpus(spark), "text", max_words=3).collect()
+    assert [(r.word, r.n) for r in wc] == [
+        ("low", 5), ("newer", 4), ("lower", 2)]
