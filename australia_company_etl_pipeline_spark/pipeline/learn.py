@@ -1,0 +1,107 @@
+"""Learn the match-probability weights from labeled pairs.
+
+The reference hardcodes its M4 linear weights
+(``/root/reference/src/transform/feature_engineering.py:267-275``); this
+module closes the loop for deployments that HAVE labels (clerical review
+outcomes, golden pairs): fit a logistic regression over the M3 feature
+columns with ``pyspark.ml`` (distributed L-BFGS — the fit is one pass
+per iteration over the labeled pairs, no data leaves the cluster), then
+throw the model object away and keep only ``(intercept, weights)``.
+
+Inference deliberately does NOT use the fitted ``ml`` model: scoring a
+100 TB candidate stream through ``model.transform`` drags a
+VectorAssembler + prediction UDF into every plan. Instead
+``probability_expr`` re-expresses the SAME sigmoid as a native Column
+(whole-stage codegen, oracle-expressible) — ``tests/test_learn.py`` pins
+native-vs-ml parity at 1e-6, so the translation can't drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class MatchModel:
+    """Portable artifact of ``fit_match_weights`` — plain numbers, no JVM
+    handle, safe to serialize into a config or a literal table."""
+
+    intercept: float
+    weights: dict[str, float]
+
+
+def fit_match_weights(labeled: DataFrame, feature_cols: list[str],
+                      label_col: str = "is_match",
+                      reg_param: float = 0.0,
+                      elastic_net: float = 0.0,
+                      max_iter: int = 100) -> MatchModel:
+    """Fit P(match | features) by distributed logistic regression.
+
+    ``labeled`` carries numeric feature columns (the M3 vector — already
+    in [0, 1], so no scaling stage) and a 0/1 or boolean ``label_col``.
+    ``reg_param``/``elastic_net`` expose L2/L1 mixing for small labeled
+    sets where 12 features can overfit."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    missing = [c for c in feature_cols if c not in labeled.columns]
+    if missing:
+        raise ValueError(f"feature columns not in frame: {missing}")
+    prepped = labeled.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__label"))
+    assembled = VectorAssembler(inputCols=feature_cols,
+                                outputCol="__fv").transform(prepped)
+    lr = LogisticRegression(featuresCol="__fv", labelCol="__label",
+                            maxIter=max_iter, regParam=reg_param,
+                            elasticNetParam=elastic_net, standardization=False)
+    fitted = lr.fit(assembled)
+    coeffs = fitted.coefficients.toArray().tolist()
+    return MatchModel(intercept=float(fitted.intercept),
+                      weights=dict(zip(feature_cols, coeffs)))
+
+
+def probability_expr(model: MatchModel,
+                     features: dict[str, Column] | None = None) -> Column:
+    """The fitted sigmoid as a native Column —
+    ``1 / (1 + exp(-(b + Σ wᵢ·fᵢ)))``. With ``features=None`` each
+    weight's feature is read from the column of the same name. This is
+    the scoring path: plain arithmetic inside codegen, broadcast-free,
+    and expressible in ANSI SQL for the oracle gate."""
+    z = F.lit(model.intercept)
+    for name, w in model.weights.items():
+        col = features[name] if features is not None else F.col(name)
+        z = z + F.lit(w) * col.cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def evaluate_match_model(scored: DataFrame, prob_col: str,
+                         label_col: str = "is_match",
+                         threshold: float = 0.5) -> DataFrame:
+    """One-row confusion report in ONE partial-aggregated pass:
+    tp/fp/fn/tn plus accuracy/precision/recall/f1 (NULL-guarded when a
+    class is absent). The operating-point check a matcher retrain ships
+    with."""
+    pred = (F.col(prob_col) >= threshold).cast("int")
+    truth = F.col(label_col).cast("int")
+    agg = scored.agg(
+        F.sum(((pred == 1) & (truth == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (truth == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (truth == 1)).cast("long")).alias("fn"),
+        F.sum(((pred == 0) & (truth == 0)).cast("long")).alias("tn"))
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    precision = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    recall = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("tn")) / F.nullif(n, F.lit(0)), 6)
+        .alias("accuracy"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(2 * precision * recall
+                / F.nullif(precision + recall, F.lit(0)), 6).alias("f1"))
