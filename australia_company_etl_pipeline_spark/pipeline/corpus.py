@@ -59,6 +59,11 @@ def prepare_training_corpus(
         num_hashes: int = 32,
         bands: int = 8,
         near_keep_col: str | None = None,
+        semantic_embeddings: DataFrame | None = None,
+        semantic_threshold: float = 0.95,
+        semantic_clusters: int = 16,
+        semantic_keep: str = "far",
+        bpe_merges: list[tuple[str, str]] | None = None,
         domain_cap: tuple[str, int] | None = None,
         mixture: tuple[str, dict[str, float], int] | None = None,
         mixture_unknown: str = "error",
@@ -84,6 +89,15 @@ def prepare_training_corpus(
        with the highest ``near_keep_col`` value (RefinedWeb-style
        keep-the-best — pass a quality/length column present on the
        docs) via ``cluster_keepers``;
+    3b. semantic dedup (only when ``semantic_embeddings`` is given — a
+       frame of ``(id_col, embedding)`` for the surviving docs) —
+       ``ann.semdedup`` drops paraphrase-level duplicates the lexical
+       stages can't see (same meaning, different tokens → Jaccard ≈ 0);
+       runs AFTER MinHash so embedding clustering never pays for the
+       verbatim copies, with ``semantic_keep`` electing each group's
+       survivor ('far' = the paper's diversity rule). Docs without an
+       embedding row pass through unexamined (a missing vector must not
+       silently delete the doc);
     4. decontamination (only when ``benchmark`` is given) — drop docs
        near-duplicating the eval set;
     5. segment dedup (only when ``segment_words`` is set) — sub-document
@@ -108,7 +122,10 @@ def prepare_training_corpus(
        is not returned here; call ``textstats.mixture_sample`` directly
        when you need it;
     6. packing — greedy token-budget sequence packing over a BPE-ish
-       token count.  Pass ``pack_partition_col`` (e.g. a language or
+       token count, or over REAL trained-tokenizer counts when
+       ``bpe_merges`` (from ``operators.bpe.train_bpe``) is given — the
+       one Arrow crossing that buys budgets matching what the training
+       job will actually see.  Pass ``pack_partition_col`` (e.g. a language or
        shard column) at scale — without it the running-sum window is a
        single global partition, the funnel the registered ``pack_docs``
        plan test forbids;
@@ -150,6 +167,20 @@ def prepare_training_corpus(
     current = _stage(current.join(keepers, id_col, "left_semi"))
     stages["near_deduped"] = current
 
+    if semantic_embeddings is not None:
+        from ..operators.ann import semdedup
+
+        # only embeddings of SURVIVING docs cluster (left_semi) — the
+        # k-means and pair stages never pay for rows dedup already killed
+        emb = semantic_embeddings.join(current.select(id_col), id_col,
+                                       "left_semi")
+        sem = semdedup(emb, threshold=semantic_threshold,
+                       n_clusters=semantic_clusters, id_col=id_col,
+                       keep=semantic_keep)
+        dropped = sem.filter(~F.col("is_canonical")).select(id_col)
+        current = _stage(current.join(dropped, id_col, "left_anti"))
+        stages["semantic_deduped"] = current
+
     if benchmark is not None:
         # decontaminate persists shingle frames through the dedup module's
         # cache; re-home them so release_corpus_cache() frees them
@@ -170,8 +201,14 @@ def prepare_training_corpus(
                              F.col("text_dedup").alias(text_col)), id_col))
         stages["segment_deduped"] = current
 
-    counted = current.withColumn(
-        "n_tokens", ts.bpe_ish_token_count(F.col(text_col)))
+    if bpe_merges is not None:
+        from ..operators import bpe
+
+        counted = current.withColumn(
+            "n_tokens", bpe.token_count(F.col(text_col), bpe_merges))
+    else:
+        counted = current.withColumn(
+            "n_tokens", ts.bpe_ish_token_count(F.col(text_col)))
     if mixture is not None:
         mix_col, mix_weights, mix_budget = mixture
         counted, _ = ts.mixture_sample(
@@ -199,6 +236,11 @@ def prepare_training_corpus(
         config={"near_threshold": near_threshold,
                 "num_hashes": num_hashes, "bands": bands,
                 "near_keep_col": near_keep_col,
+                "semantic": ([semantic_threshold, semantic_clusters,
+                              semantic_keep]
+                             if semantic_embeddings is not None else None),
+                "bpe_merges": (len(bpe_merges)
+                               if bpe_merges is not None else None),
                 "domain_cap": list(domain_cap) if domain_cap else None,
                 "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,

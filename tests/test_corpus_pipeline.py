@@ -131,3 +131,68 @@ def test_prepare_training_corpus_keep_best_member(spark, sf_dir):
         assert not shorter_won, shorter_won
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_semantic_and_bpe(spark, sf_dir):
+    """The r4 knobs: paraphrase-level semantic dedup via embeddings
+    (texts differ → lexical stages keep both; vectors match → semdedup
+    drops one per pair) and real trained-BPE token budgets for packing.
+    Docs without an embedding row must pass through untouched."""
+    import random
+
+    from australia_company_etl_pipeline_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    # unique random unit-ish vectors (dim 64 → pairwise cosine ≪ 0.9);
+    # every 25th doc is a "paraphrase" of its successor: same vector,
+    # different text — only the embedding space can see the duplication
+    rng = random.Random(7)
+    vecs, leads = {}, []
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    for did in ids:
+        if did % 100 >= 90:
+            continue                     # no embedding row for this doc
+        vecs[did] = [rng.gauss(0, 1) for _ in range(64)]
+    for i in range(0, len(ids) - 1, 25):
+        a, b = ids[i], ids[i + 1]
+        if a in vecs and b in vecs:
+            vecs[b] = [x + rng.gauss(0, 0.001) for x in vecs[a]]
+            leads.append((a, b))
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()],
+        "doc_id long, embedding array<float>")
+
+    merges = bpe.train_bpe(docs, "text", n_merges=20, max_words=500)
+    assert merges                          # corpus text is compressible
+    try:
+        packed, report = prepare_training_corpus(
+            docs, semantic_embeddings=emb, semantic_threshold=0.9,
+            semantic_clusters=8, bpe_merges=merges, pack_budget=1024)
+        counts = json.loads(report.collect()[0]["stage_counts"])
+        assert "semantic_deduped" in counts
+        # earlier lexical stages may kill a pair member first; the
+        # semantic stage drops one member of every pair that REACHES it
+        dropped = counts["near_deduped"] - counts["semantic_deduped"]
+        assert 0 < dropped <= len(leads), (dropped, len(leads))
+        surviving = {r.doc_id for r in packed.select("doc_id").collect()}
+        for a, b in leads:                 # never both: one per pair dies
+            assert not (a in surviving and b in surviving), (a, b)
+        # diff vs the same recipe WITHOUT the semantic stage: the only
+        # additional casualties must be planted-pair members (no
+        # spurious semantic drops, and embedding-less docs are exempt)
+        base, _ = prepare_training_corpus(docs, bpe_merges=merges,
+                                          pack_budget=1024)
+        base_surviving = {r.doc_id for r in base.select("doc_id")
+                          .collect()}
+        extra = base_surviving - surviving
+        paired = {x for p in leads for x in p}
+        assert extra and extra <= paired, (sorted(extra)[:5], dropped)
+        # packing used the trained tokenizer, not the unit upper bound
+        sample = packed.select("doc_id", "text", "n_tokens").limit(20)
+        checked = sample.withColumn(
+            "direct", bpe.token_count(F.col("text"), merges)).collect()
+        assert checked and all(r.n_tokens == r.direct for r in checked)
+    finally:
+        release_corpus_cache()
