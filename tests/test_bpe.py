@@ -78,3 +78,35 @@ def test_word_counts_ordering_and_cap(spark):
     wc = bpe.word_counts(_corpus(spark), "text", max_words=3).collect()
     assert [(r.word, r.n) for r in wc] == [
         ("low", 5), ("newer", 4), ("lower", 2)]
+
+
+def test_bpe_roundtrip_fuzz(spark):
+    """Property over a seeded adversarial corpus: for ANY merge table,
+    decode(encode(text)) reproduces the pre-tokenization units verbatim
+    (merges only ever concatenate adjacent symbols of one unit), and a
+    trainer given min_pair_count=1 and enough merges compresses every
+    corpus word to a single token."""
+    import random
+    import re as _re
+
+    rng = random.Random(11)
+    alphabet = "abcdeé日 x-.!"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+             for _ in range(150)] + ["", "   ", "aaaa aaaa", "é日é日",
+                                     "a-b-c!", "x" * 200]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    # arbitrary (untrained) merge table exercising partial overlaps
+    merges = [("a", "a"), ("aa", "a"), ("é", "日"), ("-", "."),
+              ("b", "c"), ("a", "bc")]
+    unit_re = _re.compile(r"\w+|[^\w\s]", _re.UNICODE)
+    got = df.select("text",
+                    bpe.decode(bpe.encode(F.col("text"), merges))
+                    .alias("rt")).collect()
+    for r in got:
+        assert r.rt == "".join(unit_re.findall(r.text)), r.text
+    full = bpe.train_bpe(df, "text", n_merges=2000, min_pair_count=1)
+    enc = {r.text: r.t for r in
+           df.select("text", bpe.encode(F.col("text"), full).alias("t"))
+           .collect()}
+    for t, toks in enc.items():
+        assert toks == unit_re.findall(t), t   # every unit → ONE token
