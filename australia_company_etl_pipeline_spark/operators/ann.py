@@ -45,6 +45,29 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(da, db) / denom).otherwise(F.lit(0.0))
 
 
+def _unit(df: DataFrame, vec: str) -> DataFrame:
+    """Unit-normalize ``vec`` in place (zero vectors pass unscaled) —
+    shared by Lloyd's, IVF and SemDeDup so downstream similarity is a
+    plain dot. The norm is staged in its own projection (lambda exprs
+    are outside codegen CSE)."""
+    staged = df.withColumn("__n", norm(F.col(vec)))
+    return (staged.withColumn(
+        vec,
+        F.when(F.col("__n") > 0,
+               F.transform(F.col(vec), lambda x: x / F.col("__n")))
+        .otherwise(F.col(vec))).drop("__n"))
+
+
+def _best_centroid(sim: Column) -> Column:
+    """Argmax-centroid as a ``max(struct)`` partial aggregate — one row
+    per vector after map-side combine, ties to the LOWEST centroid id.
+    The single tie-break idiom for Lloyd's / IVF / SemDeDup assignment."""
+    return F.max(F.struct(
+        sim.alias("sim"),
+        (-F.col("centroid_id")).alias("neg_cid"),
+        F.col("centroid_id").alias("cid"))).alias("b")
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
@@ -165,14 +188,6 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     uncovered vacancies degrade to 'drop'.)"""
     from ..session import materialize
 
-    def unit(df: DataFrame, vec: str) -> DataFrame:
-        staged = df.withColumn("__n", norm(F.col(vec)))
-        return (staged.withColumn(
-            vec,
-            F.when(F.col("__n") > 0,
-                   F.transform(F.col(vec), lambda x: x / F.col("__n")))
-            .otherwise(F.col(vec))).drop("__n"))
-
     if on_empty not in ("reseed", "drop"):
         raise ValueError(f"unknown on_empty mode {on_empty!r}: "
                          "use 'reseed' or 'drop'")
@@ -185,7 +200,7 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     # holds a lineage reference into the cache).
     from pyspark import StorageLevel
 
-    vecs = unit(corpus.select(F.col(id_col).alias("__vid"),
+    vecs = _unit(corpus.select(F.col(id_col).alias("__vid"),
                               _dbl(F.col(vec_col)).alias("__v")), "__v")
     vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     sample_key = F.hash(F.col("__vid"), F.lit(seed))
@@ -216,15 +231,12 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
         # one cheap action on a ≤k-row materialized frame, once per call
         reserve_full = reserve.count() >= n_centroids
     for _ in range(max_iter):
-        best = F.max(F.struct(
-            dot(F.col("__v"), F.col("centroid_vec")).alias("sim"),
-            (-F.col("centroid_id")).alias("neg_cid"),
-            F.col("centroid_id").alias("cid"))).alias("b")
+        best = _best_centroid(dot(F.col("__v"), F.col("centroid_vec")))
         assigned = (vecs.crossJoin(F.broadcast(cents))
                     .groupBy("__vid")
                     .agg(best, F.first("__v").alias("__v"))
                     .select(F.col("b.cid").alias("centroid_id"), "__v"))
-        updated = unit(
+        updated = _unit(
             assigned
             .select("centroid_id", F.posexplode("__v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
@@ -295,10 +307,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # map-side combine shrinks the shuffle to one row per vector, where
     # a row_number window would shuffle and sort all n×k scored pairs
     # (same shape as the Lloyd's loop; same argmax + lowest-id tie-break)
-    best = F.max(F.struct(
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("sim"),
-        (-F.col("centroid_id")).alias("neg_cid"),
-        F.col("centroid_id").alias("cid"))).alias("b")
+    best = _best_centroid(cosine(F.col(vec_col), F.col("centroid_vec")))
     c = (corpus.crossJoin(F.broadcast(centroids))
          .groupBy(id_col)
          .agg(best, F.first(vec_col).alias(vec_col))
@@ -353,36 +362,54 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
     ``(id_col, centroid_id, centroid_sim, group_id, is_canonical)`` —
     ``group_id`` is the semantic-dup component (min member id),
     ``centroid_sim`` the cosine to the assigned centroid (rounded 1e-6),
-    and filtering ``is_canonical`` is the dedup. Deterministic at any
-    partitioning: seeded k-means, explicit tie-breaks, min-id labels.
+    and filtering ``is_canonical`` is the dedup. Vectors with a
+    non-finite norm (NaN/inf components) are quarantined: canonical in
+    their own singleton group with NULL centroid columns — never
+    clustered, never able to poison a cluster through Spark's
+    NaN-comparison semantics. Deterministic at any partitioning: seeded
+    k-means, explicit tie-breaks, min-id labels.
     """
+    from ..session import materialize
     from .dedup import cluster_keepers, connected_components
 
     if keep not in ("far", "near", "min_id"):
         raise ValueError(f"unknown keep mode {keep!r}: "
                          "use 'far', 'near' or 'min_id'")
-    cents = kmeans_centroids(corpus, n_clusters, kmeans_iter, id_col,
-                             vec_col, seed, checkpoint)
-    # unit-normalize once; downstream centroid_sim AND pair cosine are
-    # then plain dots (centroids come back unit-length already)
+    # Quarantine non-finite vectors FIRST: a single NaN component makes
+    # the norm NaN, and Spark evaluates both NaN > 0 and NaN >= threshold
+    # as TRUE — one corrupt embedding would pair with (and delete) its
+    # whole k-means cluster. Corrupt vectors bypass every stage and come
+    # back canonical in their own singleton group (can't judge → keep),
+    # with NULL centroid columns marking them for upstream triage.
     staged = corpus.select(F.col(id_col),
                            _dbl(F.col(vec_col)).alias("__v")) \
                    .withColumn("__n", norm(F.col("__v")))
-    unit = staged.select(
-        F.col(id_col),
-        F.when(F.col("__n") > 0,
-               F.transform(F.col("__v"), lambda x: x / F.col("__n")))
-        .otherwise(F.col("__v")).alias("__v"))
-    best = F.max(F.struct(
-        dot(F.col("__v"), F.col("centroid_vec")).alias("sim"),
-        (-F.col("centroid_id")).alias("neg_cid"),
-        F.col("centroid_id").alias("cid"))).alias("b")
-    assign = (unit.crossJoin(F.broadcast(cents))
-              .groupBy(id_col)
-              .agg(best, F.first("__v").alias("__v"))
-              .select(F.col(id_col), F.col("__v"),
-                      F.col("b.cid").alias("centroid_id"),
-                      F.col("b.sim").alias("centroid_sim")))
+    finite = ~F.isnan(F.col("__n")) \
+        & (F.col("__n") != float("inf"))
+    clean = staged.filter(finite).drop("__n")
+    dirty = (staged.filter(~finite)
+             .select(F.col(id_col),
+                     F.lit(None).cast("int").alias("centroid_id"),
+                     F.lit(None).cast("double").alias("centroid_sim"),
+                     F.col(id_col).alias("group_id"),
+                     F.lit(True).alias("is_canonical")))
+    cents = kmeans_centroids(clean, n_clusters, kmeans_iter, id_col,
+                             "__v", seed, checkpoint)
+    # unit-normalize once; downstream centroid_sim AND pair cosine are
+    # then plain dots (centroids come back unit-length already)
+    unit = _unit(clean, "__v")
+    # assign feeds FIVE consumers (both pair-join sides, the CC node
+    # frame, meta, the election) — materialize it once or each replays
+    # the corpus×centroids crossJoin + shuffle
+    assign = materialize(
+        unit.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(_best_centroid(dot(F.col("__v"), F.col("centroid_vec"))),
+             F.first("__v").alias("__v"))
+        .select(F.col(id_col), F.col("__v"),
+                F.col("b.cid").alias("centroid_id"),
+                F.col("b.sim").alias("centroid_sim")),
+        checkpoint)
     a = assign.select(F.col(id_col).alias("id_a"),
                       F.col("__v").alias("__va"), "centroid_id")
     b = assign.select(F.col(id_col).alias("id_b"),
@@ -403,12 +430,9 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
         F.col(id_col), "centroid_id",
         F.round("centroid_sim", 6).alias("centroid_sim"))
     if keep == "min_id":
-        grp = comps.groupBy("group_id").agg(
-            F.min(id_col).alias("__keeper"))
-        elected = (comps.join(grp, "group_id")
-                   .select(id_col, "group_id",
-                           (F.col(id_col) == F.col("__keeper"))
-                           .alias("is_canonical")))
+        # the CC label IS the component's min id — no aggregate needed
+        elected = comps.withColumn(
+            "is_canonical", F.col(id_col) == F.col("group_id"))
     else:
         elected = cluster_keepers(
             comps.withColumnRenamed("group_id", "cluster_id"),
@@ -416,8 +440,9 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
             order_col="centroid_sim",
             descending=(keep == "near")) \
             .withColumnRenamed("cluster_id", "group_id")
-    return meta.join(elected, id_col).select(
+    out = meta.join(elected, id_col).select(
         id_col, "centroid_id", "centroid_sim", "group_id", "is_canonical")
+    return out.unionByName(dirty)
 
 
 def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,

@@ -28,16 +28,23 @@ word-internal): concatenating a word's tokens reproduces the word, so
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 # the same pre-tokenization split as textstats.bpe_ish_token_count:
-# word-character runs and single non-space symbols
-_UNIT_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# word-character runs and single non-space symbols. The split is done
+# JVM-side (regexp_extract_all) in BOTH training and encoding — Java and
+# Python disagree on \w membership (combining marks and join controls
+# are word chars under Java's (?U) but not Python's re), so splitting
+# with Python in the encoder would learn merges over units the encoder
+# never forms for Indic/Arabic/decomposed-accent text.
+_UNIT_PATTERN = r"(?U)\w+|[^\w\s]"
+
+
+def _units(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(_UNIT_PATTERN), 0)
 
 
 def word_counts(df: DataFrame, text_col: str,
@@ -48,9 +55,7 @@ def word_counts(df: DataFrame, text_col: str,
     bounding what ``train_bpe`` pulls to the driver. The tail it drops
     is the frequency-singleton fringe that could never win a merge
     against the head's mass anyway."""
-    units = df.select(F.explode(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"(?U)\w+|[^\w\s]"), 0))
-        .alias("word"))
+    units = df.select(F.explode(_units(F.col(text_col))).alias("word"))
     out = (units.groupBy("word")
            .agg(F.count(F.lit(1)).alias("n"))
            .orderBy(F.desc("n"), F.asc("word")))
@@ -133,27 +138,30 @@ def _bpe_word(word: str, ranks: dict[tuple[str, str], int],
 
 
 def encode(text: Column, merges: list[tuple[str, str]]) -> Column:
-    """``array<string>`` of BPE tokens for a text column — ONE Arrow
-    crossing; the rank table ships once in the udf closure (a few KB per
-    executor, the broadcast-variable shape without the ceremony) and the
-    per-batch word cache makes repeated words O(1)."""
+    """``array<string>`` of BPE tokens for a text column — the
+    pre-tokenization split runs JVM-side (the SAME Java regex the
+    trainer counted with — see ``_UNIT_PATTERN``), then ONE Arrow
+    crossing applies the merge ranks per unit; the rank table ships once
+    in the udf closure (a few KB per executor, the broadcast-variable
+    shape without the ceremony) and the per-batch word cache makes
+    repeated words O(1)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     @F.pandas_udf(ArrayType(StringType()))
-    def _enc(s: pd.Series) -> pd.Series:
+    def _enc(units: pd.Series) -> pd.Series:
         cache: dict[str, list[str]] = {}
 
-        def run(t):
-            if t is None:
+        def run(us):
+            if us is None:
                 return None
             out: list[str] = []
-            for unit in _UNIT_RE.findall(t):
+            for unit in us:
                 out.extend(_bpe_word(unit, ranks, cache))
             return out
 
-        return s.map(run)
+        return units.map(run)
 
-    return _enc(text)
+    return _enc(_units(text))
 
 
 def token_count(text: Column, merges: list[tuple[str, str]]) -> Column:

@@ -115,10 +115,13 @@ def prepare_training_corpus(
        shipped corpus is the worst failure mode of a curated run; pass
        ``mixture_unknown='drop'`` to get the operator's permissive
        default back.
-       NOTE: this is the one stage that runs a driver-side action at
-       build time (the per-stratum availability aggregate) — the
-       persisted stage prefixes make it a single incremental pass, and
-       the recipe stays lazy otherwise.  The per-stratum detail report
+       NOTE: this stage runs a driver-side action at build time (the
+       per-stratum availability aggregate), as does the semantic-dedup
+       stage (its k-means and connected-components loops materialize
+       per round) — with neither knob set the recipe stays fully lazy
+       until the caller's first action; with them, the persisted stage
+       prefixes keep the eager work a single incremental pass.
+       The per-stratum detail report
        is not returned here; call ``textstats.mixture_sample`` directly
        when you need it;
     6. packing — greedy token-budget sequence packing over a BPE-ish

@@ -85,20 +85,29 @@ def evaluate_match_model(scored: DataFrame, prob_col: str,
                          threshold: float = 0.5) -> DataFrame:
     """One-row confusion report in ONE partial-aggregated pass:
     tp/fp/fn/tn plus accuracy/precision/recall/f1 (NULL-guarded when a
-    class is absent). The operating-point check a matcher retrain ships
-    with."""
+    class is absent). Rows where the probability or label is NULL (a
+    pair that never got scored) are counted in ``n_unscored`` instead of
+    silently vanishing from the denominators — a join that failed to
+    score 10% of pairs must show up in the retrain gate, not inflate
+    accuracy. Counts are 0 (not NULL) on an empty frame."""
     pred = (F.col(prob_col) >= threshold).cast("int")
     truth = F.col(label_col).cast("int")
+    unscored = F.col(prob_col).isNull() | F.col(label_col).isNull()
+
+    def cnt(cond: Column, name: str) -> Column:
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(name)
+
     agg = scored.agg(
-        F.sum(((pred == 1) & (truth == 1)).cast("long")).alias("tp"),
-        F.sum(((pred == 1) & (truth == 0)).cast("long")).alias("fp"),
-        F.sum(((pred == 0) & (truth == 1)).cast("long")).alias("fn"),
-        F.sum(((pred == 0) & (truth == 0)).cast("long")).alias("tn"))
+        cnt((pred == 1) & (truth == 1), "tp"),
+        cnt((pred == 1) & (truth == 0), "fp"),
+        cnt((pred == 0) & (truth == 1), "fn"),
+        cnt((pred == 0) & (truth == 0), "tn"),
+        cnt(unscored, "n_unscored"))
     n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
     precision = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
     recall = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
     return agg.select(
-        "tp", "fp", "fn", "tn",
+        "tp", "fp", "fn", "tn", "n_unscored",
         F.round((F.col("tp") + F.col("tn")) / F.nullif(n, F.lit(0)), 6)
         .alias("accuracy"),
         F.round(precision, 6).alias("precision"),

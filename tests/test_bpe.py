@@ -110,3 +110,24 @@ def test_bpe_roundtrip_fuzz(spark):
            .collect()}
     for t, toks in enc.items():
         assert toks == unit_re.findall(t), t   # every unit → ONE token
+
+
+def test_unit_split_consistent_for_combining_marks(spark):
+    """Java's (?U)\\w includes combining marks; Python's re does not.
+    Training and encoding must use the SAME (Java) split, or merges
+    learned over Indic/decomposed-accent words could never fire at
+    encode time. 'हिन्दी' is one Java unit; with min_pair_count=1 the
+    trained encoder must emit it as ONE token, and the round-trip must
+    match the JVM-side unit concatenation."""
+    df = spark.createDataFrame(
+        [("हिन्दी हिन्दी éclair",)], "text string")
+    merges = bpe.train_bpe(df, "text", n_merges=100, min_pair_count=1)
+    (row,) = df.select(
+        bpe.encode(F.col("text"), merges).alias("t"),
+        bpe.decode(bpe.encode(F.col("text"), merges)).alias("rt"),
+        F.array_join(
+            F.regexp_extract_all(F.col("text"),
+                                 F.lit(r"(?U)\w+|[^\w\s]"), 0), "")
+        .alias("units")).collect()
+    assert row.t == ["हिन्दी", "हिन्दी", "éclair"]
+    assert row.rt == row.units

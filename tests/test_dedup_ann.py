@@ -704,3 +704,28 @@ def test_semdedup_min_id_and_bad_mode(spark):
         assert canon == [lead]                 # min id IS the group label
     with pytest.raises(ValueError, match="keep mode"):
         ann.semdedup(corpus, keep="best")
+
+
+def test_semdedup_quarantines_nonfinite_vectors(spark):
+    """Spark evaluates NaN > 0 and NaN >= threshold as TRUE — an
+    unguarded NaN embedding would 'pair' with its whole k-means cluster
+    and delete it. Corrupt vectors must come back canonical in their own
+    singleton group with NULL centroid columns, leaving every other
+    group exactly as in the clean run."""
+    corpus = _semdedup_fixture(spark)
+    bad = spark.createDataFrame(
+        [(100, [float("nan")] * 16), (101, [float("inf")] * 16)],
+        "vec_id long, embedding array<float>")
+    out = ann.semdedup(corpus.unionByName(bad), threshold=0.95,
+                       n_clusters=4, kmeans_iter=3, keep="far").collect()
+    assert len(out) == 22
+    by_id = {r.vec_id: r for r in out}
+    for vid in (100, 101):
+        r = by_id[vid]
+        assert r.is_canonical and r.group_id == vid
+        assert r.centroid_id is None and r.centroid_sim is None
+    clean = ann.semdedup(corpus, threshold=0.95, n_clusters=4,
+                         kmeans_iter=3, keep="far").collect()
+    assert {(r.vec_id, r.group_id, r.is_canonical) for r in clean} == {
+        (r.vec_id, r.group_id, r.is_canonical) for r in out
+        if r.vec_id < 100}

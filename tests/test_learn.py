@@ -77,3 +77,18 @@ def test_fit_validates_inputs(spark):
         learn.fit_match_weights(df, [], "is_match")
     with pytest.raises(ValueError, match="not in frame"):
         learn.fit_match_weights(df, ["nope"], "is_match")
+
+
+def test_evaluate_counts_unscored_and_empty(spark):
+    """NULL probability/label rows land in n_unscored instead of
+    silently shrinking the denominators; an empty frame reports zeros,
+    not NULLs."""
+    scored = spark.createDataFrame(
+        [(0.9, True), (None, True), (0.2, None), (0.1, False)],
+        "p double, is_match boolean")
+    (r,) = learn.evaluate_match_model(scored, "p").collect()
+    assert (r.tp, r.fp, r.fn, r.tn, r.n_unscored) == (1, 0, 0, 1, 2)
+    empty = spark.createDataFrame([], "p double, is_match boolean")
+    (e,) = learn.evaluate_match_model(empty, "p").collect()
+    assert (e.tp, e.fp, e.fn, e.tn, e.n_unscored) == (0, 0, 0, 0, 0)
+    assert e.accuracy is None and e.f1 is None
