@@ -445,6 +445,79 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
     return out.unionByName(dirty)
 
 
+def build_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
+                    kmeans_iter: int = 5, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    checkpoint: str = "local") -> None:
+    """Persist an IVF-Flat index: build once, probe many.
+
+    Layout under ``path``:
+    - ``centroids/``  — ``(centroid_id, centroid_vec)`` parquet (k rows);
+    - ``lists/``      — the corpus ``(id, vec)`` written
+      ``partitionBy('centroid_id')`` — each inverted list IS a parquet
+      partition directory, so a probe becomes hive-style partition
+      pruning: the scan for a query touching 4 of 1024 lists reads 4
+      directories and never opens the rest. This is the Spark-native
+      analogue of an ANN index seek — the "index" is the table layout.
+
+    ``ivf_index_topk`` is the query side; building is one k-means run +
+    one assignment shuffle + one partitioned write.
+    """
+    centroids = kmeans_centroids(corpus, n_centroids, kmeans_iter,
+                                 id_col, vec_col, seed, checkpoint)
+    best = _best_centroid(cosine(F.col(vec_col), F.col("centroid_vec")))
+    assigned = (corpus.crossJoin(F.broadcast(centroids))
+                .groupBy(id_col)
+                .agg(best, F.first(vec_col).alias(vec_col))
+                .select(F.col("b.cid").alias("centroid_id"),
+                        F.col(id_col), F.col(vec_col)))
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    (assigned.write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(f"{path}/lists"))
+
+
+def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                   n_probe: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec") -> DataFrame:
+    """Top-k over a persisted ``build_ivf_index`` layout.
+
+    The query batch is assigned to its ``n_probe`` nearest centroids
+    (window over queries × k — small by definition), the distinct probed
+    list ids are collected driver-side (bounded by
+    min(n_queries × n_probe, n_centroids) values — the same sanctioned
+    K-value collect as the partitioned-MERGE sink), and the list scan is
+    filtered with ``isin(probed)`` so Catalyst prunes every unprobed
+    partition directory at planning time. Everything after the pruned
+    scan is the plain broadcast-join + exact-cosine + top-k kernel."""
+    from pyspark.sql.window import Window
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    pairs = queries.crossJoin(F.broadcast(centroids))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__csim"), F.asc("centroid_id"))
+    probes = (pairs
+              .withColumn("__csim", cosine(F.col(query_vec_col),
+                                           F.col("centroid_vec")))
+              .withColumn("__cr", F.row_number().over(win))
+              .filter(F.col("__cr") <= n_probe)
+              .drop("__csim", "__cr", "centroid_vec"))
+    probed = [r.centroid_id
+              for r in probes.select("centroid_id").distinct().collect()]
+    lists = (spark.read.parquet(f"{path}/lists")
+             .filter(F.col("centroid_id").isin(probed)))
+    cands = lists.join(F.broadcast(probes), "centroid_id", "inner")
+    scored = cands.select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+        .alias("cosine_sim"))
+    topw = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(topw))
+            .filter(F.col("rank") <= k))
+
+
 def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,
                             n_planes: int = 8, dim: int = 64,
                             seed: int = 42, multiprobe: int = 1,

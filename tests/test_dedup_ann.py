@@ -729,3 +729,48 @@ def test_semdedup_quarantines_nonfinite_vectors(spark):
     assert {(r.vec_id, r.group_id, r.is_canonical) for r in clean} == {
         (r.vec_id, r.group_id, r.is_canonical) for r in out
         if r.vec_id < 100}
+
+
+def test_ivf_index_build_probe_and_prune(spark, sf_dir, tmp_path):
+    """The persisted IVF layout must answer exactly like the in-memory
+    IVF kernel (same centroids: same seed, same deterministic Lloyd's),
+    and the probe scan must actually PRUNE: only probed inverted-list
+    partition directories may appear among the scan's input files."""
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    corpus = table(spark, sf_dir, "embeddings")
+    queries = (corpus.filter(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    path = str(tmp_path / "ivf")
+    ann.build_ivf_index(corpus, path, n_centroids=8, kmeans_iter=3)
+
+    got = ann.ivf_index_topk(spark, path, queries, k=10, n_probe=2)
+    want = ann.ivf_topk(corpus, queries, k=10, n_centroids=8,
+                        kmeans_iter=3, n_probe=2)
+    assert ({(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+             for r in got.collect()}
+            == {(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+                for r in want.collect()})
+
+    # pruning: the probe filter must land as a PARTITION filter on the
+    # list scan (directory-level skip), not a post-scan predicate —
+    # and must name a strict subset of the 8 lists
+    import contextlib
+    import io
+    import re as _re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    pf = [ln for ln in buf.getvalue().splitlines()
+          if "PartitionFilters" in ln and "centroid_id" in ln
+          and " IN " in ln]
+    assert pf, buf.getvalue()
+    probed = {int(x) for x in
+              _re.search(r" IN \(([\d,]+)\)", pf[0]).group(1).split(",")}
+    all_lists = {r.centroid_id for r in
+                 spark.read.parquet(f"{path}/lists")
+                 .select("centroid_id").distinct().collect()}
+    assert probed and probed < all_lists      # strict subset: pruned
+    assert spark.read.parquet(f"{path}/centroids").count() == 8
