@@ -1,0 +1,72 @@
+"""Continuous corpus ingestion with cross-batch near-dedup.
+
+Composes Structured Streaming's ``foreachBatch`` with
+``operators.dedup.incremental_dedup``: every arriving micro-batch of
+documents is deduplicated against EVERYTHING ingested before it (the
+persisted MinHash index — O(batch) per trigger, never O(history)),
+and only the kept rows land in the output table. This is the shape a
+crawl pipeline actually runs: landing files appear continuously, and a
+page seen last week must not ship twice.
+
+Delivery contract: the stream checkpoint makes a crashed trigger replay
+its batch; ``incremental_dedup`` is replay-safe for the KEPT set (only
+lower-id history counts), and the output write is made idempotent by
+partitioning on the micro-batch id with a write-scoped dynamic
+partition overwrite — a replayed batch rewrites its own partition
+instead of appending duplicates. The index append itself grows duplicate
+rows on replay (documented in ``incremental_dedup``); compact offline
+when storage matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_documents_stream(spark, landing_dir: str, schema,
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a landing directory of document parquet."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(landing_dir))
+
+
+def stream_dedup_ingest(stream: DataFrame, out_path: str, index_path: str,
+                        checkpoint_dir: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, num_hashes: int = 32,
+                        bands: int = 8,
+                        available_now: bool = True):
+    """Start the dedup-ingest stream: per micro-batch, drop near-dups of
+    anything seen before (or earlier in the same batch), append survivors
+    to ``out_path`` partitioned by batch id.
+
+    ``id_col`` must be globally increasing across the stream (the
+    append-log contract ``incremental_dedup`` documents). Per-batch
+    operator caches are released with a snapshot diff so a long-lived
+    stream doesn't accumulate executor storage — and doesn't evict
+    shingle frames owned by unrelated callers in the same session.
+    """
+    from ..operators import dedup as dd
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        before = dd.shingle_cache_snapshot()
+        try:
+            kept = dd.incremental_dedup(
+                batch_df, index_path, text_col, id_col,
+                threshold=threshold, num_hashes=num_hashes, bands=bands)
+            (kept.withColumn("__batch", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__batch")
+             .parquet(out_path))
+        finally:
+            for frame in dd.new_shingles_since(before):
+                frame.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(dedup_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

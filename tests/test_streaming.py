@@ -215,3 +215,49 @@ def test_interval_join_stream_matches_batch_range_join(spark, sf_dir,
                               F.col("l.click_id").alias("r_event_id")),
                  ["event_id", "r_event_id"])
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_ingest_cross_batch(spark, tmp_path):
+    """Continuous corpus ingest: a near-copy arriving in a LATER
+    micro-batch of one near-copy in the SAME batch must both be dropped
+    against the persisted index; unique docs all land. Output is
+    partitioned by batch id (replay rewrites, never appends)."""
+    import time
+
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        read_documents_stream, stream_dedup_ingest)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    def doc(i, copy_of=None):
+        base = " ".join(f"w{copy_of if copy_of is not None else i}x{j}"
+                        for j in range(20))
+        return (i, base + (" extra" if copy_of is not None else ""))
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([doc(i) for i in range(10)], schema)
+    b2 = spark.createDataFrame(
+        [doc(10), doc(11), doc(12), doc(13), doc(14),
+         doc(15, copy_of=3),        # near-dup of batch-1 doc 3
+         doc(16), doc(17, copy_of=11),  # near-dup inside batch 2
+         doc(18), doc(19)], schema)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)  # file-source order is mtime-based; keep b1 older
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_dedup_ingest(stream, out, index, ck, threshold=0.8)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    kept = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert kept == [i for i in range(20) if i not in (15, 17)]
+    assert set(got.columns) >= {"doc_id", "text", "__batch"}
+    assert got.select("__batch").distinct().count() == 2
+    # the index grew by ALL batch rows (dropped docs still index)
+    idx = spark.read.parquet(f"{index}/shingles")
+    assert idx.select("doc_id").distinct().count() == 20
