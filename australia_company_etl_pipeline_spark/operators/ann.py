@@ -476,6 +476,29 @@ def build_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
      .parquet(f"{path}/lists"))
 
 
+def append_to_ivf_index(new_vectors: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Grow a persisted IVF index without retraining: assign the new
+    vectors against the index's EXISTING centroids (they must stay
+    fixed — list membership is centroid-dependent) and append to the
+    partitioned list directories; only the touched partitions gain
+    files. As the data distribution drifts the lists skew away from the
+    trained centroids — monitor with ``profile.partition_stats`` over
+    ``lists/`` and rebuild (``build_ivf_index``) when recall or balance
+    degrades."""
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    best = _best_centroid(cosine(F.col(vec_col), F.col("centroid_vec")))
+    assigned = (new_vectors.crossJoin(F.broadcast(centroids))
+                .groupBy(id_col)
+                .agg(best, F.first(vec_col).alias(vec_col))
+                .select(F.col("b.cid").alias("centroid_id"),
+                        F.col(id_col), F.col(vec_col)))
+    (assigned.write.mode("append").partitionBy("centroid_id")
+     .parquet(f"{path}/lists"))
+
+
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",

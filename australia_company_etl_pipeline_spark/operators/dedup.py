@@ -805,6 +805,35 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     return batch.join(drops, id_col, "left_anti")
 
 
+def compact_dedup_index(spark, index_path: str) -> dict[str, int]:
+    """Rewrite the ``incremental_dedup`` index with exact duplicates
+    removed — the offline maintenance step for replay-heavy streams
+    (every replayed trigger appends its batch's bucket/shingle rows
+    again; the duplicates are harmless for correctness but grow storage
+    and the per-batch candidate join's input linearly with replays).
+
+    Each table is read, ``dropDuplicates``-ed on its full row, pinned
+    with a local checkpoint (Spark cannot overwrite a path it is still
+    lazily reading from), and rewritten in place. Shingles are rewritten
+    FIRST for the same crash-ordering reason ``incremental_dedup``
+    appends them first: a crash between the two writes must never leave
+    bucket rows without their verify shingles. Returns
+    ``{'buckets': rows_removed, 'shingles': rows_removed}``. On a real
+    cluster prefer off-peak runs — the rewrite is a full scan of both
+    tables; at very large index sizes write to a fresh versioned
+    directory and swap at the orchestrator instead.
+    """
+    removed = {}
+    for sub in ("shingles", "buckets"):
+        path = f"{index_path}/{sub}"
+        df = spark.read.parquet(path)
+        before = df.count()
+        deduped = df.dropDuplicates().localCheckpoint(eager=True)
+        deduped.write.mode("overwrite").parquet(path)
+        removed[sub] = before - deduped.count()
+    return removed
+
+
 def cluster_keepers(clusters: DataFrame, df: DataFrame, id_col: str,
                     order_col: str,
                     descending: bool = True) -> DataFrame:

@@ -774,3 +774,62 @@ def test_ivf_index_build_probe_and_prune(spark, sf_dir, tmp_path):
                  .select("centroid_id").distinct().collect()}
     assert probed and probed < all_lists      # strict subset: pruned
     assert spark.read.parquet(f"{path}/centroids").count() == 8
+
+
+def test_ivf_index_append_grows_lists_consistently(spark, sf_dir,
+                                                   tmp_path):
+    """Appending new vectors must assign them with the ORIGINAL
+    centroids (no retrain) so an index built on the full corpus and an
+    index built-then-appended answer queries identically."""
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    corpus = table(spark, sf_dir, "embeddings")
+    first = corpus.filter(F.col("vec_id") % 2 == 0)
+    rest = corpus.filter(F.col("vec_id") % 2 == 1)
+    queries = (corpus.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    grown = str(tmp_path / "grown")
+    ann.build_ivf_index(first, grown, n_centroids=8, kmeans_iter=3)
+    ann.append_to_ivf_index(rest, grown)
+
+    got = {(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+           for r in ann.ivf_index_topk(spark, grown, queries, k=5,
+                                       n_probe=8).collect()}
+    # n_probe=8 probes EVERY list → results must equal exact brute force
+    want = {(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+            for r in ann.brute_force_topk(corpus, queries, k=5).collect()}
+    assert got == want
+    # appended rows live in existing list dirs, all rows present
+    lists = spark.read.parquet(f"{grown}/lists")
+    assert lists.count() == corpus.count()
+
+
+def test_compact_dedup_index_removes_replay_duplicates(spark, tmp_path):
+    """A replayed batch appends its bucket/shingle rows twice; compaction
+    must shrink both tables back to distinct rows without changing the
+    dedup verdicts of the next batch."""
+    index = str(tmp_path / "idx")
+
+    def doc(i, copy_of=None):
+        base = " ".join(f"q{copy_of if copy_of is not None else i}y{j}"
+                        for j in range(20))
+        return (i, base + (" extra" if copy_of is not None else ""))
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([doc(i) for i in range(5)], schema)
+    dd.incremental_dedup(b1, index, "text", "doc_id")
+    dd.unpersist_shingles()
+    dd.incremental_dedup(b1, index, "text", "doc_id")  # replay: re-append
+    dd.unpersist_shingles()
+    dup_rows = spark.read.parquet(f"{index}/shingles").count()
+    removed = dd.compact_dedup_index(spark, index)
+    assert removed["shingles"] == dup_rows // 2 > 0
+    assert removed["buckets"] > 0
+    assert (spark.read.parquet(f"{index}/shingles").count()
+            == dup_rows // 2)
+    # post-compaction verdicts unchanged: a near-copy of doc 2 still dies
+    b2 = spark.createDataFrame([doc(10, copy_of=2), doc(11)], schema)
+    kept = dd.incremental_dedup(b2, index, "text", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [11]
+    dd.unpersist_shingles()
