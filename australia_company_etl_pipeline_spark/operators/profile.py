@@ -78,12 +78,19 @@ def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
     min/max.  Ratios and means are rounded to 6 dp so results are
     engine- and order-stable.
 
-    Float/double columns additionally get ``<col>.nan_rate``, and their
-    NaNs are EXCLUDED from min/max/mean/percentiles — a NaN would
-    otherwise poison max() and the percentiles outright and silently
-    deflate the decimal-accumulated mean (NaN→decimal casts to NULL,
+    Float/double columns additionally get ``<col>.nan_rate`` and
+    ``<col>.inf_rate``, and their NaN/±inf values are EXCLUDED from
+    min/max/mean/percentiles — a NaN would poison max() and the
+    percentiles outright, and BOTH NaN and ±inf silently deflate the
+    decimal-accumulated mean (the decimal cast turns them into NULL,
     leaving the numerator while staying in a row-count denominator).
-    The monitor reports the anomaly instead of being corrupted by it.
+    One rule: the stats describe the finite values; the anomalies
+    surface as their own rates instead of corrupting the stats.
+
+    Column names containing a dot are supported (resolved positionally,
+    not parsed as struct access), but note the emitted metric keys use
+    ``.`` as the column/metric separator, so such names make keys like
+    ``a.b.null_rate`` ambiguous to downstream string-splitters.
     """
     if distinct not in ("exact", "approx"):
         raise ValueError(f"distinct must be 'exact' or 'approx', "
@@ -101,17 +108,23 @@ def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
 
     out: dict[str, Column] = {}
     for c in cols:
-        col, t = F.col(c), types[c]
+        col, t = df[c], types[c]  # df[c], not F.col(c): a literal dot in
+        #                           the name must not parse as a struct path
         out[f"{c}.null_rate"] = F.round(
             _davg(F.when(col.isNull(), 1.0).otherwise(0.0)), 6)
         out[f"{c}.n_distinct"] = (
             F.countDistinct(col) if distinct == "exact"
             else F.approx_count_distinct(col, rsd))
         if isinstance(t, (FloatType, DoubleType)):
+            inf = F.abs(col) == float("inf")
             out[f"{c}.nan_rate"] = F.round(
                 _davg(F.when(col.isNotNull() & F.isnan(col), 1.0)
                       .otherwise(0.0)), 6)
-            col = F.when(~F.isnan(col), col)  # NaN → NULL for the stats
+            out[f"{c}.inf_rate"] = F.round(
+                _davg(F.when(col.isNotNull() & inf, 1.0)
+                      .otherwise(0.0)), 6)
+            # NaN/±inf → NULL for the stats (finite-values-only rule)
+            col = F.when(~F.isnan(col) & ~inf, col)
         if isinstance(t, NumericType):
             out[f"{c}.min"] = F.min(col)
             out[f"{c}.max"] = F.max(col)
@@ -178,7 +191,7 @@ def top_values(df: DataFrame, cols: list[str], k: int = 3,
         raise ValueError(f"k must be >= 1, got {k}")
     pairs = df.select(F.explode(F.map_from_arrays(
         F.array(*[F.lit(c) for c in cols]),
-        F.array(*[F.col(c).cast("string") for c in cols]),
+        F.array(*[df[c].cast("string") for c in cols]),  # df[c]: dot-safe
     )).alias("column_name", "value")).filter(F.col("value").isNotNull())
     counts = (pairs.groupBy("column_name", "value")
               .agg(F.count(F.lit(1)).alias("n"))
@@ -214,7 +227,7 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
         # bounds (constant column); swapped caller arguments must not
         # silently collapse the report into one fabricated bin
         raise ValueError(f"inverted bounds: lo ({lo}) > hi ({hi})")
-    v = F.col(col).cast("double")
+    v = df[col].cast("double")  # df[col]: a dotted name is not a struct path
     df = df.filter(v.isNotNull() & ~F.isnan(v))
     if lo is None or hi is None:
         # derive bounds from FINITE values only — a single ±inf as the
@@ -229,7 +242,15 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
         if lo is None or hi is None:  # no finite values to bound by
             return df.sparkSession.createDataFrame(
                 [], "bin int, bin_lo double, bin_hi double, n long")
-    if not lo < hi:
+    if lo > hi:
+        # a caller-supplied bound that excludes all derived data (e.g.
+        # lo=100 over a column maxing at 50) must fail loudly like the
+        # both-supplied inverted case above — the degenerate branch
+        # below would fabricate one out-of-range bin
+        raise ValueError(f"inverted bounds after derivation: lo ({lo}) "
+                         f"> hi ({hi}) — the supplied bound excludes "
+                         "every value in the column")
+    if lo == hi:
         # degenerate range (constant column): everything in one bin
         bins, width = 1, 1.0
     else:

@@ -112,6 +112,16 @@ def _asof_prep(left: DataFrame, right: DataFrame, keys: list[str],
         # includes matched_ts: chaining two as-of joins whose right sides
         # share a timestamp name would otherwise emit a duplicate column
         raise ValueError(f"output columns collide with left: {collide}")
+    reserved = {_TS, _SIDE, _TIE, _PAYLOAD, _BUCKET}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        # withColumn would silently OVERWRITE a same-named input column
+        # (and the final select(*left.columns) would then return the
+        # internal constant as the user's data) — e.g. feeding one as-of
+        # output that leaked internals into another
+        raise ValueError(
+            f"input columns collide with reserved internal names: "
+            f"{sorted(taken)} — rename them before the temporal join")
     # SQL NULL-key semantics (see asof_join docstring); a NULL right
     # timestamp can never be "at or before" anything either.
     null_key = F.lit(False)
@@ -253,6 +263,12 @@ def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     if bucket_s <= 0:
         raise ValueError("bucket_s must be positive")
     keys = list(on)
+    if _BUCKET in left.columns or _BUCKET in right.columns:
+        # withColumn would clobber it and the final drop(_BUCKET) would
+        # then delete the user's column from the output
+        raise ValueError(
+            f"input columns collide with reserved internal name "
+            f"{_BUCKET!r} — rename before the range join")
     # SQL semantics for degenerate intervals: a NULL bound or an inverted
     # interval (lower > upper) matches nothing — drop the row instead of
     # letting NULL poison the guard or an inverted pair slip past it as a

@@ -154,6 +154,9 @@ WITH m AS (
          round(avg(CASE WHEN l_quantity IS NOT NULL
                         AND isnan(CAST(l_quantity AS DOUBLE))
                    THEN 1.0 ELSE 0.0 END), 6) AS q_nan_rate,
+         round(avg(CASE WHEN l_quantity IS NOT NULL
+                        AND isinf(CAST(l_quantity AS DOUBLE))
+                   THEN 1.0 ELSE 0.0 END), 6) AS q_inf_rate,
          CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) AS q_n_distinct,
          CAST(min(l_quantity) AS DOUBLE) AS q_min,
          CAST(max(l_quantity) AS DOUBLE) AS q_max,
@@ -167,6 +170,9 @@ WITH m AS (
          round(avg(CASE WHEN l_extendedprice IS NOT NULL
                         AND isnan(CAST(l_extendedprice AS DOUBLE))
                    THEN 1.0 ELSE 0.0 END), 6) AS ep_nan_rate,
+         round(avg(CASE WHEN l_extendedprice IS NOT NULL
+                        AND isinf(CAST(l_extendedprice AS DOUBLE))
+                   THEN 1.0 ELSE 0.0 END), 6) AS ep_inf_rate,
          CAST(COUNT(DISTINCT l_extendedprice) AS DOUBLE) AS ep_n_distinct,
          CAST(min(l_extendedprice) AS DOUBLE) AS ep_min,
          CAST(max(l_extendedprice) AS DOUBLE) AS ep_max,
@@ -221,6 +227,7 @@ FROM (
   UNION ALL SELECT 'distinct_orders', distinct_orders FROM m
   UNION ALL SELECT 'l_quantity.null_rate', q_null_rate FROM m
   UNION ALL SELECT 'l_quantity.nan_rate', q_nan_rate FROM m
+  UNION ALL SELECT 'l_quantity.inf_rate', q_inf_rate FROM m
   UNION ALL SELECT 'l_quantity.n_distinct', q_n_distinct FROM m
   UNION ALL SELECT 'l_quantity.min', q_min FROM m
   UNION ALL SELECT 'l_quantity.max', q_max FROM m
@@ -230,6 +237,7 @@ FROM (
   UNION ALL SELECT 'l_quantity.p75', q_p75 FROM m
   UNION ALL SELECT 'l_extendedprice.null_rate', ep_null_rate FROM m
   UNION ALL SELECT 'l_extendedprice.nan_rate', ep_nan_rate FROM m
+  UNION ALL SELECT 'l_extendedprice.inf_rate', ep_inf_rate FROM m
   UNION ALL SELECT 'l_extendedprice.n_distinct', ep_n_distinct FROM m
   UNION ALL SELECT 'l_extendedprice.min', ep_min FROM m
   UNION ALL SELECT 'l_extendedprice.max', ep_max FROM m

@@ -474,3 +474,48 @@ def test_histogram_derived_bounds_ignore_infinities(spark):
     assert sum(n for _, _, n in h.values()) == 4  # inf still counted
     assert h[3][1] == 100.0  # upper edge is the finite max
     assert h[3][2] == 2      # 100.0 and the clamped inf
+
+
+def test_profile_inf_excluded_and_reported(spark):
+    """±inf must not silently deflate the decimal-accumulated mean (the
+    decimal cast NULLs it out of the numerator while count keeps it in
+    the denominator): stats cover the finite values, inf surfaces as
+    inf_rate like NaN does as nan_rate."""
+    df = spark.createDataFrame(
+        [(float("inf"),), (2.0,), (4.0,), (float("-inf"),),
+         (float("nan"),)], "v double")
+    m = _profile_map(df)
+    assert m["v.mean"] == 3.0              # finite-only, not 2.0/NULL
+    assert m["v.min"] == 2.0 and m["v.max"] == 4.0
+    assert m["v.inf_rate"] == 0.4
+    assert m["v.nan_rate"] == 0.2
+
+
+def test_profile_and_histogram_dotted_column_names(spark):
+    """A top-level column literally named 'a.b' (legal; common from JSON
+    ingests) must profile instead of being parsed as struct access."""
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        histogram, top_values)
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], ["a.b"])
+    m = _profile_map(df, cols=["a.b"])
+    assert m["a.b.mean"] == pytest.approx(5 / 3, abs=1e-6)
+    assert m["a.b.n_distinct"] == 2.0
+    tops = top_values(df, ["a.b"], k=1).collect()
+    assert [(r.value, r.n) for r in tops] == [("2.0", 2)]
+    bins = histogram(df, "a.b", bins=2).collect()
+    assert sum(r.n for r in bins) == 3
+
+
+def test_histogram_one_sided_inverted_bound_raises(spark):
+    """lo=100 over data maxing at 50 previously fabricated a negative
+    out-of-range bin via the degenerate-equal-bounds branch; it must
+    fail like the both-supplied inverted case."""
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        histogram)
+
+    df = spark.createDataFrame([(10.0,), (20.0,), (50.0,)], "x double")
+    with pytest.raises(ValueError, match="excludes every value"):
+        histogram(df, "x", bins=5, lo=100.0)
+    with pytest.raises(ValueError, match="excludes every value"):
+        histogram(df, "x", bins=5, hi=5.0)
