@@ -384,8 +384,13 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
     staged = corpus.select(F.col(id_col),
                            _dbl(F.col(vec_col)).alias("__v")) \
                    .withColumn("__n", norm(F.col("__v")))
-    finite = ~F.isnan(F.col("__n")) \
-        & (F.col("__n") != float("inf"))
+    # coalesce(False): a NULL vector (or NULL after the double cast)
+    # yields a NULL norm, and a NULL predicate is not-TRUE in BOTH
+    # filter(finite) and filter(~finite) — without the coalesce such
+    # rows vanish from the output entirely, breaking the one-row-per-id
+    # contract. NULL-vector rows belong in the quarantine branch.
+    finite = F.coalesce(~F.isnan(F.col("__n"))
+                        & (F.col("__n") != float("inf")), F.lit(False))
     clean = staged.filter(finite).drop("__n")
     dirty = (staged.filter(~finite)
              .select(F.col(id_col),
@@ -462,7 +467,20 @@ def build_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
 
     ``ivf_index_topk`` is the query side; building is one k-means run +
     one assignment shuffle + one partitioned write.
+
+    A REBUILD over an existing index is crash-safe: both tables are
+    written into a sibling ``<path>.__build_tmp`` directory and the
+    whole index swaps in with ONE atomic rename
+    (``session.replace_dir``). Overwriting the two tables in place
+    would open a window where retrained centroids sit beside the OLD
+    inverted lists (or vice versa) — list membership is
+    centroid-dependent, so ``ivf_index_topk`` would silently return
+    wrong neighbors; with the swap, readers see the complete old index
+    until the complete new one exists.
     """
+    from ..session import replace_dir
+
+    tmp = f"{path}.__build_tmp"
     centroids = kmeans_centroids(corpus, n_centroids, kmeans_iter,
                                  id_col, vec_col, seed, checkpoint)
     best = _best_centroid(cosine(F.col(vec_col), F.col("centroid_vec")))
@@ -471,9 +489,10 @@ def build_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
                 .agg(best, F.first(vec_col).alias(vec_col))
                 .select(F.col("b.cid").alias("centroid_id"),
                         F.col(id_col), F.col(vec_col)))
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    centroids.write.mode("overwrite").parquet(f"{tmp}/centroids")
     (assigned.write.mode("overwrite").partitionBy("centroid_id")
-     .parquet(f"{path}/lists"))
+     .parquet(f"{tmp}/lists"))
+    replace_dir(corpus.sparkSession, tmp, path)
 
 
 def append_to_ivf_index(new_vectors: DataFrame, path: str,
@@ -486,11 +505,24 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
     files. As the data distribution drifts the lists skew away from the
     trained centroids — monitor with ``profile.partition_stats`` over
     ``lists/`` and rebuild (``build_ivf_index``) when recall or balance
-    degrades."""
+    degrades.
+
+    The append is made RETRY-IDEMPOTENT by anti-joining the batch's ids
+    against the stored lists first: an orchestrator re-running a failed
+    append job (the common at-least-once retry) would otherwise write
+    the same vectors twice, and ``ivf_index_topk`` would surface them
+    as duplicate (query_id, vec_id) result rows. Cost: one scan of the
+    id column of ``lists/`` (column-pruned) per append — the price of
+    idempotence without a transactional table format. The anti-join
+    also makes re-appending a vector id with a CHANGED embedding a
+    no-op (the stored vector wins); delete-then-append (or rebuild) to
+    update vectors."""
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
+    existing = spark.read.parquet(f"{path}/lists").select(id_col)
+    fresh = new_vectors.join(existing, id_col, "left_anti")
     best = _best_centroid(cosine(F.col(vec_col), F.col("centroid_vec")))
-    assigned = (new_vectors.crossJoin(F.broadcast(centroids))
+    assigned = (fresh.crossJoin(F.broadcast(centroids))
                 .groupBy(id_col)
                 .agg(best, F.first(vec_col).alias(vec_col))
                 .select(F.col("b.cid").alias("centroid_id"),

@@ -812,25 +812,33 @@ def compact_dedup_index(spark, index_path: str) -> dict[str, int]:
     again; the duplicates are harmless for correctness but grow storage
     and the per-batch candidate join's input linearly with replays).
 
-    Each table is read, ``dropDuplicates``-ed on its full row, pinned
-    with a local checkpoint (Spark cannot overwrite a path it is still
-    lazily reading from), and rewritten in place. Shingles are rewritten
-    FIRST for the same crash-ordering reason ``incremental_dedup``
-    appends them first: a crash between the two writes must never leave
-    bucket rows without their verify shingles. Returns
+    Each table is read, ``dropDuplicates``-ed on its full row, written
+    to a sibling ``.__compact_tmp`` directory, then swapped into place
+    with ``session.replace_dir`` (atomic renames). An in-place
+    ``mode('overwrite')`` would truncate the live table before the new
+    files finish — a crash mid-rewrite would destroy the index outright
+    (and a ``localCheckpoint`` pin dies with its executors, so it is
+    not a durability mechanism). With the swap, every crash window
+    leaves a complete copy of the table on disk. Cross-table
+    consistency is free here: compaction only removes EXACT duplicate
+    rows, so any mix of compacted/uncompacted buckets and shingles is
+    semantically identical to the original index. Returns
     ``{'buckets': rows_removed, 'shingles': rows_removed}``. On a real
     cluster prefer off-peak runs — the rewrite is a full scan of both
-    tables; at very large index sizes write to a fresh versioned
-    directory and swap at the orchestrator instead.
+    tables.
     """
+    from ..session import replace_dir
+
     removed = {}
     for sub in ("shingles", "buckets"):
         path = f"{index_path}/{sub}"
+        tmp = f"{index_path}/{sub}.__compact_tmp"
         df = spark.read.parquet(path)
         before = df.count()
-        deduped = df.dropDuplicates().localCheckpoint(eager=True)
-        deduped.write.mode("overwrite").parquet(path)
-        removed[sub] = before - deduped.count()
+        df.dropDuplicates().write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        replace_dir(spark, tmp, path)
+        removed[sub] = before - after
     return removed
 
 

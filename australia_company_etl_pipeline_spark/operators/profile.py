@@ -50,6 +50,17 @@ from pyspark.sql.window import Window
 from .audit import quality_metrics
 
 
+def _safe_col(name: str) -> Column:
+    """Column reference that treats a literal dot as part of the NAME,
+    never as struct access.  On PySpark 4.x BOTH ``F.col("a.b")`` and
+    ``df["a.b"]`` parse the dot as a struct path at analysis time
+    (``UNRESOLVED_COLUMN`` on a legal JSON-ingest column named
+    ``a.b``); backtick-quoting — with embedded backticks doubled, the
+    SQL identifier escape — is the only spelling that resolves
+    positionally."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _davg(col: Column) -> Column:
     """Order-independent mean: decimal-accumulated sum / non-null count
     (same idiom as plans.core.davg — doubles summed in shuffle order
@@ -108,8 +119,7 @@ def profile_metrics(df: DataFrame, cols: list[str] | None = None, *,
 
     out: dict[str, Column] = {}
     for c in cols:
-        col, t = df[c], types[c]  # df[c], not F.col(c): a literal dot in
-        #                           the name must not parse as a struct path
+        col, t = _safe_col(c), types[c]
         out[f"{c}.null_rate"] = F.round(
             _davg(F.when(col.isNull(), 1.0).otherwise(0.0)), 6)
         out[f"{c}.n_distinct"] = (
@@ -191,7 +201,7 @@ def top_values(df: DataFrame, cols: list[str], k: int = 3,
         raise ValueError(f"k must be >= 1, got {k}")
     pairs = df.select(F.explode(F.map_from_arrays(
         F.array(*[F.lit(c) for c in cols]),
-        F.array(*[df[c].cast("string") for c in cols]),  # df[c]: dot-safe
+        F.array(*[_safe_col(c).cast("string") for c in cols]),
     )).alias("column_name", "value")).filter(F.col("value").isNotNull())
     counts = (pairs.groupBy("column_name", "value")
               .agg(F.count(F.lit(1)).alias("n"))
@@ -227,7 +237,7 @@ def histogram(df: DataFrame, col: str, bins: int = 10,
         # bounds (constant column); swapped caller arguments must not
         # silently collapse the report into one fabricated bin
         raise ValueError(f"inverted bounds: lo ({lo}) > hi ({hi})")
-    v = df[col].cast("double")  # df[col]: a dotted name is not a struct path
+    v = _safe_col(col).cast("double")
     df = df.filter(v.isNotNull() & ~F.isnan(v))
     if lo is None or hi is None:
         # derive bounds from FINITE values only — a single ±inf as the

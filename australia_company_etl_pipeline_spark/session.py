@@ -89,6 +89,38 @@ def materialize(df, checkpoint: str = "local"):
         f"executor-local) or 'reliable' (survives executor loss)")
 
 
+def replace_dir(spark: SparkSession, tmp: str, final: str) -> None:
+    """Swap a freshly-written directory into place with Hadoop
+    ``FileSystem.rename`` — the crash-safe alternative to
+    ``mode('overwrite')`` on a path readers depend on (an in-place
+    overwrite TRUNCATES the target before the new files land, so a
+    crash mid-write destroys the table).
+
+    Sequence: delete any stale ``<final>.__old`` from a prior crashed
+    swap, rename ``final`` → ``<final>.__old``, rename ``tmp`` →
+    ``final``, delete the backup. Each rename is atomic on HDFS and on
+    POSIX local filesystems; the only crash window leaves BOTH the new
+    data (at ``tmp``) and the old (at ``.__old``) intact on disk — a
+    re-run or an operator recovers by hand, nothing is destroyed.
+    (Object stores without atomic rename — raw S3 — need a committer or
+    a table format instead; rename there is copy+delete.)
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(final).getFileSystem(conf)
+    old = hpath(final + ".__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(hpath(final)):
+        if not fs.rename(hpath(final), old):
+            raise IOError(f"rename {final} -> {final}.__old failed")
+    if not fs.rename(hpath(tmp), hpath(final)):
+        raise IOError(f"rename {tmp} -> {final} failed; previous data "
+                      f"preserved at {final}.__old")
+    fs.delete(old, True)
+
+
 def _parse_bytes(v: str) -> int:
     """Spark byte-conf values: plain ints or k/m/g-suffixed."""
     v = v.strip().lower().rstrip("b")

@@ -714,13 +714,15 @@ def test_semdedup_quarantines_nonfinite_vectors(spark):
     group exactly as in the clean run."""
     corpus = _semdedup_fixture(spark)
     bad = spark.createDataFrame(
-        [(100, [float("nan")] * 16), (101, [float("inf")] * 16)],
+        [(100, [float("nan")] * 16), (101, [float("inf")] * 16),
+         (102, None)],  # NULL embedding: NULL norm makes BOTH branch
+        #                 predicates not-TRUE — must quarantine, not vanish
         "vec_id long, embedding array<float>")
     out = ann.semdedup(corpus.unionByName(bad), threshold=0.95,
                        n_clusters=4, kmeans_iter=3, keep="far").collect()
-    assert len(out) == 22
+    assert len(out) == 23
     by_id = {r.vec_id: r for r in out}
-    for vid in (100, 101):
+    for vid in (100, 101, 102):
         r = by_id[vid]
         assert r.is_canonical and r.group_id == vid
         assert r.centroid_id is None and r.centroid_sim is None
@@ -803,6 +805,11 @@ def test_ivf_index_append_grows_lists_consistently(spark, sf_dir,
     # appended rows live in existing list dirs, all rows present
     lists = spark.read.parquet(f"{grown}/lists")
     assert lists.count() == corpus.count()
+    # orchestrator retry of the append job: the id anti-join makes the
+    # re-append a no-op instead of doubling rows (which would surface as
+    # duplicate (query_id, vec_id) pairs from ivf_index_topk)
+    ann.append_to_ivf_index(rest, grown)
+    assert spark.read.parquet(f"{grown}/lists").count() == corpus.count()
 
 
 def test_compact_dedup_index_removes_replay_duplicates(spark, tmp_path):
