@@ -110,6 +110,26 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _probe_masks(bucket: Column, n_planes: int,
+                 multiprobe: int) -> list[Column]:
+    """The probe set for multi-probe LSH: the bucket itself, every
+    bucket one sign-bit away (``multiprobe >= 1``), and every bucket
+    two bits away (``multiprobe >= 2``). Bounded at 2: the probe count
+    grows C(n, h) per extra bit, and past hamming-2 rebuilding with
+    fewer planes beats probing wider."""
+    if multiprobe not in (0, 1, 2):
+        raise ValueError(f"multiprobe must be 0, 1 or 2, "
+                         f"got {multiprobe}")
+    probes = [bucket]
+    if multiprobe >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << i))
+                   for i in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                   for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return probes
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, dim: int = 64, seed: int = 42,
              multiprobe: int = 1,
@@ -117,17 +137,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              query_id_col: str = "query_id",
              query_vec_col: str = "query_vec") -> DataFrame:
     """Approximate top-k: only vectors in the query's LSH bucket(s) are
-    scored. ``multiprobe=1`` additionally probes every bucket one sign-bit
-    away from the query's (standard multi-probe LSH) — the recall knob
-    that avoids re-hashing the corpus. Recall < 1 by design."""
+    scored. ``multiprobe=h`` additionally probes every bucket within
+    hamming distance ``h`` (0, 1 or 2 sign bits) of the query's —
+    standard multi-probe LSH, the recall knob that avoids re-hashing
+    the corpus: probing 1 + C(n,1) + C(n,2) buckets costs only extra
+    QUERY-side explode rows (the query side is broadcast; the corpus is
+    hashed and shuffled once regardless). Recall < 1 by design."""
     planes = _planes(dim, n_planes, seed)
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     qb = queries.withColumn("__qb", lsh_bucket(F.col(query_vec_col), planes))
-    probes = [F.col("__qb")]
-    if multiprobe >= 1:
-        probes += [F.col("__qb").bitwiseXOR(F.lit(1 << i))
-                   for i in range(n_planes)]
-    q = (qb.withColumn("__bucket", F.explode(F.array(*probes)))
+    q = (qb.withColumn("__bucket",
+                       F.explode(F.array(*_probe_masks(F.col("__qb"),
+                                                       n_planes,
+                                                       multiprobe))))
          .drop("__qb"))
     pairs = c.join(F.broadcast(q), "__bucket", "inner")
     scored = pairs.select(
@@ -594,12 +616,10 @@ def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,
     planes = _planes(dim, n_planes, seed)
     sk = corpus.select(F.col(id_col), F.col(vec_col),
                        lsh_bucket(F.col(vec_col), planes).alias("__b"))
-    probes = [F.col("__b")]
-    if multiprobe >= 1:
-        probes += [F.col("__b").bitwiseXOR(F.lit(1 << i))
-                   for i in range(n_planes)]
     left = sk.select(F.col(id_col), F.col(vec_col),
-                     F.explode(F.array(*probes)).alias("__bucket"))
+                     F.explode(F.array(*_probe_masks(
+                         F.col("__b"), n_planes, multiprobe)))
+                     .alias("__bucket"))
     right = sk.select(F.col(id_col), F.col(vec_col),
                       F.col("__b").alias("__bucket"))
     a, b = left.alias("a"), right.alias("b")

@@ -66,26 +66,77 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(corpus, _queries_df(spark, sf_dir), k=K)
 
 
+def _ivf_cache_path(sf_dir: str, n_centroids: int, kmeans_iter: int,
+                    seed: int) -> str:
+    """Deterministic per-(dataset, params) location for the persisted
+    IVF index, keyed on the embeddings file's identity (realpath + size
+    + mtime) so a testdata regen can never serve a stale index. The
+    'train once, probe many' product shape: the first run of the query
+    builds the index (one k-means + one partitioned write via
+    ``build_ivf_index``'s atomic swap — a concurrent reader never sees
+    a half-built index); every later run is pure partition-pruned
+    probing. On a cluster this would be a curated warehouse path, not a
+    temp dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}"
+        f"|{kmeans_iter}|{seed}".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "acep_ivf_cache", key)
+
+
 @register(
     "ann_approx_topk",
-    doc="Both approximate-NN scale paths in one result (fold of r2's "
-        "ann_lsh_topk / ann_ivf_topk to fit the driver's query window): "
-        "method='lsh' rows are LSH-bucketed top-10 (4 random hyperplanes, "
-        "sign-bit buckets + hamming-1 multi-probe, equi-join on bucket); "
-        "method='ivf' rows are IVF-Flat top-10 (deterministic Lloyd's "
-        "k-means centroids — 16, 5 iterations, seeded hash-sample init — "
-        "4-probe). Rows-only driver check; recall vs ann_bruteforce_topk "
-        "pinned per method in tests/test_dedup_ann.py.",
+    doc="The approximate / semantic vector-analytics paths in one "
+        "kind-tagged result (fold to fit the driver's query window): "
+        "method='lsh' rows are LSH-bucketed top-10 (4 random "
+        "hyperplanes, sign-bit buckets + hamming<=2 multi-probe, "
+        "equi-join on bucket); method='ivf' rows are IVF-Flat top-10 "
+        "answered from the PERSISTED partition-pruned index "
+        "(operators/ann.py build_ivf_index / ivf_index_topk — built "
+        "once per dataset into a keyed cache dir, then every run is "
+        "probe-only: hive partition pruning reads 4 of 16 inverted "
+        "lists, k-means never retrains per query). method='semdedup' "
+        "rows are the SemDeDup election over the planted near-dup "
+        "embedding corpus (cluster -> within-cluster pairs -> connected "
+        "components -> keep-farthest): query_id = member vec_id, "
+        "vec_id = its duplicate-group id (min member), cosine_sim = "
+        "cosine to the assigned centroid (NULL for quarantined "
+        "vectors), rank = 1 for the elected canonical member else 0. "
+        "Engine-specific hashing / iterative k-means -> rows-only "
+        "driver check; per-method recall and election invariants pinned "
+        "in tests/test_dedup_ann.py.",
     tags=("ann",),
     oracle=None,
 )
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir)
+    import os
+
+    from .dedup import _embeddings_with_dups
+
     q = _queries_df(spark, sf_dir)
-    lsh = (ann.lsh_topk(corpus, q, k=K, n_planes=4, dim=64, multiprobe=1)
+    lsh = (ann.lsh_topk(_corpus(spark, sf_dir), q, k=K, n_planes=4,
+                        dim=64, multiprobe=2)
            .select(F.lit("lsh").alias("method"), "query_id", "vec_id",
                    "cosine_sim", "rank"))
-    ivf = (ann.ivf_topk(corpus, q, k=K, n_centroids=16, n_probe=4)
+    path = _ivf_cache_path(sf_dir, n_centroids=16, kmeans_iter=5, seed=42)
+    if not os.path.exists(path):
+        ann.build_ivf_index(_corpus(spark, sf_dir), path, n_centroids=16,
+                            kmeans_iter=5, seed=42)
+    ivf = (ann.ivf_index_topk(spark, path, q, k=K, n_probe=4)
            .select(F.lit("ivf").alias("method"), "query_id", "vec_id",
                    "cosine_sim", "rank"))
-    return lsh.unionByName(ivf)
+    sem = (ann.semdedup(_embeddings_with_dups(spark, sf_dir),
+                        threshold=0.99, n_clusters=16, kmeans_iter=3,
+                        vec_col="v", keep="far")
+           .select(F.lit("semdedup").alias("method"),
+                   F.col("vec_id").alias("query_id"),
+                   F.col("group_id").alias("vec_id"),
+                   F.col("centroid_sim").alias("cosine_sim"),
+                   F.when(F.col("is_canonical"), 1).otherwise(0)
+                   .alias("rank")))
+    return lsh.unionByName(ivf).unionByName(sem)
