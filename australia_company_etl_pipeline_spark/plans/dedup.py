@@ -275,6 +275,47 @@ def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(perturbed)
 
 
+_EMBED_DIM, _EMBED_SEED, _EMBED_TH = 32, 42, 0.95
+
+
+def _hashed_embed_pairs_sql() -> str:
+    """DuckDB twin of ``embed.embed_documents(hash_fn='portable')`` +
+    exact cosine pairs — the oracle that value-checks the model-free
+    embedding END-TO-END: same FNV-1a-32 per token (seed folded into
+    the offset basis, inlined below as a literal), same bucket (low
+    bits) and sign (bit 16), same index-ordered accumulation (the raw
+    vector is integer-valued, so the sums are exact in both engines),
+    same L2 normalization, same cosine formula (dot / norm·norm with
+    the zero-vector guard ``ann.cosine`` uses)."""
+    basis = (2166136261 ^ _EMBED_SEED) % (1 << 32)
+    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "t -> t != '')")
+    fnv = (f"list_reduce(list_prepend(CAST({basis} AS BIGINT), "
+           f"list_transform(string_split(t, ''), "
+           f"c -> CAST(unicode(c) AS BIGINT))), "
+           f"(hh, cc) -> ((xor(hh, cc)) * 16777619) % 4294967296)")
+    return f"""
+hd AS (
+  SELECT doc_id, list_transform({toks}, t -> {fnv}) AS hl
+  FROM (SELECT doc_id, text FROM dup_docs)
+), hraw AS (
+  SELECT doc_id,
+    list_transform(range(0, {_EMBED_DIM}), i ->
+      coalesce(list_sum(list_transform(hl, hv ->
+        CASE WHEN hv % {_EMBED_DIM} = i THEN
+          (CASE WHEN ((hv >> 16) & 1) = 0 THEN 1.0 ELSE -1.0 END)
+        ELSE 0.0 END)), 0.0)) AS r
+  FROM hd
+), hemb AS (
+  SELECT doc_id,
+    CASE WHEN sqrt(list_sum(list_transform(r, x -> x*x))) > 0
+         THEN list_transform(r,
+                x -> x / sqrt(list_sum(list_transform(r, y -> y*y))))
+         ELSE r END AS hv
+  FROM hraw
+)"""
+
+
 def _lsh_bucket_sql() -> str:
     """DuckDB twin of ``ann.lsh_bucket`` over column ``v``: same literal
     hyperplanes (``ann._planes`` is a portable LCG), same sign-bit fold.
@@ -301,11 +342,20 @@ def _lsh_bucket_sql() -> str:
         "bucket equi-join candidates, exact-cosine verify. The LSH branch "
         "is FULLY oracle-checked too: the portable-LCG planes are inlined "
         "as SQL literals, so DuckDB reproduces the buckets and the "
-        "candidate set is exactly {pairs: hamming(bucket_a,bucket_b)<=1}.",
+        "candidate set is exactly {pairs: hamming(bucket_a,bucket_b)<=1}. "
+        "method='hashed' rows (r5) are the same exact-pair kernel over "
+        "MODEL-FREE embeddings derived from documents.text by "
+        "operators/embed.py embed_documents(hash_fn='portable') — "
+        "FNV-1a-32 signed feature hashing (dim 32), value-checked "
+        "end-to-end: the oracle recomputes every hash, bucket, sign, "
+        "normalization and cosine in DuckDB from the same inlined "
+        "constants, so the embedding operator itself is oracle-gated.",
     tags=("dedup", "ann"),
     oracle=f"""
 WITH corpus AS ({_EMB_DUPS_SQL}),
-sk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM corpus)
+dup_docs AS ({_DOCS_DUPS_SQL}),
+sk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM corpus),
+{_hashed_embed_pairs_sql().lstrip()}
 SELECT 'exact' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -316,10 +366,26 @@ SELECT 'lsh' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
 FROM sk a JOIN sk b ON a.vec_id < b.vec_id
 WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
   AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+UNION ALL
+SELECT 'hashed' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN (sqrt(list_dot_product(a.hv, a.hv))
+                        * sqrt(list_dot_product(b.hv, b.hv))) > 0
+         THEN list_dot_product(a.hv, b.hv)
+              / (sqrt(list_dot_product(a.hv, a.hv))
+                 * sqrt(list_dot_product(b.hv, b.hv)))
+         ELSE 0.0 END, 6) AS cosine_sim
+FROM hemb a JOIN hemb b ON a.doc_id < b.doc_id
+WHERE round(CASE WHEN (sqrt(list_dot_product(a.hv, a.hv))
+                       * sqrt(list_dot_product(b.hv, b.hv))) > 0
+        THEN list_dot_product(a.hv, b.hv)
+             / (sqrt(list_dot_product(a.hv, a.hv))
+                * sqrt(list_dot_product(b.hv, b.hv)))
+        ELSE 0.0 END, 6) >= {_EMBED_TH}
 """,
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import cosine, embedding_dup_pairs_lsh
+    from ..operators.embed import embed_documents
 
     corpus = _embeddings_with_dups(spark, sf_dir)
     a, b = corpus.alias("a"), corpus.alias("b")
@@ -335,4 +401,16 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    vec_col="v")
            .select(F.lit("lsh").alias("method"), "id_a", "id_b",
                    "cosine_sim"))
-    return exact.unionByName(lsh)
+    hc = embed_documents(_docs_with_dups(spark, sf_dir), "text",
+                         dim=_EMBED_DIM, seed=_EMBED_SEED,
+                         hash_fn="portable").select("doc_id", "embedding")
+    ha, hb = hc.alias("a"), hc.alias("b")
+    hashed = (ha.join(hb, F.col("a.doc_id") < F.col("b.doc_id"), "inner")
+              .select(F.lit("hashed").alias("method"),
+                      F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      F.round(cosine(F.col("a.embedding"),
+                                     F.col("b.embedding")), 6)
+                      .alias("cosine_sim"))
+              .filter(F.col("cosine_sim") >= _EMBED_TH))
+    return exact.unionByName(lsh).unionByName(hashed)
