@@ -351,7 +351,8 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
              n_clusters: int = 16, kmeans_iter: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 42, keep: str = "far",
-             checkpoint: str = "local") -> DataFrame:
+             checkpoint: str = "local",
+             centroids: DataFrame | None = None) -> DataFrame:
     """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
     near-identical pairs only WITHIN each cluster, and keep one
@@ -361,7 +362,13 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
 
     1. ``kmeans_centroids`` — deterministic spherical Lloyd's (same
        centroids the IVF index uses, so an IVF deployment gets SemDeDup
-       for one extra within-list pass).
+       for one extra within-list pass). Pass ``centroids`` (a
+       ``(centroid_id, centroid_vec)`` frame of UNIT vectors — e.g.
+       ``spark.read.parquet(f"{index}/centroids")`` from a persisted
+       IVF index) to skip the training entirely: the partition of the
+       space needs to be reasonable, not retrained per run, and reusing
+       the index's centroids makes SemDeDup one assignment + one
+       within-cluster pass on a corpus that is already IVF-indexed.
     2. Nearest-centroid assignment via the ``max(struct)`` partial-agg
        argmax (one shuffle on the vector id, map-side combined).
     3. Within-cluster candidate pairs: self-equi-join on ``centroid_id``
@@ -420,8 +427,13 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
                      F.lit(None).cast("double").alias("centroid_sim"),
                      F.col(id_col).alias("group_id"),
                      F.lit(True).alias("is_canonical")))
-    cents = kmeans_centroids(clean, n_clusters, kmeans_iter, id_col,
-                             "__v", seed, checkpoint)
+    if centroids is not None:
+        cents = centroids.select("centroid_id",
+                                 _dbl(F.col("centroid_vec"))
+                                 .alias("centroid_vec"))
+    else:
+        cents = kmeans_centroids(clean, n_clusters, kmeans_iter, id_col,
+                                 "__v", seed, checkpoint)
     # unit-normalize once; downstream centroid_sim AND pair cosine are
     # then plain dots (centroids come back unit-length already)
     unit = _unit(clean, "__v")

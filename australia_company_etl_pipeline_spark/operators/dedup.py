@@ -88,14 +88,21 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
-    toks = tokens(text)
+def word_ngrams_t(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a pre-split token array —
+    the form callers staging one tokenization across several sketch
+    families use (``token_frame``); ``word_ngrams`` is the from-text
+    convenience wrapper."""
     return F.array_distinct(F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(0), F.size(toks) - n),
                     lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     ).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    return word_ngrams_t(tokens(text), n)
 
 
 def jaccard_arrays(a: Column, b: Column) -> Column:
@@ -247,17 +254,44 @@ def _minhash_buckets(sh: DataFrame, id_col: str, extra_cols: list[str],
     return banded.select(*keep, "bucket.band", "bucket.bh")
 
 
-def shingle_frame(df: DataFrame, text_col: str, id_col: str,
-                  shingle: int = 3, persist: bool = True) -> DataFrame:
-    """``(id_col, __sh)`` shingle projection — tokenize+shingle is the
-    second-biggest near-dup cost, so callers running several sketch
-    families over one corpus build this ONCE and pass it to each
-    operator. Persisted (memory-and-disk) and tracked for
+def token_frame(df: DataFrame, text_col: str, id_col: str,
+                persist: bool = True) -> DataFrame:
+    """``(id_col, __toks)`` token projection — the SPLIT is the shared
+    prefix of every text sketch family (minhash shingles, simhash
+    votes, n-gram verify), so callers running several families over one
+    corpus stage it once and pass it to ``shingle_frame(tokens_df=)`` /
+    ``simhash_table(tokens_df=)``: each family then reads the cached
+    arrays instead of re-scanning the source and re-splitting the text.
+    Persisted (memory-and-disk) and tracked for
     ``unpersist_shingles()`` unless ``persist=False``."""
     from pyspark import StorageLevel
 
-    sh = df.select(F.col(id_col),
-                   word_ngrams(F.col(text_col), shingle).alias("__sh"))
+    tf = df.select(F.col(id_col),
+                   tokens(F.col(text_col)).alias("__toks"))
+    if persist:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE.append(tf)
+    return tf
+
+
+def shingle_frame(df: DataFrame, text_col: str, id_col: str,
+                  shingle: int = 3, persist: bool = True,
+                  tokens_df: DataFrame | None = None) -> DataFrame:
+    """``(id_col, __sh)`` shingle projection — tokenize+shingle is the
+    second-biggest near-dup cost, so callers running several sketch
+    families over one corpus build this ONCE and pass it to each
+    operator. Derives from a staged ``token_frame`` when ``tokens_df``
+    is given (no re-scan, no re-split). Persisted (memory-and-disk) and
+    tracked for ``unpersist_shingles()`` unless ``persist=False``."""
+    from pyspark import StorageLevel
+
+    if tokens_df is not None:
+        sh = tokens_df.select(
+            F.col(id_col),
+            word_ngrams_t(F.col("__toks"), shingle).alias("__sh"))
+    else:
+        sh = df.select(F.col(id_col),
+                       word_ngrams(F.col(text_col), shingle).alias("__sh"))
     if persist:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         _SHINGLE_CACHE.append(sh)
@@ -472,7 +506,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_table(df: DataFrame, text_col: str, id_col: str,
-                  bits: int = 64) -> DataFrame:
+                  bits: int = 64,
+                  tokens_df: DataFrame | None = None) -> DataFrame:
     """Per-document SimHash fingerprints ``(id_col, __sh)`` — the
     DataFrame-level scale path.
 
@@ -485,9 +520,15 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
     measured ~3× faster at sf0.1). Same fingerprint semantics: duplicate
     tokens vote repeatedly, tokenless docs fingerprint to 0
     (``explode_outer`` keeps them; their vote sums are NULL → no bits).
+    ``tokens_df`` (a staged ``token_frame``) skips the re-scan+re-split
+    when other sketch families already tokenized the corpus.
     """
-    toks = df.select(F.col(id_col),
-                     F.explode_outer(tokens(F.col(text_col))).alias("__t"))
+    toks = (tokens_df.select(F.col(id_col),
+                             F.explode_outer("__toks").alias("__t"))
+            if tokens_df is not None else
+            df.select(F.col(id_col),
+                      F.explode_outer(tokens(F.col(text_col)))
+                      .alias("__t")))
     # xxhash64(NULL) is the seed value (42), not NULL — mask it so the
     # explode_outer placeholder row of a tokenless doc casts no votes
     hashed = toks.select(
@@ -509,12 +550,14 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                      max_hamming: int = 8) -> DataFrame:
+                      max_hamming: int = 8,
+                      tokens_df: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ max_hamming), candidates blocked
     on 16-bit prefix bands (4 bands → finds all pairs with ≤3 differing
     band-regions; standard pigeonhole blocking). Fingerprints from the
-    explode-aggregate ``simhash_table`` (see its scale notes)."""
-    sh = simhash_table(df, text_col, id_col)
+    explode-aggregate ``simhash_table`` (see its scale notes);
+    ``tokens_df`` forwards a staged ``token_frame``."""
+    sh = simhash_table(df, text_col, id_col, tokens_df=tokens_df)
     banded = sh.select(
         F.col(id_col), "__sh",
         F.explode(F.array(*[

@@ -130,9 +130,13 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = (ann.ivf_index_topk(spark, path, q, k=K, n_probe=4)
            .select(F.lit("ivf").alias("method"), "query_id", "vec_id",
                    "cosine_sim", "rank"))
+    # SemDeDup rides the SAME persisted centroids the IVF index trained
+    # (operators/ann.py semdedup docstring): no second k-means run —
+    # on an IVF-indexed corpus semantic dedup is one assignment + one
+    # within-cluster pass
     sem = (ann.semdedup(_embeddings_with_dups(spark, sf_dir),
-                        threshold=0.99, n_clusters=16, kmeans_iter=3,
-                        vec_col="v", keep="far")
+                        threshold=0.99, vec_col="v", keep="far",
+                        centroids=spark.read.parquet(f"{path}/centroids"))
            .select(F.lit("semdedup").alias("method"),
                    F.col("vec_id").alias("query_id"),
                    F.col("group_id").alias("vec_id"),

@@ -223,14 +223,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    # ONE shingle pass feeds both shingle-based families (minhash +
-    # cross-corpus); only the tiny benchmark side is shingled separately
-    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
+    # ONE tokenization pass feeds ALL THREE families: the minhash /
+    # cross-corpus shingles derive from the staged token arrays, and
+    # simhash explodes the same arrays instead of re-scanning the
+    # source and re-splitting the text
+    toks = dd.token_frame(corpus, "text", "doc_id")
+    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3,
+                                tokens_df=toks)
     mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
                                num_hashes=32, bands=8, shingles=shingles)
           .select(F.lit("minhash").alias("method"), "id_a", "id_b",
                   F.col("jaccard").alias("score")))
-    sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
+    sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8,
+                               tokens_df=toks)
           .select(F.lit("simhash").alias("method"), "id_a", "id_b",
                   F.col("hamming").cast("double").alias("score")))
     bench = (table(spark, sf_dir, "documents")

@@ -263,13 +263,20 @@ def test_ann_approx_semdedup_branch(spark, sf_dir):
     from australia_company_etl_pipeline_spark.plans.dedup import (
         _embeddings_with_dups)
 
+    from australia_company_etl_pipeline_spark.plans.ann import (
+        _ivf_cache_path)
+
     merged = plans.REGISTRY["ann_approx_topk"].builder(spark, sf_dir)
     got = {(r.query_id, r.vec_id, r.rank) for r in
            merged.filter(F.col("method") == "semdedup").collect()}
+    # the registered fold reuses the persisted IVF index's centroids
+    # (built by the builder call above) instead of retraining
+    cents = spark.read.parquet(
+        f"{_ivf_cache_path(sf_dir, 16, 5, 42)}/centroids")
     want = {(r.vec_id, r.group_id, int(r.is_canonical)) for r in
             ann.semdedup(_embeddings_with_dups(spark, sf_dir),
-                         threshold=0.99, n_clusters=16, kmeans_iter=3,
-                         vec_col="v", keep="far").collect()}
+                         threshold=0.99, vec_col="v", keep="far",
+                         centroids=cents).collect()}
     assert got == want
     # the planted perturbed copies (ids+100k, every 5th) must land in the
     # same group as their originals, with exactly one canonical member
