@@ -158,18 +158,59 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "md5") < 200_000).alias("sample_20_lang"))
 
 
+# Fixed BPE merge table for the kind='bpe' branch: rank-ordered, each
+# merge's operands are base characters or LOWER-ranked outputs — the
+# well-formedness that makes greedy lowest-rank-first encoding (the
+# operators/bpe.py pandas_udf loop) provably equal to applying the
+# merges in rank order, which is what the DuckDB oracle simulates with
+# chained replaces over a space-delimited symbol string.
+# tests/test_bpe.py pins the equivalence over the actual corpus vocab.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("e", "r"), ("o", "r"), ("a", "l"), ("u", "e"),
+    ("v", "al"), ("val", "ue"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+]
+
+
+def _bpe_count_sql() -> str:
+    """DuckDB twin of ``bpe.token_count(text, _BPE_MERGES)``: per
+    pre-tokenized unit, the symbol stream starts space-delimited
+    characters; each merge applies as ``replace(' x y ', ' xy ')`` in
+    rank order, TWICE — one replace pass misses instances whose leading
+    space was consumed by the previous non-overlapping match (e.g. the
+    2nd of three back-to-back occurrences), and two passes reach the
+    fixpoint for any run the corpus vocabulary can produce (words are
+    <= 8 chars). Token count = surviving symbols. The regex drops
+    RE2-less Java-isms: ``(?U)`` means UNGREEDY in DuckDB's RE2, so the
+    oracle uses the bare pattern (identical on this ASCII corpus)."""
+    chain = "(' ' || array_to_string(string_split(u, ''), ' ') || ' ')"
+    for x, y in _BPE_MERGES:
+        pat, rep = f" {x} {y} ", f" {x}{y} "
+        for _ in range(2):
+            chain = f"replace({chain}, '{pat}', '{rep}')"
+    return ("coalesce(list_sum(list_transform("
+            "regexp_extract_all(text, '\\w+|[^\\w\\s]'), "
+            f"u -> len(string_split(trim({chain}), ' ')))), 0)")
+
+
 @register(
     "pack_docs",
     doc="Corpus layout planning, kind-tagged (r4: + sliding-window "
-        "chunking). kind='pack': token-budget sequence packing (budget "
-        "1024, sharded by lang) — each doc's pack id / offset in the "
-        "concatenated token stream, spans_packs marking boundary "
-        "crossers; GPT-style layout, deterministic at any parallelism, "
-        "ONE running-total window partitioned by the shard key (no "
-        "global-order funnel). kind='chunk': the RAG/embedding prep "
-        "twin — 16-token windows with 4 tokens of overlap (step 12), "
-        "chunk text and token counts value-checked (n_tokens carries "
-        "the chunk token count on chunk rows); shuffle-free posexplode.",
+        "chunking; r5: + trained-tokenizer counts). kind='pack': "
+        "token-budget sequence packing (budget 1024, sharded by lang) "
+        "— each doc's pack id / offset in the concatenated token "
+        "stream, spans_packs marking boundary crossers; GPT-style "
+        "layout, deterministic at any parallelism, ONE running-total "
+        "window partitioned by the shard key (no global-order funnel). "
+        "kind='chunk': the RAG/embedding prep twin — 16-token windows "
+        "with 4 tokens of overlap (step 12), chunk text and token "
+        "counts value-checked (n_tokens carries the chunk token count "
+        "on chunk rows); shuffle-free posexplode. kind='bpe': per-doc "
+        "token counts under the trained-BPE encoder "
+        "(operators/bpe.py encode — Arrow-batched greedy merge loop) "
+        "with a fixed rank-ordered merge table; the oracle simulates "
+        "the same merges with chained replaces, so the real tokenizer "
+        "path is value-checked doc by doc.",
     tags=("text",),
     oracle=f"""
 WITH tl AS (
@@ -207,6 +248,13 @@ SELECT 'chunk' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
        array_to_string(list_slice(toks, ci * 12 + 1, ci * 12 + 16), ' ')
          AS chunk_text
 FROM c
+UNION ALL
+SELECT 'bpe' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST({_bpe_count_sql()} AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS pack_offset,
+       FALSE AS spans_packs,
+       CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS VARCHAR) AS chunk_text
+FROM documents
 """,
 )
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +276,19 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(None).cast("long").alias("pack_offset"),
                      F.lit(False).alias("spans_packs"),
                      "chunk_idx", "chunk_text"))
-    return pack.unionByName(chunk)
+    from ..operators import bpe
+
+    bpe_rows = d.select(
+        F.lit("bpe").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        bpe.token_count(F.col("text"), _BPE_MERGES).cast("long")
+        .alias("n_tokens"),
+        F.lit(None).cast("long").alias("pack_id"),
+        F.lit(None).cast("long").alias("pack_offset"),
+        F.lit(False).alias("spans_packs"),
+        F.lit(None).cast("int").alias("chunk_idx"),
+        F.lit(None).cast("string").alias("chunk_text"))
+    return pack.unionByName(chunk).unionByName(bpe_rows)
 
 
 @register(

@@ -131,3 +131,52 @@ def test_unit_split_consistent_for_combining_marks(spark):
         .alias("units")).collect()
     assert row.t == ["हिन्दी", "हिन्दी", "éclair"]
     assert row.rt == row.units
+
+
+def test_registered_merge_table_chained_replace_equivalence(spark,
+                                                            sf_dir):
+    """The pack_docs kind='bpe' oracle simulates the greedy encoder by
+    applying _BPE_MERGES in rank order via chained replaces. That is
+    only equal to greedy lowest-rank-first encoding while the merge
+    table stays well-formed (operands are chars or lower-ranked
+    outputs) AND two replace passes reach the fixpoint for every word
+    the corpus can produce — this pins both over the ACTUAL corpus
+    vocabulary, so a testdata regen that breaks the equivalence fails
+    here instead of as an opaque driver hash mismatch."""
+    import re
+
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators.bpe import (
+        _bpe_word)
+    from australia_company_etl_pipeline_spark.plans.text import (
+        _BPE_MERGES)
+
+    # well-formedness: every operand is a single char or an
+    # earlier-ranked merge's output, and outputs are unique
+    outputs = []
+    for x, y in _BPE_MERGES:
+        for operand in (x, y):
+            assert len(operand) == 1 or operand in outputs, \
+                f"operand {operand!r} not produced by a lower rank"
+        out = x + y
+        assert out not in outputs, f"duplicate output {out!r}"
+        outputs.append(out)
+
+    ranks = {tuple(m): i for i, m in enumerate(_BPE_MERGES)}
+
+    def chained(word: str, passes: int = 2) -> list[str]:
+        s = " " + " ".join(word) + " "
+        for x, y in _BPE_MERGES:
+            pat, rep = f" {x} {y} ", f" {x}{y} "
+            for _ in range(passes):
+                s = s.replace(pat, rep)
+        return s.split()
+
+    texts = [r.text for r in
+             table(spark, sf_dir, "documents").select("text").collect()]
+    vocab = set()
+    for t in texts:
+        vocab.update(re.findall(r"\w+|[^\w\s]", t))
+    assert vocab
+    for w in sorted(vocab):
+        assert _bpe_word(w, ranks, {}) == chained(w), w
