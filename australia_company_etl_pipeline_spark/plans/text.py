@@ -449,9 +449,52 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_SUFFIX = "@example.com or call 0412 345 678 abn 51 824 753 556 end"
 
 
+# kind='mixture' recipe: weights/budget for the lang strata; zh carries
+# no weight → exercises unknown='drop'. Target token/row counts are
+# computed HERE with the same float arithmetic mixture_sample uses
+# (sum in dict order, one division, one multiply) and inlined into the
+# oracle as repr-precision literals, so the SQL fraction
+# least(1, target/avail) is bit-identical to the operator's.
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+_MIX_BUDGET = 300
+
+
+def _mixture_sql() -> str:
+    """DuckDB twin of ``mixture_sample(..., hash_fn='md5')``'s report:
+    per-stratum availability (one aggregate), fraction
+    least(1, target/avail), and the kept count under the SAME
+    engine-portable md5 bucket rule ``sample_bucket`` documents.
+    ``floor(frac*1e6)`` mirrors Spark's double→long cast (truncation);
+    DuckDB's bare CAST would round."""
+    tot = sum(_MIX_WEIGHTS.values())
+    targets = {s: (w / tot) * _MIX_BUDGET for s, w in _MIX_WEIGHTS.items()}
+    vals = ", ".join(f"('{s}', {t!r})" for s, t in targets.items())
+    return f"""
+mix_strata AS (SELECT * FROM (VALUES {vals}) AS t(stratum, target)),
+mix_av AS (SELECT lang AS stratum, CAST(count(*) AS DOUBLE) AS avail
+           FROM documents GROUP BY 1),
+mix_fr AS (SELECT s.stratum, coalesce(a.avail, 0.0) AS avail,
+                  CASE WHEN coalesce(a.avail, 0.0) <= 0 THEN 1.0
+                       ELSE least(1.0, s.target / a.avail) END AS frac
+           FROM mix_strata s LEFT JOIN mix_av a ON s.stratum = a.stratum),
+mix_kept AS (SELECT d.lang AS stratum, count(*) AS kept
+             FROM documents d JOIN mix_fr f ON d.lang = f.stratum
+             WHERE CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                       CAST(d.doc_id AS VARCHAR), d.lang, '42')), 1, 8))
+                    AS BIGINT) % 1000000
+                   < CAST(floor(f.frac * 1000000) AS BIGINT)
+             GROUP BY 1)"""
+
+
 @register(
     "corpus_filter_stats",
-    doc="Corpus observability rollups, kind-tagged (r4: + PII audit). "
+    doc="Corpus observability rollups, kind-tagged (r4: + PII audit; "
+        "r5: + mixture report). kind='mixture': the mixture_sample "
+        "report over the lang strata (en/de/fr/es weighted 5:2:2:1, "
+        "budget 300 rows, zh unweighted → dropped) — key=stratum, "
+        "n_docs=available, n_hits=kept — value-checking the "
+        "superset-stable md5 sampling rule and the availability "
+        "aggregate end-to-end. "
         "kind='filter': one-pass quality gate drop-reason counts — every "
         "doc gets its FIRST failing rule (empty / too_short / too_long / "
         "punct_heavy / low_quality / lang; 'kept' otherwise, allowed "
@@ -470,7 +513,8 @@ planted AS (
   UNION ALL
   SELECT concat('ping user', CAST(doc_id AS VARCHAR), '{_PII_SUFFIX}')
   FROM documents WHERE doc_id % 3 = 0
-)
+),
+{_mixture_sql().lstrip()}
 SELECT 'filter' AS kind,
        CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
             WHEN n_tokens < 10 THEN 'too_short'
@@ -494,6 +538,11 @@ FROM planted CROSS JOIN (
     ('phone', '(?:\\+61[ ]?|\\(0\\d\\)[ ]?|0)\\d(?:[ \\-]?\\d){{7,8}}\\b')
   ) AS t(key, pat)) k
 GROUP BY 2
+UNION ALL
+SELECT 'mixture' AS kind, f.stratum AS key,
+       CAST(f.avail AS BIGINT) AS n_docs,
+       coalesce(k.kept, 0) AS n_hits
+FROM mix_fr f LEFT JOIN mix_kept k ON f.stratum = k.stratum
 """,
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,4 +560,10 @@ def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pii = (ts.pii_stats(corpus, "text")
            .select(F.lit("pii").alias("kind"), F.col("kind").alias("key"),
                    "n_docs", "n_hits"))
-    return filt.unionByName(pii)
+    _, report = ts.mixture_sample(d, "lang", _MIX_WEIGHTS, "doc_id",
+                                  budget=_MIX_BUDGET, hash_fn="md5")
+    mix = report.select(F.lit("mixture").alias("kind"),
+                        F.col("stratum").alias("key"),
+                        F.col("available").cast("long").alias("n_docs"),
+                        F.col("kept").cast("long").alias("n_hits"))
+    return filt.unionByName(pii).unionByName(mix)
