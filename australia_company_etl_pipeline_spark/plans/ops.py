@@ -196,6 +196,28 @@ WITH m AS (
          CAST(max(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS DOUBLE)
            AS sd_max_s
   FROM lineitem
+), m2 AS (
+  -- the 'new snapshot' of the drift monitor: lineitem with
+  -- l_quantity <= 25 (a simulated feed change), profiled with the
+  -- SAME exact-mode expressions as m so old-side values are
+  -- bit-identical to the base profile
+  SELECT round(avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS q2_null_rate,
+         round(avg(CASE WHEN l_quantity IS NOT NULL
+                        AND isnan(CAST(l_quantity AS DOUBLE))
+                   THEN 1.0 ELSE 0.0 END), 6) AS q2_nan_rate,
+         round(avg(CASE WHEN l_quantity IS NOT NULL
+                        AND isinf(CAST(l_quantity AS DOUBLE))
+                   THEN 1.0 ELSE 0.0 END), 6) AS q2_inf_rate,
+         CAST(COUNT(DISTINCT l_quantity) AS DOUBLE) AS q2_n_distinct,
+         CAST(min(l_quantity) AS DOUBLE) AS q2_min,
+         CAST(max(l_quantity) AS DOUBLE) AS q2_max,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(l_quantity), 6) AS q2_mean,
+         round(quantile_cont(l_quantity, 0.25), 6) AS q2_p25,
+         round(quantile_cont(l_quantity, 0.5), 6) AS q2_p50,
+         round(quantile_cont(l_quantity, 0.75), 6) AS q2_p75
+  FROM lineitem WHERE l_quantity <= 25
 ), tv AS (
   SELECT column_name, value, n,
          row_number() OVER (PARTITION BY column_name
@@ -259,12 +281,80 @@ FROM (
   FROM tv WHERE rank <= 3
   UNION ALL
   SELECT 'l_quantity.hist' || bin, CAST(n AS DOUBLE) FROM hist
+  UNION ALL
+  -- profile_drift rows: abs_change = new - old (unrounded diff of the
+  -- two round-6 profile values); rel_change = abs/|old| rounded 6,
+  -- NULL when old = 0 — the operator's exact arithmetic
+  SELECT 'drift.' || name || '.abs', nv - ov FROM (
+    SELECT * FROM (VALUES
+      ('l_quantity.null_rate'),('l_quantity.nan_rate'),
+      ('l_quantity.inf_rate'),('l_quantity.n_distinct'),
+      ('l_quantity.min'),('l_quantity.max'),('l_quantity.mean'),
+      ('l_quantity.p25'),('l_quantity.p50'),('l_quantity.p75')
+    ) AS t(name),
+    m, m2,
+    LATERAL (SELECT CASE name
+        WHEN 'l_quantity.null_rate' THEN q_null_rate
+        WHEN 'l_quantity.nan_rate' THEN q_nan_rate
+        WHEN 'l_quantity.inf_rate' THEN q_inf_rate
+        WHEN 'l_quantity.n_distinct' THEN q_n_distinct
+        WHEN 'l_quantity.min' THEN q_min
+        WHEN 'l_quantity.max' THEN q_max
+        WHEN 'l_quantity.mean' THEN q_mean
+        WHEN 'l_quantity.p25' THEN q_p25
+        WHEN 'l_quantity.p50' THEN q_p50
+        WHEN 'l_quantity.p75' THEN q_p75 END AS ov,
+      CASE name
+        WHEN 'l_quantity.null_rate' THEN q2_null_rate
+        WHEN 'l_quantity.nan_rate' THEN q2_nan_rate
+        WHEN 'l_quantity.inf_rate' THEN q2_inf_rate
+        WHEN 'l_quantity.n_distinct' THEN q2_n_distinct
+        WHEN 'l_quantity.min' THEN q2_min
+        WHEN 'l_quantity.max' THEN q2_max
+        WHEN 'l_quantity.mean' THEN q2_mean
+        WHEN 'l_quantity.p25' THEN q2_p25
+        WHEN 'l_quantity.p50' THEN q2_p50
+        WHEN 'l_quantity.p75' THEN q2_p75 END AS nv) x
+  )
+  UNION ALL
+  SELECT 'drift.' || name || '.rel',
+         CASE WHEN ov != 0 THEN round((nv - ov) / abs(ov), 6) END FROM (
+    SELECT * FROM (VALUES
+      ('l_quantity.null_rate'),('l_quantity.nan_rate'),
+      ('l_quantity.inf_rate'),('l_quantity.n_distinct'),
+      ('l_quantity.min'),('l_quantity.max'),('l_quantity.mean'),
+      ('l_quantity.p25'),('l_quantity.p50'),('l_quantity.p75')
+    ) AS t(name),
+    m, m2,
+    LATERAL (SELECT CASE name
+        WHEN 'l_quantity.null_rate' THEN q_null_rate
+        WHEN 'l_quantity.nan_rate' THEN q_nan_rate
+        WHEN 'l_quantity.inf_rate' THEN q_inf_rate
+        WHEN 'l_quantity.n_distinct' THEN q_n_distinct
+        WHEN 'l_quantity.min' THEN q_min
+        WHEN 'l_quantity.max' THEN q_max
+        WHEN 'l_quantity.mean' THEN q_mean
+        WHEN 'l_quantity.p25' THEN q_p25
+        WHEN 'l_quantity.p50' THEN q_p50
+        WHEN 'l_quantity.p75' THEN q_p75 END AS ov,
+      CASE name
+        WHEN 'l_quantity.null_rate' THEN q2_null_rate
+        WHEN 'l_quantity.nan_rate' THEN q2_nan_rate
+        WHEN 'l_quantity.inf_rate' THEN q2_inf_rate
+        WHEN 'l_quantity.n_distinct' THEN q2_n_distinct
+        WHEN 'l_quantity.min' THEN q2_min
+        WHEN 'l_quantity.max' THEN q2_max
+        WHEN 'l_quantity.mean' THEN q2_mean
+        WHEN 'l_quantity.p25' THEN q2_p25
+        WHEN 'l_quantity.p50' THEN q2_p50
+        WHEN 'l_quantity.p75' THEN q2_p75 END AS nv) x
+  )
 )
 """,
 )
 def dq_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.profile import (histogram, profile_metrics,
-                                     top_values)
+    from ..operators.profile import (histogram, profile_drift,
+                                     profile_metrics, top_values)
 
     li = table(spark, sf_dir, "lineitem")
     metrics = {
@@ -292,4 +382,22 @@ def dq_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("bin").cast("string"))
                     .alias("metric_name"),
                     F.col("n").cast("double").alias("metric_value")))
-    return base.unionByName(tops).unionByName(hist)
+    # drift monitor fold (r5): l_quantity's profile drift between the
+    # table and a simulated feed change (qty <= 25) — one extra
+    # single-aggregate scan for the 'new' side, 20 long-contract rows
+    drift = profile_drift(li, li.filter(F.col("l_quantity") <= 25),
+                          cols=["l_quantity"], table_name="lineitem")
+    dcommon = [F.lit(None).cast("string").alias("run_id"),
+               F.col("table_name")]
+    dabs = drift.select(
+        *dcommon,
+        F.concat(F.lit("drift."), F.col("metric_name"), F.lit(".abs"))
+        .alias("metric_name"),
+        F.col("abs_change").alias("metric_value"))
+    drel = drift.select(
+        *dcommon,
+        F.concat(F.lit("drift."), F.col("metric_name"), F.lit(".rel"))
+        .alias("metric_name"),
+        F.col("rel_change").alias("metric_value"))
+    return (base.unionByName(tops).unionByName(hist)
+            .unionByName(dabs).unionByName(drel))
