@@ -485,3 +485,73 @@ def test_ensure_min_partitions_column_name_no_false_positive(spark):
     assert ensure_min_partitions(mem, target=4).rdd.getNumPartitions() == 4
     agged = mem.groupBy("JoinDate").count()
     assert _plan_has_shuffle_op(agged)  # real Aggregate still detected
+
+
+def test_jsonl_read_stats_and_roundtrip(spark, tmp_path):
+    """JSONL corpus source: explicit-schema PERMISSIVE read preserves
+    broken lines in the corrupt column (nothing vanishes), the scan
+    audit counts them, and a sharded gzip round-trip restores the clean
+    rows exactly — including omitted-NULL fields."""
+    import gzip
+    import json
+
+    from australia_company_etl_pipeline_spark.sources import jsonl
+
+    good = [{"doc_id": 1, "lang": "en", "text": "alpha beta"},
+            {"doc_id": 2, "lang": None, "text": "gamma"},   # NULL field
+            {"doc_id": 3, "lang": "de", "text": "delta"}]
+    lines = [json.dumps(g) for g in good]
+    lines.insert(1, '{"doc_id": 4, "lang": "en", "text": "trunca')  # broken
+    lines.insert(3, '{"doc_id": "not-a-number", "lang": "en", '
+                    '"text": "type drift"}')                        # drift
+    p = tmp_path / "shard-00000.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    # a second, gzipped shard — the common release layout
+    pz = tmp_path / "shard-00001.jsonl.gz"
+    with gzip.open(pz, "wt") as f:
+        f.write(json.dumps({"doc_id": 9, "lang": "zh",
+                            "text": "epsilon"}) + "\n")
+
+    raw = jsonl.read_jsonl(spark, str(tmp_path))
+    stats = jsonl.jsonl_scan_stats(raw).head()
+    assert stats.n_lines == 6
+    assert stats.n_corrupt == 2      # broken JSON + long-field type drift
+    clean = jsonl.valid_rows(raw)
+    got = {r.doc_id: (r.lang, r.text) for r in clean.collect()}
+    assert got == {1: ("en", "alpha beta"), 2: (None, "gamma"),
+                   3: ("de", "delta"), 9: ("zh", "epsilon")}
+
+    out = tmp_path / "release"
+    jsonl.write_jsonl(clean, str(out))
+    back = jsonl.valid_rows(jsonl.read_jsonl(spark, str(out)))
+    assert {r.doc_id: (r.lang, r.text) for r in back.collect()} == got
+    stats2 = jsonl.jsonl_scan_stats(jsonl.read_jsonl(spark, str(out))).head()
+    assert stats2.n_corrupt == 0 and stats2.corrupt_rate == 0.0
+
+
+def test_jsonl_schema_collision_and_explicit_schema(spark, tmp_path):
+    """corrupt_col colliding with a schema field must fail loudly, and a
+    caller-supplied schema (extra meta field) drives the parser."""
+    import json
+
+    import pytest
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from australia_company_etl_pipeline_spark.sources import jsonl
+
+    with pytest.raises(ValueError, match="collides"):
+        jsonl.read_jsonl(spark, str(tmp_path),
+                         schema=StructType([
+                             StructField("_corrupt_record", StringType())]))
+
+    p = tmp_path / "meta.jsonl"
+    p.write_text(json.dumps({"doc_id": 7, "url": "https://example.com/x",
+                             "text": "zeta"}) + "\n")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("url", StringType()),
+                         StructField("text", StringType())])
+    row = jsonl.valid_rows(jsonl.read_jsonl(spark, str(p),
+                                            schema=schema)).head()
+    assert (row.doc_id, row.url, row.text) == (
+        7, "https://example.com/x", "zeta")
