@@ -132,12 +132,15 @@ def test_pack_docs_single_window_pass(spark, sf_dir):
     """Sequence packing is ONE running-total window over the shard key:
     exactly one exchange (hash partitioning on lang), one Window, no
     join, no global single-partition sort. The r4 chunk branch adds a
-    second scan but must stay shuffle-free."""
+    second scan but must stay shuffle-free; the r5 bpe branch adds a
+    third scan and exactly ONE Arrow crossing (the greedy-merge
+    pandas_udf), also shuffle-free."""
     plan = _plan(plans.REGISTRY["pack_docs"].builder(spark, sf_dir))
     counts = _node_counts(plan)
     assert counts["Window"] == 1, counts
     assert counts["Exchange"] == 1, counts
-    assert counts["Scan"] == 2, counts
+    assert counts["Scan"] == 3, counts
+    assert counts["ArrowEvalPython"] == 1, counts
     assert "SinglePartition" not in plan, "global-order funnel"
 
 
