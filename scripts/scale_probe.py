@@ -1,0 +1,93 @@
+"""Empirical scale probes for the claims README makes.
+
+Each probe replicates the sf0.1 corpus N× and times the operator at
+1×/2×/4× so the growth CURVE (not the absolute number) shows whether
+the plan scales the way its docstring claims:
+
+- incremental_dedup: per-batch ingest time vs accumulated history size.
+  The claim is O(batch): batch k joins against a k×-larger index, but
+  only through the bucketed candidate join — times should stay near
+  flat, not grow with history.
+- ivf_index_topk: probe latency vs corpus size. The claim is that a
+  probe reads only the probed inverted-list partitions — latency should
+  track the probed lists' size (≈corpus/16 per list), far below a full
+  scan's growth.
+
+Usage: python scripts/scale_probe.py [sf_dir]   (default sf0.1)
+Prints one line per measurement; wall-clock on local[32], so treat ±30%
+as noise and read the trend.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.getcwd())
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from australia_company_etl_pipeline_spark.catalog import table  # noqa: E402
+from australia_company_etl_pipeline_spark.operators import ann  # noqa: E402
+from australia_company_etl_pipeline_spark.operators import (  # noqa: E402
+    dedup as dd)
+from australia_company_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark("scale-probe",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    force(docs)  # warm scan + JVM
+
+    # --- incremental_dedup: flat per-batch cost as history grows ------
+    with tempfile.TemporaryDirectory() as idx:
+        for k in range(4):
+            batch = docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"), "text")
+            t = time.time()
+            kept = dd.incremental_dedup(batch, idx, "text", "doc_id")
+            n = kept.count()
+            dd.unpersist_shingles()
+            hist = (k + 1) * docs.count()
+            print(f"incremental_dedup batch={k} kept={n} "
+                  f"history_rows={hist} sec={time.time() - t:.2f}")
+
+    # --- ivf_index_topk: probe latency vs corpus replication ----------
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    for mult in (1, 2, 4):
+        corpus = emb
+        m, off = mult, 10_000_000
+        while m > 1:
+            corpus = corpus.unionByName(
+                emb.select((F.col("vec_id") + off).alias("vec_id"),
+                           "embedding"))
+            off += 10_000_000
+            m -= 1
+        with tempfile.TemporaryDirectory() as path:
+            idx_path = os.path.join(path, "ivf")
+            t = time.time()
+            ann.build_ivf_index(corpus, idx_path, n_centroids=16,
+                                kmeans_iter=3)
+            build = time.time() - t
+            t = time.time()
+            force(ann.ivf_index_topk(spark, idx_path, queries, k=10,
+                                     n_probe=4))
+            print(f"ivf mult={mult} rows={corpus.count()} "
+                  f"build_sec={build:.2f} probe_sec={time.time() - t:.2f}")
+
+
+if __name__ == "__main__":
+    main()
