@@ -290,3 +290,67 @@ def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(partition_col)
      .parquet(path))
+
+
+def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
+                    partition_col: str | None = None,
+                    sort_col: str | None = None) -> dict[str, int]:
+    """Small-file compaction — the maintenance op every streaming sink
+    needs: ``foreachBatch`` / dynamic-overwrite writers emit one-or-more
+    files per trigger per partition, and a month of 30-second triggers
+    turns a table into millions of KB-sized files whose open/footer
+    overhead dominates every scan.
+
+    Rewrites the table with ``ceil(bytes / target_bytes)`` files (per
+    partition directory when ``partition_col`` is given — the layout and
+    dynamic-overwrite semantics of ``upsert_parquet_partitioned`` are
+    preserved), optionally sorted within files on ``sort_col`` to
+    restore parquet min/max pruning that interleaved trigger writes
+    destroy. The rewrite lands in a sibling temp directory and swaps in
+    via atomic renames (``session.replace_dir``) — a crash mid-compact
+    leaves the original table untouched, never a truncated one.
+
+    Returns ``{'files_before': n, 'files_after': m, 'bytes': b}``.
+    Row-identical by construction (no dedup, no filter — pair with
+    ``compact_dedup_index`` for stores that also accumulate replay
+    duplicates). Scale: one read + one write of the table; run it
+    off-peak, per-partition-subset at very large sizes.
+    """
+    import math
+
+    from ..session import replace_dir
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    total = fs.getContentSummary(hpath(path)).getLength()
+
+    def data_files() -> int:
+        # count data files (Hadoop RemoteIterator: manual draining)
+        it, n = fs.listFiles(hpath(path), True), 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
+
+    files_before = data_files()
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(total / target_bytes))
+    tmp = f"{path}.__compact_tmp"
+    if partition_col is not None:
+        # spread within each partition; partitionBy re-splits directories
+        out = df.repartition(n_files, F.col(partition_col))
+        if sort_col:
+            out = out.sortWithinPartitions(partition_col, sort_col)
+        (out.write.mode("overwrite").partitionBy(partition_col)
+         .parquet(tmp))
+    else:
+        out = (df.repartitionByRange(n_files, F.col(sort_col))
+               .sortWithinPartitions(sort_col)
+               if sort_col else df.repartition(n_files))
+        out.write.mode("overwrite").parquet(tmp)
+    replace_dir(spark, tmp, path)
+    return {"files_before": files_before, "files_after": data_files(),
+            "bytes": int(total)}

@@ -555,3 +555,37 @@ def test_jsonl_schema_collision_and_explicit_schema(spark, tmp_path):
                                             schema=schema)).head()
     assert (row.doc_id, row.url, row.text) == (
         7, "https://example.com/x", "zeta")
+
+
+def test_compact_parquet_flat_and_partitioned(spark, tmp_path):
+    """Small-file compaction: row-identical rewrite with far fewer
+    files, atomic swap (no temp/backup dirs left), partition layout
+    preserved when partitioned."""
+    from australia_company_etl_pipeline_spark.sources import sinks
+
+    flat = str(tmp_path / "flat")
+    (spark.range(0, 2000)
+     .select(F.col("id"), (F.col("id") % 7).alias("v"))
+     .write.option("maxRecordsPerFile", 50).parquet(flat))
+    stats = sinks.compact_parquet(spark, flat, sort_col="id")
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(flat)
+    assert back.count() == 2000
+    assert back.agg(F.sum("id")).head()[0] == sum(range(2000))
+    import os
+    assert not os.path.exists(flat + ".__compact_tmp")
+    assert not os.path.exists(flat + ".__old")
+
+    part = str(tmp_path / "part")
+    (spark.range(0, 1000)
+     .select(F.col("id"), (F.col("id") % 4).alias("p"))
+     .write.option("maxRecordsPerFile", 20).partitionBy("p").parquet(part))
+    stats = sinks.compact_parquet(spark, part, partition_col="p",
+                                  sort_col="id")
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(part)
+    assert back.count() == 1000
+    # partition directories preserved → partition pruning still works
+    assert {"p=0", "p=1", "p=2", "p=3"} <= set(os.listdir(part))
+    assert back.filter(F.col("p") == 2).count() == 250
