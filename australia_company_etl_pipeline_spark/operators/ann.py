@@ -512,9 +512,15 @@ def build_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
     wrong neighbors; with the swap, readers see the complete old index
     until the complete new one exists.
     """
+    import os
+
     from ..session import replace_dir
 
-    tmp = f"{path}.__build_tmp"
+    # pid-suffixed build dir: two concurrent build-if-missing callers
+    # (e.g. parallel queries racing to warm a shared index cache) then
+    # never write into each other's half-built tree; both swaps complete
+    # and the deterministic build makes last-wins harmless
+    tmp = f"{path}.__build_tmp.{os.getpid()}"
     centroids = kmeans_centroids(corpus, n_centroids, kmeans_iter,
                                  id_col, vec_col, seed, checkpoint)
     best = _best_centroid(cosine(F.col(vec_col), F.col("centroid_vec")))

@@ -70,3 +70,51 @@ def stream_dedup_ingest(stream: DataFrame, out_path: str, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_embed_index(stream: DataFrame, index_path: str,
+                       checkpoint_dir: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       dim: int = 64, seed: int = 42,
+                       n_centroids: int = 16, kmeans_iter: int = 3,
+                       available_now: bool = True):
+    """Continuously embed arriving documents and grow a searchable IVF
+    index — the streaming composition of ``embed.embed_documents`` and
+    ``ann.append_to_ivf_index``: each micro-batch's texts become hashed
+    embeddings (pure codegen, no model service) and land in the
+    persisted inverted lists, so ``ann.ivf_index_topk`` answers over
+    everything ingested so far the moment the trigger commits.
+
+    Delivery contract: a crashed trigger replays its batch, and
+    ``append_to_ivf_index``'s id anti-join makes the re-append a no-op —
+    exactly-once index contents over at-least-once triggers, no batch-id
+    partitioning needed (ids are the idempotence key). The FIRST batch
+    bootstraps the index (trains centroids on itself via
+    ``build_ivf_index``); later batches assign against those frozen
+    centroids. As drift accumulates, rebuild offline with
+    ``build_ivf_index`` over the full corpus — its atomic-rename swap
+    means probes never see a half-rebuilt index even while this stream
+    keeps appending. Vector ids (``id_col``) must be globally unique
+    across the stream.
+    """
+    import os
+
+    from ..operators import ann
+    from ..operators.embed import embed_documents
+
+    def embed_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = embed_documents(batch_df, text_col, out_col="embedding",
+                               dim=dim, seed=seed) \
+            .select(F.col(id_col).alias("vec_id"), "embedding")
+        if not os.path.exists(os.path.join(index_path, "centroids")):
+            ann.build_ivf_index(vecs, index_path,
+                                n_centroids=n_centroids,
+                                kmeans_iter=kmeans_iter, seed=seed)
+        else:
+            ann.append_to_ivf_index(vecs, index_path)
+
+    writer = (stream.writeStream.foreachBatch(embed_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -261,3 +261,56 @@ def test_stream_dedup_ingest_cross_batch(spark, tmp_path):
     # the index grew by ALL batch rows (dropped docs still index)
     idx = spark.read.parquet(f"{index}/shingles")
     assert idx.select("doc_id").distinct().count() == 20
+
+
+def test_stream_embed_index_grows_searchable_index(spark, tmp_path):
+    """Streaming embed→index ingest: after two triggers the persisted
+    IVF index must answer top-k over BOTH batches' documents, identical
+    to a one-shot index built over the union (same seed, frozen
+    centroids from the first batch trained on batch 1 only — so parity
+    is against build-on-b1 + append-b2), and a replayed append must not
+    duplicate rows."""
+    import time
+
+    from australia_company_etl_pipeline_spark.operators import ann
+    from australia_company_etl_pipeline_spark.operators.embed import (
+        embed_documents)
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        read_documents_stream, stream_embed_index)
+
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "ivf")
+    ck = str(tmp_path / "ck")
+
+    def doc(i):
+        return (i, f"document {i} about topic{i % 5} with words w{i} x{i}")
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([doc(i) for i in range(12)], schema)
+    b2 = spark.createDataFrame([doc(i) for i in range(12, 20)], schema)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_embed_index(stream, index, ck, dim=32, n_centroids=4)
+    q.awaitTermination(180)
+
+    lists = spark.read.parquet(f"{index}/lists")
+    assert lists.count() == 20
+    assert lists.select("vec_id").distinct().count() == 20
+
+    # searchable: a query for doc 15's own embedding finds doc 15 first
+    qv = (embed_documents(b2.filter(F.col("doc_id") == 15), "text",
+                          dim=32)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    top = ann.ivf_index_topk(spark, index, qv, k=3, n_probe=4).collect()
+    assert top and top[0].vec_id == 15 and top[0].cosine_sim == 1.0
+
+    # replayed trigger (manual re-append of batch 2) is a no-op
+    vecs2 = (embed_documents(b2, "text", dim=32)
+             .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    ann.append_to_ivf_index(vecs2, index)
+    assert spark.read.parquet(f"{index}/lists").count() == 20
