@@ -294,21 +294,27 @@ def upsert_parquet_partitioned(spark, path: str, updates: DataFrame,
 
 def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
                     partition_col: str | None = None,
-                    sort_col: str | None = None) -> dict[str, int]:
+                    sort_col: str | None = None,
+                    max_records_per_file: int | None = None
+                    ) -> dict[str, int]:
     """Small-file compaction — the maintenance op every streaming sink
     needs: ``foreachBatch`` / dynamic-overwrite writers emit one-or-more
     files per trigger per partition, and a month of 30-second triggers
     turns a table into millions of KB-sized files whose open/footer
     overhead dominates every scan.
 
-    Rewrites the table with ``ceil(bytes / target_bytes)`` files (per
-    partition directory when ``partition_col`` is given — the layout and
-    dynamic-overwrite semantics of ``upsert_parquet_partitioned`` are
-    preserved), optionally sorted within files on ``sort_col`` to
-    restore parquet min/max pruning that interleaved trigger writes
-    destroy. The rewrite lands in a sibling temp directory and swaps in
-    via atomic renames (``session.replace_dir``) — a crash mid-compact
-    leaves the original table untouched, never a truncated one.
+    Flat tables rewrite to ``ceil(bytes / target_bytes)`` files.
+    Partitioned tables (``partition_col`` given) keep the hive layout
+    and dynamic-overwrite semantics of ``upsert_parquet_partitioned``
+    and collapse each partition directory to ONE file — the right shape
+    for trigger-accumulated small files; cap oversized partitions with
+    ``max_records_per_file`` (bytes-per-partition isn't knowable
+    without a second listing pass, so the cap is row-based). Optionally
+    sorted within files on ``sort_col`` to restore parquet min/max
+    pruning that interleaved trigger writes destroy. The rewrite lands
+    in a sibling temp directory and swaps in via atomic renames
+    (``session.replace_dir``) — a crash mid-compact leaves the original
+    table untouched, never a truncated one.
 
     Returns ``{'files_before': n, 'files_after': m, 'bytes': b}``.
     Row-identical by construction (no dedup, no filter — pair with
@@ -340,17 +346,24 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
     n_files = max(1, math.ceil(total / target_bytes))
     tmp = f"{path}.__compact_tmp"
     if partition_col is not None:
-        # spread within each partition; partitionBy re-splits directories
-        out = df.repartition(n_files, F.col(partition_col))
+        # one task (→ one file) per partition value; partitionBy
+        # re-splits the directories, maxRecordsPerFile caps oversized
+        # partitions without another shuffle
+        out = df.repartition(F.col(partition_col))
         if sort_col:
             out = out.sortWithinPartitions(partition_col, sort_col)
-        (out.write.mode("overwrite").partitionBy(partition_col)
-         .parquet(tmp))
+        w = out.write.mode("overwrite").partitionBy(partition_col)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(tmp)
     else:
         out = (df.repartitionByRange(n_files, F.col(sort_col))
                .sortWithinPartitions(sort_col)
                if sort_col else df.repartition(n_files))
-        out.write.mode("overwrite").parquet(tmp)
+        w = out.write.mode("overwrite")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(tmp)
     replace_dir(spark, tmp, path)
     return {"files_before": files_before, "files_after": data_files(),
             "bytes": int(total)}
