@@ -46,7 +46,12 @@ def fnv1a32(s: Column, seed: int = 0) -> Column:
     """FNV-1a 32-bit over the string's code points, with ``seed``
     XOR-folded into the offset basis. Portable: the same fold in any
     engine with a list-reduce (DuckDB twin in ``plans/dedup.py``)
-    produces bit-identical values for codepoint-per-char strings."""
+    produces bit-identical values for BMP text — verified for ASCII and
+    non-ASCII BMP code points (é=233, 日=26085 in both engines).
+    Boundary: astral-plane characters (emoji, U+10000+) split into
+    UTF-16 surrogate pairs under Spark's ``split`` but single code
+    points under DuckDB, so cross-engine parity ends at the BMP; the
+    hash itself stays deterministic per engine either way."""
     chars = F.filter(F.split(s, ""), lambda c: c != "")
     return F.aggregate(
         chars, F.lit((FNV_BASIS ^ seed) % _U32).cast("long"),
