@@ -263,7 +263,14 @@ def token_frame(df: DataFrame, text_col: str, id_col: str,
     ``simhash_table(tokens_df=)``: each family then reads the cached
     arrays instead of re-scanning the source and re-splitting the text.
     Persisted (memory-and-disk) and tracked for
-    ``unpersist_shingles()`` unless ``persist=False``."""
+    ``unpersist_shingles()`` unless ``persist=False``.
+
+    Recompute-vs-cache: worth it when the SCAN is expensive (remote
+    object store, wide rows you'd prune). On a cheap local scan the
+    cache can LOSE — measured at sf0.1, serializing the token arrays
+    cost more than the nearly-free codegen re-split it saved (the
+    registered ``hashed_dup_pairs`` keeps per-family splits for exactly
+    this reason). Measure on your storage before adopting."""
     from pyspark import StorageLevel
 
     tf = df.select(F.col(id_col),

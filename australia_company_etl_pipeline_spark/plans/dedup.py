@@ -223,19 +223,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    # ONE tokenization pass feeds ALL THREE families: the minhash /
-    # cross-corpus shingles derive from the staged token arrays, and
-    # simhash explodes the same arrays instead of re-scanning the
-    # source and re-splitting the text
-    toks = dd.token_frame(corpus, "text", "doc_id")
-    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3,
-                                tokens_df=toks)
+    # ONE shingle pass feeds both shingle-based families (minhash +
+    # cross-corpus). Simhash deliberately re-splits from the source
+    # instead of sharing a persisted token_frame: measured at sf0.1,
+    # caching the token arrays costs ~2.3s of serialize/deserialize to
+    # save a split that is nearly-free map-side codegen on a scan the
+    # family pays anyway (bench regressed 6.9s -> 8.1s with the shared
+    # cache). token_frame(tokens_df=) remains the right call when the
+    # SCAN is the expensive part (remote object store, wide rows) —
+    # recompute-vs-cache flips with scan cost, not corpus size.
+    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
     mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
                                num_hashes=32, bands=8, shingles=shingles)
           .select(F.lit("minhash").alias("method"), "id_a", "id_b",
                   F.col("jaccard").alias("score")))
-    sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8,
-                               tokens_df=toks)
+    sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
           .select(F.lit("simhash").alias("method"), "id_a", "id_b",
                   F.col("hamming").cast("double").alias("score")))
     bench = (table(spark, sf_dir, "documents")
