@@ -200,9 +200,33 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
     return minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
 
 
+#: Universal-hashing modulus for the portable MinHash backend — the
+#: Mersenne prime 2^31-1 keeps a*x+b inside 63 bits for any a,b,x < P.
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_lcg_params(num_hashes: int,
+                        seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) pairs for the h_k(x) = (a·x + b) mod P
+    universal hash family — same portable LCG as ``ann._planes``, so an
+    oracle engine regenerates identical constants from the seed (the
+    registered query inlines them as SQL literals)."""
+    state, out = seed, []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005
+                 + 1442695040888963407) % (1 << 64)
+        a = (state >> 33) % (MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005
+                 + 1442695040888963407) % (1 << 64)
+        b = (state >> 33) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_candidates_from_shingles(sh: DataFrame, id_col: str,
                                      num_hashes: int = 64,
-                                     bands: int = 16) -> DataFrame:
+                                     bands: int = 16,
+                                     hash_fn: str = "native") -> DataFrame:
     """LSH candidates from a pre-shingled frame ``(id_col, __sh)``.
 
     The scale path: explode to (band, band_hash) buckets, self-join buckets
@@ -216,8 +240,15 @@ def minhash_candidates_from_shingles(sh: DataFrame, id_col: str,
     elimination; the flat form measured ~2× faster at sf0.1). The shuffle
     carries one row per (id, shingle), reduced to one row per id by the
     partial min.
+
+    ``hash_fn``: ``'native'`` (default, xxhash64 + murmur3 — fastest)
+    or ``'portable'`` (FNV-1a shingle hash + (a·x+b) mod P universal
+    family + polynomial band fold, every constant regenerable from the
+    seed in any SQL engine — how the driver oracle value-checks the
+    whole signature→banding→bucket-join pipeline; see
+    ``plans/dedup.py``). Same plan shape either way.
     """
-    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands)
+    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands, hash_fn)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
@@ -227,28 +258,59 @@ def minhash_candidates_from_shingles(sh: DataFrame, id_col: str,
             .distinct())
 
 
+def _band_fold(cols: list, p: int = MINHASH_P):
+    """Polynomial fold of signature columns into one band hash —
+    acc = (acc·31 + s) mod p from acc=17 — expressible identically in
+    any SQL engine (the portable alternative to murmur3-of-concat)."""
+    acc = F.lit(17).cast("long")
+    for c in cols:
+        acc = F.pmod(acc * F.lit(31) + c, F.lit(p))
+    return acc
+
+
 def _minhash_buckets(sh: DataFrame, id_col: str, extra_cols: list[str],
-                     num_hashes: int, bands: int) -> DataFrame:
+                     num_hashes: int, bands: int,
+                     hash_fn: str = "native") -> DataFrame:
     """Pre-shingled ``(id_col, *extra_cols, __sh)`` → LSH band buckets
     ``(id_col, *extra_cols, band, bh)`` via the explode-aggregate
-    signature build described in ``minhash_candidates_from_shingles``."""
+    signature build described in ``minhash_candidates_from_shingles``
+    (which also documents the ``hash_fn`` backends — same plan shape,
+    different hash expressions)."""
     rows_per_band = num_hashes // bands
     keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
     exploded = sh.select(*keep, F.explode("__sh").alias("__g"))
-    hashed = exploded.select(*keep, F.xxhash64("__g").alias("__h"))
-    sig = hashed.groupBy(id_col, *extra_cols).agg(*[
-        F.min(F.hash(F.col("__h"), F.lit(s))).alias(f"__m{s}")
-        for s in range(num_hashes)
-    ])
+    if hash_fn == "native":
+        hashed = exploded.select(*keep, F.xxhash64("__g").alias("__h"))
+        sigs = [F.min(F.hash(F.col("__h"), F.lit(s))).alias(f"__m{s}")
+                for s in range(num_hashes)]
+        def band_hash(b):
+            return F.hash(F.concat_ws(",", *[
+                F.col(f"__m{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]))
+    elif hash_fn == "portable":
+        from .embed import fnv1a32
+
+        params = _minhash_lcg_params(num_hashes)
+        hashed = exploded.select(
+            *keep, F.pmod(fnv1a32(F.col("__g")),
+                          F.lit(MINHASH_P)).alias("__h"))
+        sigs = [F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
+                             F.lit(MINHASH_P))).alias(f"__m{s}")
+                for s, (a, b) in enumerate(params)]
+        def band_hash(b):
+            return _band_fold([F.col(f"__m{i}")
+                               for i in range(b * rows_per_band,
+                                              (b + 1) * rows_per_band)])
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: "
+                         "use 'native' or 'portable'")
+    sig = hashed.groupBy(id_col, *extra_cols).agg(*sigs)
     banded = sig.select(
         *keep,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.hash(F.concat_ws(",", *[
-                         F.col(f"__m{i}").cast("string")
-                         for i in range(b * rows_per_band,
-                                        (b + 1) * rows_per_band)
-                     ])).alias("bh"))
+                     band_hash(b).alias("bh"))
             for b in range(bands)
         ])).alias("bucket"))
     return banded.select(*keep, "bucket.band", "bucket.bh")
@@ -308,7 +370,8 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str,
 def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.8, num_hashes: int = 64,
                       shingle: int = 3, bands: int = 16,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      hash_fn: str = "native") -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact n-gram Jaccard.
 
     Candidates from LSH buckets; each candidate pair is then verified, so
@@ -329,7 +392,8 @@ def minhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     sh = (shingles if shingles is not None
           else shingle_frame(df, text_col, id_col, shingle))
-    cands = minhash_candidates_from_shingles(sh, id_col, num_hashes, bands)
+    cands = minhash_candidates_from_shingles(sh, id_col, num_hashes,
+                                             bands, hash_fn)
     return (cands
             .join(sh.withColumnRenamed(id_col, "id_a")
                   .withColumnRenamed("__sh", "__sh_a"), "id_a")

@@ -128,10 +128,70 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             words_per_seg=8)
 
 
+_MH_HASHES, _MH_BANDS = 16, 4
+
+
+def _portable_minhash_sql() -> str:
+    """DuckDB twin of ``minhash_dup_pairs(hash_fn='portable')`` over the
+    ``sh`` CTE: the SAME FNV-1a shingle hash, the same LCG-derived
+    (a·x+b) mod P signature minima (constants inlined as literals), the
+    same polynomial band fold, candidates = pairs sharing ANY band
+    hash, then the same exact-Jaccard verify — so the driver
+    value-checks the full MinHash LSH pipeline, not just its recall."""
+    P = dd.MINHASH_P
+    fnv = ("list_reduce(list_prepend(CAST(2166136261 AS BIGINT), "
+           "list_transform(string_split(g, ''), "
+           "c -> CAST(unicode(c) AS BIGINT))), "
+           "(hh, cc) -> ((xor(hh, cc)) * 16777619) % 4294967296)")
+    params = dd._minhash_lcg_params(_MH_HASHES)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {P}))"
+        f" AS s{k}" for k, (a, b) in enumerate(params))
+    r = _MH_HASHES // _MH_BANDS
+    band_exprs = []
+    for b in range(_MH_BANDS):
+        acc = "17"
+        for i in range(b * r, (b + 1) * r):
+            acc = f"(({acc}) * 31 + s{i}) % {P}"
+        band_exprs.append(f"({acc}) AS bh{b}")
+    bands_sql = ", ".join(band_exprs)
+    any_band = " OR ".join(f"a.bh{b} = b.bh{b}"
+                           for b in range(_MH_BANDS))
+    return f"""
+hx AS (
+  SELECT doc_id, ngrams,
+         list_transform(ngrams, g -> {fnv} % {P}) AS xs
+  FROM sh
+), mh_sig AS (
+  SELECT doc_id, ngrams, {sig_exprs} FROM hx
+), mh_band AS (
+  SELECT doc_id, ngrams, {bands_sql} FROM mh_sig
+), mh_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6)
+           AS jaccard
+  FROM mh_band a JOIN mh_band b
+    ON a.doc_id < b.doc_id AND ({any_band})
+  WHERE round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6)
+        >= 0.8
+)"""
+
+
 @register(
     "ngram_jaccard_dup_pairs",
-    doc="Exact word-trigram Jaccard near-dup pairs ≥0.8 — the correctness "
-        "baseline the MinHash+LSH scale path is verified against.",
+    doc="Near-dup pairs ≥0.8, method-tagged (r5 fold): method='exact' is "
+        "the exact word-trigram Jaccard baseline (quadratic by "
+        "construction — the correctness anchor); method='minhash' is the "
+        "MinHash+LSH pipeline itself under the PORTABLE hash backend "
+        "(FNV-1a shingle hash, LCG-seeded universal signature family, "
+        "polynomial band fold — operators/dedup.py "
+        "_minhash_buckets(hash_fn='portable')), so the driver "
+        "value-checks signature minima, banding, the bucket-join "
+        "candidate set and the Jaccard verify end-to-end. The registered "
+        "hashed_dup_pairs keeps the xxhash64 fast path (same plan "
+        "shape); its recall stays pinned against the exact rows here.",
     tags=("dedup",),
     oracle=f"""
 WITH corpus AS ({_DOCS_DUPS_SQL}),
@@ -141,21 +201,31 @@ sh AS (
                list_filter(regexp_split_to_array(lower(text), '\\s+'),
                            t -> t != '') AS toks
         FROM corpus)
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+),
+{_portable_minhash_sql().lstrip()}
+SELECT 'exact' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6)
          AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
       / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.8
+UNION ALL
+SELECT 'minhash' AS method, id_a, id_b, jaccard FROM mh_pairs
 """,
 )
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3,
-                                   threshold=0.8)
-    return pairs.select(F.col("id_a"), F.col("id_b"), "jaccard")
+    exact = (dd.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3,
+                                    threshold=0.8)
+             .select(F.lit("exact").alias("method"),
+                     F.col("id_a"), F.col("id_b"), "jaccard"))
+    mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
+                               num_hashes=_MH_HASHES, bands=_MH_BANDS,
+                               hash_fn="portable")
+          .select(F.lit("minhash").alias("method"),
+                  "id_a", "id_b", "jaccard"))
+    return exact.unionByName(mh)
 
 
 @register(

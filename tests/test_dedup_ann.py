@@ -20,7 +20,8 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     by construction; recall of planted near-dups must be high (with the
     fast 32-hash/8-band preset the registered query uses)."""
     exact = _pairs(plans.REGISTRY["ngram_jaccard_dup_pairs"]
-                   .builder(spark, sf_dir))
+                   .builder(spark, sf_dir)
+                   .filter(F.col("method") == "exact"))
     merged = plans.REGISTRY["hashed_dup_pairs"].builder(spark, sf_dir)
     lsh = _pairs(merged.filter(F.col("method") == "minhash"))
     assert lsh <= exact                       # verified pairs: no false hits
