@@ -204,6 +204,12 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
 #: Mersenne prime 2^31-1 keeps a*x+b inside 63 bits for any a,b,x < P.
 MINHASH_P = (1 << 31) - 1
 
+#: Seed offsets for the portable SimHash backend's two 32-bit FNV folds
+#: (low/high fingerprint halves). Arbitrary but FIXED — the oracle
+#: inlines them.
+SIMHASH_FNV_SEED_LO = 101
+SIMHASH_FNV_SEED_HI = 202
+
 
 def _minhash_lcg_params(num_hashes: int,
                         seed: int = 7) -> list[tuple[int, int]]:
@@ -578,7 +584,8 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_table(df: DataFrame, text_col: str, id_col: str,
                   bits: int = 64,
-                  tokens_df: DataFrame | None = None) -> DataFrame:
+                  tokens_df: DataFrame | None = None,
+                  hash_fn: str = "native") -> DataFrame:
     """Per-document SimHash fingerprints ``(id_col, __sh)`` — the
     DataFrame-level scale path.
 
@@ -593,6 +600,12 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
     (``explode_outer`` keeps them; their vote sums are NULL → no bits).
     ``tokens_df`` (a staged ``token_frame``) skips the re-scan+re-split
     when other sketch families already tokenized the corpus.
+
+    ``hash_fn``: ``'native'`` (xxhash64, default) or ``'portable'`` —
+    the 64 token-hash bits come from TWO 32-bit FNV-1a folds with
+    different seed offsets (bit i<32 from the first, else the second),
+    so an oracle engine reproduces the exact fingerprints from the same
+    constants (see ``plans/dedup.py``). Same plan shape either way.
     """
     toks = (tokens_df.select(F.col(id_col),
                              F.explode_outer("__toks").alias("__t"))
@@ -600,15 +613,35 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
             df.select(F.col(id_col),
                       F.explode_outer(tokens(F.col(text_col)))
                       .alias("__t")))
-    # xxhash64(NULL) is the seed value (42), not NULL — mask it so the
-    # explode_outer placeholder row of a tokenless doc casts no votes
-    hashed = toks.select(
-        F.col(id_col),
-        F.when(F.col("__t").isNotNull(),
-               F.xxhash64("__t")).alias("__h"))
+    if hash_fn == "native":
+        # xxhash64(NULL) is the seed value (42), not NULL — mask it so
+        # the explode_outer placeholder row of a tokenless doc casts no
+        # votes
+        hashed = toks.select(
+            F.col(id_col),
+            F.when(F.col("__t").isNotNull(),
+                   F.xxhash64("__t")).alias("__h"))
+        bit = {i: F.shiftright("__h", i).bitwiseAND(F.lit(1))
+               for i in range(bits)}
+    elif hash_fn == "portable":
+        from .embed import fnv1a32
+
+        if bits != 64:
+            raise ValueError("portable simhash is 64-bit (two 32-bit "
+                             f"FNV folds); got bits={bits}")
+        hashed = toks.select(
+            F.col(id_col),
+            fnv1a32(F.col("__t"), SIMHASH_FNV_SEED_LO).alias("__h1"),
+            fnv1a32(F.col("__t"), SIMHASH_FNV_SEED_HI).alias("__h2"))
+        bit = {i: (F.shiftright("__h1", i).bitwiseAND(F.lit(1))
+                   if i < 32 else
+                   F.shiftright("__h2", i - 32).bitwiseAND(F.lit(1)))
+               for i in range(bits)}
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: "
+                         "use 'native' or 'portable'")
     votes = hashed.groupBy(id_col).agg(*[
-        F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1)).cast("int")
-              * 2 - 1).alias(f"__v{i}")
+        F.sum(bit[i].cast("int") * 2 - 1).alias(f"__v{i}")
         for i in range(bits)
     ])
     fp = F.lit(0).cast("long")
@@ -622,13 +655,16 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                       max_hamming: int = 8,
-                      tokens_df: DataFrame | None = None) -> DataFrame:
+                      tokens_df: DataFrame | None = None,
+                      hash_fn: str = "native") -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ max_hamming), candidates blocked
     on 16-bit prefix bands (4 bands → finds all pairs with ≤3 differing
     band-regions; standard pigeonhole blocking). Fingerprints from the
-    explode-aggregate ``simhash_table`` (see its scale notes);
-    ``tokens_df`` forwards a staged ``token_frame``."""
-    sh = simhash_table(df, text_col, id_col, tokens_df=tokens_df)
+    explode-aggregate ``simhash_table`` (see its scale notes — also for
+    the ``hash_fn`` backends); ``tokens_df`` forwards a staged
+    ``token_frame``."""
+    sh = simhash_table(df, text_col, id_col, tokens_df=tokens_df,
+                       hash_fn=hash_fn)
     banded = sh.select(
         F.col(id_col), "__sh",
         F.explode(F.array(*[

@@ -131,6 +131,57 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_HASHES, _MH_BANDS = 16, 4
 
 
+def _portable_simhash_sql() -> str:
+    """DuckDB twin of ``simhash_dup_pairs(hash_fn='portable')`` over the
+    ``sh`` (ngrams) and corpus CTEs: the same two seeded FNV-1a folds
+    per token (64 fingerprint bits), the same majority-vote rule
+    (2·ones > n ⇔ the ±1 vote sum is positive), the same 16-bit
+    pigeonhole bands, the same hamming ≤ 8 ball — fingerprints verified
+    bit-identical at sf0.01. Pairs are reported with the query's
+    uniform exact-trigram-Jaccard score."""
+    b_lo = (2166136261 ^ dd.SIMHASH_FNV_SEED_LO) % (1 << 32)
+    b_hi = (2166136261 ^ dd.SIMHASH_FNV_SEED_HI) % (1 << 32)
+
+    def fnv(basis: int) -> str:
+        return (f"list_reduce(list_prepend(CAST({basis} AS BIGINT), "
+                f"list_transform(string_split(t, ''), "
+                f"c -> CAST(unicode(c) AS BIGINT))), "
+                f"(hh, cc) -> ((xor(hh, cc)) * 16777619) % 4294967296)")
+
+    return f"""
+sim_hs AS (
+  SELECT doc_id, len(tk) AS n,
+         list_transform(tk, t -> {{'lo': {fnv(b_lo)},
+                                   'hi': {fnv(b_hi)}}}) AS hl
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t != '') AS tk
+        FROM corpus)
+), sim_fp AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(range(0, 64), i ->
+      CASE WHEN 2 * list_sum(list_transform(hl, h ->
+             CASE WHEN i < 32 THEN (h.lo >> i) & 1
+                  ELSE (h.hi >> (i - 32)) & 1 END)) > n
+      THEN (CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END)
+      ELSE 0 END)), 0) AS BIGINT) AS fp
+  FROM sim_hs
+), sim_band AS (
+  SELECT doc_id, fp,
+         (fp >> 0) & 65535 AS sb0, (fp >> 16) & 65535 AS sb1,
+         (fp >> 32) & 65535 AS sb2, (fp >> 48) & 65535 AS sb3
+  FROM sim_fp
+), sim_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sim_band a JOIN sim_band b
+    ON a.doc_id < b.doc_id
+   AND (a.sb0 = b.sb0 OR a.sb1 = b.sb1 OR a.sb2 = b.sb2
+        OR a.sb3 = b.sb3)
+  WHERE bit_count(xor(a.fp, b.fp)) <= 8
+)"""
+
+
 def _portable_minhash_sql() -> str:
     """DuckDB twin of ``minhash_dup_pairs(hash_fn='portable')`` over the
     ``sh`` CTE: the SAME FNV-1a shingle hash, the same LCG-derived
@@ -191,7 +242,13 @@ hx AS (
         "value-checks signature minima, banding, the bucket-join "
         "candidate set and the Jaccard verify end-to-end. The registered "
         "hashed_dup_pairs keeps the xxhash64 fast path (same plan "
-        "shape); its recall stays pinned against the exact rows here.",
+        "shape); its recall stays pinned against the exact rows here. "
+        "method='simhash' rows are the SimHash pipeline under ITS "
+        "portable backend (two seeded FNV-1a folds per token → 64-bit "
+        "majority-vote fingerprint → 16-bit pigeonhole bands → "
+        "hamming<=8 ball — simhash_table(hash_fn='portable'), "
+        "fingerprints bit-identical cross-engine), each pair reported "
+        "with the query's uniform exact-Jaccard score.",
     tags=("dedup",),
     oracle=f"""
 WITH corpus AS ({_DOCS_DUPS_SQL}),
@@ -202,7 +259,8 @@ sh AS (
                            t -> t != '') AS toks
         FROM corpus)
 ),
-{_portable_minhash_sql().lstrip()}
+{_portable_minhash_sql().lstrip()},
+{_portable_simhash_sql().lstrip()}
 SELECT 'exact' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
              / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6)
@@ -212,6 +270,14 @@ WHERE CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
       / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.8
 UNION ALL
 SELECT 'minhash' AS method, id_a, id_b, jaccard FROM mh_pairs
+UNION ALL
+SELECT 'simhash' AS method, p.id_a, p.id_b,
+       round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6)
+         AS jaccard
+FROM sim_pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
 """,
 )
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +291,19 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                hash_fn="portable")
           .select(F.lit("minhash").alias("method"),
                   "id_a", "id_b", "jaccard"))
-    return exact.unionByName(mh)
+    ng = corpus.select(F.col("doc_id"),
+                       dd.word_ngrams(F.col("text"), 3).alias("__ng"))
+    sp = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8,
+                               hash_fn="portable")
+          .join(ng.select(F.col("doc_id").alias("id_a"),
+                          F.col("__ng").alias("__na")), "id_a")
+          .join(ng.select(F.col("doc_id").alias("id_b"),
+                          F.col("__ng").alias("__nb")), "id_b")
+          .select(F.lit("simhash").alias("method"), "id_a", "id_b",
+                  F.round(dd.jaccard_arrays(F.col("__na"),
+                                            F.col("__nb")), 6)
+                  .alias("jaccard")))
+    return exact.unionByName(mh).unionByName(sp)
 
 
 @register(
