@@ -109,6 +109,11 @@ def replace_dir(spark: SparkSession, tmp: str, final: str) -> None:
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(final).getFileSystem(conf)
+    if not fs.exists(hpath(tmp)):
+        # validate BEFORE touching final: discovering the missing tmp
+        # only at its rename would strand the live table at .__old
+        raise IOError(f"replace_dir: tmp dir {tmp} does not exist; "
+                      f"{final} left untouched")
     old = hpath(final + ".__old")
     if fs.exists(old):
         fs.delete(old, True)

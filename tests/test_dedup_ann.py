@@ -877,3 +877,53 @@ def test_compact_dedup_index_removes_replay_duplicates(spark, tmp_path):
     kept = dd.incremental_dedup(b2, index, "text", "doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [11]
     dd.unpersist_shingles()
+
+
+def test_portable_sketch_backends_precision_and_planted_recall(spark):
+    """The portable (FNV/LCG) MinHash and SimHash backends must keep the
+    family contracts: verified minhash pairs are a SUBSET of the exact
+    Jaccard pairs at the same threshold (precision 1.0 by construction),
+    planted exact copies are always found (identical text → identical
+    signatures / hamming 0), and fingerprints are deterministic across
+    repeated runs."""
+    rows = []
+    for g in range(6):
+        base = " ".join(f"grp{g} tok{g}{j} word{j}" for j in range(12))
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, base))                  # exact copy
+    rows.append((990, "entirely different text with no overlap at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = _pairs(dd.ngram_jaccard_pairs(df, "text", "doc_id",
+                                          threshold=0.8))
+    mh = _pairs(dd.minhash_dup_pairs(df, "text", "doc_id", threshold=0.8,
+                                     num_hashes=16, bands=4,
+                                     hash_fn="portable"))
+    dd.unpersist_shingles()
+    assert mh <= exact                       # exact verify → no false hits
+    copies = {(g * 10, g * 10 + 1) for g in range(6)}
+    assert copies <= mh                      # identical text always found
+
+    sp1 = {(r.id_a, r.id_b): r.hamming for r in
+           dd.simhash_dup_pairs(df, "text", "doc_id", max_hamming=8,
+                                hash_fn="portable").collect()}
+    sp2 = {(r.id_a, r.id_b): r.hamming for r in
+           dd.simhash_dup_pairs(df, "text", "doc_id", max_hamming=8,
+                                hash_fn="portable").collect()}
+    assert sp1 == sp2                        # deterministic
+    for p in copies:
+        assert sp1[p] == 0                   # identical text → hamming 0
+
+
+def test_minhash_bad_hash_fn_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.minhash_dup_pairs(df, "text", "doc_id",
+                             hash_fn="md5").count()
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.simhash_dup_pairs(df, "text", "doc_id",
+                             hash_fn="md5").count()
+    dd.unpersist_shingles()

@@ -589,3 +589,31 @@ def test_compact_parquet_flat_and_partitioned(spark, tmp_path):
     # partition directories preserved → partition pruning still works
     assert {"p=0", "p=1", "p=2", "p=3"} <= set(os.listdir(part))
     assert back.filter(F.col("p") == 2).count() == 250
+
+
+def test_replace_dir_swap_and_stale_backup_cleanup(spark, tmp_path):
+    """session.replace_dir: swaps atomically, removes the backup, and a
+    stale .__old left by a crashed prior swap never blocks the next one.
+    A missing tmp raises instead of destroying the target."""
+    import os
+
+    import pytest
+
+    from australia_company_etl_pipeline_spark.session import replace_dir
+
+    final = str(tmp_path / "tbl")
+    spark.range(5).write.parquet(final)
+    # simulate a crashed prior swap's leftover backup
+    os.makedirs(final + ".__old")
+    (tmp_path / "tbl.__old" / "junk").write_text("stale")
+
+    tmp = str(tmp_path / "tbl.new")
+    spark.range(9).write.parquet(tmp)
+    replace_dir(spark, tmp, final)
+    assert spark.read.parquet(final).count() == 9
+    assert not os.path.exists(final + ".__old")
+    assert not os.path.exists(tmp)
+
+    with pytest.raises(IOError):
+        replace_dir(spark, str(tmp_path / "nope"), final)
+    assert spark.read.parquet(final).count() == 9   # target untouched
