@@ -97,16 +97,25 @@ def stream_embed_index(stream: DataFrame, index_path: str,
     keeps appending. Vector ids (``id_col``) must be globally unique
     across the stream.
     """
-    import os
-
     from ..operators import ann
     from ..operators.embed import embed_documents
+
+    def _index_exists(spark) -> bool:
+        # Hadoop FileSystem probe, NOT os.path: a driver-local stat of
+        # an HDFS/object-store URI is always False, and the resulting
+        # re-bootstrap would retrain centroids mid-stream and silently
+        # invalidate every existing inverted list (same trap the
+        # partitioned-upsert bootstrap documents in sources/sinks.py)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/centroids")
+        return p.getFileSystem(conf).exists(p)
 
     def embed_batch(batch_df: DataFrame, batch_id: int) -> None:
         vecs = embed_documents(batch_df, text_col, out_col="embedding",
                                dim=dim, seed=seed) \
             .select(F.col(id_col).alias("vec_id"), "embedding")
-        if not os.path.exists(os.path.join(index_path, "centroids")):
+        if not _index_exists(batch_df.sparkSession):
             ann.build_ivf_index(vecs, index_path,
                                 n_centroids=n_centroids,
                                 kmeans_iter=kmeans_iter, seed=seed)
