@@ -431,6 +431,11 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
         cents = centroids.select("centroid_id",
                                  _dbl(F.col("centroid_vec"))
                                  .alias("centroid_vec"))
+        crow = cents.select(F.size("centroid_vec").alias("d")) \
+            .limit(1).collect()
+        if crow:
+            _check_dim(crow[0]["d"], clean, "__v",
+                       "corpus embedding (vs supplied centroids)")
     else:
         cents = kmeans_centroids(clean, n_clusters, kmeans_iter, id_col,
                                  "__v", seed, checkpoint)
@@ -571,6 +576,20 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
      .parquet(f"{path}/lists"))
 
 
+def _check_dim(expected_dim: int, df: DataFrame, vec: str,
+               what: str) -> None:
+    """Fail loudly on a vector-dimension mismatch. Without this,
+    ``zip_with`` pads the shorter side with NULLs, the dot/cosine comes
+    back NULL, and mismatched vectors silently score 0.0 against
+    everything — wrong neighbors, not an error. One bounded action on
+    ONE row (``limit(1)``); empty frames skip the check."""
+    row = df.select(F.size(F.col(vec)).alias("d")).limit(1).collect()
+    if row and row[0]["d"] != expected_dim:
+        raise ValueError(f"{what} dimension {row[0]['d']} != expected "
+                         f"{expected_dim} — zip_with would NULL-pad and "
+                         "silently zero every similarity")
+
+
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -585,10 +604,16 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
     K-value collect as the partitioned-MERGE sink), and the list scan is
     filtered with ``isin(probed)`` so Catalyst prunes every unprobed
     partition directory at planning time. Everything after the pruned
-    scan is the plain broadcast-join + exact-cosine + top-k kernel."""
+    scan is the plain broadcast-join + exact-cosine + top-k kernel.
+    Query vectors are dimension-checked against the stored centroids
+    up front (see ``_check_dim``)."""
     from pyspark.sql.window import Window
 
     centroids = spark.read.parquet(f"{path}/centroids")
+    crow = centroids.select(F.size("centroid_vec").alias("d")) \
+        .limit(1).collect()
+    if crow:
+        _check_dim(crow[0]["d"], queries, query_vec_col, "query vector")
     pairs = queries.crossJoin(F.broadcast(centroids))
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("__csim"), F.asc("centroid_id"))

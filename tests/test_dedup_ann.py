@@ -927,3 +927,28 @@ def test_minhash_bad_hash_fn_raises(spark):
         dd.simhash_dup_pairs(df, "text", "doc_id",
                              hash_fn="md5").count()
     dd.unpersist_shingles()
+
+
+def test_dimension_mismatch_raises_not_zeroes(spark, sf_dir, tmp_path):
+    """A 32-dim query against a 64-dim index (or mismatched supplied
+    centroids in semdedup) must raise, not silently score 0.0 against
+    everything via zip_with NULL padding."""
+    import pytest
+
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    corpus = table(spark, sf_dir, "embeddings").select("vec_id",
+                                                       "embedding")
+    path = str(tmp_path / "ivf64")
+    ann.build_ivf_index(corpus, path, n_centroids=4, kmeans_iter=2)
+    bad_q = spark.createDataFrame([(0, [1.0] * 32)],
+                                  "query_id long, query_vec array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        ann.ivf_index_topk(spark, path, bad_q, k=3).count()
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    bad_corpus = spark.createDataFrame(
+        [(1, [1.0] * 32), (2, [0.5] * 32)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        ann.semdedup(bad_corpus, centroids=cents).count()
