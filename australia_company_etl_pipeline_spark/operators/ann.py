@@ -564,6 +564,11 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
     update vectors."""
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
+    crow = centroids.select(F.size("centroid_vec").alias("d")) \
+        .limit(1).collect()
+    if crow:
+        _check_dim(crow[0]["d"], new_vectors, vec_col,
+                   "appended vector (vs stored index)")
     existing = spark.read.parquet(f"{path}/lists").select(id_col)
     fresh = new_vectors.join(existing, id_col, "left_anti")
     best = _best_centroid(cosine(F.col(vec_col), F.col("centroid_vec")))
