@@ -435,7 +435,8 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
             .limit(1).collect()
         if crow:
             _check_dim(crow[0]["d"], clean, "__v",
-                       "corpus embedding (vs supplied centroids)")
+                       "corpus embedding (vs supplied centroids)",
+                       full=False)  # corpus-sized: sample, don't rescan
     else:
         cents = kmeans_centroids(clean, n_clusters, kmeans_iter, id_col,
                                  "__v", seed, checkpoint)
@@ -514,17 +515,23 @@ def build_ivf_index(corpus: DataFrame, path: str, n_centroids: int = 16,
     would open a window where retrained centroids sit beside the OLD
     inverted lists (or vice versa) — list membership is
     centroid-dependent, so ``ivf_index_topk`` would silently return
-    wrong neighbors; with the swap, readers see the complete old index
-    until the complete new one exists.
+    wrong neighbors; with the swap, a crash never leaves a mixed or
+    truncated index on disk. The swap carries ``replace_dir``'s
+    single-writer contract: a probe job ALREADY RUNNING over the old
+    lists when a rebuild swaps under it fails (and retries against the
+    new index); probes started after the swap see the new index only.
     """
     import os
 
     from ..session import replace_dir
 
     # pid-suffixed build dir: two concurrent build-if-missing callers
-    # (e.g. parallel queries racing to warm a shared index cache) then
-    # never write into each other's half-built tree; both swaps complete
-    # and the deterministic build makes last-wins harmless
+    # (e.g. parallel queries racing to warm a shared index cache) never
+    # write into each other's half-built tree; the deterministic build
+    # makes the last-landed swap content-identical. NOTE this does NOT
+    # make the swap itself reader-safe — the loser's swap can still
+    # break a probe the winner already started (replace_dir contract);
+    # serialize builders per path when probes may overlap builds.
     tmp = f"{path}.__build_tmp.{os.getpid()}"
     centroids = kmeans_centroids(corpus, n_centroids, kmeans_iter,
                                  id_col, vec_col, seed, checkpoint)
@@ -582,15 +589,33 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str,
 
 
 def _check_dim(expected_dim: int, df: DataFrame, vec: str,
-               what: str) -> None:
+               what: str, full: bool = True) -> None:
     """Fail loudly on a vector-dimension mismatch. Without this,
     ``zip_with`` pads the shorter side with NULLs, the dot/cosine comes
     back NULL, and mismatched vectors silently score 0.0 against
-    everything — wrong neighbors, not an error. One bounded action on
-    ONE row (``limit(1)``); empty frames skip the check."""
-    row = df.select(F.size(F.col(vec)).alias("d")).limit(1).collect()
-    if row and row[0]["d"] != expected_dim:
-        raise ValueError(f"{what} dimension {row[0]['d']} != expected "
+    everything — wrong neighbors, not an error.
+
+    ``full=True`` (for BOUNDED frames — query batches, append batches)
+    aggregates min/max of ``size(vec)`` so a heterogeneous batch (rows
+    of mixed dimensions — e.g. a union of two embedding configs) cannot
+    sneak past a first-row sample. ``full=False`` samples one row
+    (``limit(1)``) — for corpus-sized frames where a dedicated full
+    scan just for the guard is too expensive; a mixed-dimension CORPUS
+    still fails its own internal math loudly downstream. Empty frames
+    skip the check."""
+    if full:
+        row = df.agg(F.min(F.size(F.col(vec))).alias("lo"),
+                     F.max(F.size(F.col(vec))).alias("hi")).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+    else:
+        sample = df.select(F.size(F.col(vec)).alias("d")).limit(1) \
+                   .collect()
+        lo = hi = sample[0]["d"] if sample else None
+    if lo is None:
+        return
+    if lo != expected_dim or hi != expected_dim:
+        got = str(lo) if lo == hi else f"{lo}..{hi}"
+        raise ValueError(f"{what} dimension {got} != expected "
                          f"{expected_dim} — zip_with would NULL-pad and "
                          "silently zero every similarity")
 

@@ -979,10 +979,13 @@ def compact_dedup_index(spark, index_path: str) -> dict[str, int]:
     """
     from ..session import replace_dir
 
+    import os as _os
+
     removed = {}
     for sub in ("shingles", "buckets"):
         path = f"{index_path}/{sub}"
-        tmp = f"{index_path}/{sub}.__compact_tmp"
+        # pid-suffixed: overlapping compactions must not share a tmp tree
+        tmp = f"{index_path}/{sub}.__compact_tmp.{_os.getpid()}"
         df = spark.read.parquet(path)
         before = df.count()
         df.dropDuplicates().write.mode("overwrite").parquet(tmp)

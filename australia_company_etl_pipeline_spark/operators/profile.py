@@ -301,6 +301,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
 def profile_drift(old: DataFrame, new: DataFrame,
                   cols: list[str] | None = None,
                   table_name: str = "table",
+                  old_profile: DataFrame | None = None,
                   **kwargs) -> DataFrame:
     """Value-distribution drift between two snapshots: both sides'
     ``profile_table`` reports full-outer-joined on metric_name —
@@ -312,13 +313,19 @@ def profile_drift(old: DataFrame, new: DataFrame,
     ``distinct='approx'``/``percentile_mode='approx'`` at scale.
 
     Cost: one single-aggregate scan per side + a ≤(metrics) row join —
-    there is no cheaper shape, both datasets must be read."""
+    there is no cheaper shape, both datasets must be read. When the old
+    side's profile already exists (a persisted report from the previous
+    monitoring run — the normal drift-monitor cadence), pass it as
+    ``old_profile`` (the ``profile_table`` long frame, or any frame
+    with ``metric_name``/``metric_value``): the old dataset is then
+    never re-scanned, halving the cost."""
     if cols is None:
         o = {f.name for f in old.schema}
         cols = [f.name for f in new.schema if f.name in o]
         if not cols:
             raise ValueError("snapshots share no columns to profile")
-    po = profile_table(old, table_name, cols, **kwargs) \
+    po = (old_profile if old_profile is not None
+          else profile_table(old, table_name, cols, **kwargs)) \
         .select("metric_name", F.col("metric_value").alias("old_value"))
     pn = profile_table(new, table_name, cols, **kwargs) \
         .select("metric_name", F.col("metric_value").alias("new_value"))

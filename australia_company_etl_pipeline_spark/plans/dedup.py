@@ -266,8 +266,8 @@ SELECT 'exact' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
              / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6)
          AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.8
+WHERE round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6) >= 0.8
 UNION ALL
 SELECT 'minhash' AS method, id_a, id_b, jaccard FROM mh_pairs
 UNION ALL
@@ -327,8 +327,8 @@ sh AS (
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.ngrams, b.ngrams))) >= 0.8
+  WHERE round(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.ngrams, b.ngrams))), 6) >= 0.8
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

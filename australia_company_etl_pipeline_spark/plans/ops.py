@@ -384,7 +384,10 @@ def dq_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("double").alias("metric_value")))
     # drift monitor fold (r5): l_quantity's profile drift between the
     # table and a simulated feed change (qty <= 25) — one extra
-    # single-aggregate scan for the 'new' side, 20 long-contract rows
+    # single-aggregate scan PER SIDE (profile_drift profiles old and
+    # new; at a real monitoring cadence the old profile is yesterday's
+    # persisted report passed via old_profile=, dropping the old-side
+    # scan) — 20 long-contract rows
     drift = profile_drift(li, li.filter(F.col("l_quantity") <= 25),
                           cols=["l_quantity"], table_name="lineitem")
     dcommon = [F.lit(None).cast("string").alias("run_id"),

@@ -281,8 +281,13 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_rows = d.select(
         F.lit("bpe").alias("kind"), "doc_id",
         F.lit(None).cast("string").alias("lang"),
-        bpe.token_count(F.col("text"), _BPE_MERGES).cast("long")
-        .alias("n_tokens"),
+        # NULL-text guard: size(encode(NULL)) is -1 (legacy sizeOfNull)
+        # while the oracle coalesces a NULL unit list to 0 — align on 0
+        # tokens for NULL text so a testdata regen with NULL rows can't
+        # hash-mismatch (same rule the pack/chunk branches apply)
+        F.when(F.col("text").isNotNull(),
+               bpe.token_count(F.col("text"), _BPE_MERGES).cast("long"))
+        .otherwise(F.lit(0)).alias("n_tokens"),
         F.lit(None).cast("long").alias("pack_id"),
         F.lit(None).cast("long").alias("pack_offset"),
         F.lit(False).alias("spans_packs"),

@@ -104,6 +104,14 @@ def replace_dir(spark: SparkSession, tmp: str, final: str) -> None:
     re-run or an operator recovers by hand, nothing is destroyed.
     (Object stores without atomic rename — raw S3 — need a committer or
     a table format instead; rename there is copy+delete.)
+
+    Contract: DURABILITY for a single writer, not reader isolation.
+    Between the two renames the path briefly does not exist (a reader
+    starting in that window errors cleanly and retries), and a reader
+    whose lazy scan already captured file paths under ``final`` fails
+    mid-job if a swap lands under it — schedule swaps when no job is
+    reading the table, or use a table format for snapshot isolation
+    (see the README boundary note).
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -344,7 +344,12 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
     files_before = data_files()
     df = spark.read.parquet(path)
     n_files = max(1, math.ceil(total / target_bytes))
-    tmp = f"{path}.__compact_tmp"
+    import os as _os
+
+    # pid-suffixed like build_ivf_index's build dir: two overlapping
+    # compactions then never interleave writes in one tmp tree (the swap
+    # itself is last-wins on complete, row-identical rewrites)
+    tmp = f"{path}.__compact_tmp.{_os.getpid()}"
     if partition_col is not None:
         # one task (→ one file) per partition value; partitionBy
         # re-splits the directories, maxRecordsPerFile caps oversized

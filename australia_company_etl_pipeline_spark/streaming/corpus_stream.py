@@ -112,6 +112,14 @@ def stream_embed_index(stream: DataFrame, index_path: str,
         return p.getFileSystem(conf).exists(p)
 
     def embed_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # an empty first batch (zero-row landing file — routine from
+            # upstream writers) must NOT bootstrap: k-means on an empty
+            # corpus writes a ZERO-centroid index without erroring, the
+            # existence probe then steers every later batch onto the
+            # append path, and the empty broadcast crossJoin silently
+            # indexes nothing forever
+            return
         vecs = embed_documents(batch_df, text_col, out_col="embedding",
                                dim=dim, seed=seed) \
             .select(F.col(id_col).alias("vec_id"), "embedding")

@@ -51,16 +51,17 @@ def main() -> None:
 
     # --- incremental_dedup: flat per-batch cost as history grows ------
     with tempfile.TemporaryDirectory() as idx:
+        n_docs = docs.count()         # outside the timers
         for k in range(4):
             batch = docs.select(
                 (F.col("doc_id") + k * 10_000_000).alias("doc_id"), "text")
             t = time.time()
             kept = dd.incremental_dedup(batch, idx, "text", "doc_id")
             n = kept.count()
+            sec = time.time() - t
             dd.unpersist_shingles()
-            hist = (k + 1) * docs.count()
             print(f"incremental_dedup batch={k} kept={n} "
-                  f"history_rows={hist} sec={time.time() - t:.2f}")
+                  f"history_rows={(k + 1) * n_docs} sec={sec:.2f}")
 
     # --- ivf_index_topk: probe latency vs corpus replication ----------
     emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -78,6 +79,9 @@ def main() -> None:
             m -= 1
         with tempfile.TemporaryDirectory() as path:
             idx_path = os.path.join(path, "ivf")
+            rows = corpus.count()     # BEFORE the timers: a corpus-sized
+            #                           job inside the probe window would
+            #                           grow with mult and fake the trend
             t = time.time()
             ann.build_ivf_index(corpus, idx_path, n_centroids=16,
                                 kmeans_iter=3)
@@ -85,8 +89,9 @@ def main() -> None:
             t = time.time()
             force(ann.ivf_index_topk(spark, idx_path, queries, k=10,
                                      n_probe=4))
-            print(f"ivf mult={mult} rows={corpus.count()} "
-                  f"build_sec={build:.2f} probe_sec={time.time() - t:.2f}")
+            probe = time.time() - t
+            print(f"ivf mult={mult} rows={rows} "
+                  f"build_sec={build:.2f} probe_sec={probe:.2f}")
 
 
 if __name__ == "__main__":

@@ -952,3 +952,34 @@ def test_dimension_mismatch_raises_not_zeroes(spark, sf_dir, tmp_path):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="dimension"):
         ann.semdedup(bad_corpus, centroids=cents).count()
+
+
+def test_token_frame_derived_families_match_direct(spark):
+    """The staged-tokenization forms (token_frame → shingle_frame /
+    simhash_table via tokens_df=) must produce exactly what the direct
+    from-text forms produce — the scan-expensive-corpus option stays a
+    pure plumbing change, never a semantic one."""
+    df = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "unrelated words entirely here now"),
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    toks = dd.token_frame(df, "text", "doc_id")
+
+    direct_sh = {(r[0], tuple(r[1])) for r in
+                 dd.shingle_frame(df, "text", "doc_id", shingle=3,
+                                  persist=False).collect()}
+    derived_sh = {(r[0], tuple(r[1])) for r in
+                  dd.shingle_frame(df, "text", "doc_id", shingle=3,
+                                   persist=False,
+                                   tokens_df=toks).collect()}
+    assert direct_sh == derived_sh
+
+    direct_fp = {r[0]: r[1] for r in
+                 dd.simhash_table(df, "text", "doc_id").collect()}
+    derived_fp = {r[0]: r[1] for r in
+                  dd.simhash_table(df, "text", "doc_id",
+                                   tokens_df=toks).collect()}
+    assert direct_fp == derived_fp
+    dd.unpersist_shingles()

@@ -521,3 +521,27 @@ def test_histogram_one_sided_inverted_bound_raises(spark):
         histogram(df, "x", bins=5, lo=100.0)
     with pytest.raises(ValueError, match="excludes every value"):
         histogram(df, "x", bins=5, hi=5.0)
+
+
+def test_profile_drift_old_profile_reuse(spark):
+    """Passing a precomputed old-side profile (yesterday's persisted
+    report) must yield the same drift rows as re-profiling the old
+    frame, and must not scan the old dataset at all."""
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_drift, profile_table)
+
+    old = spark.createDataFrame([(float(i),) for i in range(50)],
+                                "x double")
+    new = spark.createDataFrame([(float(i),) for i in range(25)],
+                                "x double")
+    base = profile_table(old, "t", ["x"])
+    want = {(r.metric_name, r.old_value, r.new_value, r.abs_change)
+            for r in profile_drift(old, new, ["x"],
+                                   table_name="t").collect()}
+    # poison pill: if the old frame were re-profiled, this would throw
+    poison = old.select(
+        (F.col("x") / F.lit(0)).alias("boom").cast("double").alias("x"))
+    got = {(r.metric_name, r.old_value, r.new_value, r.abs_change)
+           for r in profile_drift(poison, new, ["x"], table_name="t",
+                                  old_profile=base).collect()}
+    assert got == want

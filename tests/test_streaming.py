@@ -286,8 +286,13 @@ def test_stream_embed_index_grows_searchable_index(spark, tmp_path):
         return (i, f"document {i} about topic{i % 5} with words w{i} x{i}")
 
     schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
     b1 = spark.createDataFrame([doc(i) for i in range(12)], schema)
     b2 = spark.createDataFrame([doc(i) for i in range(12, 20)], schema)
+    # a zero-row landing file arrives FIRST: it must not bootstrap a
+    # zero-centroid index (which would silently drop every later doc)
+    empty.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
     b1.coalesce(1).write.mode("append").parquet(landing)
     time.sleep(1.1)
     b2.coalesce(1).write.mode("append").parquet(landing)
