@@ -839,7 +839,8 @@ def _read_or_empty(spark, path: str, schema) -> DataFrame:
 def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
                       id_col: str, threshold: float = 0.8,
                       num_hashes: int = 32, bands: int = 8,
-                      shingle: int = 3) -> DataFrame:
+                      shingle: int = 3,
+                      hash_fn: str = "native") -> DataFrame:
     """Dedup an arriving batch against EVERYTHING seen before without
     recomputing history — the only near-dup shape that survives a corpus
     growing by terabytes a day (re-running ``minhash_dup_pairs`` over the
@@ -865,7 +866,12 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
       ids); ties between "seen earlier" and "lower id" then never
       conflict;
     - LSH parameters must stay fixed for the life of one index (bucket
-      keys are parameter-dependent);
+      keys are parameter-dependent) — ``hash_fn`` included (see
+      ``minhash_candidates_from_shingles`` for the backends; the
+      'portable' one is how the driver oracle value-checks this
+      operator: chunk-invariance means incremental verdicts over ANY
+      chunking equal the single-batch ``minhash_dup_pairs`` drop rule,
+      which DuckDB can replay from the inlined constants);
     - replaying a batch is SAFE for the kept-set (only lower-id history
       counts, and a replayed batch's first-run rows all carry ids >= its
       own, so a re-run returns the same kept rows) but appends duplicate
@@ -879,8 +885,8 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     ``sinks.write_bucketed_parquet``) to make the per-batch candidate
     join exchange-free on the index side.
     """
-    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
-                                   StructField, StructType)
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
 
     spark = batch.sparkSession
     buckets_path = f"{index_path}/buckets"
@@ -892,18 +898,23 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     # shingles; unpersist_shingles() releases both.
     from pyspark import StorageLevel
 
-    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands) \
+    buckets = _minhash_buckets(sh, id_col, [], num_hashes, bands,
+                               hash_fn) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     _SHINGLE_CACHE.append(buckets)
 
-    # Index schemas derive from the batch's actual id type — a hardcoded
-    # long would corrupt reads for string/decimal append-log ids.
+    # Index schemas derive from the batch's ACTUAL computed types — a
+    # hardcoded long id would corrupt reads for string/decimal
+    # append-log ids, and a hardcoded int band hash breaks the portable
+    # backend (its polynomial fold is a long where native F.hash is an
+    # int — a fixed IntegerType made every index read fail with a
+    # parquet INT64/int32 mismatch).
     id_type = batch.schema[id_col].dataType
     idx_buckets = _read_or_empty(
         spark, buckets_path, StructType([
             StructField(id_col, id_type),
-            StructField("band", IntegerType()),
-            StructField("bh", IntegerType())]))
+            StructField("band", buckets.schema["band"].dataType),
+            StructField("bh", buckets.schema["bh"].dataType)]))
     idx_sh = _read_or_empty(
         spark, shingles_path, StructType([
             StructField(id_col, id_type),
@@ -939,7 +950,8 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
                 .join(seen_sh.select(F.col(id_col).alias("seen_id"),
                                      F.col("__sh").alias("__sh_s")),
                       "seen_id")
-                .filter(jaccard_arrays(F.col("__sh_n"), F.col("__sh_s"))
+                .filter(F.round(jaccard_arrays(F.col("__sh_n"),
+                                               F.col("__sh_s")), 6)
                         >= threshold))
     drops = verified.select(F.col("new_id").alias(id_col)).distinct()
 

@@ -587,6 +587,30 @@ def test_incremental_dedup_transitive_chain_across_batches(spark,
                            f"chain_{tag}") == [1], tag
 
 
+def test_incremental_dedup_portable_backend_index_roundtrip(spark,
+                                                            tmp_path):
+    """hash_fn='portable' writes LONG band hashes (the polynomial fold)
+    where the native backend writes ints — the index read schema must
+    derive from the computed frame, not hardcode int (which made every
+    second-batch read fail with a parquet INT64/int32 mismatch). Also
+    pins verdict parity with the native backend on a corpus where both
+    band families catch the planted dups."""
+    docs = _inc_corpus()
+    n = len(docs)
+    native = _run_chunks(spark, tmp_path, docs, [n // 2, n - n // 2],
+                         "native_be")
+    idx = str(tmp_path / "idx_portable_be")
+    kept: list[int] = []
+    for lo, hi in ((0, n // 2), (n // 2, n)):
+        batch = spark.createDataFrame(docs[lo:hi],
+                                      "doc_id long, text string")
+        out = dd.incremental_dedup(batch, idx, "text", "doc_id",
+                                   threshold=0.8, hash_fn="portable")
+        kept += [r["doc_id"] for r in out.select("doc_id").collect()]
+    dd.unpersist_shingles()
+    assert sorted(kept) == native == list(range(30))
+
+
 def test_incremental_dedup_replay_is_safe(spark, tmp_path):
     """Re-running a batch after its index append (the at-least-once
     orchestrator retry) must return the SAME kept set, not drop the
