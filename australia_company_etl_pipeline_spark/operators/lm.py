@@ -1,0 +1,131 @@
+"""Bigram language-model fluency scoring — the CCNet-style corpus
+quality signal (Wenzek et al. 2020 rank corpora by LM perplexity; the
+Gopher/RefinedWeb recipes keep it as a quality gate). A document whose
+token transitions are improbable under a model trained on the corpus
+itself (boilerplate, lorem-ipsum runs, mangled encodings, keyword
+stuffing) scores a high negative-log-likelihood and can be filtered or
+bucketed before expensive downstream stages.
+
+This is the model-free analogue of a KenLM gate: the LM *is* the
+corpus's own bigram table, so no external artifact ships with the
+pipeline and training is one aggregation pass.
+
+Scale shape (the 100 TB lens):
+
+- Training is ``explode transitions → groupBy(w1, w2)`` — ONE
+  partial-aggregated shuffle carrying (w1, w2) pairs, never document
+  text; context totals derive from the bigram table (``groupBy(w1)``
+  over distinct bigrams — far smaller than the corpus), so the corpus
+  is scanned once.
+- The tokenized projection is staged and persisted (two consumers:
+  transitions and the vocabulary count) — same contract as
+  ``retrieval.postings_frame``; release with ``unpersist_lm()``.
+- Scoring is two shuffle equi-joins (doc transitions ⋈ bigram table on
+  (w1, w2), ⋈ context totals on w1) plus one per-document aggregate.
+  Per-document transition counts are pre-aggregated BEFORE the join, so
+  a document repeating one bigram a thousand times joins once and
+  multiplies by ``tf``. With ``min_count`` pruning the bigram table
+  shrinks enough to broadcast — AQE picks that up from sizes.
+- The vocabulary size is one scalar aggregate crossed in as a broadcast
+  single row (the ``doc_search_bm25`` (N, avgdl) pattern).
+- Per-document NLL assembly is order-independent decimal accumulation:
+  each transition's −ln p is rounded to the 1e-6 grid, cast to exact
+  decimal, and multiplied by the integer ``tf`` — bit-stable at any
+  parallelism and reproducible in any engine (the DuckDB oracle for the
+  ``doc_search_bm25`` kind='lm' fold value-checks it).
+
+Smoothing is add-k over an open vocabulary: p(w2|w1) =
+(c(w1,w2) + k) / (c(w1·) + k·(V+1)) — the +1 reserves one unseen-token
+slot, so out-of-vocabulary transitions in held-out text get a finite
+probability instead of −∞. Published add-k (Lidstone) form; no
+reference counterpart (the reference pipeline has no LM stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import tokens
+
+# persisted token projections awaiting release — same contract as
+# dedup._SHINGLE_CACHE / retrieval._POSTINGS_CACHE.
+_LM_CACHE: list[DataFrame] = []
+
+
+def unpersist_lm() -> int:
+    """Release token frames persisted by ``bigram_lm_score`` in this
+    process; returns how many were released."""
+    n = len(_LM_CACHE)
+    while _LM_CACHE:
+        _LM_CACHE.pop().unpersist()
+    return n
+
+
+def transition_frame(tok: DataFrame, id_col: str) -> DataFrame:
+    """``(id_col, w1, w2, tf)`` — per-document bigram transition counts
+    from a tokenized ``(id_col, __toks)`` projection. Documents with
+    fewer than two tokens contribute no rows. ONE partial-aggregated
+    shuffle on (id, w1, w2)."""
+    pairs = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "(w, i) -> struct(w AS w1, element_at(__toks, i + 2) AS w2))")
+    return (tok.select(F.col(id_col), F.explode(pairs).alias("__p"))
+            .select(id_col, "__p.w1", "__p.w2")
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
+                    add_k: float = 1.0,
+                    min_count: int = 1) -> DataFrame:
+    """Train a bigram LM on ``df`` and score every document against it
+    (the CCNet self-scoring shape — rank a crawl slice by its own
+    statistics). Returns ``(id_col, n_transitions, avg_nll)`` — one row
+    per document with ≥1 transition; ``avg_nll`` is the mean
+    per-transition negative log likelihood (lower = more fluent;
+    perplexity = exp(avg_nll)), rounded to 6 decimals.
+
+    ``min_count`` prunes bigrams below that corpus count from the table
+    (bounds the LM at scale); pruned transitions score as unseen
+    (c=0 + smoothing). Context totals and vocabulary stay unpruned so
+    pruning only coarsens, never inflates, probabilities. To score NEW
+    documents against a frozen LM, persist ``bg``/``ctx``/``v`` from
+    this function's internals as parquet and replay the join — the
+    score side touches only those three tables plus the batch.
+
+    Call ``unpersist_lm()`` after the terminal action."""
+    from pyspark import StorageLevel
+
+    tok = (df.select(F.col(id_col), tokens(F.col(text_col))
+                     .alias("__toks"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _LM_CACHE.append(tok)
+
+    dtf = transition_frame(tok, id_col)
+    bg = (dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+          .filter(F.col("cb") >= min_count))
+    ctx = dtf.groupBy("w1").agg(F.sum("tf").alias("cctx"))
+    v = (tok.select(F.explode("__toks").alias("__t"))
+         .agg(F.countDistinct("__t").alias("v")))
+
+    # p = (cb + k) / (cctx + k·(V+1)) — every operand double-cast in
+    # this exact tree shape so the DuckDB oracle can mirror it; cb
+    # coalesces to 0 for min_count-pruned (unseen) transitions. cctx
+    # can't be NULL when scoring the training corpus, but coalesce
+    # keeps held-out scoring (frozen-LM replay) total.
+    k = float(add_k)
+    p = ((F.coalesce(F.col("cb").cast("double"), F.lit(0.0)) + F.lit(k))
+         / (F.coalesce(F.col("cctx").cast("double"), F.lit(0.0))
+            + F.lit(k) * (F.col("v").cast("double") + F.lit(1.0))))
+    nll = F.round(-F.log(p), 6).cast("decimal(30,6)")
+    return (dtf
+            .join(bg, ["w1", "w2"], "left")
+            .join(ctx, ["w1"], "left")
+            .crossJoin(F.broadcast(v))
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("int").alias("n_transitions"),
+                 F.sum(nll * F.col("tf")).alias("__s"))
+            .select(id_col, "n_transitions",
+                    F.round(F.col("__s").cast("double")
+                            / F.col("n_transitions"), 6)
+                    .alias("avg_nll")))

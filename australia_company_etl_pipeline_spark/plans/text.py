@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators import lm as lm_ops
 from ..operators import textstats as ts
 from .registry import register
 
@@ -397,6 +398,36 @@ post AS (
                                  ORDER BY score DESC, term ASC) AS INT)
            AS rank
   FROM kt
+), lm_tr AS (
+  -- bigram transitions (1-based positions i, i+1); <2-token docs emit
+  -- none — mirrors operators/lm.py transition_frame
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS tr
+  FROM tl
+), lm_dtf AS (
+  SELECT doc_id, tr.w1 AS w1, tr.w2 AS w2, count(*) AS tf
+  FROM lm_tr GROUP BY 1, 2, 3
+), lm_bg AS (SELECT w1, w2, sum(tf) AS cb FROM lm_dtf GROUP BY 1, 2),
+lm_ctx AS (SELECT w1, sum(tf) AS cctx FROM lm_dtf GROUP BY 1),
+lm_v AS (SELECT count(DISTINCT t) AS v
+         FROM (SELECT unnest(toks) AS t FROM tl)),
+lm_sc AS (
+  -- add-1 smoothing, same tree shape as the operator:
+  -- p = (cb + 1) / (cctx + 1·(V + 1)); per-transition −ln p rounded to
+  -- the 1e-6 grid, decimal-summed ×tf (order-independent)
+  SELECT d.doc_id,
+         CAST(sum(tf) AS INT) AS nt,
+         sum(CAST(round(-ln((CAST(cb AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / (CAST(cctx AS DOUBLE)
+                  + CAST(1.0 AS DOUBLE)
+                    * (CAST(v AS DOUBLE) + CAST(1.0 AS DOUBLE)))), 6)
+             AS DECIMAL(30,6)) * tf) AS s
+  FROM lm_dtf d
+  JOIN lm_bg USING (w1, w2)
+  JOIN lm_ctx USING (w1)
+  CROSS JOIN lm_v
+  GROUP BY 1
 )"""
 
 
@@ -411,9 +442,15 @@ post AS (
         "per-term statistic, so the full-vocabulary DF table never "
         "materializes on the search path. kind='keyterm': top-3 TF-IDF "
         "characteristic terms per document (the corpus-profiling twin, "
-        "which IS vocabulary-wide by design). Per-doc score assembly is "
-        "order-independent decimal accumulation on the 1e-6 grid → fully "
-        "value-checked against DuckDB.",
+        "which IS vocabulary-wide by design). kind='lm' (r5): CCNet-style "
+        "bigram-LM fluency scores (operators/lm.py bigram_lm_score) — "
+        "the corpus's own add-1-smoothed bigram table scores every "
+        "document's mean transition NLL (score = avg_nll, n_matched = "
+        "transition count; perplexity = exp(score)) — the quality gate "
+        "a crawl pipeline runs before expensive classifiers. Per-doc "
+        "score assembly across all kinds is order-independent decimal "
+        "accumulation on the 1e-6 grid → fully value-checked against "
+        "DuckDB.",
     tags=("text",),
     oracle=f"""
 WITH {_BM25_SQL_CTES}
@@ -426,6 +463,11 @@ UNION ALL
 SELECT 'keyterm' AS kind, doc_id, term, CAST(NULL AS INT) AS n_matched,
        score, rank
 FROM ktr WHERE rank <= 3
+UNION ALL
+SELECT 'lm' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+       nt AS n_matched, round(CAST(s AS DOUBLE) / nt, 6) AS score,
+       CAST(NULL AS INT) AS rank
+FROM lm_sc
 """,
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +490,16 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit("keyterm").alias("kind"), "doc_id", "term",
                         F.lit(None).cast("int").alias("n_matched"),
                         "score", "rank"))
-    return search.unionByName(keyterms)
+    # LM scoring needs token ORDER, which the (id, term, tf) postings
+    # aggregate has discarded — it pays its own tokenization pass
+    # (persisted in lm's cache; released by bench via unpersist_lm())
+    fluency = (lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0)
+               .select(F.lit("lm").alias("kind"), "doc_id",
+                       F.lit(None).cast("string").alias("term"),
+                       F.col("n_transitions").alias("n_matched"),
+                       F.col("avg_nll").alias("score"),
+                       F.lit(None).cast("int").alias("rank")))
+    return search.unionByName(keyterms).unionByName(fluency)
 
 
 _PII_SUFFIX = "@example.com or call 0412 345 678 abn 51 824 753 556 end"

@@ -69,6 +69,7 @@ def main() -> None:
     # round); per-query MEDIAN is reported — one slow outlier round no
     # longer masks or fakes a regression (±40% external noise observed).
     from australia_company_etl_pipeline_spark.operators import dedup as dd
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
     from australia_company_etl_pipeline_spark.operators import (
         retrieval as rt,
     )
@@ -83,6 +84,7 @@ def main() -> None:
             # postings) so repetitions don't accumulate executor storage
             dd.unpersist_shingles()
             rt.unpersist_postings()
+            lm_ops.unpersist_lm()
     per_query = {n: round(statistics.median(ts), 3)
                  for n, ts in times.items()}
     total = round(sum(per_query.values()), 3)

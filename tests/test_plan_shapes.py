@@ -254,6 +254,7 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "doc_search_bm25",         # broadcast 1-row (n_docs, avgdl) stats
     }
     from australia_company_etl_pipeline_spark.operators import dedup as dd
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
     from australia_company_etl_pipeline_spark.operators import (
         retrieval as rt,
     )
@@ -271,4 +272,5 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         # postings); don't leak them into the rest of the pytest session
         dd.unpersist_shingles()
         rt.unpersist_postings()
+        lm_ops.unpersist_lm()
     assert not offenders, offenders

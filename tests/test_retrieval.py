@@ -139,24 +139,30 @@ def test_oneshot_bm25_plan_prefilters_below_postings_aggregate(spark,
 
 
 def test_registered_query_shares_one_postings_build(spark, sf_dir):
-    """doc_search_bm25 persists the postings frame, so its two branches
+    """doc_search_bm25 persists the postings frame, so its term branches
     (search + keyterms) and their DF counts all read ONE cached build —
     the plan must reference the in-memory relation, not four separate
-    parquet scans of documents."""
+    parquet scans of documents. The kind='lm' branch pays ONE extra
+    tokenization scan by design (transitions need token order, which
+    the postings aggregate has discarded) and shares ITS cached token
+    frame between the transition and vocabulary consumers."""
     from australia_company_etl_pipeline_spark import plans
+    from australia_company_etl_pipeline_spark.operators import lm as lmo
 
     try:
         plan = _plan(plans.REGISTRY["doc_search_bm25"]
                      .builder(spark, sf_dir))
-        # all four postings consumers (2 branches × score side + DF side)
-        # read the cache
-        assert plan.count("InMemoryTableScan") >= 4, plan
+        # postings consumers (2 term branches × score side + DF side)
+        # plus the lm branch's two token-frame consumers read caches
+        assert plan.count("InMemoryTableScan") >= 6, plan
         # distinct parquet-scan NODES (formatted explain reprints the
         # cached build subtree — same node id — under every consumer):
-        # one for the shared postings build + one per corpus_stats copy
+        # one for the shared postings build, one per corpus_stats copy,
+        # one for the lm token frame
         import re
 
         scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
-        assert len(scan_ids) <= 3, sorted(scan_ids)
+        assert len(scan_ids) <= 4, sorted(scan_ids)
     finally:
         rt.unpersist_postings()
+        lmo.unpersist_lm()

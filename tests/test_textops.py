@@ -515,3 +515,57 @@ def test_mixture_and_cap_properties(spark):
         assert all(r.c <= n for r in capped)
 
     check()
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Add-1-smoothed bigram NLL on a 3-doc corpus, verified against the
+    closed-form by hand: V=4 (a,b,c,x), cb(a,b)=3, cb(b,a)=1, cb(b,c)=1,
+    cctx(a)=3, cctx(b)=2; p(a,b)=4/8, p(b,a)=p(b,c)=2/7. The 1-token doc
+    has no transitions and is absent from the result."""
+    import math
+
+    from australia_company_etl_pipeline_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           lm.bigram_lm_score(df, "text", "doc_id").collect()}
+    lm.unpersist_lm()
+    nll_ab = round(-math.log(4 / 8), 6)
+    nll_b_ = round(-math.log(2 / 7), 6)
+    assert set(got) == {1, 2}
+    assert got[1].n_transitions == 3
+    assert got[1].avg_nll == pytest.approx(
+        round((2 * nll_ab + nll_b_) / 3, 6), abs=1e-9)
+    assert got[2].n_transitions == 2
+    assert got[2].avg_nll == pytest.approx(
+        round((nll_ab + nll_b_) / 2, 6), abs=1e-9)
+
+
+def test_bigram_lm_score_ranks_disfluent_text_last(spark):
+    """The CCNet property the gate exists for: documents made of the
+    corpus's common transitions score LOWER avg_nll (more fluent) than a
+    token salad never seen twice. Also pins min_count pruning: pruned
+    bigrams score as unseen, so every doc's NLL can only rise."""
+    import random
+
+    from australia_company_etl_pipeline_spark.operators import lm
+
+    rng = random.Random(7)
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, common) for i in range(20)]
+    salad = " ".join(rng.choice(["the", "fox", "dog", "quick", "zz",
+                                 "qq", "ww"]) for _ in range(9))
+    docs.append((100, salad))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {r.doc_id: r.avg_nll for r in
+            lm.bigram_lm_score(df, "text", "doc_id").collect()}
+    pruned = {r.doc_id: r.avg_nll for r in
+              lm.bigram_lm_score(df, "text", "doc_id",
+                                 min_count=5).collect()}
+    lm.unpersist_lm()
+    assert base[0] < base[100]            # fluent beats salad
+    assert all(base[i] == base[0] for i in range(20))  # identical docs
+    assert all(pruned[d] >= base[d] for d in base)     # pruning ↑ NLL
+    assert pruned[100] > pruned[0]
