@@ -513,6 +513,7 @@ _PII_SUFFIX = "@example.com or call 0412 345 678 abn 51 824 753 556 end"
 # least(1, target/avail) is bit-identical to the operator's.
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
 _MIX_BUDGET = 300
+_CAP_N = 20  # kind='cap' per-lang document cap
 
 
 def _mixture_sql() -> str:
@@ -560,7 +561,12 @@ mix_kept AS (SELECT d.lang AS stratum, count(*) AS kept
         "3rd doc re-emitted with a synthetic email+phone+ABN suffix — "
         "scrub coverage must be observable, and the base corpus carries "
         "no PII to count). The patterns are RE2-safe, so the DuckDB "
-        "oracle value-checks the Java-regex hit counts exactly.",
+        "oracle value-checks the Java-regex hit counts exactly. "
+        "kind='cap' (r5): cap_per_key(n=20) per lang under the "
+        "engine-portable md5(text) keep order — key=lang, "
+        "n_docs=available, n_hits=SUM of kept doc_ids (a membership "
+        "checksum: the oracle catches a wrong keep CHOICE, not just a "
+        "wrong count).",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
@@ -599,6 +605,14 @@ SELECT 'mixture' AS kind, f.stratum AS key,
        CAST(f.avail AS BIGINT) AS n_docs,
        coalesce(k.kept, 0) AS n_hits
 FROM mix_fr f LEFT JOIN mix_kept k ON f.stratum = k.stratum
+UNION ALL
+SELECT 'cap' AS kind, lang AS key, count(*) AS n_docs,
+       sum(doc_id) FILTER (WHERE rn <= {_CAP_N}) AS n_hits
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(text)) AS rn
+      FROM documents)
+GROUP BY 2
 """,
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,4 +636,17 @@ def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("stratum").alias("key"),
                         F.col("available").cast("long").alias("n_docs"),
                         F.col("kept").cast("long").alias("n_hits"))
-    return filt.unionByName(pii).unionByName(mix)
+    # kind='cap': per-key cap with an engine-portable keep order
+    # (md5(text) — distinct over this corpus, so the content-hash
+    # tiebreak never fires and DuckDB replays the exact kept SET);
+    # n_hits = sum of kept doc_ids — a membership checksum, so the
+    # oracle catches a wrong keep-choice, not just a wrong count
+    capped = ts.cap_per_key(
+        d.withColumn("__ord", F.md5("text")), ["lang"], n=_CAP_N,
+        order_col="__ord")
+    cap = (d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+           .join(capped.groupBy("lang")
+                 .agg(F.sum("doc_id").alias("n_hits")), "lang", "left")
+           .select(F.lit("cap").alias("kind"), F.col("lang").alias("key"),
+                   "n_docs", "n_hits"))
+    return filt.unionByName(pii).unionByName(mix).unionByName(cap)
