@@ -22,10 +22,14 @@ Scale shape (the 100 TB lens):
   ``retrieval.postings_frame``; release with ``unpersist_lm()``.
 - Scoring is two shuffle equi-joins (doc transitions ⋈ bigram table on
   (w1, w2), ⋈ context totals on w1) plus one per-document aggregate.
-  Per-document transition counts are pre-aggregated BEFORE the join, so
-  a document repeating one bigram a thousand times joins once and
-  multiplies by ``tf``. With ``min_count`` pruning the bigram table
-  shrinks enough to broadcast — AQE picks that up from sizes.
+  Raw transitions join directly — pre-aggregating per-document
+  transition counts first measured 1.7× SLOWER at sf0.1 (natural text
+  has tf≈1, so the extra (id, w1, w2) shuffle deduplicates nothing);
+  for a pathologically repetitive corpus, pre-aggregate before calling
+  (``transition_frame`` + ``groupBy`` — the decimal grid makes
+  sum-of-repeats equal count×value, so results are identical). With
+  ``min_count`` pruning the bigram table shrinks enough to broadcast —
+  AQE picks that up from sizes.
 - The vocabulary size is one scalar aggregate crossed in as a broadcast
   single row (the ``doc_search_bm25`` (N, avgdl) pattern).
 - Per-document NLL assembly is order-independent decimal accumulation:
@@ -62,17 +66,15 @@ def unpersist_lm() -> int:
 
 
 def transition_frame(tok: DataFrame, id_col: str) -> DataFrame:
-    """``(id_col, w1, w2, tf)`` — per-document bigram transition counts
-    from a tokenized ``(id_col, __toks)`` projection. Documents with
-    fewer than two tokens contribute no rows. ONE partial-aggregated
-    shuffle on (id, w1, w2)."""
+    """``(id_col, w1, w2)`` — one row per bigram transition (position
+    order discarded, multiplicity kept) from a tokenized
+    ``(id_col, __toks)`` projection. Documents with fewer than two
+    tokens contribute no rows. Pure map-side explode — no shuffle."""
     pairs = F.expr(
         "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
         "(w, i) -> struct(w AS w1, element_at(__toks, i + 2) AS w2))")
     return (tok.select(F.col(id_col), F.explode(pairs).alias("__p"))
-            .select(id_col, "__p.w1", "__p.w2")
-            .groupBy(id_col, "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("tf")))
+            .select(id_col, "__p.w1", "__p.w2"))
 
 
 def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
@@ -101,10 +103,10 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
            .persist(StorageLevel.MEMORY_AND_DISK))
     _LM_CACHE.append(tok)
 
-    dtf = transition_frame(tok, id_col)
-    bg = (dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    tr = transition_frame(tok, id_col)
+    bg = (tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
           .filter(F.col("cb") >= min_count))
-    ctx = dtf.groupBy("w1").agg(F.sum("tf").alias("cctx"))
+    ctx = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
     v = (tok.select(F.explode("__toks").alias("__t"))
          .agg(F.countDistinct("__t").alias("v")))
 
@@ -118,13 +120,13 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
          / (F.coalesce(F.col("cctx").cast("double"), F.lit(0.0))
             + F.lit(k) * (F.col("v").cast("double") + F.lit(1.0))))
     nll = F.round(-F.log(p), 6).cast("decimal(30,6)")
-    return (dtf
+    return (tr
             .join(bg, ["w1", "w2"], "left")
             .join(ctx, ["w1"], "left")
             .crossJoin(F.broadcast(v))
             .groupBy(id_col)
-            .agg(F.sum("tf").cast("int").alias("n_transitions"),
-                 F.sum(nll * F.col("tf")).alias("__s"))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_transitions"),
+                 F.sum(nll).alias("__s"))
             .select(id_col, "n_transitions",
                     F.round(F.col("__s").cast("double")
                             / F.col("n_transitions"), 6)
