@@ -811,6 +811,73 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
                      delim).alias(out_col)))
 
 
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", mode: str = "first",
+               min_docs: int = 3,
+               out_col: str = "text_dedup") -> DataFrame:
+    """Line-granular dedup — the C4/CCNet boilerplate pass (Raffel et
+    al. 2020 discard repeated spans; Wenzek et al. 2020 hash-dedup
+    paragraphs): navigation menus, cookie banners and footers repeat
+    across a crawl far below document granularity, where whole-document
+    digests (``exact_dedup``) and even word-window segments
+    (``segment_dedup``) are the wrong unit.
+
+    ``mode='first'``: keep only the globally FIRST occurrence of each
+    distinct line (lowest ``(id, position)``) — the keep-one rule;
+    later repeats drop, including within one document.
+    ``mode='common'``: drop EVERY occurrence of a line appearing in
+    ``>= min_docs`` DISTINCT documents — the boilerplate rule (a line
+    shared by many pages is chrome, not content; repeating a line
+    within ONE document does not make it boilerplate).
+
+    Lines split on ``\\n``; whitespace-only lines are dropped from the
+    output in both modes (normalization — they carry no content and
+    would otherwise all "duplicate" each other). Kept lines reassemble
+    in position order. Returns ``(id_col, n_lines, n_kept, out_col)``
+    with documents that have NO content lines absent (explode
+    semantics). Counts cover content lines only.
+
+    Scale shape: ``mode='common'`` is a partial-aggregated
+    ``groupBy(line)`` document-frequency count joined back on the line
+    — map-side combine collapses hot boilerplate, so corpus-universal
+    lines are NOT skewed shuffle keys. ``mode='first'`` ranks
+    occurrences inside each line's hash partition (same
+    skew-equals-duplication argument as ``segment_dedup``: the pile-up
+    IS the duplication being removed); one ``groupBy(id)`` reassembles.
+    """
+    if mode not in ("first", "common"):
+        raise ValueError(f"unknown mode {mode!r}: use 'first' or"
+                         " 'common'")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    base = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__idx", "__ln"))
+        .filter(F.trim(F.col("__ln")) != ""))
+    if mode == "first":
+        win = Window.partitionBy("__ln").orderBy(
+            F.col(id_col).asc(), F.col("__idx").asc())
+        flagged = base.withColumn("__keep",
+                                  F.row_number().over(win) == 1)
+    else:
+        freq = (base.groupBy("__ln")
+                .agg(F.countDistinct(id_col).alias("__nd")))
+        flagged = (base.join(freq, "__ln")
+                   .withColumn("__keep", F.col("__nd") < min_docs))
+    kept_struct = F.when(F.col("__keep"),
+                         F.struct(F.col("__idx"), F.col("__ln")))
+    return (flagged
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda s: s["__ln"]),
+                     "\n").alias(out_col)))
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: persisted MinHash index, batch-at-a-time arrival
 # ---------------------------------------------------------------------------

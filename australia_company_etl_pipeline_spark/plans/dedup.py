@@ -82,18 +82,68 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_docs")))
 
 
+_LD_FOOTER = "copyright example pty ltd all rights reserved"
+_LD_BANNER = "we use cookies to improve your experience"
+
+# Multi-line corpus for the line-dedup kinds: the synthetic documents
+# are single-line, so boilerplate is PLANTED — every 9th doc repeats its
+# own text as a second line (intra-doc dup), every 3rd gains a shared
+# footer, every 4th a whitespace-only line (must vanish, not dedup),
+# every (4k+1)th a cookie banner. Expressed identically in both engines.
+_LD_CORPUS_SQL = f"""
+  SELECT doc_id,
+         concat(text,
+           CASE WHEN doc_id % 9 = 0 THEN chr(10) || text ELSE '' END,
+           CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_LD_FOOTER}'
+                ELSE '' END,
+           CASE WHEN doc_id % 4 = 0 THEN chr(10) || '   ' ELSE '' END,
+           CASE WHEN doc_id % 4 = 1 THEN chr(10) || '{_LD_BANNER}'
+                ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def _line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0, F.concat(nl, F.col("text")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(nl, F.lit(_LD_FOOTER))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(nl, F.lit("   ")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.concat(nl, F.lit(_LD_BANNER))).otherwise(F.lit("")),
+        ).alias("text"))
+
+
 @register(
     "segment_dedup_docs",
-    doc="Sub-document exact dedup (operators/dedup.py:segment_dedup): "
-        "global keep-first over consecutive 8-word segments, reassembled "
-        "per doc — the fixed-window approximation of suffix-array "
-        "substring dedup (whole-doc digests miss copied passages inside "
+    doc="Sub-document exact dedup, kind-tagged (r5 fold adds the "
+        "line-granular pass). kind='segment' "
+        "(operators/dedup.py:segment_dedup): global keep-first over "
+        "consecutive 8-word segments, reassembled per doc — the "
+        "fixed-window approximation of suffix-array substring dedup "
+        "(whole-doc digests miss copied passages inside "
         "otherwise-distinct documents). Full segments rank by global "
         "first occurrence (ONE shuffle on the segment digest); partial "
-        "tails are always kept and never enter the window. Oracle "
-        "mirrors the split/rank/reassemble in DuckDB list functions.",
+        "tails are always kept and never enter the window. "
+        "kind='line_first' / 'line_common' (r5, "
+        "operators/dedup.py:line_dedup): the C4/CCNet boilerplate pass "
+        "over a planted multi-line corpus (shared footer in every 3rd "
+        "doc, cookie banner in every (4k+1)th, an intra-doc repeated "
+        "line in every 9th, a whitespace-only line in every 4th) — "
+        "'first' keeps each distinct line's global first occurrence; "
+        "'common' drops every line appearing in >= 3 DISTINCT docs "
+        "(so the intra-doc repeat survives 'common' but not 'first'). "
+        "n_segs doubles as the content-line count for the line kinds. "
+        "Oracle mirrors split/rank/count/reassemble in DuckDB.",
     tags=("dedup", "text"),
-    oracle="""
+    oracle=f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ss FROM documents),
 segs AS (
   SELECT doc_id, len(ss) AS ntoks,
@@ -113,19 +163,66 @@ segs AS (
   FROM cut WHERE is_full
   UNION ALL
   SELECT doc_id, idx, seg, TRUE AS keep FROM cut WHERE NOT is_full
+), ml AS ({_LD_CORPUS_SQL}),
+lc AS (
+  SELECT doc_id, r.idx AS idx, r.ln AS ln
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(regexp_split_to_array(text, chr(10))) + 1),
+                 i -> {{'idx': i,
+                        'ln': regexp_split_to_array(text, chr(10))[i]}}))
+                 AS r
+        FROM ml)
+  WHERE trim(r.ln) != ''
+), lfirst AS (
+  SELECT doc_id, idx, ln,
+         row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) = 1
+           AS keep
+  FROM lc
+), lfreq AS (
+  SELECT ln, count(DISTINCT doc_id) AS nd FROM lc GROUP BY 1
+), lcommon AS (
+  SELECT doc_id, idx, lc.ln AS ln, nd < 3 AS keep
+  FROM lc JOIN lfreq USING (ln)
 )
-SELECT doc_id,
+SELECT 'segment' AS kind, doc_id,
        count(*) AS n_segs,
        count(*) FILTER (WHERE keep) AS n_kept,
        coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY idx),
                 '') AS text_dedup
 FROM flagged GROUP BY doc_id
+UNION ALL
+SELECT 'line_first' AS kind, doc_id, count(*) AS n_segs,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
+                           ORDER BY idx), '') AS text_dedup
+FROM lfirst GROUP BY doc_id
+UNION ALL
+SELECT 'line_common' AS kind, doc_id, count(*) AS n_segs,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
+                           ORDER BY idx), '') AS text_dedup
+FROM lcommon GROUP BY doc_id
 """,
 )
 def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dd.segment_dedup(docs, id_col="doc_id", text_col="text",
+    seg = (dd.segment_dedup(docs, id_col="doc_id", text_col="text",
                             words_per_seg=8)
+           .select(F.lit("segment").alias("kind"), "doc_id", "n_segs",
+                   "n_kept", "text_dedup"))
+    ml = _line_dedup_corpus(spark, sf_dir)
+    lf = (dd.line_dedup(ml, id_col="doc_id", text_col="text",
+                        mode="first")
+          .select(F.lit("line_first").alias("kind"), "doc_id",
+                  F.col("n_lines").alias("n_segs"), "n_kept",
+                  "text_dedup"))
+    lcm = (dd.line_dedup(ml, id_col="doc_id", text_col="text",
+                         mode="common", min_docs=3)
+           .select(F.lit("line_common").alias("kind"), "doc_id",
+                   F.col("n_lines").alias("n_segs"), "n_kept",
+                   "text_dedup"))
+    return seg.unionByName(lf).unionByName(lcm)
 
 
 _MH_HASHES, _MH_BANDS = 16, 4

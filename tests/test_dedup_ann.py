@@ -1007,3 +1007,41 @@ def test_token_frame_derived_families_match_direct(spark):
                                    tokens_df=toks).collect()}
     assert direct_fp == derived_fp
     dd.unpersist_shingles()
+
+
+def test_line_dedup_first_vs_common_semantics(spark):
+    """Hand-built corpus pinning the two modes' defining difference:
+    keep-first drops EVERY later repeat (including within one doc);
+    the boilerplate rule drops only lines spanning >= min_docs DISTINCT
+    docs, so an intra-doc repeat survives it. Whitespace-only lines
+    vanish in both modes and never count."""
+    docs = spark.createDataFrame(
+        [(1, "alpha\nFOOTER\nalpha\n   "),   # intra-doc repeat + blank
+         (2, "bravo\nFOOTER"),
+         (3, "charlie\nFOOTER"),
+         (4, "delta")],
+        "doc_id long, text string")
+
+    first = {r.doc_id: r for r in
+             dd.line_dedup(docs, mode="first").collect()}
+    assert first[1].n_lines == 3            # blank line not counted
+    assert first[1].text_dedup == "alpha\nFOOTER"  # repeat dropped
+    assert first[2].text_dedup == "bravo"   # FOOTER already seen
+    assert first[3].text_dedup == "charlie"
+    assert first[4].text_dedup == "delta"
+
+    common = {r.doc_id: r for r in
+              dd.line_dedup(docs, mode="common", min_docs=3).collect()}
+    # FOOTER spans 3 distinct docs -> boilerplate, dropped everywhere;
+    # doc 1's intra-doc repeat is NOT boilerplate (1 distinct doc)
+    assert common[1].text_dedup == "alpha\nalpha"
+    assert common[2].text_dedup == "bravo"
+    assert common[3].text_dedup == "charlie"
+    assert common[4].n_kept == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        dd.line_dedup(docs, mode="both")
+    with pytest.raises(ValueError, match="min_docs"):
+        dd.line_dedup(docs, mode="common", min_docs=0)
