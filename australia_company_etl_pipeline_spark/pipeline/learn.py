@@ -114,3 +114,84 @@ def evaluate_match_model(scored: DataFrame, prob_col: str,
         F.round(recall, 6).alias("recall"),
         F.round(2 * precision * recall
                 / F.nullif(precision + recall, F.lit(0)), 6).alias("f1"))
+
+
+@dataclass(frozen=True)
+class TextClassifierModel:
+    """Portable artifact of ``fit_text_classifier`` — the embedding
+    config it was trained under (scoring MUST reuse it: a different
+    dim/seed/backend hashes tokens into different buckets and the
+    weights are meaningless) plus plain-number coefficients."""
+
+    dim: int
+    seed: int
+    hash_fn: str
+    intercept: float
+    weights: tuple[float, ...]  # one per embedding dimension
+
+
+def fit_text_classifier(labeled_docs: DataFrame, text_col: str,
+                        label_col: str, dim: int = 64, seed: int = 42,
+                        hash_fn: str = "native",
+                        reg_param: float = 0.0,
+                        elastic_net: float = 0.0,
+                        max_iter: int = 100) -> TextClassifierModel:
+    """Train a fastText-style linear text classifier entirely in-engine:
+    hashed bag-of-words features (``operators/embed.py`` — no
+    vocabulary pass, no external model artifact) into the same
+    distributed logistic regression ``fit_match_weights`` uses. The
+    canonical use is a learned QUALITY GATE: weak-label a corpus slice
+    (heuristic ``quality_score`` bands, a hand-audited sample, known
+    good/bad sources), fit here, then score the full corpus with
+    ``classifier_prob_expr`` — plain codegen arithmetic, no Python in
+    the 100 TB scoring path (the CCNet/GPT-3 "quality classifier"
+    stage, with feature hashing standing in for fastText n-grams).
+
+    ``labeled_docs`` carries ``text_col`` and a 0/1 or boolean
+    ``label_col``. Training cost is one embedding projection over the
+    LABELED slice only (not the corpus) + L-BFGS passes."""
+    from ..operators.embed import embed_documents
+
+    emb = embed_documents(labeled_docs, text_col, out_col="__emb",
+                          dim=dim, seed=seed, hash_fn=hash_fn)
+    feat_cols = [f"__f{i}" for i in range(dim)]
+    flat = emb.select(
+        *[F.element_at("__emb", i + 1).alias(c)
+          for i, c in enumerate(feat_cols)],
+        F.col(label_col))
+    mm = fit_match_weights(flat, feat_cols, label_col=label_col,
+                           reg_param=reg_param, elastic_net=elastic_net,
+                           max_iter=max_iter)
+    return TextClassifierModel(
+        dim=dim, seed=seed, hash_fn=hash_fn, intercept=mm.intercept,
+        weights=tuple(mm.weights[c] for c in feat_cols))
+
+
+def classifier_prob_expr(model: TextClassifierModel,
+                         vec_col: Column) -> Column:
+    """The fitted classifier over an ALREADY-EMBEDDED vector column as a
+    native sigmoid — ``1/(1 + exp(-(b + w·v)))`` with the weights
+    inlined as an array literal and the dot product a single
+    ``zip_with``+``aggregate`` (codegen, no UDF). The vector must come
+    from ``embed_documents`` under the model's own dim/seed/hash_fn."""
+    w = F.array(*[F.lit(x) for x in model.weights])
+    dot = F.aggregate(F.zip_with(vec_col, w, lambda a, b: a * b),
+                      F.lit(0.0), lambda s, x: s + x)
+    return F.lit(1.0) / (F.lit(1.0)
+                         + F.exp(-(F.lit(model.intercept) + dot)))
+
+
+def score_documents(docs: DataFrame, text_col: str,
+                    model: TextClassifierModel,
+                    prob_col: str = "quality_prob") -> DataFrame:
+    """Append the classifier probability to every document: embedding
+    projection under the model's stored config + the native sigmoid —
+    the full-corpus scoring pass, one scan, shuffle-free."""
+    from ..operators.embed import embed_documents
+
+    emb = embed_documents(docs, text_col, out_col="__emb",
+                          dim=model.dim, seed=model.seed,
+                          hash_fn=model.hash_fn)
+    return (emb.withColumn(prob_col,
+                           classifier_prob_expr(model, F.col("__emb")))
+            .drop("__emb"))

@@ -92,3 +92,63 @@ def test_evaluate_counts_unscored_and_empty(spark):
     (e,) = learn.evaluate_match_model(empty, "p").collect()
     assert (e.tp, e.fp, e.fn, e.tn, e.n_unscored) == (0, 0, 0, 0, 0)
     assert e.accuracy is None and e.f1 is None
+
+
+def test_text_classifier_learns_quality_gate(spark):
+    """End-to-end in-engine quality classifier: weak-labeled good docs
+    (varied vocabulary) vs bad docs (repeated spam tokens), trained via
+    hashed features + distributed LR, scored with the native sigmoid.
+    Held-out docs from each population must separate cleanly, and the
+    scoring plan must stay UDF-free (pure codegen arithmetic)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"word{i}" for i in range(300)]
+    good = [(" ".join(rng.choice(vocab) for _ in range(30)), 1)
+            for _ in range(40)]
+    bad = [(" ".join(rng.choice(["buy", "now", "click", "free"])
+                     for _ in range(30)), 0)
+           for _ in range(40)]
+    train = spark.createDataFrame(good[:30] + bad[:30],
+                                  "text string, label int")
+    model = learn.fit_text_classifier(train, "text", "label", dim=32,
+                                      reg_param=0.01)
+    assert len(model.weights) == 32 and model.dim == 32
+
+    held = spark.createDataFrame(good[30:] + bad[30:],
+                                 "text string, label int")
+    scored = learn.score_documents(held, "text", model)
+    rows = scored.collect()
+    good_p = [r.quality_prob for r in rows if r.label == 1]
+    bad_p = [r.quality_prob for r in rows if r.label == 0]
+    assert min(good_p) > max(bad_p), (min(good_p), max(bad_p))
+    assert all(p > 0.5 for p in good_p) and all(p < 0.5 for p in bad_p)
+
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_text_classifier_scoring_requires_matching_config(spark):
+    """Scoring under a different embedding config than the model was
+    trained with silently misroutes every token — score_documents must
+    re-derive the embedding from the model's own stored config, so a
+    caller cannot desynchronize them."""
+    df = spark.createDataFrame([("alpha beta gamma", 1),
+                                ("delta epsilon zeta", 0)] * 6,
+                               "text string, label int")
+    m = learn.fit_text_classifier(df, "text", "label", dim=16, seed=7,
+                                  reg_param=0.1)
+    assert (m.dim, m.seed, m.hash_fn) == (16, 7, "native")
+    from australia_company_etl_pipeline_spark.operators.embed import (
+        embed_documents)
+    from pyspark.sql import functions as F
+
+    emb = embed_documents(df, "text", out_col="v", dim=16, seed=7)
+    via_expr = emb.select(
+        learn.classifier_prob_expr(m, F.col("v")).alias("p"),
+        "text").collect()
+    via_score = {r.text: r.quality_prob
+                 for r in learn.score_documents(df, "text", m).collect()}
+    for r in via_expr:
+        assert abs(r.p - via_score[r.text]) < 1e-12
