@@ -65,6 +65,9 @@ def prepare_training_corpus(
         semantic_keep: str = "far",
         bpe_merges: list[tuple[str, str]] | None = None,
         domain_cap: tuple[str, int] | None = None,
+        line_dedup_mode: str | None = None,
+        line_min_docs: int = 3,
+        quality_classifier=None,
         mixture: tuple[str, dict[str, float], int] | None = None,
         mixture_unknown: str = "error",
         segment_words: int | None = None,
@@ -83,6 +86,20 @@ def prepare_training_corpus(
        ``cap_per_key`` keeps at most n docs per key (host/domain
        over-representation guard), BEFORE dedup so a boilerplate-heavy
        host can't dominate the shingle/cluster stages either;
+    1c. line-level boilerplate removal (only when ``line_dedup_mode``
+       is 'first' or 'common') — ``dedup.line_dedup`` rewrites each
+       doc without its boilerplate lines (``line_min_docs`` gates the
+       'common' rule). Runs BEFORE the fuzzy stages — the OPPOSITE of
+       the segment stage's late placement — because boilerplate is
+       chrome, not content: shared footers otherwise create false
+       near-dup pairs between unrelated pages AND dilute real content
+       similarity (CCNet dedups paragraphs before anything else for
+       the same reason). Docs left without content lines are dropped;
+    1d. learned quality gate (only when ``quality_classifier=(model,
+       threshold)`` is given — a ``learn.TextClassifierModel``) —
+       ``learn.score_documents`` + drop below threshold: the
+       trained-classifier stage (GPT-3/CCNet style) layered on top of
+       the heuristic filter, pure codegen scoring;
     2. exact dedup — content-digest keep-first;
     3. near dedup — MinHash+LSH pairs → connected components → keep each
        cluster's canonical member: min id by default, or the member
@@ -153,6 +170,26 @@ def prepare_training_corpus(
         cap_col, cap_n = domain_cap
         kept = _stage(ts.cap_per_key(kept, [cap_col], cap_n))
         stages["domain_capped"] = kept
+
+    if line_dedup_mode is not None:
+        ld = dd.line_dedup(kept, id_col=id_col, text_col=text_col,
+                           mode=line_dedup_mode, min_docs=line_min_docs)
+        kept = _stage(
+            kept.drop(text_col)
+            .join(ld.filter(F.col("n_kept") > 0)
+                  .select(id_col, F.col("text_dedup").alias(text_col)),
+                  id_col))
+        stages["line_deduped"] = kept
+
+    if quality_classifier is not None:
+        from . import learn
+
+        qc_model, qc_threshold = quality_classifier
+        kept = _stage(
+            learn.score_documents(kept, text_col, qc_model,
+                                  prob_col="__qprob")
+            .filter(F.col("__qprob") >= qc_threshold).drop("__qprob"))
+        stages["classifier_filtered"] = kept
 
     exact = _stage(dd.exact_dedup(kept, [text_col], id_col))
     stages["exact_deduped"] = exact
@@ -245,6 +282,10 @@ def prepare_training_corpus(
                 "bpe_merges": (len(bpe_merges)
                                if bpe_merges is not None else None),
                 "domain_cap": list(domain_cap) if domain_cap else None,
+                "line_dedup": ([line_dedup_mode, line_min_docs]
+                               if line_dedup_mode else None),
+                "quality_classifier": (quality_classifier[1]
+                                       if quality_classifier else None),
                 "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,
                 "pack_budget": pack_budget})

@@ -196,3 +196,50 @@ def test_prepare_training_corpus_semantic_and_bpe(spark, sf_dir):
         assert checked and all(r.n_tokens == r.direct for r in checked)
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_line_dedup_and_classifier(spark,
+                                                           sf_dir):
+    """r5 stages: boilerplate-line removal runs BEFORE the fuzzy dedups
+    (shared footers must not create false near-dup pairs), and the
+    learned quality gate drops the classifier's low-probability docs.
+    Both stage counts must appear in the run record."""
+    import json
+
+    from australia_company_etl_pipeline_spark.pipeline import learn
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    # every doc gains a shared footer line; every 5th is spam — made
+    # unique per doc (id suffix) so the BOILERPLATE stage can't kill it
+    # (identical spam across 100 docs would count as a common line) and
+    # the drop is attributable to the classifier stage
+    spam = "buy now click free " * 8
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(spam), F.col("doc_id").cast("string")))
+            .otherwise(F.col("text")),
+            F.lit("\ncopyright footer all rights reserved")).alias("text"),
+        "lang")
+
+    labeled = corpus.select(
+        "text", (F.col("doc_id") % 5 != 0).cast("int").alias("label"))
+    model = learn.fit_text_classifier(labeled, "text", "label", dim=32,
+                                      reg_param=0.01)
+    try:
+        packed, report = prepare_training_corpus(
+            corpus, line_dedup_mode="common", line_min_docs=3,
+            quality_classifier=(model, 0.5), pack_budget=1024)
+        counts = json.loads(report.collect()[0]["stage_counts"])
+        assert "line_deduped" in counts and "classifier_filtered" in counts
+        # the footer is gone from every surviving text
+        rows = packed.collect()
+        assert rows
+        assert all("copyright footer" not in r.text for r in rows)
+        # spam docs (doc_id % 5 == 0) were classifier-dropped
+        assert all(r.doc_id % 5 != 0 for r in rows)
+        assert counts["classifier_filtered"] < counts["line_deduped"]
+    finally:
+        release_corpus_cache()
