@@ -17,9 +17,14 @@ Scale shape (the 100 TB lens):
   text; context totals derive from the bigram table (``groupBy(w1)``
   over distinct bigrams — far smaller than the corpus), so the corpus
   is scanned once.
-- The tokenized projection is staged and persisted (two consumers:
-  transitions and the vocabulary count) — same contract as
-  ``retrieval.postings_frame``; release with ``unpersist_lm()``.
+- The tokenized projection feeds two consumers (transitions and the
+  vocabulary count) but is NOT persisted by default: on a cheap local
+  scan, serializing the token arrays through the cache measured 25%
+  slower than letting each consumer re-split (the same
+  recompute-vs-cache flip ``dedup.token_frame`` documents — it tracks
+  SCAN cost, not corpus size). Pass ``persist_tokens=True`` when the
+  scan is the expensive part (remote object store, wide rows) and
+  release with ``unpersist_lm()``.
 - Scoring is two shuffle equi-joins (doc transitions ⋈ bigram table on
   (w1, w2), ⋈ context totals on w1) plus one per-document aggregate.
   Raw transitions join directly — pre-aggregating per-document
@@ -33,10 +38,10 @@ Scale shape (the 100 TB lens):
 - The vocabulary size is one scalar aggregate crossed in as a broadcast
   single row (the ``doc_search_bm25`` (N, avgdl) pattern).
 - Per-document NLL assembly is order-independent decimal accumulation:
-  each transition's −ln p is rounded to the 1e-6 grid, cast to exact
-  decimal, and multiplied by the integer ``tf`` — bit-stable at any
-  parallelism and reproducible in any engine (the DuckDB oracle for the
-  ``doc_search_bm25`` kind='lm' fold value-checks it).
+  each transition's −ln p is rounded to the 1e-6 grid and summed in
+  exact decimal — bit-stable at any parallelism and reproducible in any
+  engine (the DuckDB oracle for the ``doc_search_bm25`` kind='lm' fold
+  value-checks it).
 
 Smoothing is add-k over an open vocabulary: p(w2|w1) =
 (c(w1,w2) + k) / (c(w1·) + k·(V+1)) — the +1 reserves one unseen-token
@@ -79,7 +84,8 @@ def transition_frame(tok: DataFrame, id_col: str) -> DataFrame:
 
 def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
                     add_k: float = 1.0,
-                    min_count: int = 1) -> DataFrame:
+                    min_count: int = 1,
+                    persist_tokens: bool = False) -> DataFrame:
     """Train a bigram LM on ``df`` and score every document against it
     (the CCNet self-scoring shape — rank a crawl slice by its own
     statistics). Returns ``(id_col, n_transitions, avg_nll)`` — one row
@@ -95,13 +101,15 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     this function's internals as parquet and replay the join — the
     score side touches only those three tables plus the batch.
 
-    Call ``unpersist_lm()`` after the terminal action."""
-    from pyspark import StorageLevel
+    With ``persist_tokens=True`` call ``unpersist_lm()`` after the
+    terminal action (see the module note for when that wins)."""
+    tok = df.select(F.col(id_col), tokens(F.col(text_col))
+                    .alias("__toks"))
+    if persist_tokens:
+        from pyspark import StorageLevel
 
-    tok = (df.select(F.col(id_col), tokens(F.col(text_col))
-                     .alias("__toks"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    _LM_CACHE.append(tok)
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        _LM_CACHE.append(tok)
 
     tr = transition_frame(tok, id_col)
     bg = (tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))

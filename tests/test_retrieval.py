@@ -144,8 +144,13 @@ def test_registered_query_shares_one_postings_build(spark, sf_dir):
     the plan must reference the in-memory relation, not four separate
     parquet scans of documents. The kind='lm' branch pays ONE extra
     tokenization scan by design (transitions need token order, which
-    the postings aggregate has discarded) and shares ITS cached token
-    frame between the transition and vocabulary consumers."""
+    the postings aggregate has discarded); its consumers deliberately
+    RECOMPUTE the cheap scan+split instead of caching token arrays —
+    both the shared-token-frame variant and persist_tokens=True
+    measured slower at sf0.1 (serializing token arrays costs more than
+    re-splitting a cheap local scan; the dedup.token_frame
+    recompute-vs-cache note), so extra scan nodes in the lm subtree are
+    the MEASURED design, not an accident."""
     from australia_company_etl_pipeline_spark import plans
     from australia_company_etl_pipeline_spark.operators import lm as lmo
 
@@ -153,16 +158,17 @@ def test_registered_query_shares_one_postings_build(spark, sf_dir):
         plan = _plan(plans.REGISTRY["doc_search_bm25"]
                      .builder(spark, sf_dir))
         # postings consumers (2 term branches × score side + DF side)
-        # plus the lm branch's two token-frame consumers read caches
-        assert plan.count("InMemoryTableScan") >= 6, plan
+        # all read the one cached postings build
+        assert plan.count("InMemoryTableScan") >= 4, plan
         # distinct parquet-scan NODES (formatted explain reprints the
         # cached build subtree — same node id — under every consumer):
-        # one for the shared postings build, one per corpus_stats copy,
-        # one for the lm token frame
+        # one for the shared postings build + one per corpus_stats copy
+        # + the lm branch's per-consumer scans (bigram, context, probe,
+        # vocabulary)
         import re
 
         scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
-        assert len(scan_ids) <= 4, sorted(scan_ids)
+        assert len(scan_ids) <= 8, sorted(scan_ids)
     finally:
         rt.unpersist_postings()
         lmo.unpersist_lm()
