@@ -139,3 +139,83 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
                     F.round(F.col("__s").cast("double")
                             / F.col("n_transitions"), 6)
                     .alias("avg_nll")))
+
+
+def save_bigram_lm(df: DataFrame, text_col: str, path: str,
+                   add_k: float = 1.0, min_count: int = 1) -> None:
+    """Persist the bigram LM as a queryable artifact — train ONCE on the
+    reference corpus, score every future batch against it
+    (``score_with_bigram_lm``), the shape a production gate actually
+    runs: the LM freezes on a curated snapshot while daily crawl
+    arrivals stream through it (the KenLM-artifact deployment, kept
+    in-engine). Mirrors ``ann.build_ivf_index``'s layout discipline:
+
+    - ``bigrams/``  — (w1, w2, cb) parquet, ``min_count``-pruned;
+    - ``contexts/`` — (w1, cctx) parquet (UNpruned — pruning only
+      coarsens probabilities, never inflates them);
+    - ``meta/``     — one row (v, add_k, min_count).
+
+    A rebuild over an existing path writes into a pid-suffixed sibling
+    and swaps with ONE atomic rename (``session.replace_dir``) — a
+    crash never pairs new bigram counts with old context totals, which
+    would silently skew every probability. Scoring jobs running across
+    a swap fail and retry against the new artifact (replace_dir's
+    single-writer contract)."""
+    import os
+
+    from ..session import replace_dir
+
+    tmp = f"{path}.__build_tmp.{os.getpid()}"
+    tok = df.select(tokens(F.col(text_col)).alias("__toks"))
+    tr = (tok.select(F.explode(F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "(w, i) -> struct(w AS w1, element_at(__toks, i + 2) AS w2))"))
+        .alias("__p"))
+        .select("__p.w1", "__p.w2"))
+    bg = (tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+          .filter(F.col("cb") >= min_count))
+    ctx = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
+    meta = (tok.select(F.explode("__toks").alias("__t"))
+            .agg(F.countDistinct("__t").alias("v"))
+            .select("v", F.lit(float(add_k)).alias("add_k"),
+                    F.lit(int(min_count)).alias("min_count")))
+    bg.write.mode("overwrite").parquet(f"{tmp}/bigrams")
+    ctx.write.mode("overwrite").parquet(f"{tmp}/contexts")
+    meta.write.mode("overwrite").parquet(f"{tmp}/meta")
+    replace_dir(df.sparkSession, tmp, path)
+
+
+def score_with_bigram_lm(docs: DataFrame, text_col: str, id_col: str,
+                         path: str) -> DataFrame:
+    """Score a batch against a FROZEN persisted LM
+    (``save_bigram_lm``) — identical math to ``bigram_lm_score``
+    (scoring the training corpus through its own frozen artifact
+    returns bit-identical rows, pinned in tests), but the corpus-wide
+    aggregation is gone: the batch pays its own tokenize + two
+    equi-joins against the stored tables. Out-of-vocabulary transitions
+    take the smoothed floor — an unseen (w1, w2) under an unseen
+    context scores p = 1/(V+1) whatever ``add_k`` was. Returns
+    ``(id_col, n_transitions, avg_nll)``."""
+    spark = docs.sparkSession
+    bg = spark.read.parquet(f"{path}/bigrams")
+    ctx = spark.read.parquet(f"{path}/contexts")
+    meta = spark.read.parquet(f"{path}/meta")
+    tok = docs.select(F.col(id_col), tokens(F.col(text_col))
+                      .alias("__toks"))
+    tr = transition_frame(tok, id_col)
+    p = ((F.coalesce(F.col("cb").cast("double"), F.lit(0.0))
+          + F.col("add_k"))
+         / (F.coalesce(F.col("cctx").cast("double"), F.lit(0.0))
+            + F.col("add_k") * (F.col("v").cast("double") + F.lit(1.0))))
+    nll = F.round(-F.log(p), 6).cast("decimal(30,6)")
+    return (tr
+            .join(bg, ["w1", "w2"], "left")
+            .join(ctx, ["w1"], "left")
+            .crossJoin(F.broadcast(meta))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_transitions"),
+                 F.sum(nll).alias("__s"))
+            .select(id_col, "n_transitions",
+                    F.round(F.col("__s").cast("double")
+                            / F.col("n_transitions"), 6)
+                    .alias("avg_nll")))

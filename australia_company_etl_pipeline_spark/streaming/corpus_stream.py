@@ -37,10 +37,19 @@ def stream_dedup_ingest(stream: DataFrame, out_path: str, index_path: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, num_hashes: int = 32,
                         bands: int = 8,
+                        lm_gate: tuple[str, float] | None = None,
                         available_now: bool = True):
     """Start the dedup-ingest stream: per micro-batch, drop near-dups of
     anything seen before (or earlier in the same batch), append survivors
     to ``out_path`` partitioned by batch id.
+
+    ``lm_gate=(lm_path, max_nll)`` additionally scores each batch
+    against a FROZEN persisted bigram LM (``lm.save_bigram_lm`` — train
+    once on a curated snapshot) and drops documents whose mean
+    transition NLL exceeds ``max_nll`` — the streaming form of the
+    CCNet perplexity gate, running BEFORE dedup so disfluent spam never
+    enters the index as "seen" content other arrivals could dedup
+    against. Documents with no transitions (<2 tokens) fail the gate.
 
     ``id_col`` must be globally increasing across the stream (the
     append-log contract ``incremental_dedup`` documents). Per-batch
@@ -53,6 +62,15 @@ def stream_dedup_ingest(stream: DataFrame, out_path: str, index_path: str,
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         before = dd.shingle_cache_snapshot()
         try:
+            if lm_gate is not None:
+                from ..operators import lm as lm_ops
+
+                lm_path, max_nll = lm_gate
+                fluent = (lm_ops.score_with_bigram_lm(
+                    batch_df, text_col, id_col, lm_path)
+                    .filter(F.col("avg_nll") <= max_nll)
+                    .select(id_col))
+                batch_df = batch_df.join(fluent, id_col, "left_semi")
             kept = dd.incremental_dedup(
                 batch_df, index_path, text_col, id_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands)

@@ -185,13 +185,39 @@ def test_purchase_attribution_has_no_nested_loop(spark, sf_dir):
 def test_segment_dedup_single_scan_two_exchanges(spark, sf_dir):
     """The salted-window rewrite's claim: one corpus scan (no
     tails/firsts DAG fork), exactly two shuffles (salted segment digest
-    for the keep-first window, doc_id for reassembly)."""
-    plan = _plan(plans.REGISTRY["segment_dedup_docs"]
-                 .builder(spark, sf_dir))
+    for the keep-first window, doc_id for reassembly). Pinned on the
+    OPERATOR's plan — the registered query is a 3-branch union since
+    the r5 line-dedup fold. The line branches get their own pins: the
+    keep-first mode is the same window+reassemble two-shuffle shape;
+    the boilerplate mode trades the window for a partial-aggregated
+    doc-frequency count + join (3 exchanges, no window partition
+    pile-up on corpus-universal lines)."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import dedup as dd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(dd.segment_dedup(docs, id_col="doc_id",
+                                  text_col="text", words_per_seg=8))
     counts = _node_counts(plan)
     assert counts["Scan"] == 1, counts
     assert counts["Exchange"] == 2, counts
     assert counts["Window"] == 1, counts
+
+    lf = _plan(dd.line_dedup(docs, mode="first"))
+    cf = _node_counts(lf)
+    assert cf["Scan"] == 1, cf
+    assert cf["Exchange"] == 2, cf
+    assert cf["Window"] == 1, cf
+
+    lc = _plan(dd.line_dedup(docs, mode="common", min_docs=3))
+    cc = _node_counts(lc)
+    # the doc-frequency count and the probe side each scan (Catalyst
+    # forks the uncached base — the recompute-vs-cache default for a
+    # cheap scan); the defining claims are NO window pile-up on hot
+    # boilerplate lines and a partial-agg + (broadcastable) join
+    assert cc["Scan"] == 2, cc
+    assert "Window" not in lc, lc
+    assert cc["Exchange"] <= 4, cc
 
 
 def test_profile_sketch_mode_avoids_expand(spark, sf_dir):

@@ -319,3 +319,64 @@ def test_stream_embed_index_grows_searchable_index(spark, tmp_path):
              .select(F.col("doc_id").alias("vec_id"), "embedding"))
     ann.append_to_ivf_index(vecs2, index)
     assert spark.read.parquet(f"{index}/lists").count() == 20
+
+
+def test_stream_dedup_ingest_lm_gate(spark, tmp_path):
+    """The streaming perplexity gate: a frozen bigram LM trained on a
+    fluent reference snapshot must drop the disfluent arrival BEFORE it
+    indexes — spam never becomes 'seen' content — while fluent docs
+    pass the gate and still dedup cross-batch."""
+    import time
+
+    from australia_company_etl_pipeline_spark.operators import lm
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        read_documents_stream, stream_dedup_ingest)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    lm_path = str(tmp_path / "lm_art")
+
+    # reference snapshot: fluent sentences over a small recurring
+    # vocabulary — the frozen LM learns these transitions
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again")
+         for i in range(20)],
+        "doc_id long, text string")
+    lm.save_bigram_lm(ref, "text", lm_path)
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    spam = "zz1 qq2 ww3 ee4 rr5 tt6 yy7 uu8 ii9 oo0"  # all-OOV salad
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(100, fluent), (101, spam), (102, fluent + " again")], schema)
+    b2 = spark.createDataFrame(
+        [(200, fluent + " too"), (201, spam + " more")], schema)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    # threshold between the fluent docs' NLL (seen transitions, low)
+    # and the OOV salad's floor -ln(1/(V+1))
+    import math
+    v = spark.read.parquet(f"{lm_path}/meta").collect()[0]["v"]
+    floor = round(-math.log(1.0 / (v + 1)), 6)
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_dedup_ingest(stream, out, index, ck, threshold=0.8,
+                            lm_gate=(lm_path, floor - 0.1))
+    q.awaitTermination(180)
+
+    kept = sorted(r.doc_id for r in
+                  spark.read.parquet(out).select("doc_id").collect())
+    # spam (101, 201) gated out; 102/200 are near-dups of 100 -> dropped
+    # by dedup; only the first fluent doc survives end-to-end
+    assert 101 not in kept and 201 not in kept
+    assert 100 in kept
+    # gated docs never entered the index
+    idx_ids = {r.doc_id for r in
+               spark.read.parquet(f"{index}/shingles")
+               .select("doc_id").collect()}
+    assert 101 not in idx_ids and 201 not in idx_ids
+    assert {100, 102, 200} <= idx_ids  # dedup-dropped docs still index

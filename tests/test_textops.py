@@ -569,3 +569,46 @@ def test_bigram_lm_score_ranks_disfluent_text_last(spark):
     assert all(base[i] == base[0] for i in range(20))  # identical docs
     assert all(pruned[d] >= base[d] for d in base)     # pruning ↑ NLL
     assert pruned[100] > pruned[0]
+
+
+def test_persisted_bigram_lm_matches_self_scoring(spark, tmp_path):
+    """Frozen-artifact scoring: training docs scored through their own
+    persisted LM must return bit-identical rows to the in-memory
+    self-scoring path; held-out docs with OOV transitions take the
+    smoothed floor p = 1/(V+1); a rebuild swaps atomically (second
+    save over the same path yields the same scores, no residue)."""
+    import math
+
+    from australia_company_etl_pipeline_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    path = str(tmp_path / "lm_art")
+    lm.save_bigram_lm(df, "text", path)
+    frozen = {r.doc_id: r for r in
+              lm.score_with_bigram_lm(df, "text", "doc_id",
+                                      path).collect()}
+    live = {r.doc_id: r for r in
+            lm.bigram_lm_score(df, "text", "doc_id").collect()}
+    assert set(frozen) == set(live)
+    for d in live:
+        assert frozen[d].n_transitions == live[d].n_transitions
+        assert frozen[d].avg_nll == live[d].avg_nll  # bit-identical
+
+    held = spark.createDataFrame([(9, "zz qq")], "doc_id long, text string")
+    (row,) = lm.score_with_bigram_lm(held, "text", "doc_id",
+                                     path).collect()
+    # both words OOV: cb=cctx=NULL -> p = k/(k*(V+1)) = 1/5 (V=4)
+    assert row.n_transitions == 1
+    assert row.avg_nll == pytest.approx(round(-math.log(1 / 5), 6),
+                                        abs=1e-9)
+
+    lm.save_bigram_lm(df, "text", path)  # rebuild over existing
+    rebuilt = {r.doc_id: r.avg_nll for r in
+               lm.score_with_bigram_lm(df, "text", "doc_id",
+                                       path).collect()}
+    assert rebuilt == {d: live[d].avg_nll for d in live}
+    import os
+    assert not [p for p in os.listdir(tmp_path)
+                if "__build_tmp" in p or "__old" in p]
