@@ -709,3 +709,52 @@ def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,
                     F.round(cosine(F.col("__va"), F.col("__vb")), 6)
                     .alias("cosine_sim"))
             .filter(F.col("cosine_sim") >= threshold))
+
+
+def ivf_recall_probe(spark, path: str, k: int = 10, n_probe: int = 4,
+                     sample: int = 32,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Measure a persisted IVF index's recall@k against ground truth —
+    the monitoring half of the ``append_to_ivf_index`` contract: as
+    appended data drifts away from the frozen centroids, list
+    membership skews and probe recall decays, and the operator that
+    detects it must be cheaper than the rebuild it recommends.
+
+    Samples the ``sample`` lowest-id stored vectors as queries
+    (deterministic — consecutive probes are comparable; appended drift
+    batches usually carry HIGHER ids, so pass a larger ``sample`` or
+    re-probe after appends to cover them), answers them twice —
+    ``ivf_index_topk`` at ``n_probe`` vs exact brute force over the
+    full stored corpus — and returns ONE row:
+    ``(n_queries, k, n_probe, n_lists, recall)`` where recall is the
+    mean fraction of true top-k ids the probe recovered.
+
+    Cost: brute force is corpus × ``sample`` — bounded by the sample
+    knob, one scan of ``lists/`` (the probe side reads only probed
+    partitions as usual). Wire the output into ``quality.dq_check``-
+    style gates: rebuild when recall drops below the SLA."""
+    corpus = (spark.read.parquet(f"{path}/lists")
+              .select(id_col, vec_col))
+    queries = (corpus.orderBy(F.col(id_col).asc()).limit(sample)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("query_vec")))
+    truth = brute_force_topk(corpus, queries, k=k, id_col=id_col,
+                             vec_col=vec_col)
+    got = ivf_index_topk(spark, path, queries, k=k, n_probe=n_probe,
+                         id_col=id_col, vec_col=vec_col)
+    hits = (truth.select("query_id", id_col)
+            .join(got.select("query_id", id_col), ["query_id", id_col],
+                  "left_semi"))
+    per_q = (truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("nt"))
+             .join(hits.groupBy("query_id")
+                   .agg(F.count(F.lit(1)).alias("nh")),
+                   "query_id", "left"))
+    n_lists = spark.read.parquet(f"{path}/centroids").count()
+    return per_q.agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        F.lit(k).alias("k"),
+        F.lit(n_probe).alias("n_probe"),
+        F.lit(n_lists).cast("int").alias("n_lists"),
+        F.round(F.avg(F.coalesce(F.col("nh"), F.lit(0))
+                      / F.col("nt")), 6).alias("recall"))

@@ -1045,3 +1045,36 @@ def test_line_dedup_first_vs_common_semantics(spark):
         dd.line_dedup(docs, mode="both")
     with pytest.raises(ValueError, match="min_docs"):
         dd.line_dedup(docs, mode="common", min_docs=0)
+
+
+def test_ivf_recall_probe_full_vs_narrow(spark, tmp_path):
+    """The index-health monitor: probing EVERY list recovers the exact
+    top-k (recall 1.0 — the probe and brute force agree when nothing is
+    pruned); a 1-list probe over a multi-cluster corpus must lose
+    ground truth (recall < 1) yet stay positive (self-matches live in
+    the probed list). Deterministic across repeated calls."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(80):
+        v = centers[i % 4] + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_probe")
+    ann.build_ivf_index(corpus, path, n_centroids=4, kmeans_iter=4,
+                        seed=1)
+
+    full = ann.ivf_recall_probe(spark, path, k=5, n_probe=4,
+                                sample=16).collect()[0]
+    assert full.recall == 1.0
+    assert (full.n_queries, full.k, full.n_probe, full.n_lists) == \
+        (16, 5, 4, 4)
+
+    narrow = ann.ivf_recall_probe(spark, path, k=5, n_probe=1,
+                                  sample=16).collect()[0]
+    assert 0.0 < narrow.recall <= 1.0
+    again = ann.ivf_recall_probe(spark, path, k=5, n_probe=1,
+                                 sample=16).collect()[0]
+    assert again.recall == narrow.recall
