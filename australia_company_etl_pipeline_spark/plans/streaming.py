@@ -33,16 +33,41 @@ from .registry import register
 
 @register(
     "events_window_counts",
-    doc="Streaming extension, both window families in one result (r4 fold "
+    doc="Streaming extension, the window families in one result (r4 fold "
         "of events_tumbling_counts / events_sliding_counts to free a "
         "driver-window slot): kind='tumbling' rows are the 1h tumbling "
         "event-time window, kind='sliding' rows the 1h/30min sliding "
         "window (each event in exactly 2 buckets). Same function bodies "
         "serve the watermarked streams; oracle floors epoch seconds "
         "(tumbling) and materializes both bucket starts via unnest "
-        "(sliding).",
+        "(sliding). kind='resample_zero' / 'resample_locf' (r5, "
+        "operators/temporal.py:resample_events): hypertable-style "
+        "resample + GAP FILL — the densified 1h axis from the corpus's "
+        "first to last bucket, per event_type; empty buckets get "
+        "n_events=0 with sum_value 0.0 (count semantics) or the last "
+        "observed value carried forward (gauge semantics, NULL before "
+        "a series' first observation) — the buckets a plain "
+        "groupBy(window) silently omits are exactly the outages one "
+        "monitors for.",
     tags=("streaming",),
     oracle="""
+WITH rs_agg AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+         count(*) AS n_events, round(sum(value), 2) AS s
+  FROM events GROUP BY 1, 2
+), rs_span AS (
+  SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS lo,
+         CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS hi
+  FROM events
+), rs_axis AS (SELECT unnest(range(lo, hi + 1)) AS b FROM rs_span),
+rs_grid AS (SELECT t.event_type, a.b
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN rs_axis a),
+rs_join AS (
+  SELECT g.event_type, g.b, coalesce(r.n_events, 0) AS n_events, r.s
+  FROM rs_grid g
+  LEFT JOIN rs_agg r ON g.event_type = r.event_type AND g.b = r.b
+)
 SELECT 'tumbling' AS kind,
        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
        CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end_s,
@@ -63,15 +88,39 @@ FROM (SELECT event_type, value,
       FROM events) e
 CROSS JOIN (SELECT unnest([0, 1]) AS k) kk
 GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'resample_zero' AS kind, b * 3600 AS window_start_s,
+       b * 3600 + 3600 AS window_end_s, event_type, n_events,
+       coalesce(s, 0.0) AS sum_value
+FROM rs_join
+UNION ALL
+SELECT 'resample_locf' AS kind, b * 3600 AS window_start_s,
+       b * 3600 + 3600 AS window_end_s, event_type, n_events,
+       last_value(s IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value
+FROM rs_join
 """,
 )
 def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import resample_events
+
     events = table(spark, sf_dir, "events")
     tumbling = (tumbling_counts(events, window="1 hour")
                 .select(F.lit("tumbling").alias("kind"), "*"))
     sliding = (sliding_counts(events, window="1 hour", slide="30 minutes")
                .select(F.lit("sliding").alias("kind"), "*"))
-    return tumbling.unionByName(sliding)
+    out = tumbling.unionByName(sliding)
+    for fill in ("zero", "locf"):
+        rs = (resample_events(events, "ts", "value", ["event_type"],
+                              interval_s=3600, fill=fill)
+              .select(F.lit(f"resample_{fill}").alias("kind"),
+                      F.col("bucket_start_s").alias("window_start_s"),
+                      F.col("bucket_end_s").alias("window_end_s"),
+                      "event_type", "n_events",
+                      F.col("value").alias("sum_value")))
+        out = out.unionByName(rs)
+    return out
 
 
 @register(

@@ -278,6 +278,9 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "embedding_dup_pairs",     # method='exact' guarded baseline
         "dq_suite_report",         # 1×1 scalar cross join (match rate)
         "doc_search_bm25",         # broadcast 1-row (n_docs, avgdl) stats
+        "events_window_counts",    # resample gap-fill: distinct-groups ×
+                                   # generated time axis — both sides
+                                   # bounded (span/interval), not data
     }
     from australia_company_etl_pipeline_spark.operators import dedup as dd
     from australia_company_etl_pipeline_spark.operators import lm as lm_ops

@@ -394,3 +394,48 @@ def test_asof_bucketed_map_payload_matches_plain(spark):
                 for r in asof_join_bucketed(left, right, bucket_s=300,
                                             **kw).collect()}
     assert plain == bucketed and len(plain) == 7
+
+
+def test_resample_gap_fill_zero_and_locf(spark):
+    """Hand-built 2-series stream with a hole: the densified axis spans
+    the GLOBAL min..max bucket for every series; zero-fill gives
+    (0, 0.0) in the hole, locf carries the last observation through it
+    and leaves buckets before a series' first observation NULL."""
+    import pytest
+
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        resample_events)
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 00:40:00", 2.0),
+        # hole at 01:xx for a
+        ("a", "2024-01-01 02:05:00", 5.0),
+        # b starts late: 00:xx and 01:xx are leading gaps for it
+        ("b", "2024-01-01 02:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double") \
+        .selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts", "value")
+
+    def key(rows_):
+        return {(r.event_type, r.bucket_start_s): r for r in rows_}
+
+    zero = key(resample_events(df, "ts", "value", ["event_type"],
+                               3600, "zero").collect())
+    locf = key(resample_events(df, "ts", "value", ["event_type"],
+                               3600, "locf").collect())
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    # axis: 3 buckets × 2 series = 6 rows in both modes
+    assert len(zero) == len(locf) == 6
+    assert zero[("a", base)].value == 3.0          # 1.0 + 2.0
+    assert zero[("a", base)].n_events == 2
+    assert zero[("a", base + 3600)].value == 0.0   # the hole
+    assert zero[("a", base + 3600)].n_events == 0
+    assert locf[("a", base + 3600)].value == 3.0   # carried forward
+    assert locf[("a", base + 7200)].value == 5.0   # own observation wins
+    assert zero[("b", base)].value == 0.0
+    assert locf[("b", base)].value is None         # before b's first obs
+    assert locf[("b", base + 3600)].value is None
+    assert locf[("b", base + 7200)].value == 7.0
+    with pytest.raises(ValueError, match="unknown fill"):
+        resample_events(df, "ts", "value", ["event_type"], 3600, "interp")
