@@ -153,3 +153,64 @@ def stream_embed_index(stream: DataFrame, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_drift_monitor(stream: DataFrame, baseline_profile_path: str,
+                         alert_path: str, checkpoint_dir: str,
+                         cols: list[str],
+                         rel_threshold: float = 0.5,
+                         table_name: str = "stream",
+                         available_now: bool = True, **profile_kwargs):
+    """Continuous "did the feed silently change" monitoring: per
+    micro-batch, profile the arriving rows (``profile.profile_table``),
+    diff them against a FROZEN baseline profile stored at
+    ``baseline_profile_path`` (write it once with
+    ``profile_table(reference).write.parquet(...)`` from a curated
+    snapshot), and append every metric whose relative change exceeds
+    ``rel_threshold`` to ``alert_path`` tagged with the batch id — the
+    streaming twin of the batch ``profile_drift`` monitor, catching
+    null-rate spikes, cardinality collapse and range shifts while the
+    feed is still arriving, not at tomorrow's batch run.
+
+    The baseline side is NEVER re-scanned (the ``old_profile`` fast
+    path); per trigger this costs one single-aggregate pass over the
+    batch plus a ≤(metrics)-row join. ``profile_kwargs`` forward to the
+    profiler — pass ``distinct='approx'``/``percentile_mode='approx'``
+    at scale. An all-clear batch appends nothing; rows at ``alert_path``
+    are therefore themselves the alert feed (empty dir = healthy).
+    NOTE metrics are per-BATCH: a batch is a time slice, so count-like
+    metrics (n_rows) will always diverge from a full-corpus baseline —
+    alert on the rate/shape metrics (null_rate, mean, p50, n_distinct)
+    by choosing ``cols``/``rel_threshold`` accordingly, or store a
+    baseline profiled from a representative batch-sized slice."""
+    from ..operators.profile import profile_drift
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        baseline = spark.read.parquet(baseline_profile_path)
+        drift = profile_drift(
+            None, batch_df, cols=cols, table_name=table_name,
+            old_profile=baseline, **profile_kwargs)
+        # rel_change is NULL when the baseline is 0 (division undefined)
+        # — but 0 → nonzero is the LOUDEST alarm a monitor has (null
+        # rate appearing, inf rate appearing), so zero-baseline moves
+        # and metrics present on only one side alert unconditionally
+        zero_base = (F.col("old_value") == 0) & (F.col("new_value") != 0)
+        one_sided = (F.col("old_value").isNull()
+                     != F.col("new_value").isNull())
+        alerts = (drift.filter(
+            (F.abs(F.col("rel_change")) > rel_threshold)
+            | zero_base | one_sided)
+            .withColumn("__batch", F.lit(batch_id)))
+        (alerts.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__batch")
+         .parquet(alert_path))
+
+    writer = (stream.writeStream.foreachBatch(monitor_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

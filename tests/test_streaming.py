@@ -380,3 +380,52 @@ def test_stream_dedup_ingest_lm_gate(spark, tmp_path):
                .select("doc_id").collect()}
     assert 101 not in idx_ids and 201 not in idx_ids
     assert {100, 102, 200} <= idx_ids  # dedup-dropped docs still index
+
+
+def test_stream_drift_monitor_alerts_on_shape_change(spark, tmp_path):
+    """Continuous feed monitoring: a healthy micro-batch (same value
+    distribution as the frozen baseline) raises no alerts; a later batch
+    whose null rate spikes appends alert rows for exactly the drifted
+    metrics, tagged with its batch id. The baseline parquet is never
+    re-profiled (old_profile fast path)."""
+    import time
+
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_table)
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        read_documents_stream, stream_drift_monitor)
+
+    landing = str(tmp_path / "landing")
+    alerts = str(tmp_path / "alerts")
+    ck = str(tmp_path / "ck")
+    base_path = str(tmp_path / "baseline")
+
+    schema = "doc_id long, value double"
+    ref = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(200)], schema)
+    profile_table(ref, "stream", ["value"]).write.parquet(base_path)
+
+    healthy = spark.createDataFrame(
+        [(1000 + i, float(i % 10)) for i in range(200)], schema)
+    drifted = spark.createDataFrame(
+        [(2000 + i, None if i % 2 == 0 else float(i % 10))
+         for i in range(200)], schema)
+    healthy.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    drifted.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_drift_monitor(stream, base_path, alerts, ck,
+                             cols=["value"], rel_threshold=0.5)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(alerts)
+    rows = got.collect()
+    assert rows, "drifted batch raised no alerts"
+    # all alerts come from the second (drifted) batch
+    assert {r["__batch"] for r in rows} == {1}
+    names = {r.metric_name for r in rows}
+    assert "value.null_rate" in names, names
+    nr = next(r for r in rows if r.metric_name == "value.null_rate")
+    assert nr.old_value == 0.0 and nr.new_value == 0.5
