@@ -93,6 +93,14 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     per-transition negative log likelihood (lower = more fluent;
     perplexity = exp(avg_nll)), rounded to 6 decimals.
 
+    Threshold calibration caveat: the OOV floor ``-ln(1/(V+1))`` is
+    NOT an upper bound for fluent text — under add-k with a large
+    vocabulary, a rare-but-real transition after a frequent context
+    (``cb`` small, ``cctx`` large) scores WORSE than pure OOV. Gate
+    thresholds should come from a scored reference percentile (score
+    the curated snapshot, take e.g. its p95 ``avg_nll``), not from the
+    floor.
+
     ``min_count`` prunes bigrams below that corpus count from the table
     (bounds the LM at scale); pruned transitions score as unseen
     (c=0 + smoothing). Context totals and vocabulary stay unpruned so

@@ -68,6 +68,7 @@ def prepare_training_corpus(
         line_dedup_mode: str | None = None,
         line_min_docs: int = 3,
         quality_classifier=None,
+        lm_gate: tuple[str, float] | None = None,
         mixture: tuple[str, dict[str, float], int] | None = None,
         mixture_unknown: str = "error",
         segment_words: int | None = None,
@@ -100,6 +101,12 @@ def prepare_training_corpus(
        ``learn.score_documents`` + drop below threshold: the
        trained-classifier stage (GPT-3/CCNet style) layered on top of
        the heuristic filter, pure codegen scoring;
+    1e. LM perplexity gate (only when ``lm_gate=(lm_path, max_nll)``
+       is given — a ``lm.save_bigram_lm`` artifact) — drop documents
+       whose mean transition NLL against the FROZEN reference LM
+       exceeds ``max_nll`` (documents with no transitions fail); the
+       same gate ``stream_dedup_ingest`` applies per trigger, so batch
+       backfills and the live stream admit identical corpora;
     2. exact dedup — content-digest keep-first;
     3. near dedup — MinHash+LSH pairs → connected components → keep each
        cluster's canonical member: min id by default, or the member
@@ -190,6 +197,16 @@ def prepare_training_corpus(
                                   prob_col="__qprob")
             .filter(F.col("__qprob") >= qc_threshold).drop("__qprob"))
         stages["classifier_filtered"] = kept
+
+    if lm_gate is not None:
+        from ..operators import lm as lm_ops
+
+        lm_path, max_nll = lm_gate
+        fluent = (lm_ops.score_with_bigram_lm(kept, text_col, id_col,
+                                              lm_path)
+                  .filter(F.col("avg_nll") <= max_nll).select(id_col))
+        kept = _stage(kept.join(fluent, id_col, "left_semi"))
+        stages["lm_gated"] = kept
 
     exact = _stage(dd.exact_dedup(kept, [text_col], id_col))
     stages["exact_deduped"] = exact
@@ -286,6 +303,7 @@ def prepare_training_corpus(
                                if line_dedup_mode else None),
                 "quality_classifier": (quality_classifier[1]
                                        if quality_classifier else None),
+                "lm_gate": lm_gate[1] if lm_gate else None,
                 "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,
                 "pack_budget": pack_budget})

@@ -243,3 +243,55 @@ def test_prepare_training_corpus_line_dedup_and_classifier(spark,
         assert counts["classifier_filtered"] < counts["line_deduped"]
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_lm_gate(spark, sf_dir, tmp_path):
+    """The batch LM perplexity gate: documents scoring above the frozen
+    reference LM's NLL ceiling are dropped with their own stage count —
+    the same gate the streaming ingest applies, so backfills and live
+    arrivals admit identical corpora."""
+    import json
+    import math
+
+    from australia_company_etl_pipeline_spark.operators import lm
+
+    # fluent reference: sentences over a SMALL recurring vocabulary so
+    # every transition is observed many times and self-scores far below
+    # the OOV floor -ln(1/(V+1)). (The sf documents corpus would NOT
+    # work here: with a near-unique vocabulary, a rare-but-real
+    # transition after a frequent context scores WORSE than pure OOV —
+    # the documented add-k caveat that the threshold must be calibrated
+    # per corpus, e.g. from a scored reference percentile.)
+    sentences = ["the quick brown fox jumps over the lazy dog",
+                 "a stitch in time saves nine every single day",
+                 "practice makes perfect when the work is steady"]
+    fluent = spark.createDataFrame(
+        [(i, sentences[i % 3] + " " + sentences[(i + 1) % 3], "en")
+         for i in range(500)],
+        "doc_id long, text string, lang string")
+    lm_path = str(tmp_path / "lm_ref")
+    lm.save_bigram_lm(fluent, "text", lm_path)
+    v = spark.read.parquet(f"{lm_path}/meta").collect()[0]["v"]
+    floor = round(-math.log(1.0 / (v + 1)), 6)
+
+    spam = spark.createDataFrame(
+        [(900000 + i,
+          " ".join(f"zzq{i}x{j}" for j in range(25)),  # all-OOV salad
+          "en") for i in range(40)],
+        "doc_id long, text string, lang string")
+    corpus = fluent.unionByName(spam)
+    try:
+        packed, report = prepare_training_corpus(
+            corpus, lm_gate=(lm_path, floor - 0.1), pack_budget=1024)
+        counts = json.loads(report.collect()[0]["stage_counts"])
+        assert "lm_gated" in counts
+        ids = {r.doc_id for r in packed.select("doc_id").collect()}
+        assert not any(i >= 900000 for i in ids)   # spam gated
+        # fluent docs pass the gate (exact dedup then collapses the
+        # 3 distinct sentence-pair texts to 3 survivors)
+        assert counts["lm_gated"] == counts["classifier_filtered"] - 40 \
+            if "classifier_filtered" in counts else True
+        assert counts["lm_gated"] == counts["quality_filtered"] - 40
+        assert ids and all(i < 900000 for i in ids)
+    finally:
+        release_corpus_cache()

@@ -1078,3 +1078,66 @@ def test_ivf_recall_probe_full_vs_narrow(spark, tmp_path):
     again = ann.ivf_recall_probe(spark, path, k=5, n_probe=1,
                                  sample=16).collect()[0]
     assert again.recall == narrow.recall
+
+
+def test_line_dedup_fuzz_vs_python_oracle(spark):
+    """Randomized multi-line corpora vs a pure-Python oracle for BOTH
+    modes — keep rules, blank-line normalization and reassembly order
+    must agree exactly."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    lines_pool = [f"line {i} content" for i in range(12)] + ["   ", ""]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.lists(st.integers(0, len(lines_pool) - 1),
+                             min_size=0, max_size=6),
+                    min_size=1, max_size=8),
+           st.integers(2, 4))
+    def check(doc_specs, min_docs):
+        docs = [(i, "\n".join(lines_pool[j] for j in spec))
+                for i, spec in enumerate(doc_specs)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # python oracle
+        content = [(i, idx, ln)
+                   for i, text in docs
+                   for idx, ln in enumerate(text.split("\n"))
+                   if ln.strip() != ""]
+        seen = set()
+        first_keep = set()
+        for i, idx, ln in sorted(content, key=lambda t: (t[0], t[1])):
+            if ln not in seen:
+                seen.add(ln)
+                first_keep.add((i, idx))
+        from collections import defaultdict
+        docs_per_line = defaultdict(set)
+        for i, _, ln in content:
+            docs_per_line[ln].add(i)
+
+        def expect(mode):
+            out = {}
+            for i, _ in docs:
+                mine = [(idx, ln) for (d, idx, ln) in content if d == i]
+                if not mine:
+                    continue
+                if mode == "first":
+                    kept = [(idx, ln) for idx, ln in mine
+                            if (i, idx) in first_keep]
+                else:
+                    kept = [(idx, ln) for idx, ln in mine
+                            if len(docs_per_line[ln]) < min_docs]
+                out[i] = (len(mine), len(kept),
+                          "\n".join(ln for _, ln in sorted(kept)))
+            return out
+
+        for mode in ("first", "common"):
+            got = {r.doc_id: (r.n_lines, r.n_kept, r.text_dedup)
+                   for r in dd.line_dedup(
+                       df, mode=mode, min_docs=min_docs).collect()}
+            assert got == expect(mode), mode
+
+    check()

@@ -439,3 +439,67 @@ def test_resample_gap_fill_zero_and_locf(spark):
     assert locf[("b", base + 7200)].value == 7.0
     with pytest.raises(ValueError, match="unknown fill"):
         resample_events(df, "ts", "value", ["event_type"], 3600, "interp")
+
+
+def test_resample_fuzz_vs_python_oracle(spark):
+    """Randomized sparse event streams vs a pure-Python oracle: axis
+    bounds, bucket sums, zero-fill and the locf carry must agree for
+    every group at every bucket."""
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        resample_events)
+
+    base = 1700000000 - (1700000000 % 60)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                              st.integers(0, 40),     # minutes offset
+                              st.integers(-5, 5)),
+                    min_size=1, max_size=25),
+           st.sampled_from([60, 300]))
+    def check(events, interval):
+        rows = [(g, m * 60 + base, float(v)) for g, m, v in events]
+        df = spark.createDataFrame(rows, "g string, es long, v double") \
+            .selectExpr("g", "CAST(es AS TIMESTAMP) AS ts", "v")
+
+        lo = min(es for _, es, _ in rows) // interval
+        hi = max(es for _, es, _ in rows) // interval
+        groups = sorted({g for g, _, _ in rows})
+        agg = defaultdict(lambda: [0, 0.0])
+        for g, es, v in rows:
+            b = es // interval
+            agg[(g, b)][0] += 1
+            agg[(g, b)][1] += v
+        expect_zero, expect_locf = {}, {}
+        for g in groups:
+            carry = None
+            for b in range(lo, hi + 1):
+                n, s = agg.get((g, b), (0, None))
+                s = round(s, 2) if s is not None else None
+                if s is not None:
+                    carry = s
+                expect_zero[(g, b * interval)] = (n, s if s is not None
+                                                  else 0.0)
+                expect_locf[(g, b * interval)] = (n, carry)
+
+        for fill, exp in (("zero", expect_zero), ("locf", expect_locf)):
+            got = {(r.g, r.bucket_start_s): (r.n_events, r.value)
+                   for r in resample_events(df, "ts", "v", ["g"],
+                                            interval, fill).collect()}
+            assert set(got) == set(exp), fill
+            for k in exp:
+                gn, gv = got[k]
+                en, ev = exp[k]
+                assert gn == en, (fill, k)
+                if ev is None:
+                    assert gv is None, (fill, k)
+                else:
+                    assert gv is not None and abs(gv - ev) < 1e-9, \
+                        (fill, k, gv, ev)
+
+    check()
