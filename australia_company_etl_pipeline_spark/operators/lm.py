@@ -227,3 +227,25 @@ def score_with_bigram_lm(docs: DataFrame, text_col: str, id_col: str,
                     F.round(F.col("__s").cast("double")
                             / F.col("n_transitions"), 6)
                     .alias("avg_nll")))
+
+
+def lm_threshold_from_reference(reference: DataFrame, text_col: str,
+                                id_col: str, path: str,
+                                pct: float = 0.95,
+                                accuracy: int = 10000) -> float:
+    """The calibrated gate ceiling the scoring docstring prescribes:
+    score a curated reference slice against the frozen LM at ``path``
+    and return its ``pct`` percentile ``avg_nll`` — "drop what reads
+    worse than 95% of text we trust". This sidesteps the add-k floor
+    trap (fluent-but-rare text can out-score pure OOV, so no closed
+    form works); one distributed approx-percentile aggregate, no
+    collect beyond the scalar."""
+    if not 0.0 < pct <= 1.0:
+        raise ValueError(f"pct must be in (0, 1], got {pct}")
+    scored = score_with_bigram_lm(reference, text_col, id_col, path)
+    row = scored.agg(F.percentile_approx(
+        "avg_nll", F.lit(pct), F.lit(accuracy)).alias("t")).collect()[0]
+    if row["t"] is None:
+        raise ValueError("reference slice produced no scored documents "
+                         "(all <2 tokens?) — cannot calibrate")
+    return float(row["t"])

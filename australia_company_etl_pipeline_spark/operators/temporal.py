@@ -363,3 +363,41 @@ def resample_events(df: DataFrame, ts_col: str, value_col: str,
         (F.col("__b") * interval_s + interval_s).alias("bucket_end_s"),
         F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         value.alias("value")))
+
+
+def bucket_zscores(resampled: DataFrame, value_col: str,
+                   group_cols: Sequence[str]) -> DataFrame:
+    """Per-group z-scores over a gap-filled bucket grid (the
+    ``resample_events`` output) — the baseline anomaly signal: a bucket
+    whose value sits far from ITS OWN series' mean flags a spike or an
+    outage, and thanks to the gap fill an outage bucket EXISTS to be
+    flagged (the raw windowed aggregate simply omits it).
+
+    Adds ``mean``, ``stddev`` (sample), ``zscore`` (rounded 6; NULL for
+    constant series). Group statistics accumulate in exact decimal —
+    the input values sit on ``resample_events``' 0.01 grid, so Σv and
+    Σv² are exact and the derived doubles are bit-stable at any
+    partitioning (same discipline as every oracle-checked aggregate
+    here). One partial-agg shuffle over the grid + a small join; grid
+    size is span/interval × groups, not event volume."""
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    # decimal(15,2): the product stays at decimal(31,4) — inside the
+    # 38-digit cap, so Spark never silently rounds the square
+    vd = v.cast("decimal(15,2)")
+    stats = (resampled.groupBy(*gcols)
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.sum(vd).alias("__s"),
+                  F.sum(vd * vd).alias("__ss")))
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    var = (ss - (s * s) / n) / (n - F.lit(1.0))
+    sd = F.sqrt(var)
+    return (resampled.join(stats, gcols)
+            .withColumn("mean", F.round(mean, 6))
+            .withColumn("stddev", F.round(sd, 6))
+            .withColumn("zscore",
+                        F.round((v - mean) / F.nullif(sd, F.lit(0.0)), 6))
+            .drop("__n", "__s", "__ss"))

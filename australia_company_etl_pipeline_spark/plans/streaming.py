@@ -48,7 +48,12 @@ from .registry import register
         "observed value carried forward (gauge semantics, NULL before "
         "a series' first observation) — the buckets a plain "
         "groupBy(window) silently omits are exactly the outages one "
-        "monitors for.",
+        "monitors for. kind='anomaly' (r5, temporal.py:bucket_zscores): "
+        "per-type z-scores over the zero-filled grid (sum_value = the "
+        "bucket's z against its own series' mean/stddev, NULL for "
+        "constant series) — the baseline anomaly signal; group moments "
+        "accumulate in exact decimal so the doubles are bit-stable and "
+        "fully value-checked.",
     tags=("streaming",),
     oracle="""
 WITH rs_agg AS (
@@ -67,6 +72,23 @@ rs_join AS (
   SELECT g.event_type, g.b, coalesce(r.n_events, 0) AS n_events, r.s
   FROM rs_grid g
   LEFT JOIN rs_agg r ON g.event_type = r.event_type AND g.b = r.b
+), rs_stats AS (
+  -- exact-decimal moments over the zero-filled grid (0.01-grid values
+  -- -> sums exact), derived doubles mirror the Spark tree shape
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(coalesce(s, 0.0) AS DECIMAL(15,2))) AS DOUBLE)
+           AS sd_sum,
+         CAST(sum(CAST(coalesce(s, 0.0) AS DECIMAL(15,2))
+                  * CAST(coalesce(s, 0.0) AS DECIMAL(15,2))) AS DOUBLE)
+           AS sd_ss
+  FROM rs_join GROUP BY 1
+), rs_z AS (
+  SELECT j.event_type, j.b, j.n_events,
+         round((coalesce(j.s, 0.0) - (st.sd_sum / st.n))
+               / nullif(sqrt((st.sd_ss - (st.sd_sum * st.sd_sum) / st.n)
+                             / (st.n - 1.0)), 0.0), 6) AS z
+  FROM rs_join j JOIN rs_stats st ON j.event_type = st.event_type
 )
 SELECT 'tumbling' AS kind,
        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
@@ -100,10 +122,14 @@ SELECT 'resample_locf' AS kind, b * 3600 AS window_start_s,
          PARTITION BY event_type ORDER BY b
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value
 FROM rs_join
+UNION ALL
+SELECT 'anomaly' AS kind, b * 3600 AS window_start_s,
+       b * 3600 + 3600 AS window_end_s, event_type, n_events, z
+FROM rs_z
 """,
 )
 def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal import resample_events
+    from ..operators.temporal import bucket_zscores, resample_events
 
     events = table(spark, sf_dir, "events")
     tumbling = (tumbling_counts(events, window="1 hour")
@@ -111,16 +137,26 @@ def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding = (sliding_counts(events, window="1 hour", slide="30 minutes")
                .select(F.lit("sliding").alias("kind"), "*"))
     out = tumbling.unionByName(sliding)
+    rs_by_fill = {}
     for fill in ("zero", "locf"):
-        rs = (resample_events(events, "ts", "value", ["event_type"],
-                              interval_s=3600, fill=fill)
-              .select(F.lit(f"resample_{fill}").alias("kind"),
-                      F.col("bucket_start_s").alias("window_start_s"),
-                      F.col("bucket_end_s").alias("window_end_s"),
-                      "event_type", "n_events",
-                      F.col("value").alias("sum_value")))
-        out = out.unionByName(rs)
-    return out
+        rs_by_fill[fill] = resample_events(
+            events, "ts", "value", ["event_type"], interval_s=3600,
+            fill=fill)
+        out = out.unionByName(
+            rs_by_fill[fill]
+            .select(F.lit(f"resample_{fill}").alias("kind"),
+                    F.col("bucket_start_s").alias("window_start_s"),
+                    F.col("bucket_end_s").alias("window_end_s"),
+                    "event_type", "n_events",
+                    F.col("value").alias("sum_value")))
+    anomaly = (bucket_zscores(rs_by_fill["zero"], "value",
+                              ["event_type"])
+               .select(F.lit("anomaly").alias("kind"),
+                       F.col("bucket_start_s").alias("window_start_s"),
+                       F.col("bucket_end_s").alias("window_end_s"),
+                       "event_type", "n_events",
+                       F.col("zscore").alias("sum_value")))
+    return out.unionByName(anomaly)
 
 
 @register(

@@ -503,3 +503,40 @@ def test_resample_fuzz_vs_python_oracle(spark):
                         (fill, k, gv, ev)
 
     check()
+
+
+def test_bucket_zscores_hand_computed(spark):
+    """z-scores over the zero-filled grid, hand-verified: series a has
+    mean 4, sample stddev sqrt(19); series b's OUTAGE bucket (zero
+    filled) gets a negative z — the signal a raw windowed aggregate
+    cannot produce because the bucket would not exist. Constant series
+    yield NULL z (stddev 0)."""
+    import math
+
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        bucket_zscores, resample_events)
+
+    rows = [("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 01:10:00", 2.0),
+            ("a", "2024-01-01 02:05:00", 9.0),
+            ("b", "2024-01-01 00:30:00", 5.0),
+            ("b", "2024-01-01 02:30:00", 5.0),
+            ("c", "2024-01-01 00:00:30", 7.0),
+            ("c", "2024-01-01 01:00:30", 7.0),
+            ("c", "2024-01-01 02:00:30", 7.0)]
+    df = (spark.createDataFrame(rows, "g string, ts string, v double")
+          .selectExpr("g", "CAST(ts AS TIMESTAMP) AS ts", "v"))
+    rs = resample_events(df, "ts", "v", ["g"], 3600, "zero")
+    got = {(r.g, r.bucket_start_s): r
+           for r in bucket_zscores(rs, "value", ["g"]).collect()}
+    base = 1704067200
+    sd_a = math.sqrt(19.0)
+    assert got[("a", base)].mean == 4.0
+    assert got[("a", base)].zscore == round((1.0 - 4.0) / sd_a, 6)
+    assert got[("a", base + 7200)].zscore == round(5.0 / sd_a, 6)
+    # b's hole: zero-filled bucket scores below its series mean
+    zb = got[("b", base + 3600)]
+    assert zb.value == 0.0 and zb.zscore < 0
+    # constant series: stddev 0 -> NULL z, not a division blow-up
+    assert all(got[("c", base + i * 3600)].zscore is None
+               for i in range(3))

@@ -612,3 +612,37 @@ def test_persisted_bigram_lm_matches_self_scoring(spark, tmp_path):
     import os
     assert not [p for p in os.listdir(tmp_path)
                 if "__build_tmp" in p or "__old" in p]
+
+
+def test_lm_threshold_calibration(spark, tmp_path):
+    """The percentile ceiling admits the trusted reference by
+    construction (>= pct of it scores at or below) and an all-OOV salad
+    scores strictly above it when the reference is repetitive; empty
+    references fail loudly."""
+    import pytest as pt
+
+    from australia_company_etl_pipeline_spark.operators import lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(50)],
+        "doc_id long, text string")
+    path = str(tmp_path / "lm_cal")
+    lm.save_bigram_lm(ref, "text", path)
+    t = lm.lm_threshold_from_reference(ref, "text", "doc_id", path,
+                                       pct=0.95)
+    scored = lm.score_with_bigram_lm(ref, "text", "doc_id", path)
+    frac_ok = scored.filter(F.col("avg_nll") <= t).count() / 50
+    assert frac_ok >= 0.95
+    salad = spark.createDataFrame([(99, "zz qq ww ee rr tt yy uu")],
+                                  "doc_id long, text string")
+    (srow,) = lm.score_with_bigram_lm(salad, "text", "doc_id",
+                                      path).collect()
+    assert srow.avg_nll > t
+
+    empty = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    with pt.raises(ValueError, match="cannot calibrate"):
+        lm.lm_threshold_from_reference(empty, "text", "doc_id", path)
+    with pt.raises(ValueError, match="pct"):
+        lm.lm_threshold_from_reference(ref, "text", "doc_id", path,
+                                       pct=1.5)
