@@ -12,6 +12,11 @@ the plan scales the way its docstring claims:
   probe reads only the probed inverted-list partitions — latency should
   track the probed lists' size (≈corpus/16 per list), far below a full
   scan's growth.
+- bigram_lm_score: self-scoring cost vs corpus replication. The claim
+  is linear: one transition shuffle + two equi-joins — replicating the
+  corpus N× must grow wall-clock ~N×, not N² (the LM table and the
+  probe side both grow, but through partial-aggregated shuffles and an
+  equi-join, never a pair space).
 
 Usage: python scripts/scale_probe.py [sf_dir]   (default sf0.1)
 Prints one line per measurement; wall-clock on local[32], so treat ±30%
@@ -92,6 +97,24 @@ def main() -> None:
             probe = time.time() - t
             print(f"ivf mult={mult} rows={rows} "
                   f"build_sec={build:.2f} probe_sec={probe:.2f}")
+
+    # --- bigram_lm_score: linear growth with corpus size --------------
+    from australia_company_etl_pipeline_spark.operators import lm
+
+    for mult in (1, 2, 4):
+        corpus = docs
+        m, off = mult, 10_000_000
+        while m > 1:
+            corpus = corpus.unionByName(
+                docs.select((F.col("doc_id") + off).alias("doc_id"),
+                            "text"))
+            off += 10_000_000
+            m -= 1
+        rows = corpus.count()         # outside the timer
+        t = time.time()
+        force(lm.bigram_lm_score(corpus, "text", "doc_id"))
+        sec = time.time() - t
+        print(f"bigram_lm mult={mult} rows={rows} sec={sec:.2f}")
 
 
 if __name__ == "__main__":
