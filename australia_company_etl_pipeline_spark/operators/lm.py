@@ -14,9 +14,11 @@ Scale shape (the 100 TB lens):
 
 - Training is ``explode transitions → groupBy(w1, w2)`` — ONE
   partial-aggregated shuffle carrying (w1, w2) pairs, never document
-  text; context totals derive from the bigram table (``groupBy(w1)``
-  over distinct bigrams — far smaller than the corpus), so the corpus
-  is scanned once.
+  text; context totals derive from the bigram aggregate (``groupBy(w1)``
+  over distinct bigrams — far smaller than the corpus), so within one
+  scoring plan the transition aggregate's exchange is built once and
+  reused (the probe join side and the vocabulary count are their own
+  scans — three scan subtrees total, one transition shuffle).
 - The tokenized projection feeds two consumers (transitions and the
   vocabulary count) but is NOT persisted by default: on a cheap local
   scan, serializing the token arrays through the cache measured 25%
@@ -120,9 +122,13 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
         _LM_CACHE.append(tok)
 
     tr = transition_frame(tok, id_col)
-    bg = (tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-          .filter(F.col("cb") >= min_count))
-    ctx = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
+    # ctx derives from the bigram AGGREGATE, not the raw transitions:
+    # same totals (Σ_w2 c(w1,w2) = c(w1·)), but the groupBy(w1) then
+    # rides the already-shuffled (w1,w2) counts — Catalyst reuses that
+    # exchange — instead of paying a second full explode+shuffle
+    bg_all = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bg_all.groupBy("w1").agg(F.sum("cb").alias("cctx"))
+    bg = bg_all.filter(F.col("cb") >= min_count)
     v = (tok.select(F.explode("__toks").alias("__t"))
          .agg(F.countDistinct("__t").alias("v")))
 
@@ -173,6 +179,8 @@ def save_bigram_lm(df: DataFrame, text_col: str, path: str,
 
     from ..session import replace_dir
 
+    from pyspark import StorageLevel
+
     tmp = f"{path}.__build_tmp.{os.getpid()}"
     tok = df.select(tokens(F.col(text_col)).alias("__toks"))
     tr = (tok.select(F.explode(F.expr(
@@ -180,17 +188,25 @@ def save_bigram_lm(df: DataFrame, text_col: str, path: str,
         "(w, i) -> struct(w AS w1, element_at(__toks, i + 2) AS w2))"))
         .alias("__p"))
         .select("__p.w1", "__p.w2"))
-    bg = (tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-          .filter(F.col("cb") >= min_count))
-    ctx = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
-    meta = (tok.select(F.explode("__toks").alias("__t"))
-            .agg(F.countDistinct("__t").alias("v"))
-            .select("v", F.lit(float(add_k)).alias("add_k"),
-                    F.lit(int(min_count)).alias("min_count")))
-    bg.write.mode("overwrite").parquet(f"{tmp}/bigrams")
-    ctx.write.mode("overwrite").parquet(f"{tmp}/contexts")
-    meta.write.mode("overwrite").parquet(f"{tmp}/meta")
-    replace_dir(df.sparkSession, tmp, path)
+    # the bigram/context writes are SEPARATE jobs (no in-plan exchange
+    # reuse across actions), so the shared bigram aggregate is staged:
+    # the corpus is tokenized+exploded once for transitions and once
+    # for the vocabulary, never per output table
+    bg_all = (tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        bg = bg_all.filter(F.col("cb") >= min_count)
+        ctx = bg_all.groupBy("w1").agg(F.sum("cb").alias("cctx"))
+        meta = (tok.select(F.explode("__toks").alias("__t"))
+                .agg(F.countDistinct("__t").alias("v"))
+                .select("v", F.lit(float(add_k)).alias("add_k"),
+                        F.lit(int(min_count)).alias("min_count")))
+        bg.write.mode("overwrite").parquet(f"{tmp}/bigrams")
+        ctx.write.mode("overwrite").parquet(f"{tmp}/contexts")
+        meta.write.mode("overwrite").parquet(f"{tmp}/meta")
+        replace_dir(df.sparkSession, tmp, path)
+    finally:
+        bg_all.unpersist()
 
 
 def score_with_bigram_lm(docs: DataFrame, text_col: str, id_col: str,

@@ -332,8 +332,21 @@ def resample_events(df: DataFrame, ts_col: str, value_col: str,
     10k groups is 87M rows — partition-prunable, but choose
     deliberately). The locf window partitions per group over that
     bounded axis, so no event-volume pile-up either."""
-    if fill not in ("zero", "locf"):
-        raise ValueError(f"unknown fill {fill!r}: use 'zero' or 'locf'")
+    return fill_resampled(
+        resample_grid(df, ts_col, value_col, group_cols, interval_s),
+        group_cols, interval_s, fill)
+
+
+def resample_grid(df: DataFrame, ts_col: str, value_col: str,
+                  group_cols: Sequence[str],
+                  interval_s: int = 3600) -> DataFrame:
+    """The EXPENSIVE half of ``resample_events``, exposed so multiple
+    fill variants (and downstream consumers like ``bucket_zscores``)
+    can share ONE aggregate+densify pass — the builder pattern: stage
+    (persist) this grid, then apply ``fill_resampled`` per variant as a
+    near-free projection/window instead of re-scanning the source per
+    fill. Returns ``(*group_cols, __b, n_events, __sum)`` with ``__sum``
+    NULL in gap buckets (the raw, unfilled grid)."""
     gcols = list(group_cols)
     bucket = F.floor(F.unix_timestamp(F.col(ts_col))
                      / F.lit(interval_s)).cast("long")
@@ -350,7 +363,16 @@ def resample_events(df: DataFrame, ts_col: str, value_col: str,
     axis = (span.select(F.explode(F.sequence("__lo", "__hi"))
                         .alias("__b")))
     grid = df.select(*gcols).distinct().crossJoin(axis)
-    joined = grid.join(agg, [*gcols, "__b"], "left")
+    return grid.join(agg, [*gcols, "__b"], "left")
+
+
+def fill_resampled(joined: DataFrame, group_cols: Sequence[str],
+                   interval_s: int, fill: str) -> DataFrame:
+    """Apply one fill policy to a ``resample_grid`` frame (see
+    ``resample_events`` for the semantics)."""
+    if fill not in ("zero", "locf"):
+        raise ValueError(f"unknown fill {fill!r}: use 'zero' or 'locf'")
+    gcols = list(group_cols)
     if fill == "zero":
         value = F.coalesce(F.col("__sum"), F.lit(0.0))
     else:
@@ -374,30 +396,41 @@ def bucket_zscores(resampled: DataFrame, value_col: str,
     flagged (the raw windowed aggregate simply omits it).
 
     Adds ``mean``, ``stddev`` (sample), ``zscore`` (rounded 6; NULL for
-    constant series). Group statistics accumulate in exact decimal —
-    the input values sit on ``resample_events``' 0.01 grid, so Σv and
-    Σv² are exact and the derived doubles are bit-stable at any
-    partitioning (same discipline as every oracle-checked aggregate
-    here). One partial-agg shuffle over the grid + a small join; grid
-    size is span/interval × groups, not event volume."""
+    constant series, NULL-value buckets, and single-observation
+    series). Statistics describe the OBSERVED (non-NULL) buckets only —
+    a locf grid's leading NULLs (before a series' first observation)
+    are "no data", and counting them in ``n`` while the sums skip them
+    would silently bias every statistic. Group moments accumulate in
+    exact decimal — the input values sit on ``resample_events``' 0.01
+    grid, so Σv and Σv² are exact and the derived doubles are
+    bit-stable at any partitioning (same discipline as every
+    oracle-checked aggregate here). Constant series are detected
+    EXACTLY (decimal min == max) — the double variance of a constant
+    non-binary-representable value is a ±1-ulp artifact, so relying on
+    ``var == 0`` would misreport it and a negative artifact would even
+    sqrt to NaN; the variance is additionally clamped at 0. One
+    partial-agg shuffle over the grid + a small join; grid size is
+    span/interval × groups, not event volume."""
     gcols = list(group_cols)
     v = F.col(value_col)
     # decimal(15,2): the product stays at decimal(31,4) — inside the
     # 38-digit cap, so Spark never silently rounds the square
     vd = v.cast("decimal(15,2)")
     stats = (resampled.groupBy(*gcols)
-             .agg(F.count(F.lit(1)).alias("__n"),
+             .agg(F.count(vd).alias("__n"),
                   F.sum(vd).alias("__s"),
-                  F.sum(vd * vd).alias("__ss")))
+                  F.sum(vd * vd).alias("__ss"),
+                  F.min(vd).alias("__lo"),
+                  F.max(vd).alias("__hi")))
     n = F.col("__n").cast("double")
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
     mean = s / n
-    var = (ss - (s * s) / n) / (n - F.lit(1.0))
-    sd = F.sqrt(var)
+    var = F.greatest(F.lit(0.0), (ss - (s * s) / n) / (n - F.lit(1.0)))
+    sd = F.when(F.col("__lo") == F.col("__hi"), F.lit(0.0))         .otherwise(F.sqrt(var))
     return (resampled.join(stats, gcols)
             .withColumn("mean", F.round(mean, 6))
             .withColumn("stddev", F.round(sd, 6))
             .withColumn("zscore",
                         F.round((v - mean) / F.nullif(sd, F.lit(0.0)), 6))
-            .drop("__n", "__s", "__ss"))
+            .drop("__n", "__s", "__ss", "__lo", "__hi"))

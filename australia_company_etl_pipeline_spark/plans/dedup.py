@@ -442,8 +442,15 @@ def _incremental_verdicts(spark: SparkSession,
 
     from pyspark import StorageLevel
 
+    import atexit
+    import shutil
+
     snap = dd.shingle_cache_snapshot()
     idx = tempfile.mkdtemp(prefix="acep_incdedup_")
+    # the index files must OUTLIVE this call (a cache-evicted verdict
+    # frame recomputes by re-reading them), so cleanup is deferred to
+    # process exit instead of leaking a full index copy per invocation
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
     kept = []
     for chunk in (corpus.filter(F.col("doc_id") < 100000),
                   corpus.filter(F.col("doc_id") >= 100000)):

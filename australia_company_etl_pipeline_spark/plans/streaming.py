@@ -74,20 +74,27 @@ rs_join AS (
   LEFT JOIN rs_agg r ON g.event_type = r.event_type AND g.b = r.b
 ), rs_stats AS (
   -- exact-decimal moments over the zero-filled grid (0.01-grid values
-  -- -> sums exact), derived doubles mirror the Spark tree shape
+  -- -> sums exact), derived doubles mirror the Spark tree shape:
+  -- count/min/max over the NON-NULL decimal values, variance clamped
+  -- at 0, constant series detected by exact min == max
   SELECT event_type,
-         CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(CAST(coalesce(s, 0.0) AS DECIMAL(15,2))) AS DOUBLE)
+           AS n,
          CAST(sum(CAST(coalesce(s, 0.0) AS DECIMAL(15,2))) AS DOUBLE)
            AS sd_sum,
          CAST(sum(CAST(coalesce(s, 0.0) AS DECIMAL(15,2))
                   * CAST(coalesce(s, 0.0) AS DECIMAL(15,2))) AS DOUBLE)
-           AS sd_ss
+           AS sd_ss,
+         min(CAST(coalesce(s, 0.0) AS DECIMAL(15,2))) AS vlo,
+         max(CAST(coalesce(s, 0.0) AS DECIMAL(15,2))) AS vhi
   FROM rs_join GROUP BY 1
 ), rs_z AS (
   SELECT j.event_type, j.b, j.n_events,
          round((coalesce(j.s, 0.0) - (st.sd_sum / st.n))
-               / nullif(sqrt((st.sd_ss - (st.sd_sum * st.sd_sum) / st.n)
-                             / (st.n - 1.0)), 0.0), 6) AS z
+               / nullif(CASE WHEN st.vlo = st.vhi THEN 0.0
+                        ELSE sqrt(greatest(0.0,
+                             (st.sd_ss - (st.sd_sum * st.sd_sum) / st.n)
+                             / (st.n - 1.0))) END, 0.0), 6) AS z
   FROM rs_join j JOIN rs_stats st ON j.event_type = st.event_type
 )
 SELECT 'tumbling' AS kind,
@@ -129,7 +136,11 @@ FROM rs_z
 """,
 )
 def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal import bucket_zscores, resample_events
+    from pyspark import StorageLevel
+
+    from ..operators import dedup as dd
+    from ..operators.temporal import (bucket_zscores, fill_resampled,
+                                      resample_grid)
 
     events = table(spark, sf_dir, "events")
     tumbling = (tumbling_counts(events, window="1 hour")
@@ -137,20 +148,26 @@ def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding = (sliding_counts(events, window="1 hour", slide="30 minutes")
                .select(F.lit("sliding").alias("kind"), "*"))
     out = tumbling.unionByName(sliding)
-    rs_by_fill = {}
-    for fill in ("zero", "locf"):
-        rs_by_fill[fill] = resample_events(
-            events, "ts", "value", ["event_type"], interval_s=3600,
-            fill=fill)
+    # ONE aggregate+densify pass feeds all three resample-family kinds
+    # (the grid is span/interval × types — tiny — where its build plan
+    # scans the big events table three times; without the stage each of
+    # zero / locf / anomaly would re-run that build). Registered in the
+    # shared release pool bench/tests already drain.
+    grid = (resample_grid(events, "ts", "value", ["event_type"],
+                          interval_s=3600)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    dd._SHINGLE_CACHE.append(grid)
+    zero = fill_resampled(grid, ["event_type"], 3600, "zero")
+    for fill, rs in (("zero", zero),
+                     ("locf", fill_resampled(grid, ["event_type"], 3600,
+                                             "locf"))):
         out = out.unionByName(
-            rs_by_fill[fill]
-            .select(F.lit(f"resample_{fill}").alias("kind"),
-                    F.col("bucket_start_s").alias("window_start_s"),
-                    F.col("bucket_end_s").alias("window_end_s"),
-                    "event_type", "n_events",
-                    F.col("value").alias("sum_value")))
-    anomaly = (bucket_zscores(rs_by_fill["zero"], "value",
-                              ["event_type"])
+            rs.select(F.lit(f"resample_{fill}").alias("kind"),
+                      F.col("bucket_start_s").alias("window_start_s"),
+                      F.col("bucket_end_s").alias("window_end_s"),
+                      "event_type", "n_events",
+                      F.col("value").alias("sum_value")))
+    anomaly = (bucket_zscores(zero, "value", ["event_type"])
                .select(F.lit("anomaly").alias("kind"),
                        F.col("bucket_start_s").alias("window_start_s"),
                        F.col("bucket_end_s").alias("window_end_s"),

@@ -491,8 +491,10 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(None).cast("int").alias("n_matched"),
                         "score", "rank"))
     # LM scoring needs token ORDER, which the (id, term, tf) postings
-    # aggregate has discarded — it pays its own tokenization pass
-    # (persisted in lm's cache; released by bench via unpersist_lm())
+    # aggregate has discarded — it pays its own tokenization scans,
+    # deliberately UNcached (persist_tokens=False default: serializing
+    # token arrays measured slower than re-splitting a cheap local
+    # scan; see the lm module note)
     fluency = (lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0)
                .select(F.lit("lm").alias("kind"), "doc_id",
                        F.lit(None).cast("string").alias("term"),

@@ -540,3 +540,38 @@ def test_bucket_zscores_hand_computed(spark):
     # constant series: stddev 0 -> NULL z, not a division blow-up
     assert all(got[("c", base + i * 3600)].zscore is None
                for i in range(3))
+
+
+def test_bucket_zscores_locf_nulls_and_nonrepresentable_constant(spark):
+    """Review regressions pinned: (1) a locf grid's leading NULL buckets
+    must not bias the moments — statistics cover observed buckets only,
+    and NULL-value buckets score NULL; (2) a constant series at a value
+    with no exact binary representation (0.07) must yield NULL z via the
+    exact decimal min==max check, not a ±1-ulp stddev artifact or a
+    sqrt(negative) NaN."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        bucket_zscores, resample_events)
+
+    rows = [("late", "2024-01-01 02:10:00", 4.0),
+            ("late", "2024-01-01 03:10:00", 8.0),
+            ("flat", "2024-01-01 00:10:00", 0.07),
+            ("flat", "2024-01-01 01:10:00", 0.07),
+            ("flat", "2024-01-01 03:20:00", 0.07)]
+    df = (spark.createDataFrame(rows, "g string, ts string, v double")
+          .selectExpr("g", "CAST(ts AS TIMESTAMP) AS ts", "v"))
+    rs = resample_events(df, "ts", "v", ["g"], 3600, "locf")
+    got = {(r.g, r.bucket_start_s): r
+           for r in bucket_zscores(rs, "value", ["g"]).collect()}
+    base = 1704067200
+    # 'late' starts at bucket 2: buckets 0,1 are NULL under locf —
+    # observed values are {4, 8}: mean 6, sd sqrt(8) — NOT mean 3
+    late = got[("late", base + 7200)]
+    assert late.mean == 6.0
+    assert late.zscore is not None and late.zscore < 0
+    assert got[("late", base)].value is None
+    assert got[("late", base)].zscore is None        # no data, no score
+    # 'flat': locf fills bucket 2 with 0.07 -> constant series; z NULL
+    # everywhere, stddev exactly 0.0, no NaN
+    for i in range(4):
+        r = got[("flat", base + i * 3600)]
+        assert r.stddev == 0.0 and r.zscore is None, r
