@@ -271,3 +271,42 @@ def clean_industry(industry: Column) -> Column:
     for pattern, label in reversed(INDUSTRY_PATTERNS):
         out = F.when(low.rlike(pattern), F.lit(label)).otherwise(out)
     return F.when(industry.isNull() | (c == ""), F.lit(None)).otherwise(out)
+
+
+# American Soundex letter→code map over A..Z (vowels+Y→0; H/W are
+# removed from the tail BEFORE mapping, so their 0 here only ever
+# applies to a leading H/W, whose digit is discarded anyway).
+_SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_TO = "01230120022455012623010202"
+
+
+def soundex_portable(name: Column) -> Column:
+    """American Soundex as a PORTABLE native expression chain — the
+    classic phonetic blocking key for person/company names (Russell &
+    Odell's published algorithm, the standard record-linkage block for
+    misspellings: SMITH/SMYTHE → S530/S530). Spark ships ``F.soundex``,
+    but its JVM implementation cannot be replayed by the DuckDB oracle;
+    this chain (upper → strip non-letters → drop H/W from the tail →
+    digit map via ``translate`` → collapse adjacent repeats → drop
+    vowel markers → pad) is expressible identically in both engines,
+    so phonetic keys can sit under the value-check gate. The collapse
+    is a per-digit ``d{{2,}} → d`` chain, NOT a backreference — DuckDB's
+    RE2 engine has no backreferences, and the chain keeps the two
+    engines running the literally identical regex spec (same
+    RE2-safety discipline as the PII patterns).
+    Parity with ``F.soundex`` on letters-only input is pinned in tests;
+    inputs with no letters (or NULL) yield NULL — callers coalesce to a
+    sentinel block if they must keep such rows."""
+    u = F.upper(F.regexp_replace(name, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    # H/W are transparent for adjacency (ASHCRAFT → A261): remove them
+    # from the tail, keep the first letter whatever it is
+    tail = F.translate(F.substring(u, 2, 1_000_000), "HW", "")
+    collapsed = F.translate(F.concat(first, tail),
+                            _SOUNDEX_FROM, _SOUNDEX_TO)
+    for d in "0123456":  # the only digits the map emits
+        collapsed = F.regexp_replace(collapsed, d + "{2,}", d)
+    tail_codes = F.regexp_replace(
+        F.substring(collapsed, 2, 1_000_000), "0", "")
+    code = F.concat(first, F.rpad(F.substring(tail_codes, 1, 3), 3, "0"))
+    return F.when(u == "", F.lit(None)).otherwise(code)

@@ -449,19 +449,46 @@ def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "name_truncation",
     doc="O4 truncation projections (raw_text[:5000], LEFT(raw_text,500)) as "
-        "substring, plus P9 length guards.",
+        "substring, plus P9 length guards. r5: + the phonetic blocking "
+        "key (functions/text.py:soundex_portable — American Soundex as "
+        "an engine-portable RE2-safe expression chain, F.soundex parity "
+        "pinned in tests) over the name's FIRST word: the classic "
+        "record-linkage block that survives misspellings, value-checked "
+        "end-to-end in DuckDB.",
     tags=("projection",),
     oracle="""
-SELECT p_partkey, substr(p_name, 1, 5) AS name5, length(p_name) AS name_len
+SELECT p_partkey, substr(p_name, 1, 5) AS name5, length(p_name) AS name_len,
+       (SELECT CASE WHEN u = '' THEN NULL
+               ELSE substr(u, 1, 1) || rpad(substr(
+                 regexp_replace(substr(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     translate(substr(u, 1, 1)
+                               || translate(substr(u, 2), 'HW', ''),
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               '01230120022455012623010202'),
+                     '0{2,}', '0', 'g'), '1{2,}', '1', 'g'),
+                     '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+                     '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+                     '6{2,}', '6', 'g'),
+                   2), '0', '', 'g'), 1, 3), 3, '0') END
+        FROM (SELECT upper(regexp_replace(
+                split_part(p_name, ' ', 1), '[^A-Za-z]', '', 'g')) AS u)
+       ) AS soundex
 FROM part WHERE length(p_name) >= 3
 """,
 )
 def name_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import soundex_portable
+
     p = table(spark, sf_dir, "part")
     return (p.filter(F.length("p_name") >= 3)
             .select("p_partkey",
                     F.substring("p_name", 1, 5).alias("name5"),
-                    F.length("p_name").alias("name_len")))
+                    F.length("p_name").alias("name_len"),
+                    soundex_portable(F.split(F.col("p_name"), " ")
+                                     .getItem(0)).alias("soundex")))
 
 
 @register(

@@ -332,3 +332,55 @@ def test_levenshtein_ratio(spark):
     ).head()
     assert row.perm == 1.0
     assert 0.5 < row.close < 1.0
+
+
+def test_soundex_portable_parity_and_blocking(spark):
+    """The portable Soundex chain must equal Spark's JVM F.soundex on
+    every letters-only input (classic goldens incl. the H/W-adjacency
+    and vowel-separator cases, plus random-word fuzz), return NULL for
+    letterless input (documented divergence: F.soundex passes such
+    strings through), and block misspelled company names together."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from australia_company_etl_pipeline_spark.functions.text import (
+        soundex_portable)
+
+    goldens = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+               "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+               "Honeyman": "H555", "Smith": "S530", "Smythe": "S530",
+               "Washington": "W252", "Lee": "L000", "Gutierrez": "G362"}
+    rng = random.Random(13)
+    fuzz = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(1, 12)))
+            for _ in range(300)]
+    df = spark.createDataFrame(
+        [(n,) for n in [*goldens, *fuzz]], "name string")
+    out = df.select("name", soundex_portable(F.col("name")).alias("mine"),
+                    F.soundex("name").alias("jvm")).collect()
+    for r in out:
+        assert r.mine == r.jvm, (r.name, r.mine, r.jvm)
+    got = {r.name: r.mine for r in out}
+    for name, code in goldens.items():
+        assert got[name] == code, (name, got[name], code)
+
+    edge = spark.createDataFrame([("123",), ("  ",), (None,)],
+                                 "name string")
+    assert [r.s for r in edge.select(
+        soundex_portable(F.col("name")).alias("s")).collect()] == \
+        [None, None, None]
+
+    # the blocking property: misspellings share the key, different
+    # names don't collide on these examples
+    pairs = [("Acme Holdings", "Akme Holdings"),
+             ("Smith Consulting", "Smythe Consulting"),
+             ("Jackson Pty", "Jacksen Pty")]
+    kdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a string, b string")
+    keyed = kdf.select(
+        soundex_portable(F.split("a", " ").getItem(0)).alias("ka"),
+        soundex_portable(F.split("b", " ").getItem(0)).alias("kb")
+    ).collect()
+    assert all(r.ka == r.kb for r in keyed)
+    assert got["Smith"] != got["Washington"]
