@@ -46,7 +46,9 @@ HEADLINE = [
     "events_session_windows",
 ]
 
-REPS = 3  # per-query repetitions; the JSON reports per-query MEDIANS
+REPS = 5  # per-query repetitions; the JSON reports per-query MEDIANS
+#           (raised from 3 in r5: observed ±15% machine noise swamped
+#           real deltas — a 5-sample median tolerates two bad rounds)
 
 
 def force(df) -> None:
