@@ -732,14 +732,79 @@ def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,
             .filter(F.col("jaccard") >= threshold))
 
 
+def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
+                      text_col: str, id_col: str,
+                      threshold: float = 0.8, shingle: int = 3,
+                      corpus_shingles: DataFrame | None = None,
+                      ) -> DataFrame:
+    """Decontamination by n-gram CONTAINMENT — the GPT-3-style overlap
+    rule (Brown et al. 2020 flag training docs sharing n-gram spans
+    with an eval doc): score = |ngrams(benchmark) ∩ ngrams(corpus_doc)|
+    / |ngrams(benchmark)|. This is the metric Jaccard cannot replace
+    for the embedded-leak case: a short benchmark passage pasted inside
+    a LONG corpus document has near-zero Jaccard (the union is huge) —
+    and near-zero MinHash collision probability, so the LSH path
+    (``cross_corpus_dup_pairs``) misses it BEFORE any verify — while
+    its containment is 1.0.
+
+    Exact by construction, no LSH recall loss: candidates are pairs
+    sharing ≥1 shingle, generated by broadcasting the benchmark's
+    exploded shingles (an eval set is orders of magnitude smaller than
+    the corpus) against the corpus shingles — one broadcast equi-join +
+    one partial-aggregated count per (corpus, benchmark) pair, never a
+    cross join; a pair sharing zero shingles scores 0 and cannot pass
+    any positive threshold, so skipping it is lossless. Shingle arrays
+    are distinct (``word_ngrams``), so the shared count is exact set
+    intersection. The published recipe uses 13-gram spans on tokenized
+    text; ``shingle`` exposes that knob (default 3 matches the
+    fixture-scale tests). Returns
+    ``(corpus_id, benchmark_id, containment)``."""
+    csh = (corpus_shingles if corpus_shingles is not None
+           else shingle_frame(corpus, text_col, id_col, shingle))
+    bsh = shingle_frame(benchmark, text_col, id_col, shingle,
+                        persist=False)
+    bex = (bsh.select(F.col(id_col).alias("benchmark_id"),
+                      F.size("__sh").alias("__bn"),
+                      F.explode("__sh").alias("__g")))
+    cex = csh.select(F.col(id_col).alias("corpus_id"),
+                     F.explode("__sh").alias("__g"))
+    shared = (cex.join(F.broadcast(bex), "__g")
+              .groupBy("corpus_id", "benchmark_id")
+              .agg(F.count(F.lit(1)).alias("__inter"),
+                   F.min("__bn").alias("__bn")))
+    return (shared.select(
+        "corpus_id", "benchmark_id",
+        F.round(F.col("__inter").cast("double")
+                / F.nullif(F.col("__bn"), F.lit(0)).cast("double"), 6)
+        .alias("containment"))
+        .filter(F.col("containment") >= threshold))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
                   id_col: str, threshold: float = 0.8,
+                  metric: str = "jaccard",
                   **lsh_kwargs) -> DataFrame:
     """Remove benchmark-contaminated documents from a training corpus:
-    drop every corpus row that near-duplicates any benchmark row."""
-    hits = (cross_corpus_dup_pairs(corpus, benchmark, text_col, id_col,
-                                   threshold, **lsh_kwargs)
-            .select(F.col("corpus_id").alias(id_col)).distinct())
+    drop every corpus row that near-duplicates (``metric='jaccard'``,
+    MinHash+LSH candidates, whole-document similarity) or CONTAINS
+    (``metric='containment'`` — ``containment_pairs``, the
+    embedded-passage leak Jaccard misses) any benchmark row."""
+    if metric == "jaccard":
+        hits = (cross_corpus_dup_pairs(corpus, benchmark, text_col,
+                                       id_col, threshold, **lsh_kwargs)
+                .select(F.col("corpus_id").alias(id_col)).distinct())
+    elif metric == "containment":
+        allowed = {"shingle", "corpus_shingles"}
+        bad = set(lsh_kwargs) - allowed
+        if bad:
+            raise ValueError(f"containment metric takes {sorted(allowed)}"
+                             f", got {sorted(bad)}")
+        hits = (containment_pairs(corpus, benchmark, text_col, id_col,
+                                  threshold, **lsh_kwargs)
+                .select(F.col("corpus_id").alias(id_col)).distinct())
+    else:
+        raise ValueError(f"unknown metric {metric!r}: "
+                         "use 'jaccard' or 'containment'")
     return corpus.join(hits, id_col, "left_anti")
 
 

@@ -346,6 +346,14 @@ hx AS (
         "hamming<=8 ball — simhash_table(hash_fn='portable'), "
         "fingerprints bit-identical cross-engine), each pair reported "
         "with the query's uniform exact-Jaccard score. "
+        "method='containment' rows (r5) are GPT-3-style n-gram "
+        "containment decontamination hits (operators/dedup.py "
+        "containment_pairs): id_a = corpus doc, id_b = benchmark doc "
+        "(every 13th original), jaccard column = "
+        "|ng(bench) ∩ ng(doc)| / |ng(bench)| — the embedded-passage "
+        "leak whole-document Jaccard dilutes to ~0; candidates are "
+        "shared-shingle broadcast joins (exact, no LSH recall loss), "
+        "value-checked in DuckDB. "
         "method='incremental' rows (r5) are the cross-batch "
         "incremental-dedup verdicts (operators/dedup.py "
         "incremental_dedup): the corpus streams through a fresh "
@@ -387,6 +395,15 @@ FROM sim_pairs p
 JOIN sh a ON a.doc_id = p.id_a
 JOIN sh b ON b.doc_id = p.id_b
 UNION ALL
+SELECT 'containment' AS method, c.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(c.ngrams, b.ngrams)) AS DOUBLE)
+             / nullif(len(b.ngrams), 0), 6) AS jaccard
+FROM sh c
+JOIN (SELECT * FROM sh WHERE doc_id % 13 = 0 AND doc_id < 100000) b
+  ON len(list_intersect(c.ngrams, b.ngrams)) > 0
+WHERE round(CAST(len(list_intersect(c.ngrams, b.ngrams)) AS DOUBLE)
+            / nullif(len(b.ngrams), 0), 6) >= 0.8
+UNION ALL
 SELECT 'incremental' AS method, id_b AS id_a,
        CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard
 FROM (SELECT DISTINCT id_b FROM mh_pairs)
@@ -415,8 +432,17 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(dd.jaccard_arrays(F.col("__na"),
                                             F.col("__nb")), 6)
                   .alias("jaccard")))
+    bench = corpus.filter((F.col("doc_id") % 13 == 0)
+                          & (F.col("doc_id") < 100000))
+    cont = (dd.containment_pairs(corpus, bench, "text", "doc_id",
+                                 threshold=0.8, shingle=3)
+            .select(F.lit("containment").alias("method"),
+                    F.col("corpus_id").alias("id_a"),
+                    F.col("benchmark_id").alias("id_b"),
+                    F.col("containment").alias("jaccard")))
     inc = _incremental_verdicts(spark, corpus)
-    return exact.unionByName(mh).unionByName(sp).unionByName(inc)
+    return (exact.unionByName(mh).unionByName(sp).unionByName(cont)
+            .unionByName(inc))
 
 
 def _incremental_verdicts(spark: SparkSession,

@@ -1141,3 +1141,44 @@ def test_line_dedup_fuzz_vs_python_oracle(spark):
             assert got == expect(mode), mode
 
     check()
+
+
+def test_containment_catches_embedded_leak_jaccard_misses(spark):
+    """The decontamination gap containment exists for: a benchmark doc
+    pasted verbatim inside a much longer corpus doc has containment 1.0
+    but whole-document Jaccard ~0.1 — below any sane threshold — AND
+    near-zero MinHash collision probability, so the LSH jaccard path
+    cannot even see the candidate. decontaminate(metric='containment')
+    must drop it; metric='jaccard' at the same threshold must not."""
+    bench_text = " ".join(f"eval{i}" for i in range(12))
+    filler = " ".join(f"w{i}" for i in range(120))
+    corpus = spark.createDataFrame(
+        [(1, filler + " " + bench_text + " " + filler),  # embedded leak
+         (2, " ".join(f"clean{i}" for i in range(50)))],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(900, bench_text)],
+                                  "doc_id long, text string")
+
+    pairs = dd.containment_pairs(corpus, bench, "text", "doc_id",
+                                 threshold=0.8).collect()
+    dd.unpersist_shingles()
+    assert [(r.corpus_id, r.benchmark_id, r.containment)
+            for r in pairs] == [(1, 900, 1.0)]
+
+    kept_c = {r.doc_id for r in dd.decontaminate(
+        corpus, bench, "text", "doc_id", threshold=0.8,
+        metric="containment").collect()}
+    kept_j = {r.doc_id for r in dd.decontaminate(
+        corpus, bench, "text", "doc_id", threshold=0.8,
+        metric="jaccard").collect()}
+    dd.unpersist_shingles()
+    assert kept_c == {2}           # leak removed
+    assert kept_j == {1, 2}        # whole-doc jaccard blind to it
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        dd.decontaminate(corpus, bench, "text", "doc_id", metric="lcs")
+    with pytest.raises(ValueError, match="containment metric takes"):
+        dd.decontaminate(corpus, bench, "text", "doc_id",
+                         metric="containment", num_hashes=16)
