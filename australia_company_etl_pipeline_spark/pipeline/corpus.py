@@ -59,6 +59,7 @@ def prepare_training_corpus(
         num_hashes: int = 32,
         bands: int = 8,
         near_keep_col: str | None = None,
+        decontaminate_metric: str = "jaccard",
         semantic_embeddings: DataFrame | None = None,
         semantic_threshold: float = 0.95,
         semantic_clusters: int = 16,
@@ -123,7 +124,11 @@ def prepare_training_corpus(
        embedding row pass through unexamined (a missing vector must not
        silently delete the doc);
     4. decontamination (only when ``benchmark`` is given) — drop docs
-       near-duplicating the eval set;
+       near-duplicating the eval set; ``decontaminate_metric``
+       chooses whole-document 'jaccard' (MinHash+LSH candidates) or
+       'containment' (GPT-3-style n-gram overlap — catches a benchmark
+       passage EMBEDDED in a longer doc, which Jaccard dilutes to ~0
+       and whose MinHash candidates LSH cannot generate);
     5. segment dedup (only when ``segment_words`` is set) — sub-document
        keep-first over fixed word windows, text REWRITTEN to the
        deduplicated form.  Runs AFTER the fuzzy stages on purpose
@@ -243,9 +248,15 @@ def prepare_training_corpus(
         # cache; re-home them so release_corpus_cache() frees them
         # without evicting unrelated callers' shingles
         before = dd.shingle_cache_snapshot()
-        current = _stage(dd.decontaminate(
-            current, benchmark, text_col, id_col,
-            threshold=near_threshold, num_hashes=num_hashes, bands=bands))
+        if decontaminate_metric == "containment":
+            current = _stage(dd.decontaminate(
+                current, benchmark, text_col, id_col,
+                threshold=near_threshold, metric="containment"))
+        else:
+            current = _stage(dd.decontaminate(
+                current, benchmark, text_col, id_col,
+                threshold=near_threshold, metric=decontaminate_metric,
+                num_hashes=num_hashes, bands=bands))
         _STAGE_CACHE.extend(dd.new_shingles_since(before))
         stages["decontaminated"] = current
 
@@ -304,6 +315,9 @@ def prepare_training_corpus(
                 "quality_classifier": (quality_classifier[1]
                                        if quality_classifier else None),
                 "lm_gate": lm_gate[1] if lm_gate else None,
+                "decontaminate_metric": (decontaminate_metric
+                                         if benchmark is not None
+                                         else None),
                 "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,
                 "pack_budget": pack_budget})

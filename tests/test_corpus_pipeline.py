@@ -295,3 +295,45 @@ def test_prepare_training_corpus_lm_gate(spark, sf_dir, tmp_path):
         assert ids and all(i < 900000 for i in ids)
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_containment_decontamination(spark,
+                                                             sf_dir):
+    """decontaminate_metric='containment': a corpus doc that EMBEDS a
+    benchmark doc inside much longer text must be dropped — the case
+    the default whole-document jaccard metric is blind to."""
+    import json
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    # per-doc UNIQUE filler: shared filler would make the embedded docs
+    # near-dups of EACH OTHER and the near-dedup stage would eat them
+    # before decontamination could be attributed
+    filler = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(300)),
+                    lambda i: F.concat(F.lit("pad"),
+                                       F.col("doc_id").cast("string"),
+                                       F.lit("x"), i.cast("string"))),
+        " ")
+    embedded = (bench.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(filler, F.lit(" "), F.col("text"),
+                 F.lit(" "), filler).alias("text")))
+    corpus = docs.unionByName(embedded)
+    try:
+        packed_j, _ = prepare_training_corpus(
+            corpus, bench, pack_budget=2048)
+        kept_j = {r.doc_id for r in packed_j.select("doc_id").collect()}
+        release_corpus_cache()
+        packed_c, report = prepare_training_corpus(
+            corpus, bench, decontaminate_metric="containment",
+            pack_budget=2048)
+        kept_c = {r.doc_id for r in packed_c.select("doc_id").collect()}
+        planted = {r.doc_id for r in embedded.select("doc_id").collect()}
+        # jaccard keeps the embedded leaks; containment removes them all
+        assert planted <= kept_j
+        assert not (planted & kept_c)
+        cfg = json.loads(report.collect()[0]["config"])
+        assert cfg["decontaminate_metric"] == "containment"
+    finally:
+        release_corpus_cache()
