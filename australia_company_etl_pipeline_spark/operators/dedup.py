@@ -757,12 +757,37 @@ def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
     are distinct (``word_ngrams``), so the shared count is exact set
     intersection. The published recipe uses 13-gram spans on tokenized
     text; ``shingle`` exposes that knob (default 3 matches the
-    fixture-scale tests). Returns
-    ``(corpus_id, benchmark_id, containment)``."""
+    fixture-scale tests).
+
+    Benchmark rows with FEWER than ``shingle`` tokens are below the
+    n-gram resolution and are EXCLUDED with a ``RuntimeWarning``: such
+    a span cannot produce a real shingle (the whole-text fallback only
+    ever matches an equally tiny corpus doc), and matching 1–2 common
+    words verbatim would flag essentially every document — the false
+    positive flood the published 13-gram choice exists to avoid.
+    Decontaminate sub-shingle eval rows out of band (exact/normalized
+    string match) if they matter.
+
+    ``corpus_shingles`` shares an already-persisted corpus shingle
+    pass (see ``shingle_frame``); built internally it is NOT persisted
+    — this plan consumes it once, so a cache entry would buy nothing.
+    Returns ``(corpus_id, benchmark_id, containment)``."""
+    import warnings
+
     csh = (corpus_shingles if corpus_shingles is not None
-           else shingle_frame(corpus, text_col, id_col, shingle))
-    bsh = shingle_frame(benchmark, text_col, id_col, shingle,
-                        persist=False)
+           else shingle_frame(corpus, text_col, id_col, shingle,
+                              persist=False))
+    n_short = benchmark.filter(
+        F.size(tokens(F.col(text_col))) < shingle).count()
+    if n_short:
+        warnings.warn(
+            f"containment_pairs: {n_short} benchmark row(s) have fewer "
+            f"than shingle={shingle} tokens and are excluded (below "
+            "n-gram resolution); handle them with exact matching",
+            RuntimeWarning, stacklevel=2)
+    bsh = shingle_frame(
+        benchmark.filter(F.size(tokens(F.col(text_col))) >= shingle),
+        text_col, id_col, shingle, persist=False)
     bex = (bsh.select(F.col(id_col).alias("benchmark_id"),
                       F.size("__sh").alias("__bn"),
                       F.explode("__sh").alias("__g")))

@@ -248,15 +248,12 @@ def prepare_training_corpus(
         # cache; re-home them so release_corpus_cache() frees them
         # without evicting unrelated callers' shingles
         before = dd.shingle_cache_snapshot()
-        if decontaminate_metric == "containment":
-            current = _stage(dd.decontaminate(
-                current, benchmark, text_col, id_col,
-                threshold=near_threshold, metric="containment"))
-        else:
-            current = _stage(dd.decontaminate(
-                current, benchmark, text_col, id_col,
-                threshold=near_threshold, metric=decontaminate_metric,
-                num_hashes=num_hashes, bands=bands))
+        extra = ({} if decontaminate_metric == "containment"
+                 else {"num_hashes": num_hashes, "bands": bands})
+        current = _stage(dd.decontaminate(
+            current, benchmark, text_col, id_col,
+            threshold=near_threshold, metric=decontaminate_metric,
+            **extra))
         _STAGE_CACHE.extend(dd.new_shingles_since(before))
         stages["decontaminated"] = current
 

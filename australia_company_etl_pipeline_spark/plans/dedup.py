@@ -415,9 +415,13 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=0.8)
              .select(F.lit("exact").alias("method"),
                      F.col("id_a"), F.col("id_b"), "jaccard"))
+    # ONE persisted shingle pass shared by the minhash and containment
+    # branches (the exact/simhash paths keep their own splits — the
+    # measured recompute-vs-cache choice documented on hashed_dup_pairs)
+    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
     mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
                                num_hashes=_MH_HASHES, bands=_MH_BANDS,
-                               hash_fn="portable")
+                               shingles=shingles, hash_fn="portable")
           .select(F.lit("minhash").alias("method"),
                   "id_a", "id_b", "jaccard"))
     ng = corpus.select(F.col("doc_id"),
@@ -435,7 +439,8 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = corpus.filter((F.col("doc_id") % 13 == 0)
                           & (F.col("doc_id") < 100000))
     cont = (dd.containment_pairs(corpus, bench, "text", "doc_id",
-                                 threshold=0.8, shingle=3)
+                                 threshold=0.8, shingle=3,
+                                 corpus_shingles=shingles)
             .select(F.lit("containment").alias("method"),
                     F.col("corpus_id").alias("id_a"),
                     F.col("benchmark_id").alias("id_b"),

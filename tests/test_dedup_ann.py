@@ -1182,3 +1182,25 @@ def test_containment_catches_embedded_leak_jaccard_misses(spark):
     with pytest.raises(ValueError, match="containment metric takes"):
         dd.decontaminate(corpus, bench, "text", "doc_id",
                          metric="containment", num_hashes=16)
+
+
+def test_containment_excludes_sub_shingle_benchmark_rows(spark):
+    """A benchmark row shorter than the shingle size is below n-gram
+    resolution: it must be EXCLUDED with a warning (matching 1-2 common
+    words verbatim would flag every document), while normal-length
+    benchmark rows in the same batch still match."""
+    import pytest
+
+    long_bench = " ".join(f"eval{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(1, "filler words " + long_bench + " more filler"),
+         (2, "the answer is here with other words entirely")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(900, long_bench), (901, "the answer")],   # 901: 2 tokens < 3
+        "doc_id long, text string")
+    with pytest.warns(RuntimeWarning, match="below\\s+n-gram resolution|below "):
+        pairs = dd.containment_pairs(corpus, bench, "text", "doc_id",
+                                     threshold=0.8).collect()
+    dd.unpersist_shingles()
+    assert [(r.corpus_id, r.benchmark_id) for r in pairs] == [(1, 900)]
