@@ -732,11 +732,22 @@ def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,
             .filter(F.col("jaccard") >= threshold))
 
 
+def short_benchmark_rows(benchmark: DataFrame, text_col: str,
+                         id_col: str, shingle: int = 3) -> DataFrame:
+    """The benchmark rows ``containment_pairs`` EXCLUDES (fewer than
+    ``shingle`` tokens — below n-gram resolution), as a LAZY frame:
+    the accounting companion for ``on_short='exclude'``, so a curated
+    run can audit / exact-match the excluded eval rows without the
+    plan-build driver job the eager warning used to cost."""
+    return benchmark.filter(F.size(tokens(F.col(text_col))) < shingle) \
+                    .select(id_col, text_col)
+
+
 def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
                       text_col: str, id_col: str,
                       threshold: float = 0.8, shingle: int = 3,
                       corpus_shingles: DataFrame | None = None,
-                      ) -> DataFrame:
+                      on_short: str = "exclude") -> DataFrame:
     """Decontamination by n-gram CONTAINMENT — the GPT-3-style overlap
     rule (Brown et al. 2020 flag training docs sharing n-gram spans
     with an eval doc): score = |ngrams(benchmark) ∩ ngrams(corpus_doc)|
@@ -760,13 +771,21 @@ def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
     fixture-scale tests).
 
     Benchmark rows with FEWER than ``shingle`` tokens are below the
-    n-gram resolution and are EXCLUDED with a ``RuntimeWarning``: such
-    a span cannot produce a real shingle (the whole-text fallback only
-    ever matches an equally tiny corpus doc), and matching 1–2 common
-    words verbatim would flag essentially every document — the false
-    positive flood the published 13-gram choice exists to avoid.
-    Decontaminate sub-shingle eval rows out of band (exact/normalized
-    string match) if they matter.
+    n-gram resolution and are EXCLUDED: such a span cannot produce a
+    real shingle (the whole-text fallback only ever matches an equally
+    tiny corpus doc), and matching 1–2 common words verbatim would flag
+    essentially every document — the false positive flood the published
+    13-gram choice exists to avoid. Decontaminate sub-shingle eval rows
+    out of band (exact/normalized string match) if they matter.
+    ``on_short`` chooses how the exclusion surfaces:
+    ``'exclude'`` (default) — silently, fully lazily; audit the
+    excluded rows with the LAZY ``short_benchmark_rows`` companion
+    (building this plan then triggers NO Spark job — the shape a
+    registered query re-built per invocation needs);
+    ``'warn'`` — count them NOW and raise a ``RuntimeWarning`` (one
+    eager driver job per plan build — the loud interactive mode);
+    ``'error'`` — count them now and raise ``ValueError`` (curated
+    runs where a silently-unchecked eval row is unacceptable).
 
     ``corpus_shingles`` shares an already-persisted corpus shingle
     pass (see ``shingle_frame``); built internally it is NOT persisted
@@ -774,17 +793,23 @@ def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
     Returns ``(corpus_id, benchmark_id, containment)``."""
     import warnings
 
+    if on_short not in ("exclude", "warn", "error"):
+        raise ValueError(f"unknown on_short {on_short!r}: use "
+                         "'exclude', 'warn' or 'error'")
     csh = (corpus_shingles if corpus_shingles is not None
            else shingle_frame(corpus, text_col, id_col, shingle,
                               persist=False))
-    n_short = benchmark.filter(
-        F.size(tokens(F.col(text_col))) < shingle).count()
-    if n_short:
-        warnings.warn(
-            f"containment_pairs: {n_short} benchmark row(s) have fewer "
-            f"than shingle={shingle} tokens and are excluded (below "
-            "n-gram resolution); handle them with exact matching",
-            RuntimeWarning, stacklevel=2)
+    if on_short != "exclude":
+        n_short = short_benchmark_rows(benchmark, text_col, id_col,
+                                       shingle).count()
+        if n_short:
+            msg = (f"containment_pairs: {n_short} benchmark row(s) have "
+                   f"fewer than shingle={shingle} tokens and are "
+                   "excluded (below n-gram resolution); handle them "
+                   "with exact matching")
+            if on_short == "error":
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     bsh = shingle_frame(
         benchmark.filter(F.size(tokens(F.col(text_col))) >= shingle),
         text_col, id_col, shingle, persist=False)
@@ -819,7 +844,7 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
                                        id_col, threshold, **lsh_kwargs)
                 .select(F.col("corpus_id").alias(id_col)).distinct())
     elif metric == "containment":
-        allowed = {"shingle", "corpus_shingles"}
+        allowed = {"shingle", "corpus_shingles", "on_short"}
         bad = set(lsh_kwargs) - allowed
         if bad:
             raise ValueError(f"containment metric takes {sorted(allowed)}"
@@ -927,13 +952,18 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     with documents that have NO content lines absent (explode
     semantics). Counts cover content lines only.
 
-    Scale shape: ``mode='common'`` is a partial-aggregated
-    ``groupBy(line)`` document-frequency count joined back on the line
-    — map-side combine collapses hot boilerplate, so corpus-universal
-    lines are NOT skewed shuffle keys. ``mode='first'`` ranks
-    occurrences inside each line's hash partition (same
-    skew-equals-duplication argument as ``segment_dedup``: the pile-up
-    IS the duplication being removed); one ``groupBy(id)`` reassembles.
+    Scale shape: BOTH modes are partial-aggregated ``groupBy(line)``
+    passes joined back on the line — map-side combine collapses hot
+    boilerplate BEFORE the shuffle, so corpus-universal lines (a cookie
+    banner in billions of docs) are never single-task keys.
+    ``mode='common'`` aggregates the distinct-document frequency;
+    ``mode='first'`` aggregates each line's global first occurrence as
+    ``min(struct(id, idx))`` — identical keep-first semantics to a
+    per-line ``row_number`` window, without funneling every occurrence
+    of one line into one task (a window over a corpus-universal line
+    would be exactly that straggler). The join-back's hot key streams
+    against a ONE-row-per-line right side (AQE skew-split-able); one
+    ``groupBy(id)`` reassembles.
     """
     if mode not in ("first", "common"):
         raise ValueError(f"unknown mode {mode!r}: use 'first' or"
@@ -946,10 +976,16 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         .alias("__idx", "__ln"))
         .filter(F.trim(F.col("__ln")) != ""))
     if mode == "first":
-        win = Window.partitionBy("__ln").orderBy(
-            F.col(id_col).asc(), F.col("__idx").asc())
-        flagged = base.withColumn("__keep",
-                                  F.row_number().over(win) == 1)
+        # min(struct) is lexicographic over (id, idx) — the global
+        # first occurrence — as a map-side-combined partial aggregate
+        firsts = (base.groupBy("__ln")
+                  .agg(F.min(F.struct(F.col(id_col), F.col("__idx")))
+                       .alias("__f")))
+        flagged = (base.join(firsts, "__ln")
+                   .withColumn("__keep",
+                               (F.col(id_col) == F.col("__f")[id_col])
+                               & (F.col("__idx") == F.col("__f.__idx")))
+                   .drop("__f"))
     else:
         freq = (base.groupBy("__ln")
                 .agg(F.countDistinct(id_col).alias("__nd")))
@@ -972,7 +1008,8 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
 # Incremental dedup: persisted MinHash index, batch-at-a-time arrival
 # ---------------------------------------------------------------------------
 
-def _read_or_empty(spark, path: str, schema) -> DataFrame:
+def _read_or_empty(spark, path: str, schema,
+                   siblings: tuple[str, ...] = ()) -> DataFrame:
     """Read a parquet index component, or an empty typed frame before the
     first batch has been indexed.  Works on any Hadoop filesystem (local,
     HDFS, object stores) — a driver-side os.path probe would silently
@@ -980,8 +1017,26 @@ def _read_or_empty(spark, path: str, schema) -> DataFrame:
     silently re-admitting known duplicates.  Only the missing-path error
     maps to "empty"; every OTHER read failure (corrupt metadata, wrong
     path root, permissions) re-raises — treating those as empty would be
-    the same silent re-admission."""
+    the same silent re-admission.
+
+    ``siblings`` are paths whose EXISTENCE proves the missing table is
+    not pristine first-batch state: ``<path>.__old`` (a
+    ``compact_dedup_index`` swap crashed between its two renames — the
+    complete pre-compaction table is sitting at the backup name) and,
+    for the buckets table, the shingles table (appends write shingles
+    FIRST, so established history can lose buckets to a crashed swap
+    but can never legitimately have shingles without buckets... unless
+    mid-first-append — which the ``.__old`` check disambiguates is not
+    recoverable confusion: a missing buckets + present shingles with NO
+    backup is the documented harmless orphan window).  When a sibling
+    backup exists the read FAILS LOUDLY instead of returning an empty
+    frame — an empty history here would silently re-admit every known
+    duplicate while forking the index, the exact failure the docstring
+    above warns against.  Recover by renaming ``<path>.__old`` back to
+    ``<path>`` (or re-running the crashed compaction from the backup)."""
     from pyspark.errors import AnalysisException
+
+    from ..session import hadoop_exists
 
     try:
         return spark.read.schema(schema).parquet(path)
@@ -990,6 +1045,15 @@ def _read_or_empty(spark, path: str, schema) -> DataFrame:
                 else exc.getErrorClass())
         if cond != "PATH_NOT_FOUND":
             raise
+        present = [s for s in siblings if hadoop_exists(spark, s)]
+        if present:
+            raise IOError(
+                f"dedup index table {path} is missing but sibling "
+                f"state exists ({', '.join(present)}) — this is a "
+                f"crashed compaction/swap, NOT an empty index; "
+                f"treating it as empty would silently re-admit known "
+                f"duplicates. Restore {path}.__old to {path} (or "
+                f"rebuild the index) before the next batch.") from exc
         return spark.createDataFrame([], schema)
 
 
@@ -1067,15 +1131,23 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     # int — a fixed IntegerType made every index read fail with a
     # parquet INT64/int32 mismatch).
     id_type = batch.schema[id_col].dataType
+    # Sibling guards (see _read_or_empty): a missing BUCKETS table with
+    # buckets.__old present is a crashed compaction swap (shingles
+    # existing alone is the documented harmless first-append orphan
+    # window — appends write shingles first); a missing SHINGLES table
+    # with EITHER its backup or the buckets table present can never be
+    # pristine state, since shingles are always written first.
     idx_buckets = _read_or_empty(
         spark, buckets_path, StructType([
             StructField(id_col, id_type),
             StructField("band", buckets.schema["band"].dataType),
-            StructField("bh", buckets.schema["bh"].dataType)]))
+            StructField("bh", buckets.schema["bh"].dataType)]),
+        siblings=(f"{buckets_path}.__old",))
     idx_sh = _read_or_empty(
         spark, shingles_path, StructType([
             StructField(id_col, id_type),
-            StructField("__sh", ArrayType(StringType()))]))
+            StructField("__sh", ArrayType(StringType()))]),
+        siblings=(f"{shingles_path}.__old", buckets_path))
 
     # seen_id < new_id, NOT just a self-pair exclusion: under the
     # increasing-id contract genuine history ALWAYS has lower ids, so the

@@ -298,7 +298,7 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
               "new_type string")
 
 
-def profile_drift(old: DataFrame, new: DataFrame,
+def profile_drift(old: DataFrame | None, new: DataFrame,
                   cols: list[str] | None = None,
                   table_name: str = "table",
                   old_profile: DataFrame | None = None,
@@ -318,10 +318,23 @@ def profile_drift(old: DataFrame, new: DataFrame,
     monitoring run — the normal drift-monitor cadence), pass it as
     ``old_profile`` (the ``profile_table`` long frame, or any frame
     with ``metric_name``/``metric_value``): the old dataset is then
-    never re-scanned, halving the cost."""
+    never re-scanned, halving the cost — ``old`` may then be ``None``
+    (the natural monitoring call, ``profile_drift(None, new,
+    old_profile=saved)``; ``cols`` is derived from ``new`` alone, so
+    the never-rescan-the-old-side path needs no placeholder frame)."""
+    if old is None and old_profile is None:
+        raise ValueError("profile_drift needs either the old frame or "
+                         "its saved old_profile report")
     if cols is None:
-        o = {f.name for f in old.schema}
-        cols = [f.name for f in new.schema if f.name in o]
+        if old_profile is not None:
+            # the old side exists only as its saved report — its live
+            # schema is unavailable by design, so profile every column
+            # of `new`; metrics the old report lacks surface as NULL
+            # old_value rows in the full-outer join below
+            cols = [f.name for f in new.schema]
+        else:
+            o = {f.name for f in old.schema}
+            cols = [f.name for f in new.schema if f.name in o]
         if not cols:
             raise ValueError("snapshots share no columns to profile")
     po = (old_profile if old_profile is not None

@@ -363,7 +363,18 @@ def resample_grid(df: DataFrame, ts_col: str, value_col: str,
     axis = (span.select(F.explode(F.sequence("__lo", "__hi"))
                         .alias("__b")))
     grid = df.select(*gcols).distinct().crossJoin(axis)
-    return grid.join(agg, [*gcols, "__b"], "left")
+    # NULL-SAFE group-key equality: a NULL group key appears in the
+    # distinct() grid, but plain `=` never matches NULL — its aggregate
+    # rows would be orphaned and the NULL-keyed series silently reported
+    # as all-empty buckets (n_events=0) despite having events
+    agg_r = agg.select(*[F.col(c).alias(f"__r_{c}") for c in gcols],
+                       F.col("__b").alias("__r_b"),
+                       "n_events", "__sum")
+    cond = F.col("__b") == F.col("__r_b")
+    for c in gcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    return (grid.join(agg_r, cond, "left")
+            .select(*gcols, "__b", "n_events", "__sum"))
 
 
 def fill_resampled(joined: DataFrame, group_cols: Sequence[str],

@@ -369,7 +369,7 @@ hx AS (
     oracle=f"""
 WITH corpus AS ({_DOCS_DUPS_SQL}),
 sh AS (
-  SELECT doc_id, {_NGRAMS_SQL} AS ngrams
+  SELECT doc_id, len(toks) AS ntoks, {_NGRAMS_SQL} AS ngrams
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\\s+'),
                            t -> t != '') AS toks
@@ -399,7 +399,12 @@ SELECT 'containment' AS method, c.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(c.ngrams, b.ngrams)) AS DOUBLE)
              / nullif(len(b.ngrams), 0), 6) AS jaccard
 FROM sh c
-JOIN (SELECT * FROM sh WHERE doc_id % 13 = 0 AND doc_id < 100000) b
+-- ntoks >= 3 mirrors containment_pairs' sub-shingle exclusion: a
+-- benchmark row below the n-gram resolution is EXCLUDED by the
+-- operator, so the oracle must not admit it via the whole-text
+-- n-gram fallback
+JOIN (SELECT * FROM sh
+      WHERE doc_id % 13 = 0 AND doc_id < 100000 AND ntoks >= 3) b
   ON len(list_intersect(c.ngrams, b.ngrams)) > 0
 WHERE round(CAST(len(list_intersect(c.ngrams, b.ngrams)) AS DOUBLE)
             / nullif(len(b.ngrams), 0), 6) >= 0.8

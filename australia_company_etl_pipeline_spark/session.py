@@ -89,6 +89,19 @@ def materialize(df, checkpoint: str = "local"):
         f"executor-local) or 'reliable' (survives executor loss)")
 
 
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the session's Hadoop ``FileSystem`` —
+    the ONLY correct way to ask "is this table there" for paths Spark
+    reads/writes: a driver-local ``os.path.exists`` silently answers
+    False for every non-local default FS (HDFS, object stores), which
+    for an index-cache probe means rebuild-every-run and for a
+    crash-recovery probe means never seeing the backup."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(hpath.getFileSystem(conf).exists(hpath))
+
+
 def replace_dir(spark: SparkSession, tmp: str, final: str) -> None:
     """Swap a freshly-written directory into place with Hadoop
     ``FileSystem.rename`` — the crash-safe alternative to

@@ -903,6 +903,64 @@ def test_compact_dedup_index_removes_replay_duplicates(spark, tmp_path):
     dd.unpersist_shingles()
 
 
+def test_incremental_dedup_refuses_crashed_compaction_state(spark,
+                                                            tmp_path):
+    """A compaction swap that crashed between its two renames leaves a
+    table missing but its .__old backup (or the sibling table) present.
+    The next batch must FAIL LOUDLY, not read the missing table as an
+    empty history — an empty history silently re-admits every known
+    duplicate while appending to a forked index (the r5 ADVICE hole)."""
+    import os
+    import shutil
+
+    import pytest
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20)))
+         for i in range(4)], schema)
+
+    def crashed(mutate):
+        idx = str(tmp_path / f"idx_{mutate.__name__}")
+        dd.incremental_dedup(b1, idx, "text", "doc_id")
+        dd.unpersist_shingles()
+        mutate(idx)
+        with pytest.raises(IOError, match="crashed compaction"):
+            dd.incremental_dedup(b1.select(
+                (F.col("doc_id") + 10).alias("doc_id"), "text"),
+                idx, "text", "doc_id")
+        dd.unpersist_shingles()
+
+    # buckets mid-swap: renamed to .__old, replacement never landed
+    def buckets_old(idx):
+        os.rename(f"{idx}/buckets", f"{idx}/buckets.__old")
+
+    # shingles mid-swap: same window on the other table
+    def shingles_old(idx):
+        os.rename(f"{idx}/shingles", f"{idx}/shingles.__old")
+
+    # shingles gone while buckets remain: appends write shingles FIRST,
+    # so established history can never legitimately look like this
+    def shingles_lost(idx):
+        shutil.rmtree(f"{idx}/shingles")
+
+    for mutate in (buckets_old, shingles_old, shingles_lost):
+        crashed(mutate)
+
+    # the harmless orphan window stays harmless: shingles present,
+    # buckets missing, NO backup — the documented first-append crash
+    # between the two writes reads as an empty bucket history
+    idx = str(tmp_path / "idx_orphan")
+    dd.incremental_dedup(b1, idx, "text", "doc_id")
+    dd.unpersist_shingles()
+    shutil.rmtree(f"{idx}/buckets")
+    kept = dd.incremental_dedup(
+        b1.select((F.col("doc_id") + 10).alias("doc_id"), "text"),
+        idx, "text", "doc_id")
+    assert kept.count() == 4     # no bucket history -> nothing drops
+    dd.unpersist_shingles()
+
+
 def test_portable_sketch_backends_precision_and_planted_recall(spark):
     """The portable (FNV/LCG) MinHash and SimHash backends must keep the
     family contracts: verified minhash pairs are a SUBSET of the exact
@@ -1186,9 +1244,13 @@ def test_containment_catches_embedded_leak_jaccard_misses(spark):
 
 def test_containment_excludes_sub_shingle_benchmark_rows(spark):
     """A benchmark row shorter than the shingle size is below n-gram
-    resolution: it must be EXCLUDED with a warning (matching 1-2 common
-    words verbatim would flag every document), while normal-length
-    benchmark rows in the same batch still match."""
+    resolution: it must be EXCLUDED (matching 1-2 common words verbatim
+    would flag every document), while normal-length benchmark rows in
+    the same batch still match. The default surfacing is fully LAZY —
+    building the plan triggers NO Spark job (a registered query
+    re-builds it per invocation) — with the excluded rows auditable via
+    the short_benchmark_rows companion; on_short='warn'/'error' are the
+    eager loud modes."""
     import pytest
 
     long_bench = " ".join(f"eval{i}" for i in range(10))
@@ -1199,8 +1261,33 @@ def test_containment_excludes_sub_shingle_benchmark_rows(spark):
     bench = spark.createDataFrame(
         [(900, long_bench), (901, "the answer")],   # 901: 2 tokens < 3
         "doc_id long, text string")
-    with pytest.warns(RuntimeWarning, match="below\\s+n-gram resolution|below "):
-        pairs = dd.containment_pairs(corpus, bench, "text", "doc_id",
-                                     threshold=0.8).collect()
+
+    # default: plan BUILD runs no job...
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    plan = dd.containment_pairs(corpus, bench, "text", "doc_id",
+                                threshold=0.8)
+    assert len(tracker.getJobIdsForGroup(None) or []) == jobs_before, \
+        "containment_pairs plan build must not trigger a Spark job"
+    # ...and the action still excludes the sub-shingle row silently
+    pairs = plan.collect()
     dd.unpersist_shingles()
     assert [(r.corpus_id, r.benchmark_id) for r in pairs] == [(1, 900)]
+
+    # the lazy accounting companion lists exactly the excluded rows
+    excluded = dd.short_benchmark_rows(bench, "text", "doc_id").collect()
+    assert [(r.doc_id, r.text) for r in excluded] == [(901, "the answer")]
+
+    # opt-in loud modes keep the old contract
+    with pytest.warns(RuntimeWarning,
+                      match="below\\s+n-gram resolution|below "):
+        dd.containment_pairs(corpus, bench, "text", "doc_id",
+                             threshold=0.8, on_short="warn")
+    dd.unpersist_shingles()
+    with pytest.raises(ValueError, match="below n-gram resolution"):
+        dd.containment_pairs(corpus, bench, "text", "doc_id",
+                             threshold=0.8, on_short="error")
+    dd.unpersist_shingles()
+    with pytest.raises(ValueError, match="unknown on_short"):
+        dd.containment_pairs(corpus, bench, "text", "doc_id",
+                             on_short="loud")

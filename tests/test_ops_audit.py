@@ -545,3 +545,16 @@ def test_profile_drift_old_profile_reuse(spark):
            for r in profile_drift(poison, new, ["x"], table_name="t",
                                   old_profile=base).collect()}
     assert got == want
+
+    # the natural monitoring call needs NO placeholder old frame: with
+    # old=None, cols derives from `new` alone (r6 ADVICE fix — the
+    # fast path used to dereference old.schema and crash)
+    none_got = {(r.metric_name, r.old_value, r.new_value, r.abs_change)
+                for r in profile_drift(None, new, table_name="t",
+                                       old_profile=base).collect()}
+    assert none_got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="either the old frame"):
+        profile_drift(None, new, table_name="t")

@@ -186,12 +186,13 @@ def test_segment_dedup_single_scan_two_exchanges(spark, sf_dir):
     """The salted-window rewrite's claim: one corpus scan (no
     tails/firsts DAG fork), exactly two shuffles (salted segment digest
     for the keep-first window, doc_id for reassembly). Pinned on the
-    OPERATOR's plan — the registered query is a 3-branch union since
-    the r5 line-dedup fold. The line branches get their own pins: the
-    keep-first mode is the same window+reassemble two-shuffle shape;
-    the boilerplate mode trades the window for a partial-aggregated
-    doc-frequency count + join (3 exchanges, no window partition
-    pile-up on corpus-universal lines)."""
+    OPERATOR's plan — the registered query is a multi-branch union
+    since the r5 line-dedup fold. The line branches get their own pins:
+    BOTH modes are partial-aggregated groupBy(line) passes + join-back
+    (r6 de-skewed the keep-first mode: a min(struct(id,idx)) aggregate
+    replaces the per-line row_number window, so a corpus-universal
+    boilerplate line is map-side-combined instead of funneled into one
+    window task)."""
     from australia_company_etl_pipeline_spark.catalog import table
     from australia_company_etl_pipeline_spark.operators import dedup as dd
 
@@ -205,9 +206,14 @@ def test_segment_dedup_single_scan_two_exchanges(spark, sf_dir):
 
     lf = _plan(dd.line_dedup(docs, mode="first"))
     cf = _node_counts(lf)
-    assert cf["Scan"] == 1, cf
-    assert cf["Exchange"] == 2, cf
-    assert cf["Window"] == 1, cf
+    # NO window on the first-mode path: the global-first-occurrence
+    # rule is a partial aggregate (hot boilerplate lines collapse
+    # map-side), same shape as mode='common'
+    assert "Window" not in lf, lf
+    assert any(k.endswith("HashAggregate") or k == "SortAggregate"
+               for k in cf), cf
+    assert cf["Scan"] == 2, cf
+    assert cf["Exchange"] <= 4, cf
 
     lc = _plan(dd.line_dedup(docs, mode="common", min_docs=3))
     cc = _node_counts(lc)

@@ -441,6 +441,34 @@ def test_resample_gap_fill_zero_and_locf(spark):
         resample_events(df, "ts", "value", ["event_type"], 3600, "interp")
 
 
+def test_resample_null_group_key_keeps_its_events(spark):
+    """A NULL group key appears in the distinct() grid, so the
+    grid-to-aggregate join must be NULL-SAFE — with plain equality the
+    NULL-keyed series' aggregate rows never match and the series is
+    silently reported as all-empty buckets despite having events (the
+    r5 ADVICE hole)."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        resample_events)
+
+    rows = [
+        (None, "2024-01-01 00:10:00", 3.0),
+        (None, "2024-01-01 00:20:00", 4.0),
+        ("a", "2024-01-01 01:30:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double") \
+        .selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {(r.event_type, r.bucket_start_s): (r.n_events, r.value)
+           for r in resample_events(df, "ts", "value", ["event_type"],
+                                    3600, "zero").collect()}
+    base = 1704067200
+    assert len(got) == 4                      # 2 buckets × 2 series
+    assert got[(None, base)] == (2, 7.0)      # NULL series keeps events
+    assert got[(None, base + 3600)] == (0, 0.0)
+    assert got[("a", base)] == (0, 0.0)
+    assert got[("a", base + 3600)] == (1, 1.0)
+
+
 def test_resample_fuzz_vs_python_oracle(spark):
     """Randomized sparse event streams vs a pure-Python oracle: axis
     bounds, bucket sums, zero-fill and the locf carry must agree for
