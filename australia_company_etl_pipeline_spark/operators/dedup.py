@@ -926,6 +926,105 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
                      delim).alias(out_col)))
 
 
+def span_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", span_words: int = 8,
+               delim: str = " ",
+               out_col: str = "text_dedup") -> DataFrame:
+    """EXACT substring-level dedup at token-span granularity — the
+    deduplicate-training-data capability of Lee et al. 2022
+    (arXiv:2107.06499, suffix-array ExactSubstr): any copied token run
+    of length >= ``span_words`` is removed from every occurrence except
+    the globally first, WHEREVER it sits in the document.  This is the
+    case ``segment_dedup``'s fixed grid structurally misses: a copied
+    span that straddles two aligned windows (e.g. a 13-token copy
+    landing at offset 3 of an 8-word grid) matches no full grid segment
+    and ships twice; here the span's own windows match at every offset.
+
+    Mechanics: a content window of ``span_words`` tokens is anchored at
+    EVERY token position (stride 1 — the alignment-free property; a
+    strided/winnowed variant trades CPU for recall of spans shorter
+    than window+stride−1).  A window occurrence is a duplicate iff it
+    is not the globally first occurrence of its content (lowest
+    ``(id, position)``); every token covered by a duplicate window is
+    removed.  A copied span of length L >= ``span_words`` contributes
+    L−span_words+1 duplicate windows in the later copy whose union
+    covers all L tokens — so the whole later copy disappears, while
+    copies shorter than ``span_words`` are below resolution and kept
+    (the published 50-token knob exists to avoid dropping idiom).
+
+    Returns one row per input doc: ``(id_col, n_tokens, n_kept,
+    out_col)`` — including docs whose every token was dropped (empty
+    ``out_col``; the caller decides whether an emptied doc survives).
+    Rows with NULL ``text_col`` are dropped (``segment_dedup``
+    semantics).  Exactness is modulo md5: windows compare by their
+    128-bit content digest (collision odds ~n²/2^128 — negligible at
+    any corpus size; the digest is also what the DuckDB oracle
+    recomputes).
+
+    Scale shape: window generation is ONE projection — O(total_tokens)
+    rows, each carrying a 16-byte digest, never the window text.  The
+    keep-first rule is a ``min(struct(id, pos))`` PARTIAL aggregate on
+    the digest (map-side combine collapses hot windows — the pile-up IS
+    the duplication being removed — the same de-skew shape as
+    ``line_dedup``), joined back against a one-row-per-digest right
+    side.  Dropped windows explode to covered token indices (bounded by
+    duplication × span_words), removed with ONE anti-join on
+    ``(id, position)`` — a skew-free composite key — and one
+    ``groupBy(id)`` reassembles.  No window functions anywhere.  CPU
+    caveat: hashing every position costs O(tokens × span_words)
+    character work; at crawl scale a rolling polynomial hash (prefix
+    hashes via one ``aggregate`` pass, windows by subtraction) or
+    winnowed anchors cut that to O(tokens) — same plan shape, swap the
+    digest expression.  Compare the reference's whole-document digests
+    (``exact_dedup``) and 4-char blocking (M7): same hash-partition
+    discipline, sub-document unit."""
+    import re as _re
+
+    if span_words < 1:
+        raise ValueError("span_words must be >= 1")
+    k = span_words
+    toks = F.split(F.col(text_col), _re.escape(delim))
+    base = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__toks")))
+
+    eligible = base.filter(F.size("__toks") >= k)
+    wins = eligible.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k),
+                                         delim))))
+        .alias("__idx", "__dg"))
+    firsts = wins.groupBy("__dg").agg(
+        F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__f"))
+    drops = (wins.join(firsts, "__dg")
+             .filter(~((F.col(id_col) == F.col("__f")[id_col])
+                       & (F.col("__idx") == F.col("__f.__idx"))))
+             .select(F.col(id_col),
+                     F.explode(F.sequence(
+                         F.col("__idx"),
+                         F.col("__idx") + F.lit(k - 1))).alias("__ti")))
+    toks_ex = base.select(F.col(id_col),
+                          F.posexplode("__toks").alias("__ti", "__tok"))
+    kept = toks_ex.join(drops, [id_col, "__ti"], "left_anti")
+    kept_agg = (kept.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__nk"),
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.struct("__ti", "__tok"))),
+                             lambda s: s["__tok"]),
+                         delim).alias("__txt")))
+    totals = base.select(F.col(id_col),
+                         F.size("__toks").cast("long").alias("n_tokens"))
+    return (totals.join(kept_agg, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce(F.col("__nk"), F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce(F.col("__txt"), F.lit(""))
+                    .alias(out_col)))
+
+
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", mode: str = "first",
                min_docs: int = 3,

@@ -73,6 +73,7 @@ def prepare_training_corpus(
         mixture: tuple[str, dict[str, float], int] | None = None,
         mixture_unknown: str = "error",
         segment_words: int | None = None,
+        segment_mode: str = "grid",
         pack_budget: int = 2048,
         pack_partition_col: str | None = None,
         filter_kwargs: dict | None = None,
@@ -107,7 +108,12 @@ def prepare_training_corpus(
        whose mean transition NLL against the FROZEN reference LM
        exceeds ``max_nll`` (documents with no transitions fail); the
        same gate ``stream_dedup_ingest`` applies per trigger, so batch
-       backfills and the live stream admit identical corpora;
+       backfills and the live stream admit identical corpora.
+       ``max_nll`` is either a raw float or the CALIBRATED form
+       ``('pct', p, reference_df)`` — the ceiling is then
+       ``lm_threshold_from_reference``'s p-th percentile of a trusted
+       reference slice ("drop what reads worse than p of text we
+       trust"), resolved once here and recorded in the run report;
     2. exact dedup — content-digest keep-first;
     3. near dedup — MinHash+LSH pairs → connected components → keep each
        cluster's canonical member: min id by default, or the member
@@ -130,11 +136,16 @@ def prepare_training_corpus(
        passage EMBEDDED in a longer doc, which Jaccard dilutes to ~0
        and whose MinHash candidates LSH cannot generate);
     5. segment dedup (only when ``segment_words`` is set) — sub-document
-       keep-first over fixed word windows, text REWRITTEN to the
-       deduplicated form.  Runs AFTER the fuzzy stages on purpose
-       (RefinedWeb/C4 ordering): rewriting first would shred near-copies
-       into fragments whose jaccard-vs-original is ~0, so they'd evade
-       near-dedup and benchmark matching and ship as junk;
+       keep-first, text REWRITTEN to the deduplicated form.
+       ``segment_mode='grid'`` (default) is the fixed-window
+       approximation (``segment_dedup``); ``'span'`` is EXACT
+       substring-level dedup (``span_dedup``, Lee et al. 2022) —
+       stride-1 windows catch copies at any alignment, and docs
+       stripped to nothing (pure later-copies) drop.  Runs AFTER the
+       fuzzy stages on purpose (RefinedWeb/C4 ordering): rewriting
+       first would shred near-copies into fragments whose
+       jaccard-vs-original is ~0, so they'd evade near-dedup and
+       benchmark matching and ship as junk;
     5b. mixture sampling (only when ``mixture=(stratum_col, weights,
        token_budget)`` is given) — ``mixture_sample`` downsamples each
        stratum toward the target composition over BPE-ish token counts.
@@ -203,13 +214,29 @@ def prepare_training_corpus(
             .filter(F.col("__qprob") >= qc_threshold).drop("__qprob"))
         stages["classifier_filtered"] = kept
 
+    lm_max_nll = lm_pct = None
     if lm_gate is not None:
         from ..operators import lm as lm_ops
 
-        lm_path, max_nll = lm_gate
+        lm_path, gate = lm_gate
+        if isinstance(gate, tuple):
+            # calibration-in-the-loop: ('pct', p, reference_df) pins
+            # the documented percentile rule ("drop what reads worse
+            # than p of text we trust", lm_threshold_from_reference)
+            # instead of a magic max_nll number — the curated-run form
+            mode, lm_pct, ref = gate
+            if mode != "pct":
+                raise ValueError(
+                    f"unknown lm_gate calibration mode {mode!r}: use "
+                    "('pct', percentile, reference_df) or a raw "
+                    "max_nll float")
+            lm_max_nll = lm_ops.lm_threshold_from_reference(
+                ref, text_col, id_col, lm_path, pct=lm_pct)
+        else:
+            lm_max_nll = float(gate)
         fluent = (lm_ops.score_with_bigram_lm(kept, text_col, id_col,
                                               lm_path)
-                  .filter(F.col("avg_nll") <= max_nll).select(id_col))
+                  .filter(F.col("avg_nll") <= lm_max_nll).select(id_col))
         kept = _stage(kept.join(fluent, id_col, "left_semi"))
         stages["lm_gated"] = kept
 
@@ -258,8 +285,21 @@ def prepare_training_corpus(
         stages["decontaminated"] = current
 
     if segment_words is not None:
-        seg = dd.segment_dedup(current, id_col=id_col, text_col=text_col,
-                               words_per_seg=segment_words)
+        if segment_mode == "grid":
+            seg = dd.segment_dedup(current, id_col=id_col,
+                                   text_col=text_col,
+                                   words_per_seg=segment_words)
+        elif segment_mode == "span":
+            # exact substring-level dedup (Lee et al. 2022): stride-1
+            # windows catch grid-straddling copies the fixed grid
+            # misses; docs stripped to nothing (pure later-copies) drop
+            seg = dd.span_dedup(current, id_col=id_col,
+                                text_col=text_col,
+                                span_words=segment_words) \
+                .filter(F.col("n_kept") > 0)
+        else:
+            raise ValueError(f"unknown segment_mode {segment_mode!r}: "
+                             "use 'grid' or 'span'")
         current = _stage(
             current.drop(text_col)
             .join(seg.select(id_col,
@@ -311,11 +351,17 @@ def prepare_training_corpus(
                                if line_dedup_mode else None),
                 "quality_classifier": (quality_classifier[1]
                                        if quality_classifier else None),
-                "lm_gate": lm_gate[1] if lm_gate else None,
+                # the RESOLVED ceiling (a float either way), plus the
+                # percentile when the calibrated form was used — the
+                # audit record a curated run needs to reproduce itself
+                "lm_gate": lm_max_nll,
+                "lm_gate_pct": lm_pct,
                 "decontaminate_metric": (decontaminate_metric
                                          if benchmark is not None
                                          else None),
                 "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,
+                "segment_mode": (segment_mode if segment_words is not None
+                                 else None),
                 "pack_budget": pack_budget})
     return packed, report

@@ -103,6 +103,30 @@ _LD_CORPUS_SQL = f"""
 """
 
 
+# Corpus for the span-dedup kind: every 6th doc gains a PREFIXED copy
+# (ids +300k) — the 5-token prefix lands the copied text at offset 5 of
+# segment_dedup's 8-word grid, the exact straddling alignment the fixed
+# grid structurally misses and stride-1 span windows must catch.
+_SPAN_PREFIX = "intro alpha beta gamma delta"
+
+_SPAN_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         '{_SPAN_PREFIX} ' || text AS text
+  FROM documents WHERE doc_id % 6 = 0
+"""
+
+
+def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") % 6 == 0)
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.concat(F.lit(_SPAN_PREFIX + " "),
+                                F.col("text")).alias("text")))
+    return d.unionByName(planted)
+
+
 def _line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     nl = F.lit("\n")
@@ -123,15 +147,27 @@ def _line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "segment_dedup_docs",
-    doc="Sub-document exact dedup, kind-tagged (r5 fold adds the "
-        "line-granular pass). kind='segment' "
-        "(operators/dedup.py:segment_dedup): global keep-first over "
-        "consecutive 8-word segments, reassembled per doc — the "
-        "fixed-window approximation of suffix-array substring dedup "
-        "(whole-doc digests miss copied passages inside "
+    doc="Sub-document exact dedup, kind-tagged (r5 folded the "
+        "line-granular pass; r6 adds the span-level pass). "
+        "kind='segment' (operators/dedup.py:segment_dedup): global "
+        "keep-first over consecutive 8-word segments, reassembled per "
+        "doc — the fixed-window approximation of suffix-array substring "
+        "dedup (whole-doc digests miss copied passages inside "
         "otherwise-distinct documents). Full segments rank by global "
         "first occurrence (ONE shuffle on the segment digest); partial "
         "tails are always kept and never enter the window. "
+        "kind='span' (r6, operators/dedup.py:span_dedup): EXACT "
+        "substring-level dedup (Lee et al. 2022 ExactSubstr) — content "
+        "windows anchored at EVERY token position, so a copied span "
+        "caught at ANY grid offset is stripped from all but its first "
+        "occurrence; the corpus plants a 5-token-prefixed copy of every "
+        "6th doc (ids +300k), the straddling alignment the fixed grid "
+        "provably misses (pinned in tests). Keep-first is a "
+        "min(struct(id,pos)) partial aggregate on the window md5 — no "
+        "window functions — tokens removed by ONE anti-join on "
+        "(id, position). n_segs carries the doc's token count for this "
+        "kind; fully-stripped docs surface with n_kept=0 and empty "
+        "text. "
         "kind='line_first' / 'line_common' (r5, "
         "operators/dedup.py:line_dedup): the C4/CCNet boilerplate pass "
         "over a planted multi-line corpus (shared footer in every 3rd "
@@ -141,7 +177,8 @@ def _line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'common' drops every line appearing in >= 3 DISTINCT docs "
         "(so the intra-doc repeat survives 'common' but not 'first'). "
         "n_segs doubles as the content-line count for the line kinds. "
-        "Oracle mirrors split/rank/count/reassemble in DuckDB.",
+        "Oracle mirrors split/hash/rank/count/reassemble in DuckDB "
+        "(md5 window digests are engine-portable).",
     tags=("dedup", "text"),
     oracle=f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ss FROM documents),
@@ -184,6 +221,31 @@ lc AS (
 ), lcommon AS (
   SELECT doc_id, idx, lc.ln AS ln, nd < 3 AS keep
   FROM lc JOIN lfreq USING (ln)
+), span_corpus AS ({_SPAN_CORPUS_SQL}
+), sp_t AS (
+  SELECT doc_id, string_split(text, ' ') AS ss FROM span_corpus
+), sp_win AS (
+  SELECT doc_id, CAST(idx AS INT) AS idx,
+         md5(array_to_string(list_slice(ss, idx + 1, idx + 8), ' ')) AS dg
+  FROM (SELECT doc_id, ss, unnest(range(0, len(ss) - 7)) AS idx
+        FROM sp_t)
+), sp_drop AS (
+  SELECT DISTINCT doc_id, CAST(u AS INT) AS tidx
+  FROM (SELECT doc_id, unnest(range(idx, idx + 8)) AS u
+        FROM (SELECT doc_id, idx,
+                     row_number() OVER (PARTITION BY dg
+                                        ORDER BY doc_id, idx) AS rn
+              FROM sp_win)
+        WHERE rn > 1)
+), sp_tok AS (
+  SELECT doc_id, CAST(i AS INT) AS tidx,
+         ss[CAST(i AS INT) + 1] AS tok
+  FROM (SELECT doc_id, ss, unnest(range(0, len(ss))) AS i FROM sp_t)
+), sp_kept AS (
+  SELECT t.doc_id, t.tidx, t.tok
+  FROM sp_tok t
+  WHERE NOT EXISTS (SELECT 1 FROM sp_drop dr
+                    WHERE dr.doc_id = t.doc_id AND dr.tidx = t.tidx)
 )
 SELECT 'segment' AS kind, doc_id,
        count(*) AS n_segs,
@@ -203,26 +265,63 @@ SELECT 'line_common' AS kind, doc_id, count(*) AS n_segs,
        coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
                            ORDER BY idx), '') AS text_dedup
 FROM lcommon GROUP BY doc_id
+UNION ALL
+SELECT 'span' AS kind, s.doc_id, len(s.ss) AS n_segs,
+       coalesce(k.nk, 0) AS n_kept,
+       coalesce(k.txt, '') AS text_dedup
+FROM sp_t s LEFT JOIN (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(tok, ' ' ORDER BY tidx) AS txt
+  FROM sp_kept GROUP BY doc_id) k USING (doc_id)
 """,
+    branches={k: (lambda s, d, _k=k: _segment_dedup_branches(s, d, _k))
+              for k in ("segment", "line_first", "line_common", "span")},
 )
 def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    seg = (dd.segment_dedup(docs, id_col="doc_id", text_col="text",
-                            words_per_seg=8)
-           .select(F.lit("segment").alias("kind"), "doc_id", "n_segs",
-                   "n_kept", "text_dedup"))
-    ml = _line_dedup_corpus(spark, sf_dir)
-    lf = (dd.line_dedup(ml, id_col="doc_id", text_col="text",
-                        mode="first")
-          .select(F.lit("line_first").alias("kind"), "doc_id",
-                  F.col("n_lines").alias("n_segs"), "n_kept",
-                  "text_dedup"))
-    lcm = (dd.line_dedup(ml, id_col="doc_id", text_col="text",
-                         mode="common", min_docs=3)
-           .select(F.lit("line_common").alias("kind"), "doc_id",
-                   F.col("n_lines").alias("n_segs"), "n_kept",
-                   "text_dedup"))
-    return seg.unionByName(lf).unionByName(lcm)
+    return _segment_dedup_branches(spark, sf_dir, None)
+
+
+def _segment_dedup_branches(spark: SparkSession, sf_dir: str,
+                            kind: str | None) -> DataFrame:
+    """The registered union (``kind=None``) or one branch (for the
+    bench's per-kind attribution — see ``registry.register(branches=)``)."""
+    parts = []
+    if kind in (None, "segment"):
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        parts.append(
+            dd.segment_dedup(docs, id_col="doc_id", text_col="text",
+                             words_per_seg=8)
+            .select(F.lit("segment").alias("kind"), "doc_id", "n_segs",
+                    "n_kept", "text_dedup"))
+    if kind in (None, "line_first", "line_common"):
+        ml = _line_dedup_corpus(spark, sf_dir)
+        if kind in (None, "line_first"):
+            parts.append(
+                dd.line_dedup(ml, id_col="doc_id", text_col="text",
+                              mode="first")
+                .select(F.lit("line_first").alias("kind"), "doc_id",
+                        F.col("n_lines").alias("n_segs"), "n_kept",
+                        "text_dedup"))
+        if kind in (None, "line_common"):
+            parts.append(
+                dd.line_dedup(ml, id_col="doc_id", text_col="text",
+                              mode="common", min_docs=3)
+                .select(F.lit("line_common").alias("kind"), "doc_id",
+                        F.col("n_lines").alias("n_segs"), "n_kept",
+                        "text_dedup"))
+    if kind in (None, "span"):
+        parts.append(
+            dd.span_dedup(_span_corpus(spark, sf_dir), id_col="doc_id",
+                          text_col="text", span_words=8)
+            .select(F.lit("span").alias("kind"), "doc_id",
+                    F.col("n_tokens").alias("n_segs"), "n_kept",
+                    "text_dedup"))
+    if not parts:
+        raise ValueError(f"unknown segment_dedup_docs kind {kind!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _MH_HASHES, _MH_BANDS = 16, 4

@@ -337,3 +337,101 @@ def test_prepare_training_corpus_containment_decontamination(spark,
         assert cfg["decontaminate_metric"] == "containment"
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_span_segment_mode(spark, sf_dir):
+    """segment_mode='span' in the recipe: a grid-straddling copied span
+    is stripped from the later doc (the exact-substring rule), a doc
+    that is ENTIRELY a later copy drops, and the run report records the
+    mode. mode='grid' on the same corpus keeps the straddler — the
+    documented approximation gap."""
+    import json
+
+    import pytest
+
+    base = " ".join(f"orig{i}" for i in range(24))
+    copied = " ".join(f"orig{i}" for i in range(4, 17))   # 13 tokens
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, "junk0 junk1 junk2 " + copied + " junk3 junk4"),
+         (3, base),                                        # pure copy
+         (4, " ".join(f"other{i}" for i in range(30)))],
+        "doc_id long, text string")
+    try:
+        packed, report = prepare_training_corpus(
+            docs, segment_words=8, segment_mode="span", pack_budget=4096,
+            near_threshold=1.01)      # isolate the span stage: exact
+        # dedup still eats doc 3 (identical text), near-dup disabled
+        rows = {r.doc_id: r.text for r in
+                packed.select("doc_id", "text").collect()}
+        assert rows[2] == "junk0 junk1 junk2 junk3 junk4"
+        assert rows[1] == base
+        assert 3 not in rows and 4 in rows
+        cfg = json.loads(report.collect()[0]["config"])
+        assert cfg["segment_mode"] == "span"
+        counts = json.loads(report.collect()[0]["stage_counts"])
+        assert counts["segment_deduped"] == 3
+        release_corpus_cache()
+
+        packed_g, _ = prepare_training_corpus(
+            docs, segment_words=8, segment_mode="grid", pack_budget=4096,
+            near_threshold=1.01)
+        grid = {r.doc_id: r.text for r in
+                packed_g.select("doc_id", "text").collect()}
+        assert copied in grid[2]      # the grid provably misses it
+    finally:
+        release_corpus_cache()
+    try:
+        with pytest.raises(ValueError, match="unknown segment_mode"):
+            prepare_training_corpus(docs, segment_words=8,
+                                    segment_mode="suffix")
+    finally:
+        release_corpus_cache()   # stages persisted before the raise
+
+
+def test_prepare_training_corpus_lm_gate_calibrated(spark, tmp_path):
+    """lm_gate=('pct', p, reference_df) pins the documented percentile
+    rule end-to-end: the ceiling is resolved from the trusted reference
+    slice (no magic max_nll number), spam still gates, and the run
+    report records BOTH the resolved ceiling and the percentile."""
+    import json
+
+    from australia_company_etl_pipeline_spark.operators import lm
+
+    sentences = ["the quick brown fox jumps over the lazy dog",
+                 "a stitch in time saves nine every single day",
+                 "practice makes perfect when the work is steady"]
+    fluent = spark.createDataFrame(
+        [(i, sentences[i % 3] + " " + sentences[(i + 1) % 3], "en")
+         for i in range(300)],
+        "doc_id long, text string, lang string")
+    lm_path = str(tmp_path / "lm_cal")
+    lm.save_bigram_lm(fluent, "text", lm_path)
+    spam = spark.createDataFrame(
+        [(900000 + i, " ".join(f"zzq{i}x{j}" for j in range(25)), "en")
+         for i in range(30)],
+        "doc_id long, text string, lang string")
+    try:
+        packed, report = prepare_training_corpus(
+            fluent.unionByName(spam),
+            lm_gate=(lm_path, ("pct", 0.95, fluent)), pack_budget=1024)
+        ids = {r.doc_id for r in packed.select("doc_id").collect()}
+        assert ids and not any(i >= 900000 for i in ids)
+        cfg = json.loads(report.collect()[0]["config"])
+        assert cfg["lm_gate_pct"] == 0.95
+        # the resolved ceiling is the reference's own 95th percentile —
+        # a real finite number the reference itself passes under
+        expected = lm.lm_threshold_from_reference(
+            fluent, "text", "doc_id", lm_path, pct=0.95)
+        assert abs(cfg["lm_gate"] - expected) < 1e-9
+    finally:
+        release_corpus_cache()
+
+    import pytest
+
+    try:
+        with pytest.raises(ValueError, match="calibration mode"):
+            prepare_training_corpus(
+                fluent, lm_gate=(lm_path, ("quantile", 0.95, fluent)))
+    finally:
+        release_corpus_cache()   # stages persisted before the raise

@@ -1201,6 +1201,101 @@ def test_line_dedup_fuzz_vs_python_oracle(spark):
     check()
 
 
+def test_span_dedup_catches_straddling_span_segment_dedup_misses(spark):
+    """The defining case: a 13-token copy embedded at offset 3 of doc B
+    straddles segment_dedup's aligned 8-word grid (no full grid segment
+    of B equals any of A's), so the fixed-window pass ships it twice —
+    span_dedup's stride-1 windows match at every offset and must strip
+    the whole later copy, junk padding untouched."""
+    a_toks = [f"a{i}" for i in range(20)]
+    copied = a_toks[4:17]                       # 13 tokens >= span 8
+    b_toks = ["j0", "j1", "j2"] + copied + ["j3", "j4"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))],
+        "doc_id long, text string")
+
+    seg = {r.doc_id: r for r in dd.segment_dedup(
+        docs, id_col="doc_id", text_col="text",
+        words_per_seg=8).collect()}
+    assert seg[2].text_dedup == " ".join(b_toks)   # provably missed
+
+    sp = {r.doc_id: r for r in dd.span_dedup(
+        docs, span_words=8).collect()}
+    assert sp[1].text_dedup == " ".join(a_toks)    # first copy intact
+    assert sp[2].text_dedup == "j0 j1 j2 j3 j4"    # later copy stripped
+    assert (sp[2].n_tokens, sp[2].n_kept) == (18, 5)
+
+
+def test_span_dedup_semantics(spark):
+    """Pinned rules: intra-doc repeats drop their later occurrence;
+    copies shorter than span_words are below resolution and survive;
+    a doc that is ENTIRELY a later copy comes back as a row with empty
+    text (caller decides its fate); NULL text rows drop; span_words
+    validation."""
+    import pytest
+
+    span = [f"s{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(span + ["mid"] + span)),        # intra-doc repeat
+         (2, " ".join(span[:7] + ["tail1", "tail2"])),  # 7 < 8: survives
+         (3, " ".join(span)),                          # whole doc = copy
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in dd.span_dedup(docs, span_words=8).collect()}
+    assert got[1].text_dedup == " ".join(span + ["mid"])
+    assert (got[1].n_tokens, got[1].n_kept) == (17, 9)
+    assert got[2].text_dedup == " ".join(span[:7] + ["tail1", "tail2"])
+    assert got[3].text_dedup == "" and got[3].n_kept == 0
+    assert got[3].n_tokens == 8
+    assert 4 not in got
+    with pytest.raises(ValueError, match="span_words"):
+        dd.span_dedup(docs, span_words=0)
+
+
+def test_span_dedup_fuzz_vs_python_oracle(spark):
+    """Randomized corpora vs a pure-Python oracle of the exact rule: a
+    token is dropped iff covered by a window occurrence that is not the
+    globally first occurrence of its content."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pool = [f"t{i}" for i in range(6)]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.lists(st.integers(0, len(pool) - 1),
+                             min_size=0, max_size=14),
+                    min_size=1, max_size=6),
+           st.integers(2, 4))
+    def check(doc_specs, k):
+        docs = [(i, " ".join(pool[j] for j in spec))
+                for i, spec in enumerate(doc_specs)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # python oracle
+        toks = {i: t.split(" ") for i, t in docs}
+        first = {}
+        for i in sorted(toks):
+            tt = toks[i]
+            for p in range(len(tt) - k + 1):
+                key = tuple(tt[p:p + k])
+                first.setdefault(key, (i, p))
+        expect = {}
+        for i, tt in toks.items():
+            dropped = set()
+            for p in range(len(tt) - k + 1):
+                if first[tuple(tt[p:p + k])] != (i, p):
+                    dropped.update(range(p, p + k))
+            kept = [t for j, t in enumerate(tt) if j not in dropped]
+            expect[i] = (len(tt), len(kept), " ".join(kept))
+
+        got = {r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
+               for r in dd.span_dedup(df, span_words=k).collect()}
+        assert got == expect
+
+    check()
+
+
 def test_containment_catches_embedded_leak_jaccard_misses(spark):
     """The decontamination gap containment exists for: a benchmark doc
     pasted verbatim inside a much longer corpus doc has containment 1.0

@@ -215,6 +215,16 @@ def test_segment_dedup_single_scan_two_exchanges(spark, sf_dir):
     assert cf["Scan"] == 2, cf
     assert cf["Exchange"] <= 4, cf
 
+    sp = _plan(dd.span_dedup(docs, span_words=8))
+    cs = _node_counts(sp)
+    # span dedup (r6): keep-first is a min(struct) PARTIAL aggregate on
+    # the window digest — no window functions anywhere in the plan, no
+    # per-digest task pile-up on a corpus-universal span
+    assert "Window" not in sp, sp
+    assert any(k.endswith("HashAggregate") or k == "SortAggregate"
+               for k in cs), cs
+    assert "CartesianProduct" not in sp and "NestedLoop" not in sp, sp
+
     lc = _plan(dd.line_dedup(docs, mode="common", min_docs=3))
     cc = _node_counts(lc)
     # the doc-frequency count and the probe side each scan (Catalyst
