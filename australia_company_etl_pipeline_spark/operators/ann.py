@@ -668,6 +668,91 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def build_lsh_index(corpus: DataFrame, path: str, n_planes: int = 4,
+                    dim: int = 64, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist the LSH bucket table: build once, probe many — the same
+    table-layout-as-index discipline as ``build_ivf_index``, applied to
+    the random-hyperplane sketch (the last recomputed-per-query ANN
+    structure).  Layout under ``path``:
+
+    - ``meta/``    — ONE row ``(n_planes, dim, seed)``: the plane
+      family is fully derived from these (``_planes`` is a portable
+      LCG), so probes regenerate identical planes instead of trusting
+      the caller to repeat them; a mismatched probe fails loudly.
+    - ``buckets/`` — the corpus ``(id, vec)`` written
+      ``partitionBy('bucket')`` — each sign bucket IS a parquet
+      partition directory (2^n_planes of them), so a probe is
+      hive-style partition pruning: a multiprobe-2 query over 4 planes
+      reads at most 11 of 16 directories and never opens the rest.
+
+    Rebuilds swap atomically via ``replace_dir`` (same single-writer
+    contract as the IVF index).  Unlike IVF there is nothing to train —
+    the build is ONE projection + one partitioned write, and appends
+    need no drift monitoring (plane signs are position-independent) —
+    but the same build-once economics apply: at corpus scale the bucket
+    pass is a full scan + hash that every query would otherwise repeat.
+    """
+    import os
+
+    from ..session import replace_dir
+
+    spark = corpus.sparkSession
+    tmp = f"{path}.__build_tmp.{os.getpid()}"
+    planes = _planes(dim, n_planes, seed)
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    spark.createDataFrame([(n_planes, dim, seed)],
+                          "n_planes int, dim int, seed int") \
+        .write.mode("overwrite").parquet(f"{tmp}/meta")
+    (bucketed.write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{tmp}/buckets"))
+    replace_dir(spark, tmp, path)
+
+
+def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                   multiprobe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec") -> DataFrame:
+    """Top-k over a persisted ``build_lsh_index`` layout — the probe
+    side of the build-once discipline: query buckets come from the SAME
+    plane family the index stored (regenerated from ``meta/``), the
+    probe set (bucket + every bucket within ``multiprobe`` sign bits)
+    is collected driver-side (bounded by n_queries × (1 + C(n,1) +
+    C(n,2)) values — the sanctioned K-value collect), and the bucket
+    scan is filtered with ``isin(probed)`` so Catalyst prunes every
+    unprobed partition directory at planning time.  Identical results
+    to ``lsh_topk`` over the same corpus/params (pinned in tests);
+    query vectors are dimension-checked against the stored planes."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_planes, dim, seed = meta["n_planes"], meta["dim"], meta["seed"]
+    _check_dim(dim, queries, query_vec_col, "query vector (vs stored "
+               "LSH plane family)")
+    planes = _planes(dim, n_planes, seed)
+    qb = queries.withColumn("__qb",
+                            lsh_bucket(F.col(query_vec_col), planes))
+    probes = (qb.withColumn(
+        "bucket", F.explode(F.array(*_probe_masks(F.col("__qb"),
+                                                  n_planes, multiprobe))))
+        .drop("__qb"))
+    probed = [r.bucket
+              for r in probes.select("bucket").distinct().collect()]
+    buckets = (spark.read.parquet(f"{path}/buckets")
+               .filter(F.col("bucket").isin(probed)))
+    cands = buckets.join(F.broadcast(probes), "bucket", "inner")
+    scored = cands.select(
+        F.col(query_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+        .alias("cosine_sim"))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
 def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,
                             n_planes: int = 8, dim: int = 64,
                             seed: int = 42, multiprobe: int = 1,

@@ -1,9 +1,21 @@
 """Similarity-search queries over `embeddings` (training-data extensions).
 
-Brute-force cosine top-k is the oracle-checked exact baseline; LSH and IVF
-are the approximate scale paths (engine-specific hashing / plan shape →
-rows-only driver check, with recall pinned against brute force in
-tests/test_ann.py).
+``ann_topk``-style search surfaces as TWO registered queries:
+
+- ``ann_bruteforce_topk`` — the VALUE-CHECKED pair: method='brute' is
+  the exact cosine baseline, method='lsh' (r6) is the full LSH pipeline
+  (portable-LCG hyperplanes → sign buckets → hamming<=2 multiprobe →
+  exact-cosine rerank) answered from the PERSISTED bucket index; every
+  plane constant inlines into the DuckDB oracle, so signature, probe
+  set and ranking are value-checked end-to-end.
+- ``ann_approx_topk`` — the branches that are rows-only BY NATURE:
+  IVF-Flat (iterative k-means with engine-specific init hashing) and
+  SemDeDup (k-means + connected components), with recall/invariants
+  pinned in tests/test_dedup_ann.py instead.
+
+Both approximate paths answer from PERSISTED indexes under a keyed
+cache ('train/build once, probe many'): first run builds, later runs
+are pure partition-pruned probing.
 """
 
 from __future__ import annotations
@@ -17,6 +29,10 @@ from .registry import register
 
 N_QUERIES = 5
 K = 10
+
+#: the registered LSH preset (4 planes over the 64-dim embeddings,
+#: hamming<=2 multiprobe) — shared by the Spark branch and its oracle
+LSH_PLANES, LSH_DIM, LSH_SEED, LSH_MULTIPROBE = 4, 64, 42, 2
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,111 +52,271 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("embedding").alias("query_vec")))
 
 
-@register(
-    "ann_bruteforce_topk",
-    doc="Exact cosine top-10 per query (queries = 5 lowest-id vectors, "
-        "self-match included) — native zip_with/aggregate dot product, "
-        "broadcast query side, window top-k.",
-    tags=("ann",),
-    oracle=f"""
-WITH q AS (
-  SELECT vec_id AS query_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-  FROM embeddings WHERE vec_id < {N_QUERIES}
-), scored AS (
-  SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(
-             list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
-           AS cosine_sim
-  FROM embeddings e CROSS JOIN q
-), ranked AS (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {K}
-""",
-)
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir)
-    return ann.brute_force_topk(corpus, _queries_df(spark, sf_dir), k=K)
+# ---------------------------------------------------------------------------
+# Keyed index cache: build once per (dataset, params), probe many
+# ---------------------------------------------------------------------------
 
-
-def _ivf_cache_path(sf_dir: str, n_centroids: int, kmeans_iter: int,
-                    seed: int) -> str:
-    """Deterministic per-(dataset, params) location for the persisted
-    IVF index, keyed on the embeddings file's identity (realpath + size
-    + mtime) so a testdata regen can never serve a stale index. The
-    'train once, probe many' product shape: the first run of the query
-    builds the index (one k-means + one partitioned write via
-    ``build_ivf_index``'s atomic swap — a concurrent reader never sees
-    a half-built index); every later run is pure partition-pruned
-    probing. On a cluster this would be a curated warehouse path, not a
-    temp dir."""
+def _ann_cache_path(sf_dir: str, kind: str, params: str) -> tuple[str, str]:
+    """Deterministic per-(dataset, kind, params) location for a
+    persisted ANN index → ``(cache_root, index_path)``.  Layout:
+    ``<tmp>/acep_ann_cache/<dataset-slug>/<kind>-<key>`` — the slug is
+    stable per dataset PATH while the key folds in the embeddings
+    file's size+mtime and the build params, so a testdata regen or a
+    param change can never serve a stale index AND superseded keys are
+    recognizable siblings for ``_gc_stale_indexes``.  The
+    'build once, probe many' product shape: the first run of a query
+    builds the index (atomic ``replace_dir`` swap — a concurrent
+    reader never sees a half-built index); every later run is pure
+    partition-pruned probing.  On a cluster this would be a curated
+    warehouse path, not a temp dir."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     st = os.stat(src)
+    slug = hashlib.md5(src.encode()).hexdigest()[:12]
     key = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}"
-        f"|{kmeans_iter}|{seed}".encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "acep_ivf_cache", key)
+        f"{st.st_size}|{st.st_mtime_ns}|{params}".encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "acep_ann_cache", slug)
+    return root, os.path.join(root, f"{kind}-{key}")
+
+
+def _index_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the session's Hadoop FileSystem — the
+    builders (``build_ivf_index`` / ``build_lsh_index``) write through
+    the default FS, so a driver-local ``os.path.exists`` would never
+    see an index built onto a non-local default FS (rebuild every run,
+    racing swaps under live probes — the r5 ADVICE hole)."""
+    from ..session import hadoop_exists
+
+    return hadoop_exists(spark, path)
+
+
+def _gc_stale_indexes(spark: SparkSession, root: str, kind: str,
+                      keep_path: str) -> None:
+    """Delete SUPERSEDED cache entries for (dataset, kind): sibling
+    ``<kind>-<16-hex>`` directories under ``root`` other than the
+    current key — each keyed by a size+mtime+params hash, so a sibling
+    can only be a stale testdata generation or an abandoned param set,
+    never a live index.  Runs on cache MISS only (staleness appears
+    exactly when the key rolls).  Completed-index names ONLY: a
+    concurrent builder's ``.__build_tmp.<pid>`` tree and replace_dir's
+    transient ``.__old`` backup are never touched."""
+    import os
+    import re
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    rootp = hpath(root)
+    fs = rootp.getFileSystem(conf)
+    if not fs.exists(rootp):
+        return
+    keep = os.path.basename(keep_path)
+    pat = re.compile(rf"^{re.escape(kind)}-[0-9a-f]{{16}}$")
+    for status in fs.listStatus(rootp):
+        name = status.getPath().getName()
+        if pat.match(name) and name != keep:
+            fs.delete(status.getPath(), True)
+
+
+def _cached_index(spark: SparkSession, sf_dir: str, kind: str,
+                  params: str, build) -> str:
+    """The cache protocol all registered index probes share: derive the
+    keyed path, probe THROUGH the Hadoop FS, on miss GC superseded
+    siblings then build (atomic swap inside the builder)."""
+    root, path = _ann_cache_path(sf_dir, kind, params)
+    if not _index_exists(spark, path):
+        _gc_stale_indexes(spark, root, kind, path)
+        build(path)
+    return path
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    """DuckDB twin of ``ann.lsh_bucket`` under the registered preset:
+    the same portable-LCG hyperplanes inlined as literals, the same
+    sign-bit fold — so the oracle reproduces every bucket the persisted
+    index stored."""
+    bits = []
+    for i, p in enumerate(ann._planes(LSH_DIM, LSH_PLANES,
+                                      seed=LSH_SEED)):
+        lits = ", ".join(repr(x) for x in p)
+        bits.append(f"(CASE WHEN list_dot_product({col}, [{lits}]) > 0 "
+                    f"THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "ann_bruteforce_topk",
+    doc="Cosine top-10 per query (queries = 5 lowest-id vectors, "
+        "self-match included), method-tagged and FULLY value-checked. "
+        "method='brute': the exact baseline — native zip_with/aggregate "
+        "dot product, broadcast query side, window top-k. method='lsh' "
+        "(r6, moved here from ann_approx_topk so the whole pipeline "
+        "sits under the oracle gate): random-hyperplane LSH answered "
+        "from the PERSISTED bucket index (operators/ann.py "
+        "build_lsh_index / lsh_index_topk — corpus plane signs written "
+        "partitionBy(bucket) ONCE per (dataset, planes, seed) into the "
+        "keyed cache, then every run is hive-partition-pruned probing; "
+        "the same build-once discipline as the IVF index). 4 portable-"
+        "LCG planes, sign-bit buckets, hamming<=2 multiprobe, exact-"
+        "cosine rerank; the oracle inlines the plane constants, so "
+        "DuckDB reproduces buckets, probe set (bit_count(xor)<=2), "
+        "rerank and ranking exactly — the deterministic-arithmetic "
+        "sketch paths are all value-checked, leaving only iterative "
+        "k-means and engine-hash fast paths rows-only.",
+    tags=("ann",),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+), cb AS (
+  SELECT vec_id, v, {{LSH_BUCKET_C}} AS b FROM c
+), qb AS (
+  SELECT query_id, qv, {{LSH_BUCKET_Q}} AS b FROM q
+), lsh_scored AS (
+  SELECT qb.query_id, cb.vec_id,
+         round(list_cosine_similarity(cb.v, qb.qv), 6) AS cosine_sim
+  FROM cb JOIN qb ON bit_count(xor(cb.b, qb.b)) <= {LSH_MULTIPROBE}
+), lsh_ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM lsh_scored
+)
+SELECT 'brute' AS method, query_id, vec_id, cosine_sim, rank
+FROM ranked WHERE rank <= {K}
+UNION ALL
+SELECT 'lsh' AS method, query_id, vec_id, cosine_sim, rank
+FROM lsh_ranked WHERE rank <= {K}
+""",
+    branches={m: (lambda s, d, _m=m: _ann_topk_branches(s, d, _m))
+              for m in ("brute", "lsh")},
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_topk_branches(spark, sf_dir, None)
+
+
+def _ann_topk_branches(spark: SparkSession, sf_dir: str,
+                       method: str | None) -> DataFrame:
+    parts = []
+    q = _queries_df(spark, sf_dir)
+    if method in (None, "brute"):
+        parts.append(
+            ann.brute_force_topk(_corpus(spark, sf_dir), q, k=K)
+            .select(F.lit("brute").alias("method"), "query_id", "vec_id",
+                    "cosine_sim", "rank"))
+    if method in (None, "lsh"):
+        path = _cached_index(
+            spark, sf_dir, "lsh",
+            f"{LSH_PLANES}|{LSH_DIM}|{LSH_SEED}",
+            lambda p: ann.build_lsh_index(
+                _corpus(spark, sf_dir), p, n_planes=LSH_PLANES,
+                dim=LSH_DIM, seed=LSH_SEED))
+        parts.append(
+            ann.lsh_index_topk(spark, path, q, k=K,
+                               multiprobe=LSH_MULTIPROBE)
+            .select(F.lit("lsh").alias("method"), "query_id", "vec_id",
+                    "cosine_sim", "rank"))
+    if not parts:
+        raise ValueError(f"unknown ann topk method {method!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# splice the plane literals into the oracle (register() already ran;
+# the braces placeholder keeps the f-string above readable)
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["ann_bruteforce_topk"].oracle = (
+    _REG["ann_bruteforce_topk"].oracle
+    .replace("{LSH_BUCKET_C}", _lsh_bucket_sql("v"))
+    .replace("{LSH_BUCKET_Q}", _lsh_bucket_sql("qv")))
 
 
 @register(
     "ann_approx_topk",
-    doc="The approximate / semantic vector-analytics paths in one "
-        "kind-tagged result (fold to fit the driver's query window): "
-        "method='lsh' rows are LSH-bucketed top-10 (4 random "
-        "hyperplanes, sign-bit buckets + hamming<=2 multi-probe, "
-        "equi-join on bucket); method='ivf' rows are IVF-Flat top-10 "
-        "answered from the PERSISTED partition-pruned index "
+    doc="The rows-only-BY-NATURE vector paths in one kind-tagged result "
+        "(fold to fit the driver's query window; the deterministic-"
+        "arithmetic LSH branch moved to ann_bruteforce_topk in r6, "
+        "where it is value-checked): method='ivf' rows are IVF-Flat "
+        "top-10 answered from the PERSISTED partition-pruned index "
         "(operators/ann.py build_ivf_index / ivf_index_topk — built "
-        "once per dataset into a keyed cache dir, then every run is "
+        "once per dataset into the keyed cache, then every run is "
         "probe-only: hive partition pruning reads 4 of 16 inverted "
-        "lists, k-means never retrains per query). method='semdedup' "
-        "rows are the SemDeDup election over the planted near-dup "
-        "embedding corpus (cluster -> within-cluster pairs -> connected "
-        "components -> keep-farthest): query_id = member vec_id, "
-        "vec_id = its duplicate-group id (min member), cosine_sim = "
-        "cosine to the assigned centroid (NULL for quarantined "
-        "vectors), rank = 1 for the elected canonical member else 0. "
-        "Engine-specific hashing / iterative k-means -> rows-only "
-        "driver check; per-method recall and election invariants pinned "
-        "in tests/test_dedup_ann.py.",
+        "lists, k-means never retrains per query; cache probes go "
+        "through the Hadoop FS and superseded keys are GC'd). "
+        "method='semdedup' rows are the SemDeDup election over the "
+        "planted near-dup embedding corpus (cluster -> within-cluster "
+        "pairs -> connected components -> keep-farthest): query_id = "
+        "member vec_id, vec_id = its duplicate-group id (min member), "
+        "cosine_sim = cosine to the assigned centroid (NULL for "
+        "quarantined vectors), rank = 1 for the elected canonical "
+        "member else 0. Iterative k-means with engine-specific init "
+        "hashing -> rows-only driver check; per-method recall and "
+        "election invariants pinned in tests/test_dedup_ann.py.",
     tags=("ann",),
     oracle=None,
+    branches={m: (lambda s, d, _m=m: _ann_approx_branches(s, d, _m))
+              for m in ("ivf", "semdedup")},
 )
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    return _ann_approx_branches(spark, sf_dir, None)
 
+
+def _ivf_path(spark: SparkSession, sf_dir: str) -> str:
+    return _cached_index(
+        spark, sf_dir, "ivf", "16|5|42",
+        lambda p: ann.build_ivf_index(_corpus(spark, sf_dir), p,
+                                      n_centroids=16, kmeans_iter=5,
+                                      seed=42))
+
+
+def _ann_approx_branches(spark: SparkSession, sf_dir: str,
+                         method: str | None) -> DataFrame:
     from .dedup import _embeddings_with_dups
 
-    q = _queries_df(spark, sf_dir)
-    lsh = (ann.lsh_topk(_corpus(spark, sf_dir), q, k=K, n_planes=4,
-                        dim=64, multiprobe=2)
-           .select(F.lit("lsh").alias("method"), "query_id", "vec_id",
-                   "cosine_sim", "rank"))
-    path = _ivf_cache_path(sf_dir, n_centroids=16, kmeans_iter=5, seed=42)
-    if not os.path.exists(path):
-        ann.build_ivf_index(_corpus(spark, sf_dir), path, n_centroids=16,
-                            kmeans_iter=5, seed=42)
-    ivf = (ann.ivf_index_topk(spark, path, q, k=K, n_probe=4)
-           .select(F.lit("ivf").alias("method"), "query_id", "vec_id",
-                   "cosine_sim", "rank"))
-    # SemDeDup rides the SAME persisted centroids the IVF index trained
-    # (operators/ann.py semdedup docstring): no second k-means run —
-    # on an IVF-indexed corpus semantic dedup is one assignment + one
-    # within-cluster pass
-    sem = (ann.semdedup(_embeddings_with_dups(spark, sf_dir),
-                        threshold=0.99, vec_col="v", keep="far",
-                        centroids=spark.read.parquet(f"{path}/centroids"))
-           .select(F.lit("semdedup").alias("method"),
-                   F.col("vec_id").alias("query_id"),
-                   F.col("group_id").alias("vec_id"),
-                   F.col("centroid_sim").alias("cosine_sim"),
-                   F.when(F.col("is_canonical"), 1).otherwise(0)
-                   .alias("rank")))
-    return lsh.unionByName(ivf).unionByName(sem)
+    parts = []
+    if method in (None, "ivf"):
+        parts.append(
+            ann.ivf_index_topk(spark, _ivf_path(spark, sf_dir),
+                               _queries_df(spark, sf_dir), k=K, n_probe=4)
+            .select(F.lit("ivf").alias("method"), "query_id", "vec_id",
+                    "cosine_sim", "rank"))
+    if method in (None, "semdedup"):
+        # SemDeDup rides the SAME persisted centroids the IVF index
+        # trained (operators/ann.py semdedup docstring): no second
+        # k-means run — on an IVF-indexed corpus semantic dedup is one
+        # assignment + one within-cluster pass
+        path = _ivf_path(spark, sf_dir)
+        parts.append(
+            ann.semdedup(_embeddings_with_dups(spark, sf_dir),
+                         threshold=0.99, vec_col="v", keep="far",
+                         centroids=spark.read.parquet(f"{path}/centroids"))
+            .select(F.lit("semdedup").alias("method"),
+                    F.col("vec_id").alias("query_id"),
+                    F.col("group_id").alias("vec_id"),
+                    F.col("centroid_sim").alias("cosine_sim"),
+                    F.when(F.col("is_canonical"), 1).otherwise(0)
+                    .alias("rank")))
+    if not parts:
+        raise ValueError(f"unknown ann approx method {method!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -230,11 +230,14 @@ def test_dedup_clusters_canonical_members(spark, sf_dir):
 
 
 def test_lsh_topk_recall(spark, sf_dir):
-    brute = plans.REGISTRY["ann_bruteforce_topk"].builder(spark, sf_dir)
-    merged = plans.REGISTRY["ann_approx_topk"].builder(spark, sf_dir)
-    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    """Since the r6 fold both methods live in ONE registered query (the
+    value-checked ann_bruteforce_topk): the lsh branch answers from the
+    persisted bucket index and must keep its recall floor vs brute."""
+    both = plans.REGISTRY["ann_bruteforce_topk"].builder(spark, sf_dir)
+    b = {(r.query_id, r.vec_id)
+         for r in both.filter(F.col("method") == "brute").collect()}
     l = {(r.query_id, r.vec_id)
-         for r in merged.filter(F.col("method") == "lsh").collect()}
+         for r in both.filter(F.col("method") == "lsh").collect()}
     # every query must at least find itself (same bucket trivially)
     assert all((q, q) in l for q in range(5))
     # bucketed search returns a subset of the corpus scored exactly →
@@ -246,10 +249,38 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.6, f"LSH recall {recall} too low"
 
 
+def test_lsh_index_topk_matches_direct_lsh(spark, sf_dir):
+    """The persisted bucket index is a pure layout change: probing it
+    must return EXACTLY what lsh_topk computes on the fly with the same
+    planes, and the probe's scan must be partition-pruned to the probe
+    set."""
+    from australia_company_etl_pipeline_spark.plans.ann import (
+        LSH_DIM, LSH_MULTIPROBE, LSH_PLANES, LSH_SEED, _ann_topk_branches)
+    from australia_company_etl_pipeline_spark.plans.ann import (
+        _corpus, _queries_df)
+
+    direct = ann.lsh_topk(_corpus(spark, sf_dir),
+                          _queries_df(spark, sf_dir), k=10,
+                          n_planes=LSH_PLANES, dim=LSH_DIM,
+                          seed=LSH_SEED, multiprobe=LSH_MULTIPROBE)
+    want = {(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+            for r in direct.collect()}
+    indexed = _ann_topk_branches(spark, sf_dir, "lsh")
+    got = {(r.query_id, r.vec_id, r.cosine_sim, r.rank)
+           for r in indexed.collect()}
+    assert got == want
+    # partition pruning reached the scan: the bucket column filter
+    # shows up as PartitionFilters on the index read
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters:")[1][:200]
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     brute = plans.REGISTRY["ann_bruteforce_topk"].builder(spark, sf_dir)
     merged = plans.REGISTRY["ann_approx_topk"].builder(spark, sf_dir)
-    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    b = {(r.query_id, r.vec_id)
+         for r in brute.filter(F.col("method") == "brute").collect()}
     i = {(r.query_id, r.vec_id)
          for r in merged.filter(F.col("method") == "ivf").collect()}
     assert all((q, q) in i for q in range(5))
@@ -264,8 +295,7 @@ def test_ann_approx_semdedup_branch(spark, sf_dir):
     from australia_company_etl_pipeline_spark.plans.dedup import (
         _embeddings_with_dups)
 
-    from australia_company_etl_pipeline_spark.plans.ann import (
-        _ivf_cache_path)
+    from australia_company_etl_pipeline_spark.plans.ann import _ivf_path
 
     merged = plans.REGISTRY["ann_approx_topk"].builder(spark, sf_dir)
     got = {(r.query_id, r.vec_id, r.rank) for r in
@@ -273,7 +303,7 @@ def test_ann_approx_semdedup_branch(spark, sf_dir):
     # the registered fold reuses the persisted IVF index's centroids
     # (built by the builder call above) instead of retraining
     cents = spark.read.parquet(
-        f"{_ivf_cache_path(sf_dir, 16, 5, 42)}/centroids")
+        f"{_ivf_path(spark, sf_dir)}/centroids")
     want = {(r.vec_id, r.group_id, int(r.is_canonical)) for r in
             ann.semdedup(_embeddings_with_dups(spark, sf_dir),
                          threshold=0.99, vec_col="v", keep="far",
