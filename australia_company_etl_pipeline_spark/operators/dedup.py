@@ -153,6 +153,89 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def jaccard_similarity_join(sh: DataFrame, id_col: str,
+                            threshold: float = 0.8,
+                            shingle_col: str = "__sh") -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering — the published
+    exact set-similarity join (Bayardo et al. 2007 "Scaling Up All
+    Pairs Similarity Search"; Xiao et al. 2008 PPJoin): identical
+    output to the quadratic baseline (every pair with Jaccard >=
+    ``threshold``, no recall loss), at candidate cost proportional to
+    genuinely-similar pairs instead of n².
+
+    The filter: under ANY global total order on shingles, two sets with
+    J(A,B) >= t must share an element within each set's first
+    ``|X| - ceil(t·|X|) + 1`` elements (if A's whole intersection sat
+    past its prefix, the suffix would need more than (1-t)|A| >=
+    |A∩B| elements — contradiction; the shared element then sits in
+    both prefixes because a prefix is a downward-closed cut of the
+    order).  Ordering by GLOBAL DOCUMENT FREQUENCY ascending (ties by
+    shingle text) makes the prefixes the RAREST shingles — candidate
+    generation joins on low-frequency keys by construction, so the hot
+    boilerplate shingle that would skew a naive shared-shingle join
+    never enters a prefix.  The ceil is taken with a 1e-9 slack so
+    float noise can only LENGTHEN a prefix (more candidates), never
+    shorten it (missed pairs).
+
+    Input is a pre-shingled ``(id_col, shingle_col)`` frame (see
+    ``shingle_frame``); arrays must be distinct-element (``word_ngrams``
+    output).  Returns ``(id_a, id_b, jaccard)`` with id_a < id_b,
+    rounded to the 1e-6 grid — drop-in for ``ngram_jaccard_pairs``'s
+    output at any scale.
+
+    Scale shape: ONE O(total_shingles) frequency aggregate (partial-agg
+    on the shingle), a join-back, one per-doc sort of its own shingle
+    list (array_sort in a projection — no window), prefix explode
+    (O(total_shingles·(1-t)) rows), a self-equi-join on the rare
+    prefix shingles, and the exact verify join on the candidate set.
+    Every shuffle is a partial-agg or equi-join; nothing quadratic,
+    nothing hot-keyed."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    ex = sh.select(F.col(id_col), F.explode(shingle_col).alias("__g"))
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc shingles sorted rarest-first: re-aggregate the joined
+    # (id, shingle, df) rows — a struct array_sort in a projection, so
+    # no per-doc window; the prefix is a slice of that sorted list
+    ranked = (ex.join(freq, "__g")
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_list(
+                  F.struct(F.col("__df"), F.col("__g")))).alias("__o")))
+    psize = (F.size("__o")
+             - F.ceil(F.lit(threshold) * F.size("__o") - F.lit(1e-9))
+             .cast("int") + F.lit(1))
+    prefix = ranked.select(
+        F.col(id_col), F.size("__o").alias("__n"),
+        F.explode(F.transform(F.slice("__o", 1, psize),
+                              lambda s: s["__g"])).alias("__g"))
+    # length filter (Bayardo et al. §3.1): J(A,B) >= t forces
+    # |A| >= t·|B| and |B| >= t·|A| (|A| >= |A∩B| >= t·|A∪B| >= t·|B|)
+    # — prunes prefix-collision pairs whose SIZES already rule them out
+    # before the distinct and the verify join; 1e-9 slack keeps the
+    # float comparison conservative (can only admit, never drop).
+    a, b = prefix.alias("a"), prefix.alias("b")
+    lo = F.lit(threshold) - F.lit(1e-9)
+    cands = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                    & (F.col("a.__n").cast("double")
+                       >= lo * F.col("b.__n").cast("double"))
+                    & (F.col("b.__n").cast("double")
+                       >= lo * F.col("a.__n").cast("double")),
+                    "inner")
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    va = sh.select(F.col(id_col).alias("id_a"),
+                   F.col(shingle_col).alias("__sa"))
+    vb = sh.select(F.col(id_col).alias("id_b"),
+                   F.col(shingle_col).alias("__sb"))
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(jaccard_arrays(F.col("__sa"), F.col("__sb")),
+                            6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def shingle_hashes(text: Column, shingle: int = 3) -> Column:
     """64-bit base hash per distinct shingle — the ONE string-hash pass."""
     return F.transform(word_ngrams(text, shingle), lambda g: F.xxhash64(g))
@@ -520,14 +603,27 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
     """Near-dup clustering end-to-end: verified pairs → transitive
     clusters → ``(id, cluster_id, is_canonical)``. Canonical = the
     cluster's min id (deterministic keeper, reference keep-first A4
-    semantics lifted to clusters). ``checkpoint`` forwards to
-    ``connected_components`` ('reliable' for preemptible clusters)."""
+    semantics lifted to clusters). ``method``: 'minhash' (LSH
+    candidates — approximate recall, the default), 'prefix' (EXACT
+    pairs via ``jaccard_similarity_join`` — the scale-safe exact form),
+    or 'ngram' (the quadratic exact baseline, guarded). ``checkpoint``
+    forwards to ``connected_components`` ('reliable' for preemptible
+    clusters)."""
     before = shingle_cache_snapshot()
     if method == "minhash":
         pairs = minhash_dup_pairs(df, text_col, id_col, threshold, **kwargs)
     elif method == "ngram":
         pairs = ngram_jaccard_pairs(df, text_col, id_col,
                                     threshold=threshold, **kwargs)
+    elif method == "prefix":
+        # exact pairs WITHOUT the quadratic baseline's cost: the
+        # prefix-filtered similarity join (identical output to 'ngram',
+        # candidates proportional to similar pairs — the exact-clusters
+        # form that survives corpus scale)
+        sh = shingle_frame(df, text_col, id_col,
+                           kwargs.pop("shingle", 3))
+        pairs = jaccard_similarity_join(sh, id_col, threshold=threshold,
+                                        **kwargs)
     else:
         raise ValueError(f"unknown method {method!r}")
     try:

@@ -17,6 +17,19 @@ the plan scales the way its docstring claims:
   corpus N× must grow wall-clock ~N×, not N² (the LM table and the
   probe side both grow, but through partial-aggregated shuffles and an
   equi-join, never a pair space).
+- span_dedup (r6): stride-1 substring dedup. The claim is
+  O(total_tokens): windows, the keep-first partial aggregate, the
+  drop anti-join and the reassembly all scale with token count —
+  replicas here ARE duplicates of each other, so the drop volume
+  grows with the corpus too and the trend must still be ~N×, never
+  a pair space.
+- jaccard_similarity_join (r6): prefix-filtered EXACT similarity
+  join. The claim is candidates ∝ similar pairs over a linear
+  backbone: replicas are content-DISJOINT by construction here (their
+  token universes are transformed apart), so the true pair count is 0
+  and the timing isolates the backbone (frequency aggregate + prefix
+  explode + rare-key join) — must grow ~N×, while the quadratic
+  baseline it replaces would grow N².
 
 Usage: python scripts/scale_probe.py [sf_dir]   (default sf0.1)
 Prints one line per measurement; wall-clock on local[32], so treat ±30%
@@ -115,6 +128,48 @@ def main() -> None:
         force(lm.bigram_lm_score(corpus, "text", "doc_id"))
         sec = time.time() - t
         print(f"bigram_lm mult={mult} rows={rows} sec={sec:.2f}")
+
+    # --- span_dedup: linear in tokens (replicas ARE duplicates) -------
+    for mult in (1, 2, 4):
+        corpus = docs
+        m, off = mult, 10_000_000
+        while m > 1:
+            corpus = corpus.unionByName(
+                docs.select((F.col("doc_id") + off).alias("doc_id"),
+                            "text"))
+            off += 10_000_000
+            m -= 1
+        rows = corpus.count()         # outside the timer
+        t = time.time()
+        force(dd.span_dedup(corpus, span_words=8))
+        sec = time.time() - t
+        print(f"span_dedup mult={mult} rows={rows} sec={sec:.2f}")
+
+    # --- jaccard_similarity_join: linear backbone, no pair space ------
+    # replicas are transformed into DISJOINT token universes so the
+    # similar-pair count stays 0 and the probe isolates the backbone
+    transforms = [
+        F.col("text"),
+        F.reverse(F.col("text")),
+        F.translate(F.col("text"), "abcdefghij", "qrstuvwxyz"),
+        F.reverse(F.translate(F.col("text"), "abcdefghij",
+                              "qrstuvwxyz")),
+    ]
+    for mult in (1, 2, 4):
+        parts = [docs.select(
+            (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+            transforms[r].alias("text")) for r in range(mult)]
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        rows = corpus.count()         # outside the timer
+        sh = dd.shingle_frame(corpus, "text", "doc_id", shingle=3,
+                              persist=False)
+        t = time.time()
+        force(dd.jaccard_similarity_join(sh, "doc_id", threshold=0.8))
+        sec = time.time() - t
+        print(f"jaccard_similarity_join mult={mult} rows={rows} "
+              f"sec={sec:.2f}")
 
 
 if __name__ == "__main__":

@@ -1231,6 +1231,75 @@ def test_line_dedup_fuzz_vs_python_oracle(spark):
     check()
 
 
+def test_jaccard_similarity_join_equals_quadratic_baseline(spark):
+    """The prefix-filtered exact similarity join (AllPairs/PPJoin) must
+    emit EXACTLY the quadratic baseline's pairs — the filter is a
+    candidate reducer, never a recall trade — across thresholds and
+    with planted near-dups, exact copies, disjoint docs and tiny
+    shingle sets (prefix length edge: |S|=1)."""
+    import pytest
+
+    rows = []
+    for g in range(5):
+        base = " ".join(f"g{g}w{j} tok{j}" for j in range(10))
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, base))                   # exact copy
+        rows.append((g * 10 + 2, base + " extra trailer"))  # near copy
+    rows.append((900, "solitary"))                        # 1 token
+    rows.append((901, "solitary"))                        # its copy
+    rows.append((950, "completely different text here now"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.5, 0.8, 1.0):
+        sh = dd.shingle_frame(df, "text", "doc_id", shingle=3,
+                              persist=False)
+        want = {(r.id_a, r.id_b, r.jaccard) for r in
+                dd.ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                                       threshold=t).collect()}
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               dd.jaccard_similarity_join(sh, "doc_id",
+                                          threshold=t).collect()}
+        assert got == want, f"threshold {t}"
+        assert want, f"threshold {t}: baseline found nothing to compare"
+
+    with pytest.raises(ValueError, match="threshold"):
+        dd.jaccard_similarity_join(
+            dd.shingle_frame(df, "text", "doc_id", persist=False),
+            "doc_id", threshold=0.0)
+
+
+def test_jaccard_similarity_join_fuzz_vs_quadratic(spark):
+    """Randomized shingle universes: prefix filtering must never miss a
+    pair the quadratic baseline finds (the float-slack ceil can only
+    lengthen a prefix)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pool = [f"w{i}" for i in range(8)]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.lists(st.integers(0, len(pool) - 1),
+                             min_size=1, max_size=10),
+                    min_size=2, max_size=8),
+           st.sampled_from([0.3, 0.6, 0.9]))
+    def check(doc_specs, t):
+        docs = [(i, " ".join(pool[j] for j in spec))
+                for i, spec in enumerate(doc_specs)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        sh = dd.shingle_frame(df, "text", "doc_id", shingle=2,
+                              persist=False)
+        want = {(r.id_a, r.id_b, r.jaccard) for r in
+                dd.ngram_jaccard_pairs(df, "text", "doc_id", n=2,
+                                       threshold=t).collect()}
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               dd.jaccard_similarity_join(sh, "doc_id",
+                                          threshold=t).collect()}
+        assert got == want
+
+    check()
+
+
 def test_span_dedup_catches_straddling_span_segment_dedup_misses(spark):
     """The defining case: a 13-token copy embedded at offset 3 of doc B
     straddles segment_dedup's aligned 8-word grid (no full grid segment
