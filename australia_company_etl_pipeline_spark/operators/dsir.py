@@ -1,0 +1,173 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Implements the published Data Selection via Importance Resampling
+recipe (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): every document in a raw pool is scored with
+the log importance ratio ``ln p_target(x) − ln p_raw(x)`` under two
+bag-of-hashed-n-grams multinomial models (unigrams + bigrams hashed
+into ``n_buckets`` feature buckets, add-α smoothed), and the top-k by
+that weight are selected — "pick raw data that looks like the trusted
+target slice", the standard way a pretraining pipeline tilts a crawl
+toward a quality domain without a learned classifier.
+
+Scale shape (100 TB lens):
+- Distribution fits are each ONE exploded partial-agg groupBy on the
+  bucket id; only ``n_buckets`` rows survive, so the model is a tiny
+  broadcastable table no matter the corpus size.
+- Scoring is a map-side broadcast join of the per-(doc, bucket) counts
+  against the dense ``n_buckets``-row log-ratio table plus one
+  partial-agg sum per doc — linear in total tokens, no pair space.
+- Selection is a global top-k ``(weight DESC, id ASC)`` — Spark plans
+  ``TakeOrderedAndProject`` (per-partition heaps + driver merge of k
+  rows), never a full sort, for k ≪ n.
+
+Determinism and portability (the oracle story):
+- Feature bucket = first 8 hex digits of md5(n-gram) mod ``n_buckets``
+  — the engine-portable ``sample_bucket`` discipline
+  (operators/textstats.py:305), replayable in DuckDB as
+  ``CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % B``.
+- Per-bucket log-ratio is rounded to the 1e-6 grid and accumulated
+  ``×count`` in exact decimal — the bigram-LM discipline
+  (operators/lm.py:42) — so per-doc weights are bit-stable under any
+  parallelism and the whole selection replays in DuckDB.
+
+Reference parity note: the reference pipeline has no data-selection
+stage; this extends its corpus-curation surface with the published
+method (core part of the LLM-pipeline operator set, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "bucket_counts",
+    "log_ratio_table",
+    "importance_weights",
+    "dsir_select",
+]
+
+
+def hashed_ngram_buckets(text: Column, n_buckets: int = 4096) -> Column:
+    """Array of hashed feature-bucket ids for a document: one entry per
+    unigram and per bigram OCCURRENCE (repeats kept — the features are
+    multinomial counts, unlike the distinct-set shingles dedup uses).
+    Bucket = md5-prefix mod ``n_buckets`` (engine-portable). Pure
+    codegen: split + transform + concat, no UDF, no shuffle."""
+    toks = tokens(text)
+    # sequence(1, size-1) would DESCEND for <2-token docs (Spark emits
+    # [1, 0]) — guard bigrams behind an explicit size check
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return F.transform(
+        grams,
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                   .cast("long") % n_buckets),
+    )
+
+
+def bucket_counts(df: DataFrame, text_col: str,
+                  n_buckets: int = 4096) -> DataFrame:
+    """Fit one multinomial: ``(bucket, cnt)`` occurrence counts over the
+    hashed unigram+bigram features of ``df`` — ONE explode + partial-agg
+    groupBy; at most ``n_buckets`` rows survive."""
+    return (df.select(F.explode(
+                hashed_ngram_buckets(F.col(text_col), n_buckets))
+                .alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def log_ratio_table(spark: SparkSession, target_counts: DataFrame,
+                    raw_counts: DataFrame, n_buckets: int = 4096,
+                    alpha: float = 1.0) -> DataFrame:
+    """Dense ``n_buckets``-row ``(bucket, term)`` table with
+    ``term = round(ln p_target(b) − ln p_raw(b), 6)`` as decimal(30,6),
+    ``p(b) = (cnt_b + α) / (total + α·n_buckets)`` (add-α smoothing —
+    unseen buckets score the floor instead of −∞). Dense so the scoring
+    join is total: every bucket a document can hash to has a row.
+    Cost: two scalar totals over ≤n_buckets-row frames + a broadcast
+    sequence — nothing corpus-sized."""
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    t_tot = target_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__tt"))
+    r_tot = raw_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__rt"))
+    joined = (buckets
+              .join(F.broadcast(target_counts
+                                .withColumnRenamed("cnt", "__tc")),
+                    "bucket", "left")
+              .join(F.broadcast(raw_counts
+                                .withColumnRenamed("cnt", "__rc")),
+                    "bucket", "left")
+              .crossJoin(F.broadcast(t_tot))
+              .crossJoin(F.broadcast(r_tot)))
+    ab = float(alpha) * n_buckets
+    p_t = ((F.coalesce(F.col("__tc"), F.lit(0)).cast("double")
+            + F.lit(float(alpha)))
+           / (F.col("__tt").cast("double") + F.lit(ab)))
+    p_r = ((F.coalesce(F.col("__rc"), F.lit(0)).cast("double")
+            + F.lit(float(alpha)))
+           / (F.col("__rt").cast("double") + F.lit(ab)))
+    return joined.select(
+        "bucket",
+        F.round(F.log(p_t) - F.log(p_r), 6)
+        .cast("decimal(30,6)").alias("term"))
+
+
+def importance_weights(df: DataFrame, text_col: str, id_col: str,
+                       ratio: DataFrame,
+                       n_buckets: int = 4096) -> DataFrame:
+    """Per-document log importance weight: ``(id_col, logw)`` with
+    ``logw = round(Σ_b c_b · term_b, 6)`` accumulated in exact decimal
+    (order-independent — same value at any parallelism). Documents with
+    zero tokens carry no features and are ABSENT from the result (they
+    have no evidence under either model; filter them upstream with
+    ``corpus_filter`` if they must be scored). One partial-agg groupBy
+    on (id, bucket), a broadcast join against the dense ratio table,
+    one partial-agg sum per id."""
+    feats = (df.select(F.col(id_col), F.explode(
+                hashed_ngram_buckets(F.col(text_col), n_buckets))
+                .alias("bucket"))
+             .groupBy(id_col, "bucket")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    return (feats.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("term") * F.col("__c"))
+                         .cast("double"), 6).alias("logw")))
+
+
+def dsir_select(spark: SparkSession, pool: DataFrame, target: DataFrame,
+                text_col: str, id_col: str, k: int,
+                n_buckets: int = 4096, alpha: float = 1.0) -> DataFrame:
+    """End-to-end DSIR selection: fit target and raw (=pool) hashed
+    n-gram models, score every pool document with the decimal-exact log
+    importance ratio, return the top-``k`` rows of ``pool`` (all input
+    columns + ``logw``), deterministically tie-broken by ``id_col``.
+
+    ``target`` is the trusted reference slice (typically small: a
+    quality domain, a wiki dump, a curated eval-adjacent corpus);
+    ``pool`` is the raw crawl being tilted toward it. Top-k by weight
+    is the deterministic selection form; the paper's Gumbel-perturbed
+    variant adds sampling noise for diversity — compose it upstream by
+    salting ``logw`` before the limit if needed."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    t_counts = bucket_counts(target, text_col, n_buckets)
+    r_counts = bucket_counts(pool, text_col, n_buckets)
+    ratio = log_ratio_table(spark, t_counts, r_counts, n_buckets, alpha)
+    w = importance_weights(pool, text_col, id_col, ratio, n_buckets)
+    return (pool.join(w, id_col)
+            .orderBy(F.desc("logw"), F.asc(id_col))
+            .limit(k))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators import dsir as dsir_ops
 from ..operators import lm as lm_ops
 from ..operators import textstats as ts
 from .registry import register
@@ -469,39 +470,59 @@ SELECT 'lm' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
        CAST(NULL AS INT) AS rank
 FROM lm_sc
 """,
+    branches={k: (lambda s, d, _k=k: _doc_search_branches(s, d, _k))
+              for k in ("search", "keyterm", "lm")},
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_search_branches(spark, sf_dir, None)
+
+
+def _doc_search_branches(spark: SparkSession, sf_dir: str,
+                         kind: str | None) -> DataFrame:
     from ..operators import retrieval as rt
 
     d = table(spark, sf_dir, "documents")
-    # ONE persisted postings build feeds both branches and the DF counts
-    # (four corpus tokenizations without it — see postings_frame docs);
-    # released by bench via unpersist_postings()
-    post = rt.postings_frame(d, "text", "doc_id")
-    stats = rt.corpus_stats(d, "text")
-    search = (rt.bm25_search_from_postings(post, stats, "doc_id",
-                                           _BM25_TERMS, top_n=10)
-              .select(F.lit("search").alias("kind"), "doc_id",
-                      F.lit(None).cast("string").alias("term"),
-                      F.col("n_terms_matched").alias("n_matched"),
-                      "score", "rank"))
-    keyterms = (rt.tfidf_keyterms_from_postings(post, stats, "doc_id",
+    parts = []
+    if kind in (None, "search", "keyterm"):
+        # ONE persisted postings build feeds both retrieval branches and
+        # the DF counts (four corpus tokenizations without it — see
+        # postings_frame docs); released by bench via unpersist_postings()
+        post = rt.postings_frame(d, "text", "doc_id")
+        stats = rt.corpus_stats(d, "text")
+        if kind in (None, "search"):
+            parts.append(
+                rt.bm25_search_from_postings(post, stats, "doc_id",
+                                             _BM25_TERMS, top_n=10)
+                .select(F.lit("search").alias("kind"), "doc_id",
+                        F.lit(None).cast("string").alias("term"),
+                        F.col("n_terms_matched").alias("n_matched"),
+                        "score", "rank"))
+        if kind in (None, "keyterm"):
+            parts.append(
+                rt.tfidf_keyterms_from_postings(post, stats, "doc_id",
                                                 top_k=3)
                 .select(F.lit("keyterm").alias("kind"), "doc_id", "term",
                         F.lit(None).cast("int").alias("n_matched"),
                         "score", "rank"))
-    # LM scoring needs token ORDER, which the (id, term, tf) postings
-    # aggregate has discarded — it pays its own tokenization scans,
-    # deliberately UNcached (persist_tokens=False default: serializing
-    # token arrays measured slower than re-splitting a cheap local
-    # scan; see the lm module note)
-    fluency = (lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0)
-               .select(F.lit("lm").alias("kind"), "doc_id",
-                       F.lit(None).cast("string").alias("term"),
-                       F.col("n_transitions").alias("n_matched"),
-                       F.col("avg_nll").alias("score"),
-                       F.lit(None).cast("int").alias("rank")))
-    return search.unionByName(keyterms).unionByName(fluency)
+    if kind in (None, "lm"):
+        # LM scoring needs token ORDER, which the (id, term, tf) postings
+        # aggregate has discarded — it pays its own tokenization scans,
+        # deliberately UNcached (persist_tokens=False default:
+        # serializing token arrays measured slower than re-splitting a
+        # cheap local scan; see the lm module note)
+        parts.append(
+            lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0)
+            .select(F.lit("lm").alias("kind"), "doc_id",
+                    F.lit(None).cast("string").alias("term"),
+                    F.col("n_transitions").alias("n_matched"),
+                    F.col("avg_nll").alias("score"),
+                    F.lit(None).cast("int").alias("rank")))
+    if not parts:
+        raise ValueError(f"unknown doc_search_bm25 kind {kind!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _PII_SUFFIX = "@example.com or call 0412 345 678 abn 51 824 753 556 end"
@@ -516,6 +537,55 @@ _PII_SUFFIX = "@example.com or call 0412 345 678 abn 51 824 753 556 end"
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
 _MIX_BUDGET = 300
 _CAP_N = 20  # kind='cap' per-lang document cap
+_DSIR_B = 4096  # kind='dsir' hashed-feature buckets
+_DSIR_K = 100  # kind='dsir' selection size (< 500-doc pool at every sf)
+
+
+def _dsir_sql() -> str:
+    """DuckDB twin of ``dsir_select(pool=documents, target=lang='en',
+    k=_DSIR_K, n_buckets=_DSIR_B)`` (operators/dsir.py): same md5-prefix
+    feature buckets, same add-1 smoothed multinomials, same 1e-6-grid
+    per-bucket log-ratio accumulated ×count in exact decimal, same
+    (logw DESC, doc_id ASC) top-k."""
+    b = _DSIR_B
+    return f"""
+dsir_tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dsir_g AS (
+  SELECT doc_id, unnest(toks) AS g FROM dsir_tl
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM dsir_tl
+),
+dsir_b AS (SELECT doc_id,
+       CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {b} AS bucket
+  FROM dsir_g),
+dsir_tc AS (SELECT bucket, count(*) AS ct FROM dsir_b
+            JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY 1),
+dsir_rc AS (SELECT bucket, count(*) AS cr FROM dsir_b GROUP BY 1),
+dsir_tot AS (SELECT
+    (SELECT coalesce(sum(ct), 0) FROM dsir_tc) AS tt,
+    (SELECT coalesce(sum(cr), 0) FROM dsir_rc) AS rt),
+dsir_ratio AS (
+  SELECT r.range AS bucket,
+         CAST(round(
+           ln((CAST(coalesce(t.ct, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(tt AS DOUBLE) + CAST({b} AS DOUBLE)))
+         - ln((CAST(coalesce(c.cr, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(rt AS DOUBLE) + CAST({b} AS DOUBLE))), 6)
+           AS DECIMAL(30,6)) AS term
+  FROM range({b}) r
+  LEFT JOIN dsir_tc t ON r.range = t.bucket
+  LEFT JOIN dsir_rc c ON r.range = c.bucket
+  CROSS JOIN dsir_tot),
+dsir_w AS (
+  SELECT doc_id, round(CAST(sum(term * n) AS DOUBLE), 6) AS logw
+  FROM (SELECT doc_id, bucket, count(*) AS n FROM dsir_b GROUP BY 1, 2)
+  JOIN dsir_ratio USING (bucket) GROUP BY 1),
+dsir_sel AS (SELECT doc_id FROM dsir_w
+             ORDER BY logw DESC, doc_id ASC LIMIT {_DSIR_K})"""
 
 
 def _mixture_sql() -> str:
@@ -568,10 +638,20 @@ mix_kept AS (SELECT d.lang AS stratum, count(*) AS kept
         "engine-portable md5(text) keep order — key=lang, "
         "n_docs=available, n_hits=SUM of kept doc_ids (a membership "
         "checksum: the oracle catches a wrong keep CHOICE, not just a "
-        "wrong count).",
+        "wrong count). "
+        "kind='dsir' (r6): DSIR data selection (Xie et al. 2023, "
+        "operators/dsir.py) — top-100 pool docs by hashed-n-gram log "
+        "importance ratio toward the lang='en' trusted slice, rolled "
+        "up per lang of the SELECTED docs: key=lang, n_docs=selected "
+        "count, n_hits=SUM of selected doc_ids (membership checksum — "
+        "a wrong importance weight that changes the kept set "
+        "hash-mismatches, not just a wrong total). Every bucket hash, "
+        "smoothed probability, ln, 1e-6 rounding, decimal ×count "
+        "accumulation and the (logw, id) top-k replay in DuckDB.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
+{_dsir_sql().lstrip()},
 planted AS (
   SELECT text FROM documents
   UNION ALL
@@ -615,6 +695,11 @@ FROM (SELECT lang, doc_id,
                                 ORDER BY md5(text)) AS rn
       FROM documents)
 GROUP BY 2
+UNION ALL
+SELECT 'dsir' AS kind, d.lang AS key, count(*) AS n_docs,
+       sum(d.doc_id) AS n_hits
+FROM dsir_sel s JOIN documents d USING (doc_id)
+GROUP BY 2
 """,
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,4 +736,17 @@ def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.sum("doc_id").alias("n_hits")), "lang", "left")
            .select(F.lit("cap").alias("kind"), F.col("lang").alias("key"),
                    "n_docs", "n_hits"))
-    return filt.unionByName(pii).unionByName(mix).unionByName(cap)
+    # kind='dsir': select the 100 pool docs that look most like the
+    # lang='en' trusted slice (hashed-n-gram importance resampling),
+    # report per-lang selected counts + a doc_id membership checksum
+    selected = dsir_ops.dsir_select(
+        spark, d.select("doc_id", "lang", "text"),
+        d.filter(F.col("lang") == "en").select("text"),
+        "text", "doc_id", k=_DSIR_K, n_buckets=_DSIR_B)
+    ds = (selected.groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum("doc_id").alias("n_hits"))
+          .select(F.lit("dsir").alias("kind"), F.col("lang").alias("key"),
+                  "n_docs", "n_hits"))
+    return (filt.unionByName(pii).unionByName(mix).unionByName(cap)
+            .unionByName(ds))

@@ -1,0 +1,139 @@
+"""DSIR importance-resampling selection (operators/dsir.py).
+
+Covers: selection semantics (target-like docs outrank disjoint ones),
+exact weight parity vs a from-scratch Python oracle (hashlib md5 +
+Decimal accumulation — the same portable arithmetic the DuckDB driver
+oracle replays), partition invariance of the decimal accumulation,
+zero-token absence, and k edge cases.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.operators import dsir
+
+B = 256  # small bucket space so tests exercise collisions too
+
+
+def _grams(text: str) -> list[str]:
+    toks = [t for t in text.lower().split() if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _bucket(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+
+def _py_weights(pool: list[tuple[int, str]],
+                target: list[tuple[int, str]],
+                alpha: float = 1.0) -> dict[int, float]:
+    """From-scratch DSIR weights: add-α smoothed hashed-n-gram
+    multinomials, per-bucket log-ratio on the 1e-6 grid, exact Decimal
+    accumulation ×count, final round to 1e-6."""
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for _, text in target:
+        for g in _grams(text):
+            b = _bucket(g)
+            tc[b] = tc.get(b, 0) + 1
+    for _, text in pool:
+        for g in _grams(text):
+            b = _bucket(g)
+            rc[b] = rc.get(b, 0) + 1
+    tt, rt = sum(tc.values()), sum(rc.values())
+    term = {b: Decimal(str(round(
+        math.log((tc.get(b, 0) + alpha) / (tt + alpha * B))
+        - math.log((rc.get(b, 0) + alpha) / (rt + alpha * B)), 6)))
+        for b in range(B)}
+    out = {}
+    for i, text in pool:
+        acc = Decimal(0)
+        for g in _grams(text):
+            acc += term[_bucket(g)]
+        if _grams(text):
+            out[i] = round(float(acc), 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    target_rows = [
+        (1000, "quantum physics lectures on entanglement and decoherence"),
+        (1001, "physics of quantum fields and gauge entanglement"),
+        (1002, "lectures on quantum computing and decoherence noise"),
+    ]
+    pool_rows = [
+        # target-like: shares the physics vocabulary
+        (1, "entanglement and decoherence in quantum physics systems"),
+        (2, "gauge fields and quantum computing lectures"),
+        # off-target: disjoint vocabulary
+        (3, "cheap flights hotel deals book travel insurance today"),
+        (4, "celebrity gossip fashion week red carpet photos"),
+        (5, "stock market crypto trading signals daily newsletter"),
+        # mixed
+        (6, "travel physics podcast quantum destinations gossip"),
+    ]
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    return pool, target, pool_rows, target_rows
+
+
+def test_dsir_prefers_target_like_docs(spark, corpus):
+    pool, target, *_ = corpus
+    sel = dsir.dsir_select(spark, pool, target, "text", "doc_id", k=2,
+                           n_buckets=B)
+    assert {r.doc_id for r in sel.collect()} == {1, 2}
+
+
+def test_dsir_weights_match_python_oracle(spark, corpus):
+    pool, target, pool_rows, target_rows = corpus
+    ratio = dsir.log_ratio_table(
+        spark, dsir.bucket_counts(target, "text", B),
+        dsir.bucket_counts(pool, "text", B), n_buckets=B)
+    got = {r.doc_id: r.logw for r in
+           dsir.importance_weights(pool, "text", "doc_id", ratio,
+                                   n_buckets=B).collect()}
+    want = _py_weights(pool_rows, target_rows)
+    assert got == pytest.approx(want, abs=2e-6)
+    # and the ordering the selection relies on is strict here
+    ranked = sorted(want, key=lambda i: (-want[i], i))
+    assert set(ranked[:2]) == {1, 2}
+
+
+def test_dsir_partition_invariance(spark, corpus):
+    pool, target, *_ = corpus
+    a = dsir.dsir_select(spark, pool, target, "text", "doc_id", k=3,
+                         n_buckets=B)
+    b = dsir.dsir_select(spark, pool.repartition(7), target.coalesce(1),
+                         "text", "doc_id", k=3, n_buckets=B)
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, b.collect()))
+
+
+def test_dsir_k_edges(spark, corpus):
+    pool, target, pool_rows, _ = corpus
+    sel = dsir.dsir_select(spark, pool, target, "text", "doc_id",
+                           k=100, n_buckets=B)
+    assert sel.count() == len(pool_rows)  # k >= pool: everything kept
+    with pytest.raises(ValueError, match="k must be positive"):
+        dsir.dsir_select(spark, pool, target, "text", "doc_id", k=0,
+                         n_buckets=B)
+
+
+def test_dsir_zero_token_docs_absent(spark, corpus):
+    _, target, *_ = corpus
+    pool = spark.createDataFrame(
+        [(1, "quantum physics entanglement"), (2, ""), (3, None),
+         (4, "   ")],
+        "doc_id long, text string")
+    sel = dsir.dsir_select(spark, pool, target, "text", "doc_id", k=10,
+                           n_buckets=B)
+    # token-free docs carry no evidence under either model — absent
+    assert {r.doc_id for r in sel.collect()} == {1}
+    assert "logw" in sel.columns
