@@ -512,46 +512,75 @@ SELECT 'incremental' AS method, id_b AS id_a,
        CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard
 FROM (SELECT DISTINCT id_b FROM mh_pairs)
 """,
+    branches={m: (lambda s, d, _m=m: _ngram_jaccard_branches(s, d, _m))
+              for m in ("exact", "minhash", "simhash", "containment",
+                        "incremental")},
 )
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ngram_jaccard_branches(spark, sf_dir, None)
+
+
+def _ngram_jaccard_branches(spark: SparkSession, sf_dir: str,
+                            method: str | None) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    exact = (dd.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3,
-                                    threshold=0.8)
-             .select(F.lit("exact").alias("method"),
-                     F.col("id_a"), F.col("id_b"), "jaccard"))
-    # ONE persisted shingle pass shared by the minhash and containment
-    # branches (the exact/simhash paths keep their own splits — the
-    # measured recompute-vs-cache choice documented on hashed_dup_pairs)
-    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
-    mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
-                               num_hashes=_MH_HASHES, bands=_MH_BANDS,
-                               shingles=shingles, hash_fn="portable")
-          .select(F.lit("minhash").alias("method"),
-                  "id_a", "id_b", "jaccard"))
-    ng = corpus.select(F.col("doc_id"),
-                       dd.word_ngrams(F.col("text"), 3).alias("__ng"))
-    sp = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8,
-                               hash_fn="portable")
-          .join(ng.select(F.col("doc_id").alias("id_a"),
-                          F.col("__ng").alias("__na")), "id_a")
-          .join(ng.select(F.col("doc_id").alias("id_b"),
-                          F.col("__ng").alias("__nb")), "id_b")
-          .select(F.lit("simhash").alias("method"), "id_a", "id_b",
-                  F.round(dd.jaccard_arrays(F.col("__na"),
-                                            F.col("__nb")), 6)
-                  .alias("jaccard")))
-    bench = corpus.filter((F.col("doc_id") % 13 == 0)
-                          & (F.col("doc_id") < 100000))
-    cont = (dd.containment_pairs(corpus, bench, "text", "doc_id",
+    parts = []
+    shingles = None
+    if method in (None, "exact", "minhash", "containment"):
+        # ONE persisted shingle pass shared by the exact, minhash and
+        # containment branches (the simhash path keeps its own split —
+        # the measured recompute-vs-cache choice documented on
+        # hashed_dup_pairs); a standalone branch builds its own
+        shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
+    if method in (None, "exact"):
+        # r6: the exact branch IS the prefix-filtered exact similarity
+        # join (AllPairs/PPJoin) — same output as the quadratic
+        # baseline the oracle computes, candidate cost proportional to
+        # similar pairs (the quadratic form measured 84s at sf0.1; this
+        # replaces it without touching the oracle's ground truth)
+        parts.append(
+            dd.jaccard_similarity_join(shingles, "doc_id", threshold=0.8)
+            .select(F.lit("exact").alias("method"),
+                    F.col("id_a"), F.col("id_b"), "jaccard"))
+    if method in (None, "minhash"):
+        parts.append(
+            dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
+                                 num_hashes=_MH_HASHES, bands=_MH_BANDS,
+                                 shingles=shingles, hash_fn="portable")
+            .select(F.lit("minhash").alias("method"),
+                    "id_a", "id_b", "jaccard"))
+    if method in (None, "simhash"):
+        ng = corpus.select(F.col("doc_id"),
+                           dd.word_ngrams(F.col("text"), 3).alias("__ng"))
+        parts.append(
+            dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8,
+                                 hash_fn="portable")
+            .join(ng.select(F.col("doc_id").alias("id_a"),
+                            F.col("__ng").alias("__na")), "id_a")
+            .join(ng.select(F.col("doc_id").alias("id_b"),
+                            F.col("__ng").alias("__nb")), "id_b")
+            .select(F.lit("simhash").alias("method"), "id_a", "id_b",
+                    F.round(dd.jaccard_arrays(F.col("__na"),
+                                              F.col("__nb")), 6)
+                    .alias("jaccard")))
+    if method in (None, "containment"):
+        bench = corpus.filter((F.col("doc_id") % 13 == 0)
+                              & (F.col("doc_id") < 100000))
+        parts.append(
+            dd.containment_pairs(corpus, bench, "text", "doc_id",
                                  threshold=0.8, shingle=3,
                                  corpus_shingles=shingles)
             .select(F.lit("containment").alias("method"),
                     F.col("corpus_id").alias("id_a"),
                     F.col("benchmark_id").alias("id_b"),
                     F.col("containment").alias("jaccard")))
-    inc = _incremental_verdicts(spark, corpus)
-    return (exact.unionByName(mh).unionByName(sp).unionByName(cont)
-            .unionByName(inc))
+    if method in (None, "incremental"):
+        parts.append(_incremental_verdicts(spark, corpus))
+    if not parts:
+        raise ValueError(f"unknown ngram_jaccard method {method!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _incremental_verdicts(spark: SparkSession,
@@ -611,11 +640,14 @@ def _incremental_verdicts(spark: SparkSession,
 @register(
     "dedup_clusters",
     doc="Connected-components duplicate clustering: exact trigram-Jaccard "
-        "pairs ≥0.8 → transitive closure via alternating-min label "
+        "pairs ≥0.8 (r6: generated by the PREFIX-FILTERED exact "
+        "similarity join — identical pair set to the quadratic "
+        "baseline the oracle replays, candidates proportional to "
+        "similar pairs) → transitive closure via alternating-min label "
         "propagation with pointer jumping (O(log diameter) shuffle "
         "rounds) → (doc_id, cluster_id=min id in component, is_canonical)."
         " Singletons keep their own id. Oracle = DuckDB recursive CTE "
-        "reachability over the same pair set.",
+        "reachability over the quadratic pair set.",
     tags=("dedup",),
     oracle=f"""
 WITH RECURSIVE corpus AS ({_DOCS_DUPS_SQL}),
@@ -649,7 +681,7 @@ FROM reach GROUP BY id
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
     return dd.dedup_clusters(corpus, "text", "doc_id", threshold=0.8,
-                             method="ngram")
+                             method="prefix")
 
 
 @register(
@@ -670,37 +702,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ngram_jaccard baseline, planted duplicates, and planted leaks.",
     tags=("dedup",),
     oracle=None,  # hash functions are engine-specific; see test_dedup_ann.py
+    branches={m: (lambda s, d, _m=m: _hashed_dup_branches(s, d, _m))
+              for m in ("minhash", "simhash", "cross_corpus")},
 )
 def hashed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hashed_dup_branches(spark, sf_dir, None)
+
+
+def _hashed_dup_branches(spark: SparkSession, sf_dir: str,
+                         method: str | None) -> DataFrame:
     corpus = _docs_with_dups(spark, sf_dir)
-    # ONE shingle pass feeds both shingle-based families (minhash +
-    # cross-corpus). Simhash deliberately re-splits from the source
-    # instead of sharing a persisted token_frame: measured at sf0.1,
-    # caching the token arrays costs ~2.3s of serialize/deserialize to
-    # save a split that is nearly-free map-side codegen on a scan the
-    # family pays anyway (bench regressed 6.9s -> 8.1s with the shared
-    # cache). token_frame(tokens_df=) remains the right call when the
-    # SCAN is the expensive part (remote object store, wide rows) —
-    # recompute-vs-cache flips with scan cost, not corpus size.
-    shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
-    mh = (dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
-                               num_hashes=32, bands=8, shingles=shingles)
-          .select(F.lit("minhash").alias("method"), "id_a", "id_b",
-                  F.col("jaccard").alias("score")))
-    sh = (dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
-          .select(F.lit("simhash").alias("method"), "id_a", "id_b",
-                  F.col("hamming").cast("double").alias("score")))
-    bench = (table(spark, sf_dir, "documents")
-             .filter(F.col("doc_id") % 13 == 0)
-             .select("doc_id", "text"))
-    cc = (dd.cross_corpus_dup_pairs(corpus, bench, "text", "doc_id",
-                                    threshold=0.8, num_hashes=32, bands=8,
-                                    corpus_shingles=shingles)
-          .select(F.lit("cross_corpus").alias("method"),
-                  F.col("corpus_id").alias("id_a"),
-                  F.col("benchmark_id").alias("id_b"),
-                  F.col("jaccard").alias("score")))
-    return mh.unionByName(sh).unionByName(cc)
+    parts = []
+    shingles = None
+    if method in (None, "minhash", "cross_corpus"):
+        # ONE shingle pass feeds both shingle-based families (minhash +
+        # cross-corpus). Simhash deliberately re-splits from the source
+        # instead of sharing a persisted token_frame: measured at sf0.1,
+        # caching the token arrays costs ~2.3s of serialize/deserialize
+        # to save a split that is nearly-free map-side codegen on a scan
+        # the family pays anyway (bench regressed 6.9s -> 8.1s with the
+        # shared cache). token_frame(tokens_df=) remains the right call
+        # when the SCAN is the expensive part (remote object store, wide
+        # rows) — recompute-vs-cache flips with scan cost, not corpus
+        # size.
+        shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
+    if method in (None, "minhash"):
+        parts.append(
+            dd.minhash_dup_pairs(corpus, "text", "doc_id", threshold=0.8,
+                                 num_hashes=32, bands=8,
+                                 shingles=shingles)
+            .select(F.lit("minhash").alias("method"), "id_a", "id_b",
+                    F.col("jaccard").alias("score")))
+    if method in (None, "simhash"):
+        parts.append(
+            dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8)
+            .select(F.lit("simhash").alias("method"), "id_a", "id_b",
+                    F.col("hamming").cast("double").alias("score")))
+    if method in (None, "cross_corpus"):
+        bench = (table(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id") % 13 == 0)
+                 .select("doc_id", "text"))
+        parts.append(
+            dd.cross_corpus_dup_pairs(corpus, bench, "text", "doc_id",
+                                      threshold=0.8, num_hashes=32,
+                                      bands=8, corpus_shingles=shingles)
+            .select(F.lit("cross_corpus").alias("method"),
+                    F.col("corpus_id").alias("id_a"),
+                    F.col("benchmark_id").alias("id_b"),
+                    F.col("jaccard").alias("score")))
+    if not parts:
+        raise ValueError(f"unknown hashed_dup_pairs method {method!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _EMB_DUPS_SQL = """

@@ -34,6 +34,12 @@ _DEFAULTS = {
     # 128m split targets keep scan tasks sized for executor memory at scale.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # local[] runs the whole engine in the DRIVER JVM: 32 concurrent
+    # tasks + 64m broadcast builds cannot live in Spark's 1g default
+    # heap (bench hit notEnoughMemoryToBuildAndBroadcastTableError at
+    # sf0.1). 16g fits the 128 GiB rig; on a real cluster submit with
+    # explicit --driver-memory/--executor-memory as usual.
+    "spark.driver.memory": "16g",
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
