@@ -134,18 +134,16 @@ def importance_weights(df: DataFrame, text_col: str, id_col: str,
     (order-independent — same value at any parallelism). Documents with
     zero tokens carry no features and are ABSENT from the result (they
     have no evidence under either model; filter them upstream with
-    ``corpus_filter`` if they must be scored). One partial-agg groupBy
-    on (id, bucket), a broadcast join against the dense ratio table,
-    one partial-agg sum per id."""
-    feats = (df.select(F.col(id_col), F.explode(
-                hashed_ngram_buckets(F.col(text_col), n_buckets))
-                .alias("bucket"))
-             .groupBy(id_col, "bucket")
-             .agg(F.count(F.lit(1)).alias("__c")))
+    ``corpus_filter`` if they must be scored). ONE shuffle total: the
+    per-occurrence rows broadcast-join the ratio table map-side and the
+    per-id decimal sum partial-aggregates before the exchange (a
+    pre-grouping on (id, bucket) would ADD a shuffle to save probe rows
+    the map-side combine collapses anyway)."""
+    feats = df.select(F.col(id_col), F.explode(
+        hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket"))
     return (feats.join(F.broadcast(ratio), "bucket")
             .groupBy(id_col)
-            .agg(F.round(F.sum(F.col("term") * F.col("__c"))
-                         .cast("double"), 6).alias("logw")))
+            .agg(F.round(F.sum("term").cast("double"), 6).alias("logw")))
 
 
 def dsir_select(spark: SparkSession, pool: DataFrame, target: DataFrame,

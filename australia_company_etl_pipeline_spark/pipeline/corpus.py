@@ -74,6 +74,8 @@ def prepare_training_corpus(
         mixture_unknown: str = "error",
         segment_words: int | None = None,
         segment_mode: str = "grid",
+        dsir_selection: tuple[DataFrame, int] | None = None,
+        dsir_buckets: int = 4096,
         pack_budget: int = 2048,
         pack_partition_col: str | None = None,
         filter_kwargs: dict | None = None,
@@ -146,6 +148,14 @@ def prepare_training_corpus(
        first would shred near-copies into fragments whose
        jaccard-vs-original is ~0, so they'd evade near-dedup and
        benchmark matching and ship as junk;
+    5a. DSIR data selection (only when ``dsir_selection=(target_df,
+       k)`` is given) — ``dsir.dsir_select`` keeps the k surviving docs
+       whose hashed-n-gram distribution best matches the trusted target
+       slice (Xie et al. 2023 importance resampling). Runs AFTER the
+       dedup chain on purpose (the paper's ordering): duplicates would
+       otherwise spend the selection budget on the same content k
+       times, and the importance weights are computed over the FINAL
+       rewritten text the training job will see;
     5b. mixture sampling (only when ``mixture=(stratum_col, weights,
        token_budget)`` is given) — ``mixture_sample`` downsamples each
        stratum toward the target composition over BPE-ish token counts.
@@ -306,6 +316,15 @@ def prepare_training_corpus(
                              F.col("text_dedup").alias(text_col)), id_col))
         stages["segment_deduped"] = current
 
+    if dsir_selection is not None:
+        from ..operators import dsir
+
+        dsir_target, dsir_k = dsir_selection
+        current = _stage(dsir.dsir_select(
+            current.sparkSession, current, dsir_target, text_col, id_col,
+            k=dsir_k, n_buckets=dsir_buckets).drop("logw"))
+        stages["dsir_selected"] = current
+
     if bpe_merges is not None:
         from ..operators import bpe
 
@@ -359,6 +378,8 @@ def prepare_training_corpus(
                 "decontaminate_metric": (decontaminate_metric
                                          if benchmark is not None
                                          else None),
+                "dsir": ([dsir_selection[1], dsir_buckets]
+                         if dsir_selection is not None else None),
                 "mixture": list(mixture) if mixture else None,
                 "segment_words": segment_words,
                 "segment_mode": (segment_mode if segment_words is not None

@@ -30,6 +30,11 @@ the plan scales the way its docstring claims:
   and the timing isolates the backbone (frequency aggregate + prefix
   explode + rare-key join) — must grow ~N×, while the quadratic
   baseline it replaces would grow N².
+- dsir_select (r6): importance-resampling selection. The claim is
+  linear in total tokens: two bucket-count fits (partial-agg), one
+  broadcast scoring join, a top-k — the pool replicates N× while the
+  target stays fixed, so wall-clock must grow ~N× and never through a
+  pair space (there is none: the model is a 4096-row table).
 
 Usage: python scripts/scale_probe.py [sf_dir]   (default sf0.1)
 Prints one line per measurement; wall-clock on local[32], so treat ±30%
@@ -51,6 +56,8 @@ from australia_company_etl_pipeline_spark.catalog import table  # noqa: E402
 from australia_company_etl_pipeline_spark.operators import ann  # noqa: E402
 from australia_company_etl_pipeline_spark.operators import (  # noqa: E402
     dedup as dd)
+from australia_company_etl_pipeline_spark.operators import (  # noqa: E402
+    dsir)
 from australia_company_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -170,6 +177,24 @@ def main() -> None:
         sec = time.time() - t
         print(f"jaccard_similarity_join mult={mult} rows={rows} "
               f"sec={sec:.2f}")
+
+    # --- dsir_select: linear scoring, fixed 4096-row model ------------
+    target = docs.limit(200)          # fixed trusted slice
+    for mult in (1, 2, 4):
+        pool = docs
+        m, off = mult, 10_000_000
+        while m > 1:
+            pool = pool.unionByName(
+                docs.select((F.col("doc_id") + off).alias("doc_id"),
+                            "text"))
+            off += 10_000_000
+            m -= 1
+        rows = pool.count()           # outside the timer
+        t = time.time()
+        force(dsir.dsir_select(spark, pool, target, "text", "doc_id",
+                               k=100))
+        sec = time.time() - t
+        print(f"dsir_select mult={mult} rows={rows} sec={sec:.2f}")
 
 
 if __name__ == "__main__":

@@ -435,3 +435,40 @@ def test_prepare_training_corpus_lm_gate_calibrated(spark, tmp_path):
                 fluent, lm_gate=(lm_path, ("quantile", 0.95, fluent)))
     finally:
         release_corpus_cache()   # stages persisted before the raise
+
+
+def test_prepare_training_corpus_dsir_selection(spark, sf_dir):
+    """dsir_selection=(target_df, k) keeps exactly k surviving docs,
+    tilted toward the target slice's vocabulary, AFTER the dedup chain
+    (the stage count appears between segment/decontaminate and mixture
+    in the report) — and the helper column never leaks into the output."""
+    import json
+
+    target_rows = [(9000 + i,
+                    "quantum physics entanglement decoherence lectures "
+                    "gauge fields computing noise") for i in range(5)]
+    pool_rows = (
+        [(i, "entanglement decoherence in quantum gauge physics "
+             "computing lectures noise fields today") for i in range(20)]
+        + [(100 + i, " ".join(
+            f"travel{i}x{j} deals{j} hotel{i} flight{j} booking{i}"
+            for j in range(4))) for i in range(20)])
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    try:
+        packed, report = prepare_training_corpus(
+            pool, dsir_selection=(target, 10), pack_budget=1024)
+        counts = json.loads(report.collect()[0]["stage_counts"])
+        assert counts["dsir_selected"] == 10
+        assert counts["packed"] == 10
+        ids = {r.doc_id for r in packed.select("doc_id").collect()}
+        assert len(ids) == 10
+        # exact dedup collapses the 20 identical physics docs to their
+        # keep-first survivor (doc 0); it matches the target vocabulary
+        # and must win a selection slot over the travel docs
+        assert 0 in ids
+        assert "logw" not in packed.columns
+        cfg = json.loads(report.collect()[0]["config"])
+        assert cfg["dsir"] == [10, 4096]
+    finally:
+        release_corpus_cache()

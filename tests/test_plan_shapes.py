@@ -319,3 +319,33 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         rt.unpersist_postings()
         lm_ops.unpersist_lm()
     assert not offenders, offenders
+
+
+def test_dsir_scoring_single_shuffle_broadcast_model(spark, sf_dir):
+    """DSIR scoring must be ONE shuffle: the dense 4096-row log-ratio
+    model broadcast-joins the exploded features map-side and the
+    per-doc decimal sum partial-aggregates before its exchange. The
+    model-fit aggregates (bucket counts, totals) are their own tiny
+    exchanges; what may never appear is a shuffle join of corpus-sized
+    inputs (SortMergeJoin) or a per-doc re-shuffle beyond the final
+    aggregate."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import dsir
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    ratio = dsir.log_ratio_table(
+        spark, dsir.bucket_counts(target, "text"),
+        dsir.bucket_counts(docs, "text"))
+    plan = _plan(dsir.importance_weights(docs, "text", "doc_id", ratio))
+    counts = _node_counts(plan)
+    assert counts["SortMergeJoin"] == 0, counts
+    assert counts["BroadcastHashJoin"] >= 1, counts
+    # partial+final HashAggregate pairs confirm map-side combine on the
+    # scoring sum (4 aggregates: 2 bucket fits, 2 totals, 1 scoring —
+    # each split partial/final)
+    assert counts["HashAggregate"] >= 2, counts
+    # exchanges: one per model-fit aggregate + broadcasts + ONE for the
+    # per-doc scoring sum — corpus-sized data crosses the wire once
+    plain_exchanges = plan.count("+- Exchange hashpartitioning")
+    assert plain_exchanges <= 5, plan
