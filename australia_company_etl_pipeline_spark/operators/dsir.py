@@ -146,9 +146,24 @@ def importance_weights(df: DataFrame, text_col: str, id_col: str,
             .agg(F.round(F.sum("term").cast("double"), 6).alias("logw")))
 
 
+def gumbel_noise(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic standard-Gumbel draw per id: ``−ln(−ln(u))`` with
+    ``u ∈ (0, 1)`` from the md5-prefix hash of (id, seed) — the
+    ``sample_bucket`` portability discipline, so the draw is identical
+    at any parallelism, on reruns, and in any engine with md5. The +0.5
+    offset keeps u strictly inside (0, 1): no ±inf at the lattice
+    edges."""
+    u = ((F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", id_col.cast("string"), F.lit(str(seed)))), 1, 8),
+            16, 10).cast("double") + F.lit(0.5))
+         / F.lit(float(16 ** 8)))
+    return -F.log(-F.log(u))
+
+
 def dsir_select(spark: SparkSession, pool: DataFrame, target: DataFrame,
                 text_col: str, id_col: str, k: int,
-                n_buckets: int = 4096, alpha: float = 1.0) -> DataFrame:
+                n_buckets: int = 4096, alpha: float = 1.0,
+                sample: bool = False, seed: int = 42) -> DataFrame:
     """End-to-end DSIR selection: fit target and raw (=pool) hashed
     n-gram models, score every pool document with the decimal-exact log
     importance ratio, return the top-``k`` rows of ``pool`` (all input
@@ -156,16 +171,23 @@ def dsir_select(spark: SparkSession, pool: DataFrame, target: DataFrame,
 
     ``target`` is the trusted reference slice (typically small: a
     quality domain, a wiki dump, a curated eval-adjacent corpus);
-    ``pool`` is the raw crawl being tilted toward it. Top-k by weight
-    is the deterministic selection form; the paper's Gumbel-perturbed
-    variant adds sampling noise for diversity — compose it upstream by
-    salting ``logw`` before the limit if needed."""
+    ``pool`` is the raw crawl being tilted toward it.
+
+    ``sample=False`` (default) is deterministic top-k by weight;
+    ``sample=True`` is the paper's Gumbel-top-k resampling (sampling
+    without replacement ∝ exp(logw) — Xie et al. 2023 §2 select docs
+    by perturbed weights for diversity instead of a hard argmax): rank
+    on ``logw + Gumbel(id, seed)``. The noise is a seeded hash draw,
+    so even the sampled form is reproducible and partition-invariant —
+    a rerun of the same (pool, target, seed) ships the same corpus."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     t_counts = bucket_counts(target, text_col, n_buckets)
     r_counts = bucket_counts(pool, text_col, n_buckets)
     ratio = log_ratio_table(spark, t_counts, r_counts, n_buckets, alpha)
     w = importance_weights(pool, text_col, id_col, ratio, n_buckets)
+    key = (F.col("logw") + gumbel_noise(F.col(id_col), seed)
+           if sample else F.col("logw"))
     return (pool.join(w, id_col)
-            .orderBy(F.desc("logw"), F.asc(id_col))
+            .orderBy(key.desc(), F.asc(id_col))
             .limit(k))

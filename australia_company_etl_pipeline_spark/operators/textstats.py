@@ -348,11 +348,21 @@ def corpus_filter(df, text_col: str,
                   min_tokens: int = 10, max_tokens: int = 100_000,
                   max_punct_ratio: float = 0.3,
                   min_quality: float = 0.3,
-                  allowed_langs: list[str] | None = None):
+                  allowed_langs: list[str] | None = None,
+                  max_token_dup_ratio: float | None = None,
+                  max_line_dup_ratio: float | None = None):
     """One-pass quality gate with drop-reason observability: adds
     ``drop_reason`` (NULL = kept; else the FIRST failing rule, checked in
     a fixed order) so rejected volume is attributable — a filter that
     silently deletes 40% of a crawl is undebuggable at 100 TB.
+
+    ``max_token_dup_ratio`` / ``max_line_dup_ratio`` (off by default)
+    add the Gopher-style repetition rules (Rae et al. 2021 §A1.1):
+    docs whose token- or line-repetition fraction exceeds the ceiling
+    drop as 'repetitive_tokens' / 'repetitive_lines' — the
+    keyword-stuffing / repeated-boilerplate spam that length and
+    punctuation rules miss and that intra-doc repetition is known to
+    hurt LM training on.
 
     All rules evaluate over one scan with the token array STAGED once
     (`__toks` projection + the `_t` metric forms — lambda expressions
@@ -370,6 +380,12 @@ def corpus_filter(df, text_col: str,
         ("punct_heavy", punct_ratio(t) > max_punct_ratio),
         ("low_quality", quality_score_t(t, toks) < min_quality),
     ]
+    if max_token_dup_ratio is not None:
+        checks.append(("repetitive_tokens",
+                       token_dup_ratio_t(toks) > max_token_dup_ratio))
+    if max_line_dup_ratio is not None:
+        checks.append(("repetitive_lines",
+                       line_dup_ratio(t) > max_line_dup_ratio))
     if allowed_langs is not None:
         checks.append(("lang", ~lang_id_t(toks).isin(*allowed_langs)))
     reason = F.lit(None).cast("string")

@@ -137,3 +137,40 @@ def test_dsir_zero_token_docs_absent(spark, corpus):
     # token-free docs carry no evidence under either model — absent
     assert {r.doc_id for r in sel.collect()} == {1}
     assert "logw" in sel.columns
+
+
+def test_dsir_gumbel_sampling(spark, corpus):
+    """sample=True is the paper's Gumbel-top-k resampling: still
+    deterministic for a fixed seed (hash-derived noise), different
+    seeds can pick different sets, and lower-weight docs gain a real
+    chance — while weights still matter (the top doc by a wide margin
+    stays in across seeds here)."""
+    pool, target, *_ = corpus
+    a = {r.doc_id for r in dsir.dsir_select(
+        spark, pool, target, "text", "doc_id", k=3, n_buckets=B,
+        sample=True, seed=7).collect()}
+    b = {r.doc_id for r in dsir.dsir_select(
+        spark, pool.repartition(5), target, "text", "doc_id", k=3,
+        n_buckets=B, sample=True, seed=7).collect()}
+    assert a == b and len(a) == 3  # seeded => reproducible, any layout
+    seen = set()
+    for seed in (1, 2, 3, 4, 5):
+        s = {r.doc_id for r in dsir.dsir_select(
+            spark, pool, target, "text", "doc_id", k=3, n_buckets=B,
+            sample=True, seed=seed).collect()}
+        seen |= s
+    assert len(seen) > 3  # noise varies the tail across seeds
+
+
+def test_gumbel_noise_distribution(spark):
+    """The hash-Gumbel draw must look standard-Gumbel: mean ≈ γ
+    (Euler–Mascheroni, 0.577), finite everywhere, and unique per id."""
+    import math
+
+    df = spark.range(20000).select(
+        dsir.gumbel_noise(F.col("id")).alias("g"))
+    row = df.agg(F.avg("g").alias("m"), F.count("g").alias("n"),
+                 F.max("g").alias("hi"), F.min("g").alias("lo")).first()
+    assert row.n == 20000
+    assert abs(row.m - 0.5772) < 0.05          # CLT bound ~0.03 at n=20k
+    assert math.isfinite(row.hi) and math.isfinite(row.lo)

@@ -130,6 +130,40 @@ def test_corpus_filter_reasons_and_stats(spark):
     assert [r.doc_id for r in kept.collect()] == [1]
 
 
+def test_corpus_filter_repetition_rules(spark):
+    """The Gopher repetition knobs (off by default): a keyword-stuffed
+    doc drops as 'repetitive_tokens', a repeated-line doc as
+    'repetitive_lines', and with the knobs unset both pass — existing
+    behavior is unchanged."""
+    clean = ("a perfectly reasonable document with many distinct common "
+             "words that the quality heuristics should like because it "
+             "is long enough and has normal punctuation overall today")
+    stuffed = " ".join(["buy cheap deals now"] * 12)  # dup ratio ~0.92
+    lines = "\n".join(["subscribe to our newsletter today friend"] * 6
+                      + ["one genuine content line appears here now"])
+    rows = [(1, clean), (2, stuffed), (3, lines)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    off = {r.doc_id: r.drop_reason
+           for r in ts.corpus_filter(df, "text", min_tokens=5).collect()}
+    assert off[1] is None and off[2] is None and off[3] is None
+
+    on = {r.doc_id: r.drop_reason
+          for r in ts.corpus_filter(df, "text", min_tokens=5,
+                                    max_token_dup_ratio=0.5,
+                                    max_line_dup_ratio=0.5).collect()}
+    assert on[1] is None
+    assert on[2] == "repetitive_tokens"
+    assert on[3] in ("repetitive_tokens", "repetitive_lines")
+    # line-rule specifically: distinct tokens inside each line so only
+    # the LINE repetition trips
+    liny = "\n".join(f"alpha bravo charlie delta echo" for _ in range(5))
+    df2 = spark.createDataFrame([(9, liny)], "doc_id long, text string")
+    got = ts.corpus_filter(df2, "text", min_tokens=2,
+                           max_line_dup_ratio=0.5).collect()[0]
+    assert got.drop_reason == "repetitive_lines"
+
+
 def test_chunk_documents_sliding_layout(spark):
     """chunk=4/overlap=2 over a 10-token doc → 4 chunks stepping by 2,
     each window re-including the last 2 tokens of its predecessor;
