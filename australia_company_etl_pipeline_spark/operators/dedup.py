@@ -206,25 +206,50 @@ def jaccard_similarity_join(sh: DataFrame, id_col: str,
              .cast("int") + F.lit(1))
     prefix = ranked.select(
         F.col(id_col), F.size("__o").alias("__n"),
-        F.explode(F.transform(F.slice("__o", 1, psize),
-                              lambda s: s["__g"])).alias("__g"))
+        F.posexplode(F.transform(F.slice("__o", 1, psize),
+                                 lambda s: s["__g"]))
+        .alias("__p", "__g"))
     # length filter (Bayardo et al. §3.1): J(A,B) >= t forces
     # |A| >= t·|B| and |B| >= t·|A| (|A| >= |A∩B| >= t·|A∪B| >= t·|B|)
     # — prunes prefix-collision pairs whose SIZES already rule them out
-    # before the distinct and the verify join; 1e-9 slack keeps the
-    # float comparison conservative (can only admit, never drop).
+    # before the pair aggregate and the verify join; 1e-9 slack keeps
+    # the float comparison conservative (can only admit, never drop).
     a, b = prefix.alias("a"), prefix.alias("b")
     lo = F.lit(threshold) - F.lit(1e-9)
-    cands = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                    & (F.col("a.__n").cast("double")
-                       >= lo * F.col("b.__n").cast("double"))
-                    & (F.col("b.__n").cast("double")
-                       >= lo * F.col("a.__n").cast("double")),
-                    "inner")
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+    hits = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   & (F.col("a.__n").cast("double")
+                      >= lo * F.col("b.__n").cast("double"))
+                   & (F.col("b.__n").cast("double")
+                      >= lo * F.col("a.__n").cast("double")),
+                   "inner")
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.__n").alias("__na"),
+                    F.col("b.__n").alias("__nb"),
+                    F.col("a.__p").alias("__pa"),
+                    F.col("b.__p").alias("__pb")))
+    # positional filter (Xiao et al. PPJoin §3): per pair, the FIRST
+    # shared element in the global order (prefixes are downward-closed
+    # cuts, so it IS a prefix collision; per-doc position order matches
+    # the global order, so min(struct(pa, pb)) finds it) caps the
+    # achievable overlap at 1 + min(|A|−1−pa, |B|−1−pb) (0-based: only
+    # it and later elements can still match). J >= t needs overlap >=
+    # t·(|A|+|B|)/(1+t); pairs whose cap falls short never reach the
+    # verify join. Replaces the plain distinct — same one shuffle.
+    alpha = (F.lit(threshold) / F.lit(1.0 + threshold)
+             * (F.col("__na") + F.col("__nb")).cast("double")
+             - F.lit(1e-9))
+    cands = (hits.groupBy("id_a", "id_b")
+             .agg(F.min(F.struct(F.col("__pa"), F.col("__pb")))
+                  .alias("__mp"),
+                  F.min("__na").alias("__na"),
+                  F.min("__nb").alias("__nb"))
+             .filter((F.lit(1)
+                      + F.least(F.col("__na") - 1 - F.col("__mp.__pa"),
+                                F.col("__nb") - 1 - F.col("__mp.__pb"))
+                      ).cast("double") >= alpha)
+             .select("id_a", "id_b"))
     va = sh.select(F.col(id_col).alias("id_a"),
                    F.col(shingle_col).alias("__sa"))
     vb = sh.select(F.col(id_col).alias("id_b"),

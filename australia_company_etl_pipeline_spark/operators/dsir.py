@@ -97,22 +97,26 @@ def log_ratio_table(spark: SparkSession, target_counts: DataFrame,
     ``p(b) = (cnt_b + α) / (total + α·n_buckets)`` (add-α smoothing —
     unseen buckets score the floor instead of −∞). Dense so the scoring
     join is total: every bucket a document can hash to has a row.
-    Cost: two scalar totals over ≤n_buckets-row frames + a broadcast
-    sequence — nothing corpus-sized."""
+
+    The totals come from a global window over the DENSE table (bounded:
+    ``n_buckets`` rows in one task) instead of separate ``agg`` jobs —
+    standalone totals would re-execute the corpus-sized explode behind
+    each count frame a second time just to sum ≤n_buckets numbers."""
+    from pyspark.sql import Window
+
     buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
-    t_tot = target_counts.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__tt"))
-    r_tot = raw_counts.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("__rt"))
     joined = (buckets
               .join(F.broadcast(target_counts
                                 .withColumnRenamed("cnt", "__tc")),
                     "bucket", "left")
               .join(F.broadcast(raw_counts
                                 .withColumnRenamed("cnt", "__rc")),
-                    "bucket", "left")
-              .crossJoin(F.broadcast(t_tot))
-              .crossJoin(F.broadcast(r_tot)))
+                    "bucket", "left"))
+    w = Window.partitionBy(F.lit(1))
+    joined = joined.select(
+        "bucket", "__tc", "__rc",
+        F.sum(F.coalesce(F.col("__tc"), F.lit(0))).over(w).alias("__tt"),
+        F.sum(F.coalesce(F.col("__rc"), F.lit(0))).over(w).alias("__rt"))
     ab = float(alpha) * n_buckets
     p_t = ((F.coalesce(F.col("__tc"), F.lit(0)).cast("double")
             + F.lit(float(alpha)))
