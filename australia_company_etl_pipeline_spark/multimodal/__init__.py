@@ -13,6 +13,8 @@ from .media import (  # noqa: F401
     MEDIA_SCHEMA,
     decode_features,
     frame_offsets,
+    media_dup_pairs,
     pack_documents_as_media,
+    perceptual_hash,
     resize_plan,
 )

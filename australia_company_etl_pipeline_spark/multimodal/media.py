@@ -166,6 +166,107 @@ def decode_features(media: DataFrame, codec: str = "fake",
     return out.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("phash", LongType()),
+])
+
+
+def _fake_dhash(payload: pd.Series) -> pd.Series:
+    """Deterministic 64-bit difference hash over the raw byte stream:
+    resample the payload into 65 contiguous chunks, mean each, set bit
+    i iff chunk[i] > chunk[i+1]. The structural analogue of the
+    image dHash (which differences neighboring pixels of a 9×8
+    downscale) applied to bytes — near-identical payloads land within
+    a few bits. Library-free, numpy-vectorized per row, stable across
+    platforms. Empty/NULL payloads hash to 0."""
+    import numpy as np
+
+    def one(b) -> int:
+        if b is None or len(b) == 0:
+            return 0
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        chunks = np.array_split(arr, 65)
+        means = np.array([c.mean() if c.size else 0.0 for c in chunks])
+        bits = means[:-1] > means[1:]
+        h = 0
+        for i, bit in enumerate(bits):
+            if bit:
+                h |= 1 << i
+        # wrap bit 63 into the signed-long sign bit
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    return payload.map(one)
+
+
+def perceptual_hash(media: DataFrame, codec: str = "fake",
+                    spread: bool = True) -> DataFrame:
+    """Per-payload 64-bit perceptual hash ``(media_id, kind, phash)``
+    via ``mapInPandas`` — ONE Arrow crossing, the same decode plumbing
+    contract as ``decode_features``.
+
+    codec='real' is the stub for the published image dHash (downscale
+    to 9×8 grayscale via PIL, difference neighboring pixels — NOT
+    AVAILABLE here, raises ``NotImplementedError``); codec='fake' is a
+    byte-stream difference hash with identical schema/batching, so
+    banding, join shape and downstream dedup are exercised for real."""
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "real perceptual hashing requires image libraries "
+                    "not present in this environment; use codec='fake'")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "phash": _fake_dhash(pdf["payload"]).astype("int64"),
+            })
+
+    out = media.select("media_id", "kind", "payload")
+    if spread:
+        from ..session import ensure_min_partitions
+
+        out = ensure_min_partitions(
+            out, out.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def media_dup_pairs(media: DataFrame, max_hamming: int = 6,
+                    codec: str = "fake", n_bands: int = 4,
+                    same_kind: bool = True) -> DataFrame:
+    """Perceptual near-duplicate media pairs: dHash fingerprints →
+    banded-hamming bucketed join (``dedup.banded_hamming_pairs`` — the
+    SimHash machinery reused over media) → ``(id_a, id_b, hamming)``.
+
+    The multimodal twin of text near-dedup: re-encoded/resized copies
+    of one image hash within a few bits, so a crawl's duplicate media
+    dies in one bucketed equi-join — never a payload-byte comparison,
+    never all-pairs. ``same_kind`` (default) refuses cross-kind pairs
+    (an image should not "duplicate" an audio clip just because byte
+    statistics collide). At 100 TB, tune ``n_bands`` per the recall/
+    collision trade documented on ``banded_hamming_pairs``."""
+    from ..operators.dedup import banded_hamming_pairs
+
+    fp = perceptual_hash(media, codec=codec)
+    pairs = banded_hamming_pairs(fp, "media_id", "phash",
+                                 max_hamming=max_hamming,
+                                 n_bands=n_bands)
+    if same_kind:
+        kinds = media.select("media_id", "kind")
+        pairs = (pairs
+                 .join(kinds.select(F.col("media_id").alias("id_a"),
+                                    F.col("kind").alias("__ka")), "id_a")
+                 .join(kinds.select(F.col("media_id").alias("id_b"),
+                                    F.col("kind").alias("__kb")), "id_b")
+                 .filter(F.col("__ka") == F.col("__kb"))
+                 .select("id_a", "id_b", "hamming"))
+    return pairs
+
+
 def frame_offsets(media: DataFrame, n_frames: int = 5) -> DataFrame:
     """Video frame-sampling plan: n equally-spaced sample offsets per
     video, exploded to one row per frame. Pure native expressions — the

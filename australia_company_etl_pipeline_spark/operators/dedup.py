@@ -774,27 +774,39 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
     return votes.select(F.col(id_col), fp.alias("__sh"))
 
 
-def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                      max_hamming: int = 8,
-                      tokens_df: DataFrame | None = None,
-                      hash_fn: str = "native") -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ max_hamming), candidates blocked
-    on 16-bit prefix bands (4 bands → finds all pairs with ≤3 differing
-    band-regions; standard pigeonhole blocking). Fingerprints from the
-    explode-aggregate ``simhash_table`` (see its scale notes — also for
-    the ``hash_fn`` backends); ``tokens_df`` forwards a staged
-    ``token_frame``."""
-    sh = simhash_table(df, text_col, id_col, tokens_df=tokens_df,
-                       hash_fn=hash_fn)
-    banded = sh.select(
-        F.col(id_col), "__sh",
+def banded_hamming_pairs(fp: DataFrame, id_col: str,
+                         fp_col: str = "__sh",
+                         max_hamming: int = 8,
+                         n_bands: int = 4) -> DataFrame:
+    """Generic banded-hamming near-dup join over 64-bit fingerprints
+    ``(id_col, fp_col)`` → ``(id_a, id_b, hamming ≤ max_hamming)``.
+
+    Candidates block on ``n_bands`` equal bit-slices (pigeonhole:
+    every pair with hamming < n_bands shares at least one band EXACTLY
+    — full recall up to n_bands−1; above that, recall is approximate
+    and rises with n_bands). The n_bands knob is a recall/collision
+    trade at scale: wider bands (fewer of them) keep bucket
+    cardinality high (2^(64/n) keys) so clustered fingerprints don't
+    pile into hot buckets; more, narrower bands buy guaranteed recall
+    at higher candidate volume. One bucketed equi-join either way —
+    never all-pairs. Serves SimHash text pairs and perceptual-hash
+    media pairs alike."""
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col(id_col), F.col(fp_col).alias("__fp"),
         F.explode(F.array(*[
+            # band from the SOURCE column, not the "__fp" alias — a
+            # lateral alias reference inside an explode is an
+            # unsupported plan shape (Spark internal error)
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("__sh", b * 16).bitwiseAND(
-                         F.lit(0xFFFF)).alias("bh"))
-            for b in range(4)
+                     F.shiftright(F.col(fp_col), b * width).bitwiseAND(
+                         F.lit(mask)).alias("bh"))
+            for b in range(n_bands)
         ])).alias("bucket"))
-    buckets = banded.select(F.col(id_col), F.col("__sh"), "bucket.band",
+    buckets = banded.select(F.col(id_col), F.col("__fp"), "bucket.band",
                             "bucket.bh")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -802,9 +814,26 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    hamming64(F.col("a.__sh"), F.col("b.__sh")).alias("hamming"))
+                    hamming64(F.col("a.__fp"),
+                              F.col("b.__fp")).alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                      max_hamming: int = 8,
+                      tokens_df: DataFrame | None = None,
+                      hash_fn: str = "native") -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ max_hamming), candidates blocked
+    on 16-bit prefix bands (4 bands → finds all pairs with ≤3 differing
+    band-regions; standard pigeonhole blocking — see
+    ``banded_hamming_pairs``). Fingerprints from the explode-aggregate
+    ``simhash_table`` (see its scale notes — also for the ``hash_fn``
+    backends); ``tokens_df`` forwards a staged ``token_frame``."""
+    sh = simhash_table(df, text_col, id_col, tokens_df=tokens_df,
+                       hash_fn=hash_fn)
+    return banded_hamming_pairs(sh, id_col, "__sh",
+                                max_hamming=max_hamming, n_bands=4)
 
 
 def cross_corpus_dup_pairs(corpus: DataFrame, benchmark: DataFrame,

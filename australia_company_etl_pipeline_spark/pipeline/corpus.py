@@ -104,7 +104,13 @@ def prepare_training_corpus(
        threshold)`` is given — a ``learn.TextClassifierModel``) —
        ``learn.score_documents`` + drop below threshold: the
        trained-classifier stage (GPT-3/CCNet style) layered on top of
-       the heuristic filter, pure codegen scoring;
+       the heuristic filter, pure codegen scoring. ``threshold`` is a
+       raw probability float or the CALIBRATED form ``('pct', p,
+       reference_df)`` — the keep-floor is then
+       ``classifier_threshold_from_reference``'s p-th percentile over
+       a trusted slice (sigmoid probabilities are corpus-relative, so
+       the percentile rule survives model refits where a magic 0.5
+       silently shifts meaning), resolved once and recorded;
     1e. LM perplexity gate (only when ``lm_gate=(lm_path, max_nll)``
        is given — a ``lm.save_bigram_lm`` artifact) — drop documents
        whose mean transition NLL against the FROZEN reference LM
@@ -214,10 +220,27 @@ def prepare_training_corpus(
                   id_col))
         stages["line_deduped"] = kept
 
+    qc_threshold = qc_pct = None
     if quality_classifier is not None:
         from . import learn
 
-        qc_model, qc_threshold = quality_classifier
+        qc_model, qc_gate = quality_classifier
+        if isinstance(qc_gate, tuple):
+            # calibrated form ('pct', p, reference_df) — the same
+            # percentile rule the LM gate takes: keep what scores at
+            # least as well as all but the worst p of trusted text
+            # (classifier_threshold_from_reference), resolved once
+            # here and recorded in the run report
+            mode, qc_pct, qc_ref = qc_gate
+            if mode != "pct":
+                raise ValueError(
+                    f"unknown quality_classifier calibration mode "
+                    f"{mode!r}: use ('pct', percentile, reference_df) "
+                    "or a raw probability float")
+            qc_threshold = learn.classifier_threshold_from_reference(
+                qc_ref, text_col, qc_model, pct=qc_pct)
+        else:
+            qc_threshold = float(qc_gate)
         kept = _stage(
             learn.score_documents(kept, text_col, qc_model,
                                   prob_col="__qprob")
@@ -368,8 +391,10 @@ def prepare_training_corpus(
                 "domain_cap": list(domain_cap) if domain_cap else None,
                 "line_dedup": ([line_dedup_mode, line_min_docs]
                                if line_dedup_mode else None),
-                "quality_classifier": (quality_classifier[1]
-                                       if quality_classifier else None),
+                # the RESOLVED keep-floor (a float either way), plus
+                # the percentile when the calibrated form was used
+                "quality_classifier": qc_threshold,
+                "quality_classifier_pct": qc_pct,
                 # the RESOLVED ceiling (a float either way), plus the
                 # percentile when the calibrated form was used — the
                 # audit record a curated run needs to reproduce itself

@@ -195,3 +195,29 @@ def score_documents(docs: DataFrame, text_col: str,
     return (emb.withColumn(prob_col,
                            classifier_prob_expr(model, F.col("__emb")))
             .drop("__emb"))
+
+
+def classifier_threshold_from_reference(reference: DataFrame,
+                                        text_col: str,
+                                        model: TextClassifierModel,
+                                        pct: float = 0.05,
+                                        accuracy: int = 10000) -> float:
+    """Calibrated keep-floor for the classifier gate — the twin of
+    ``lm.lm_threshold_from_reference`` for the learned-quality side:
+    score a curated reference slice with the frozen model and return
+    its ``pct`` percentile probability ("keep what scores at least as
+    well as all but the worst ``pct`` of text we trust"). Sigmoid
+    probabilities are corpus-relative, not absolute — a magic 0.5 gate
+    silently shifts meaning whenever the model is refit, while the
+    percentile rule re-anchors to trusted text. One distributed
+    approx-percentile aggregate; no collect beyond the scalar."""
+    if not 0.0 < pct < 1.0:
+        raise ValueError(f"pct must be in (0, 1), got {pct}")
+    scored = score_documents(reference, text_col, model,
+                             prob_col="__qp")
+    row = scored.agg(F.percentile_approx(
+        "__qp", F.lit(pct), F.lit(accuracy)).alias("t")).collect()[0]
+    if row["t"] is None:
+        raise ValueError("reference slice produced no scored documents "
+                         "— cannot calibrate")
+    return float(row["t"])

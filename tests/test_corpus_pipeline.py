@@ -472,3 +472,57 @@ def test_prepare_training_corpus_dsir_selection(spark, sf_dir):
         assert cfg["dsir"] == [10, 4096]
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_classifier_calibrated(spark, sf_dir):
+    """quality_classifier=(model, ('pct', p, reference_df)) pins the
+    percentile keep-floor end-to-end: the threshold resolves from the
+    trusted slice, spam still gates, and the report records both the
+    resolved floor and the percentile — the LM gate's calibration
+    discipline, now on the learned-quality side."""
+    import json
+
+    import pytest
+
+    from australia_company_etl_pipeline_spark.pipeline import learn
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    spam = "buy now click free " * 8
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(spam), F.col("doc_id").cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang")
+    clean_ref = corpus.filter(F.col("doc_id") % 5 != 0)
+    labeled = corpus.select(
+        "text", (F.col("doc_id") % 5 != 0).cast("int").alias("label"))
+    model = learn.fit_text_classifier(labeled, "text", "label", dim=32,
+                                      reg_param=0.01)
+    try:
+        packed, report = prepare_training_corpus(
+            corpus, quality_classifier=(model, ("pct", 0.05, clean_ref)),
+            pack_budget=1024)
+        rows = packed.collect()
+        assert rows and all(r.doc_id % 5 != 0 for r in rows)
+        cfg = json.loads(report.collect()[0]["config"])
+        assert cfg["quality_classifier_pct"] == 0.05
+        expected = learn.classifier_threshold_from_reference(
+            clean_ref, "text", model, pct=0.05)
+        assert abs(cfg["quality_classifier"] - expected) < 1e-9
+        # ~95% of the trusted slice itself passes the floor
+        kept_ref = learn.score_documents(
+            clean_ref, "text", model, prob_col="p") \
+            .filter(F.col("p") >= expected).count()
+        assert kept_ref >= 0.9 * clean_ref.count()
+    finally:
+        release_corpus_cache()
+
+    try:
+        with pytest.raises(ValueError, match="calibration mode"):
+            prepare_training_corpus(
+                corpus, quality_classifier=(model, ("quantile", 0.05,
+                                                    clean_ref)))
+    finally:
+        release_corpus_cache()

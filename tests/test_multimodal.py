@@ -102,3 +102,111 @@ def test_metadata_queries_prune_payload(media):
     lines = [ln for ln in buf.getvalue().splitlines() if "ReadSchema" in ln]
     assert lines, "no ReadSchema in formatted plan"
     assert all("text" not in ln for ln in lines)
+
+
+def _py_dhash(b: bytes) -> int:
+    """From-scratch twin of the fake byte-stream dHash."""
+    if not b:
+        return 0
+    n = len(b)
+    # numpy array_split layout: first (n % 65) chunks get one extra
+    base, extra = divmod(n, 65)
+    means, pos = [], 0
+    for i in range(65):
+        size = base + (1 if i < extra else 0)
+        chunk = b[pos:pos + size]
+        means.append(sum(chunk) / size if size else 0.0)
+        pos += size
+    h = 0
+    for i in range(64):
+        if means[i] > means[i + 1]:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_perceptual_hash_matches_python_twin(spark):
+    from australia_company_etl_pipeline_spark.multimodal import (
+        perceptual_hash,
+    )
+
+    payloads = [
+        (1, "image", bytearray(b"the quick brown fox " * 40)),
+        (2, "image", bytearray(b"")),          # empty -> 0
+        (3, "audio", None),                    # null -> 0
+        (4, "video", bytearray(range(256)) * 3),
+        (5, "image", bytearray(b"x")),         # shorter than 65 chunks
+    ]
+    df = spark.createDataFrame(
+        [(i, k, p, None) for i, k, p in payloads],
+        "media_id long, kind string, payload binary, meta string")
+    got = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
+    for i, _, p in payloads:
+        want = _py_dhash(bytes(p) if p is not None else b"")
+        assert got[i] == want, i
+    assert got[2] == 0 and got[3] == 0
+
+
+def test_media_dup_pairs_banded_recall_and_kind_guard(spark):
+    """Near-identical payloads pair up; the banded join finds EVERY
+    pair the pigeonhole guarantees (hamming < n_bands), never emits a
+    pair above max_hamming, and cross-kind collisions are refused."""
+    from australia_company_etl_pipeline_spark.multimodal import (
+        media_dup_pairs,
+        perceptual_hash,
+    )
+
+    base = (b"some repeated media payload content block " * 32)
+    tweaked = bytearray(base)
+    tweaked[100] ^= 0x01                      # tiny corruption
+    rows = [
+        (1, "image", bytearray(base)),
+        (2, "image", tweaked),                # near-dup of 1
+        (3, "image", bytearray(base)),        # exact dup of 1
+        (4, "audio", bytearray(base)),        # same bytes, other kind
+        (5, "image", bytearray(b"\x00\xff" * 700)),  # far away
+    ]
+    df = spark.createDataFrame(
+        [(i, k, p, None) for i, k, p in rows],
+        "media_id long, kind string, payload binary, meta string")
+
+    fps = {r.media_id: r.phash
+           for r in perceptual_hash(df).collect()}
+
+    def ham(a, b):
+        return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+    max_h = 6
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in media_dup_pairs(df, max_hamming=max_h).collect()}
+    # exact dup always found, hamming 0
+    assert got[(1, 3)] == 0
+    # the pigeonhole guarantee: every same-kind pair with hamming <
+    # n_bands(=4) MUST be found; nothing above max_hamming may appear
+    ids = [i for i, k, _ in rows]
+    kinds = {i: k for i, k, _ in rows}
+    for a in ids:
+        for b in ids:
+            if a < b and kinds[a] == kinds[b] and ham(a, b) < 4:
+                assert (a, b) in got, (a, b, ham(a, b))
+    for (a, b), h in got.items():
+        assert h <= max_h and kinds[a] == kinds[b]
+        assert h == ham(a, b)
+    # cross-kind twin payloads (1,4) collide on hash but are refused…
+    assert (1, 4) not in got
+    # …unless the guard is lifted
+    free = {(r.id_a, r.id_b) for r in
+            media_dup_pairs(df, max_hamming=max_h,
+                            same_kind=False).collect()}
+    assert (1, 4) in free
+
+
+def test_perceptual_hash_real_codec_is_stubbed(spark):
+    from australia_company_etl_pipeline_spark.multimodal import (
+        perceptual_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc"), None)],
+        "media_id long, kind string, payload binary, meta string")
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        perceptual_hash(df, codec="real").collect()
