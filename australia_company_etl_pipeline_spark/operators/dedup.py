@@ -745,15 +745,24 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
         bit = {i: F.shiftright("__h", i).bitwiseAND(F.lit(1))
                for i in range(bits)}
     elif hash_fn == "portable":
-        from .embed import fnv1a32
+        from .embed import fnv1a32_pair
 
         if bits != 64:
             raise ValueError("portable simhash is 64-bit (two 32-bit "
                              f"FNV folds); got bits={bits}")
+        # both seeded folds in ONE char pass (fnv1a32_pair) — separate
+        # fnv1a32 calls re-split and re-iterate every token's chars
+        # twice (measured a modest ~4% off this branch at sf0.1 — the
+        # fold arithmetic, not the split, dominates — kept because it
+        # is strictly less work at any scale, same values)
         hashed = toks.select(
             F.col(id_col),
-            fnv1a32(F.col("__t"), SIMHASH_FNV_SEED_LO).alias("__h1"),
-            fnv1a32(F.col("__t"), SIMHASH_FNV_SEED_HI).alias("__h2"))
+            fnv1a32_pair(F.col("__t"), SIMHASH_FNV_SEED_LO,
+                         SIMHASH_FNV_SEED_HI).alias("__hp")
+        ).select(
+            F.col(id_col),
+            F.col("__hp")["h1"].alias("__h1"),
+            F.col("__hp")["h2"].alias("__h2"))
         bit = {i: (F.shiftright("__h1", i).bitwiseAND(F.lit(1))
                    if i < 32 else
                    F.shiftright("__h2", i - 32).bitwiseAND(F.lit(1)))

@@ -59,6 +59,28 @@ def fnv1a32(s: Column, seed: int = 0) -> Column:
                             F.lit(_U32)))
 
 
+def fnv1a32_pair(s: Column, seed_a: int, seed_b: int) -> Column:
+    """Both seeded FNV-1a folds of ``fnv1a32`` in ONE pass over the
+    string: a two-slot struct accumulator shares the char split and the
+    per-char iteration that two separate calls would each repeat —
+    strictly less work at any scale, modest measured win (the fold
+    arithmetic dominates; the portable SimHash path needs a low/high
+    fingerprint half per token). Returns
+    ``struct(h1, h2)`` bit-identical to
+    ``(fnv1a32(s, seed_a), fnv1a32(s, seed_b))``."""
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    init = F.struct(
+        F.lit((FNV_BASIS ^ seed_a) % _U32).cast("long").alias("h1"),
+        F.lit((FNV_BASIS ^ seed_b) % _U32).cast("long").alias("h2"))
+    return F.aggregate(
+        chars, init,
+        lambda acc, c: F.struct(
+            F.pmod(acc["h1"].bitwiseXOR(F.ascii(c)) * F.lit(FNV_PRIME),
+                   F.lit(_U32)).alias("h1"),
+            F.pmod(acc["h2"].bitwiseXOR(F.ascii(c)) * F.lit(FNV_PRIME),
+                   F.lit(_U32)).alias("h2")))
+
+
 def _token_bucket_sign(t: Column, dim: int, seed: int,
                        hash_fn: str) -> Column:
     """(bucket, sign) struct for one token under the chosen backend."""

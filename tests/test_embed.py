@@ -70,3 +70,20 @@ def test_embeddings_flow_into_ann_and_semdedup(spark):
 def test_embedding_dim_validation(spark):
     with pytest.raises(ValueError, match="positive"):
         embed.hashed_embedding(F.lit("x"), dim=0)
+
+
+def test_fnv1a32_pair_matches_two_single_folds(spark):
+    from australia_company_etl_pipeline_spark.operators.embed import (
+        fnv1a32,
+        fnv1a32_pair,
+    )
+
+    df = spark.createDataFrame(
+        [("hello",), ("",), ("répé 日本",), ("a",),
+         ("the quick brown fox",)], "t string")
+    rows = df.select(
+        fnv1a32(F.col("t"), 101).alias("a1"),
+        fnv1a32(F.col("t"), 202).alias("a2"),
+        fnv1a32_pair(F.col("t"), 101, 202).alias("p")).collect()
+    for r in rows:
+        assert r.p.h1 == r.a1 and r.p.h2 == r.a2
