@@ -783,6 +783,35 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
     return votes.select(F.col(id_col), fp.alias("__sh"))
 
 
+def fingerprint_band_buckets(fp: DataFrame, id_col: str,
+                             fp_col: str = "__sh",
+                             n_bands: int = 4,
+                             extra_cols: list[str] | None = None,
+                             ) -> DataFrame:
+    """Explode 64-bit fingerprints into pigeonhole band buckets
+    ``(id_col, *extra_cols, __fp, band, bh)`` — the candidate-key
+    frame both the self-join (``banded_hamming_pairs``) and cross-set
+    forms (streaming ingest vs a persisted index) join on."""
+    if not 1 <= n_bands <= 64 or 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    keep = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
+    banded = fp.select(
+        *keep, F.col(fp_col).alias("__fp"),
+        F.explode(F.array(*[
+            # band from the SOURCE column, not the "__fp" alias — a
+            # lateral alias reference inside an explode is an
+            # unsupported plan shape (Spark internal error)
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col(fp_col), b * width).bitwiseAND(
+                         F.lit(mask)).alias("bh"))
+            for b in range(n_bands)
+        ])).alias("bucket"))
+    return banded.select(*keep, F.col("__fp"), "bucket.band",
+                         "bucket.bh")
+
+
 def banded_hamming_pairs(fp: DataFrame, id_col: str,
                          fp_col: str = "__sh",
                          max_hamming: int = 8,
@@ -800,23 +829,8 @@ def banded_hamming_pairs(fp: DataFrame, id_col: str,
     at higher candidate volume. One bucketed equi-join either way —
     never all-pairs. Serves SimHash text pairs and perceptual-hash
     media pairs alike."""
-    if not 1 <= n_bands <= 64 or 64 % n_bands:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    banded = fp.select(
-        F.col(id_col), F.col(fp_col).alias("__fp"),
-        F.explode(F.array(*[
-            # band from the SOURCE column, not the "__fp" alias — a
-            # lateral alias reference inside an explode is an
-            # unsupported plan shape (Spark internal error)
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright(F.col(fp_col), b * width).bitwiseAND(
-                         F.lit(mask)).alias("bh"))
-            for b in range(n_bands)
-        ])).alias("bucket"))
-    buckets = banded.select(F.col(id_col), F.col("__fp"), "bucket.band",
-                            "bucket.bh")
+    buckets = fingerprint_band_buckets(fp, id_col, fp_col,
+                                       n_bands=n_bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))

@@ -214,3 +214,96 @@ def stream_drift_monitor(stream: DataFrame, baseline_profile_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_media_dedup_ingest(stream: DataFrame, out_path: str,
+                              index_path: str, checkpoint_dir: str,
+                              max_hamming: int = 6, n_bands: int = 4,
+                              codec: str = "fake",
+                              available_now: bool = True):
+    """Start the MEDIA dedup-ingest stream — the multimodal twin of
+    ``stream_dedup_ingest``: per micro-batch, perceptual-hash the
+    arriving payloads (``multimodal.perceptual_hash``, one mapInPandas
+    crossing), drop any item within ``max_hamming`` bits of a
+    SAME-KIND fingerprint seen before (persisted index) or earlier in
+    the same batch (lower id), append ALL batch fingerprints — kept
+    and dropped — to the index, and write survivors to ``out_path``
+    partitioned by batch id.
+
+    The stream must be MEDIA_SCHEMA-shaped (``media_id``, ``kind``,
+    ``payload``, …) — ``perceptual_hash`` reads those columns.
+
+    Contracts (mirroring ``incremental_dedup``):
+    - ``media_id`` globally increasing across the stream (append-log
+      ids); a batch item is dropped iff it matches any LOWER-id item;
+    - dropped items still index, so transitive near-dup chains resolve
+      identically however arrivals are chunked;
+    - candidates come from the pigeonhole band buckets
+      (``dedup.fingerprint_band_buckets`` — full recall below
+      ``n_bands`` differing bits, approximate above), so each trigger
+      is one bucketed equi-join against the index: O(batch) per
+      arrival, never O(history);
+    - replays append duplicate index rows (harmless for verdicts —
+      same fingerprints, same buckets); survivor output stays replay-
+      safe via dynamic batch-partition overwrite.
+    """
+    from ..multimodal.media import perceptual_hash
+    from ..operators import dedup as dd
+
+    def media_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        id_col = "media_id"
+        fp = perceptual_hash(batch_df, codec=codec)
+        id_type = batch_df.schema[id_col].dataType
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        idx = dd._read_or_empty(
+            spark, index_path, StructType([
+                StructField(id_col, id_type),
+                StructField("kind", StringType()),
+                StructField("phash", LongType())]))
+        nb = dd.fingerprint_band_buckets(fp, id_col, "phash",
+                                         n_bands=n_bands,
+                                         extra_cols=["kind"])
+        ob = dd.fingerprint_band_buckets(idx, id_col, "phash",
+                                         n_bands=n_bands,
+                                         extra_cols=["kind"])
+        n, o = nb.alias("n"), ob.alias("o")
+        hist = (n.join(o, (F.col("n.band") == F.col("o.band"))
+                       & (F.col("n.bh") == F.col("o.bh"))
+                       & (F.col("n.kind") == F.col("o.kind"))
+                       & (F.col(f"o.{id_col}") < F.col(f"n.{id_col}")),
+                       "inner")
+                .select(F.col(f"n.{id_col}").alias("new_id"),
+                        F.col("n.__fp").alias("__fn"),
+                        F.col("o.__fp").alias("__fs")))
+        a, b = nb.alias("a"), nb.alias("b")
+        own = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                      & (F.col("a.bh") == F.col("b.bh"))
+                      & (F.col("a.kind") == F.col("b.kind"))
+                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                      "inner")
+               .select(F.col(f"b.{id_col}").alias("new_id"),
+                       F.col("b.__fp").alias("__fn"),
+                       F.col("a.__fp").alias("__fs")))
+        drops = (hist.unionByName(own)
+                 .filter(dd.hamming64(F.col("__fn"), F.col("__fs"))
+                         <= max_hamming)
+                 .select(F.col("new_id").alias(id_col))
+                 .distinct())
+        # Index listing was captured at read time above, so this
+        # append cannot feed the batch back into its own history.
+        fp.write.mode("append").parquet(index_path)
+        (batch_df.join(drops, id_col, "left_anti")
+         .withColumn("__batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__batch")
+         .parquet(out_path))
+
+    writer = (stream.writeStream.foreachBatch(media_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -429,3 +429,61 @@ def test_stream_drift_monitor_alerts_on_shape_change(spark, tmp_path):
     assert "value.null_rate" in names, names
     nr = next(r for r in rows if r.metric_name == "value.null_rate")
     assert nr.old_value == 0.0 and nr.new_value == 0.5
+
+
+def test_stream_media_dedup_ingest_cross_batch(spark, tmp_path):
+    """Multimodal ingest twin: a near-identical payload arriving in a
+    LATER micro-batch (vs the persisted fingerprint index) and one
+    inside its own batch both drop; a byte-identical payload of a
+    DIFFERENT kind survives (same-kind guard); unique media all land.
+    Dropped items still index (transitive chains)."""
+    import time
+
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        read_documents_stream, stream_media_dedup_ingest)
+
+    landing = str(tmp_path / "mlanding")
+    out = str(tmp_path / "mout")
+    index = str(tmp_path / "midx")
+    ck = str(tmp_path / "mck")
+
+    def payload(i, copy_of=None, flip=False):
+        k = copy_of if copy_of is not None else i
+        # structurally distinct byte stream per item (every token
+        # differs) — the dHash rightly treats "same bytes, one digit
+        # swapped" as a near-dup, so distinct items must actually differ
+        b = bytearray(" ".join(
+            f"m{k}q{j}v{(k * 7 + j * j) % 97}" for j in range(80)
+        ).encode())
+        if flip:
+            b[50] ^= 0x01                       # near, not identical
+        return b
+
+    schema = ("media_id long, kind string, payload binary, "
+              "width int")
+    b1 = spark.createDataFrame(
+        [(i, "image", payload(i), 64) for i in range(6)], schema)
+    b2 = spark.createDataFrame(
+        [(10, "image", payload(10), 64),
+         (11, "image", payload(3, copy_of=3, flip=True), 64),   # ~ idx 3
+         (12, "audio", payload(4), 64),          # same bytes, other kind
+         (13, "image", payload(13), 64),
+         (14, "image", payload(13, copy_of=13, flip=True), 64),  # own batch
+         ], schema)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_media_dedup_ingest(stream, out, index, ck, max_hamming=6)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    kept = sorted(r.media_id for r in got.select("media_id").collect())
+    assert kept == [0, 1, 2, 3, 4, 5, 10, 12, 13]
+    assert got.select("__batch").distinct().count() == 2
+    # index carries EVERY arrival, dropped included
+    idx = spark.read.parquet(index)
+    assert idx.select("media_id").distinct().count() == 11
+    assert set(idx.columns) == {"media_id", "kind", "phash"}
