@@ -174,3 +174,37 @@ def test_gumbel_noise_distribution(spark):
     assert row.n == 20000
     assert abs(row.m - 0.5772) < 0.05          # CLT bound ~0.03 at n=20k
     assert math.isfinite(row.hi) and math.isfinite(row.lo)
+
+
+def test_dsir_weights_fuzz_vs_python_oracle(spark):
+    """Randomized corpora: Spark weights must match the from-scratch
+    Python oracle at the 1e-6 grid for any pool/target mix, including
+    repeated tokens (multinomial counts), single-token docs (no
+    bigrams) and overlapping pool/target membership."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pool_words = [f"w{i}" for i in range(12)]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.lists(st.integers(0, 11), min_size=1,
+                             max_size=12), min_size=2, max_size=7),
+           st.integers(1, 3))
+    def check(doc_specs, n_target):
+        rows = [(i, " ".join(pool_words[j] for j in spec))
+                for i, spec in enumerate(doc_specs)]
+        pool = spark.createDataFrame(rows, "doc_id long, text string")
+        target_rows = rows[:n_target]
+        target = spark.createDataFrame(target_rows,
+                                       "doc_id long, text string")
+        ratio = dsir.log_ratio_table(
+            spark, dsir.bucket_counts(target, "text", B),
+            dsir.bucket_counts(pool, "text", B), n_buckets=B)
+        got = {r.doc_id: r.logw for r in
+               dsir.importance_weights(pool, "text", "doc_id", ratio,
+                                       n_buckets=B).collect()}
+        want = _py_weights(rows, target_rows)
+        assert got == pytest.approx(want, abs=2e-6)
+
+    check()
