@@ -84,6 +84,36 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
+def duplicate_rate_estimate(df: DataFrame, cols: list[str],
+                            rsd: float = 0.02) -> DataFrame:
+    """One-scan exact-duplicate-rate ESTIMATE — the planning probe you
+    run on 100 TB before committing to a dedup campaign: a full
+    ``exact_dedup`` pays a corpus-wide shuffle to learn what this
+    answers with a shuffle-free sketch aggregate (HLL++
+    ``approx_count_distinct`` over the content digest, relative error
+    ``rsd``).
+
+    Returns one row ``(n_rows, approx_distinct, dup_rate_est)`` with
+    ``dup_rate_est = 1 − distinct/rows`` clamped at 0 (the sketch can
+    overcount slightly on dup-free data). Reading the estimate: ~0 →
+    skip the exact pass entirely; high → size the dedup job's shuffle
+    partitions to the DISTINCT count, not the row count, and expect
+    the digest groupBy's map-side combine to collapse most input."""
+    if not 0.0 < rsd < 1.0:
+        raise ValueError(f"rsd must be in (0, 1), got {rsd}")
+    key = content_key([F.col(c) for c in cols])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(key, rsd).alias("approx_distinct")
+    ).select(
+        "n_rows", "approx_distinct",
+        F.greatest(
+            F.lit(0.0),
+            F.round(F.lit(1.0) - F.col("approx_distinct").cast("double")
+                    / F.nullif(F.col("n_rows"), F.lit(0)).cast("double"),
+                    6)).alias("dup_rate_est"))
+
+
 def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 

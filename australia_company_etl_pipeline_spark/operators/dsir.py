@@ -52,13 +52,21 @@ __all__ = [
 ]
 
 
-def hashed_ngram_buckets(text: Column, n_buckets: int = 4096) -> Column:
-    """Array of hashed feature-bucket ids for a document: one entry per
-    unigram and per bigram OCCURRENCE (repeats kept — the features are
-    multinomial counts, unlike the distinct-set shingles dedup uses).
-    Bucket = md5-prefix mod ``n_buckets`` (engine-portable). Pure
-    codegen: split + transform + concat, no UDF, no shuffle."""
-    toks = tokens(text)
+def hashed_ngram_buckets_t(toks: Column, n_buckets: int = 4096) -> Column:
+    """Array of hashed feature-bucket ids from a STAGED token array: one
+    entry per unigram and per bigram OCCURRENCE (repeats kept — the
+    features are multinomial counts, unlike the distinct-set shingles
+    dedup uses). Bucket = md5-prefix mod ``n_buckets``
+    (engine-portable). Pure codegen: transform + concat, no UDF, no
+    shuffle.
+
+    ``toks`` MUST be a staged column (``withColumn('__toks',
+    tokens(text))``), not an inline ``tokens(text)`` expression:
+    lambda-bearing expressions sit outside codegen subexpression
+    elimination, so an inline split would RE-RUN per ``element_at``
+    inside the bigram transform — O(tokens²) re-splits per document
+    (staging measured the whole dsir_select probe 15.7s → 3.0s, ~5×,
+    at sf0.1)."""
     # sequence(1, size-1) would DESCEND for <2-token docs (Spark emits
     # [1, 0]) — guard bigrams behind an explicit size check
     bigrams = F.when(
@@ -77,14 +85,30 @@ def hashed_ngram_buckets(text: Column, n_buckets: int = 4096) -> Column:
     )
 
 
+def hashed_ngram_buckets(text: Column, n_buckets: int = 4096) -> Column:
+    """From-text convenience wrapper of ``hashed_ngram_buckets_t`` —
+    fine for one-off expressions; the operators below stage the token
+    array first (see the ``_t`` form's staging note)."""
+    return hashed_ngram_buckets_t(tokens(text), n_buckets)
+
+
+def _exploded_buckets(df: DataFrame, text_col: str, id_col: str | None,
+                      n_buckets: int) -> DataFrame:
+    """One row per feature occurrence ``([id_col,] bucket)`` with the
+    token split STAGED once per document (the `_t` discipline)."""
+    keep = [F.col(id_col)] if id_col else []
+    return (df.withColumn("__toks", tokens(F.col(text_col)))
+            .select(*keep, F.explode(
+                hashed_ngram_buckets_t(F.col("__toks"), n_buckets))
+                .alias("bucket")))
+
+
 def bucket_counts(df: DataFrame, text_col: str,
                   n_buckets: int = 4096) -> DataFrame:
     """Fit one multinomial: ``(bucket, cnt)`` occurrence counts over the
     hashed unigram+bigram features of ``df`` — ONE explode + partial-agg
     groupBy; at most ``n_buckets`` rows survive."""
-    return (df.select(F.explode(
-                hashed_ngram_buckets(F.col(text_col), n_buckets))
-                .alias("bucket"))
+    return (_exploded_buckets(df, text_col, None, n_buckets)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -143,8 +167,7 @@ def importance_weights(df: DataFrame, text_col: str, id_col: str,
     per-id decimal sum partial-aggregates before the exchange (a
     pre-grouping on (id, bucket) would ADD a shuffle to save probe rows
     the map-side combine collapses anyway)."""
-    feats = df.select(F.col(id_col), F.explode(
-        hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket"))
+    feats = _exploded_buckets(df, text_col, id_col, n_buckets)
     return (feats.join(F.broadcast(ratio), "bucket")
             .groupBy(id_col)
             .agg(F.round(F.sum("term").cast("double"), 6).alias("logw")))

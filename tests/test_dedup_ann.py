@@ -1485,3 +1485,43 @@ def test_containment_excludes_sub_shingle_benchmark_rows(spark):
     with pytest.raises(ValueError, match="unknown on_short"):
         dd.containment_pairs(corpus, bench, "text", "doc_id",
                              on_short="loud")
+
+
+def test_duplicate_rate_estimate(spark):
+    """The planning sketch: ~0 on all-distinct data, ≈ the true rate on
+    heavily duplicated data (HLL at rsd=0.02), clamped non-negative,
+    NULL-safe on empty input — all from ONE shuffle-free aggregate."""
+    import pytest
+
+    distinct = spark.createDataFrame(
+        [(i, f"unique text number {i} with words") for i in range(500)],
+        "doc_id long, text string")
+    r = dd.duplicate_rate_estimate(distinct, ["text"]).collect()[0]
+    assert r.n_rows == 500
+    assert r.dup_rate_est == pytest.approx(0.0, abs=0.05)
+
+    duped = distinct.limit(100).unionByName(
+        spark.createDataFrame(
+            [(1000 + i, f"unique text number {i % 10} with words")
+             for i in range(400)], "doc_id long, text string"))
+    r = dd.duplicate_rate_estimate(duped, ["text"]).collect()[0]
+    # 500 rows, ~100 distinct → true rate 0.8
+    assert r.dup_rate_est == pytest.approx(0.8, abs=0.05)
+
+    empty = distinct.filter("doc_id < 0")
+    r = dd.duplicate_rate_estimate(empty, ["text"]).collect()[0]
+    assert r.n_rows == 0 and r.dup_rate_est is None
+
+    with pytest.raises(ValueError, match="rsd"):
+        dd.duplicate_rate_estimate(distinct, ["text"], rsd=0.0)
+
+    # shuffle-free: a sketch aggregate, no Exchange beyond the final
+    # single-partition gather
+    plan_df = dd.duplicate_rate_estimate(distinct, ["text"])
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "Exchange hashpartitioning" not in buf.getvalue()
