@@ -107,11 +107,13 @@ def duplicate_rate_estimate(df: DataFrame, cols: list[str],
         F.approx_count_distinct(key, rsd).alias("approx_distinct")
     ).select(
         "n_rows", "approx_distinct",
-        F.greatest(
+        # explicit empty-input NULL: greatest() IGNORES nulls, so the
+        # clamp alone would turn 1 − x/NULL into a misleading 0.0
+        F.when(F.col("n_rows") > 0, F.greatest(
             F.lit(0.0),
             F.round(F.lit(1.0) - F.col("approx_distinct").cast("double")
-                    / F.nullif(F.col("n_rows"), F.lit(0)).cast("double"),
-                    6)).alias("dup_rate_est"))
+                    / F.col("n_rows").cast("double"), 6)))
+        .alias("dup_rate_est"))
 
 
 def tokens(text: Column) -> Column:
