@@ -170,11 +170,16 @@ def main() -> None:
         for p in parts[1:]:
             corpus = corpus.unionByName(p)
         rows = corpus.count()         # outside the timer
-        sh = dd.shingle_frame(corpus, "text", "doc_id", shingle=3,
-                              persist=False)
+        # persisted shingles, as real callers use it — the join
+        # references the shingle frame from four plan positions
+        # (frequency agg, prefix build, both verify sides); unpersisted
+        # it would recompute the split 4x and the probe would measure
+        # that, not the join backbone
+        sh = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
         t = time.time()
         force(dd.jaccard_similarity_join(sh, "doc_id", threshold=0.8))
         sec = time.time() - t
+        dd.unpersist_shingles()
         print(f"jaccard_similarity_join mult={mult} rows={rows} "
               f"sec={sec:.2f}")
 
