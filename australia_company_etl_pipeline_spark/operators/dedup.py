@@ -205,9 +205,15 @@ def jaccard_similarity_join(sh: DataFrame, id_col: str,
     shingle text) makes the prefixes the RAREST shingles — candidate
     generation joins on low-frequency keys by construction, so the hot
     boilerplate shingle that would skew a naive shared-shingle join
-    never enters a prefix.  The ceil is taken with a 1e-9 slack so
-    float noise can only LENGTHEN a prefix (more candidates), never
-    shorten it (missed pairs).
+    never enters a prefix.
+
+    Output parity is against the BASELINE'S ROUNDED rule (a pair ships
+    iff ``round(J, 6) >= t`` — ``ngram_jaccard_pairs``'s emit rule), so
+    every internal filter runs at the widened ``t − 1e-6``: a pair
+    whose true J sits just under t but ROUNDS to t (true J >= t − 5e-7)
+    must still produce candidates, and the slack can only LENGTHEN
+    prefixes / admit more candidates, never lose a pair the baseline
+    emits.  The final filter applies the identical rounded rule.
 
     Input is a pre-shingled ``(id_col, shingle_col)`` frame (see
     ``shingle_frame``); arrays must be distinct-element (``word_ngrams``
@@ -224,6 +230,11 @@ def jaccard_similarity_join(sh: DataFrame, id_col: str,
     nothing hot-keyed."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # every FILTER bound runs at the widened threshold (see docstring:
+    # parity is with the baseline's round-to-1e-6 emit rule, so true J
+    # down to t − 5e-7 must still generate candidates; 1e-6 covers it
+    # and only admits extras the final rounded filter re-judges)
+    t_eff = threshold - 1e-6
     ex = sh.select(F.col(id_col), F.explode(shingle_col).alias("__g"))
     freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc shingles sorted rarest-first: re-aggregate the joined
@@ -234,7 +245,7 @@ def jaccard_similarity_join(sh: DataFrame, id_col: str,
               .agg(F.array_sort(F.collect_list(
                   F.struct(F.col("__df"), F.col("__g")))).alias("__o")))
     psize = (F.size("__o")
-             - F.ceil(F.lit(threshold) * F.size("__o") - F.lit(1e-9))
+             - F.ceil(F.lit(t_eff) * F.size("__o") - F.lit(1e-9))
              .cast("int") + F.lit(1))
     prefix = ranked.select(
         F.col(id_col), F.size("__o").alias("__n"),
@@ -244,10 +255,10 @@ def jaccard_similarity_join(sh: DataFrame, id_col: str,
     # length filter (Bayardo et al. §3.1): J(A,B) >= t forces
     # |A| >= t·|B| and |B| >= t·|A| (|A| >= |A∩B| >= t·|A∪B| >= t·|B|)
     # — prunes prefix-collision pairs whose SIZES already rule them out
-    # before the pair aggregate and the verify join; 1e-9 slack keeps
-    # the float comparison conservative (can only admit, never drop).
+    # before the pair aggregate and the verify join; bounds run at the
+    # widened t_eff (rounded-rule parity) so they only admit, never drop.
     a, b = prefix.alias("a"), prefix.alias("b")
-    lo = F.lit(threshold) - F.lit(1e-9)
+    lo = F.lit(t_eff) - F.lit(1e-9)
     hits = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                    & (F.col("a.__n").cast("double")
@@ -269,7 +280,7 @@ def jaccard_similarity_join(sh: DataFrame, id_col: str,
     # it and later elements can still match). J >= t needs overlap >=
     # t·(|A|+|B|)/(1+t); pairs whose cap falls short never reach the
     # verify join. Replaces the plain distinct — same one shuffle.
-    alpha = (F.lit(threshold) / F.lit(1.0 + threshold)
+    alpha = (F.lit(t_eff) / F.lit(1.0 + t_eff)
              * (F.col("__na") + F.col("__nb")).cast("double")
              - F.lit(1e-9))
     cands = (hits.groupBy("id_a", "id_b")
@@ -827,17 +838,23 @@ def fingerprint_band_buckets(fp: DataFrame, id_col: str,
     if not 1 <= n_bands <= 64 or 64 % n_bands:
         raise ValueError(f"n_bands must divide 64, got {n_bands}")
     width = 64 // n_bands
-    mask = (1 << width) - 1
+
+    def _bh(b):
+        # band from the SOURCE column, not the "__fp" alias — a lateral
+        # alias reference inside an explode is an unsupported plan
+        # shape (Spark internal error). n_bands=1 (exact-fingerprint
+        # blocking) short-circuits: its mask (2^64−1) overflows a long
+        # literal, and the band IS the whole fingerprint anyway.
+        if n_bands == 1:
+            return F.col(fp_col)
+        return F.shiftright(F.col(fp_col), b * width).bitwiseAND(
+            F.lit((1 << width) - 1))
+
     keep = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
     banded = fp.select(
         *keep, F.col(fp_col).alias("__fp"),
         F.explode(F.array(*[
-            # band from the SOURCE column, not the "__fp" alias — a
-            # lateral alias reference inside an explode is an
-            # unsupported plan shape (Spark internal error)
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright(F.col(fp_col), b * width).bitwiseAND(
-                         F.lit(mask)).alias("bh"))
+            F.struct(F.lit(b).alias("band"), _bh(b).alias("bh"))
             for b in range(n_bands)
         ])).alias("bucket"))
     return banded.select(*keep, F.col("__fp"), "bucket.band",
@@ -1193,13 +1210,22 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col), toks.alias("__toks")))
 
     eligible = base.filter(F.size("__toks") >= k)
+    # wins feeds TWO plan positions (the keep-first aggregate and the
+    # join probe side) through DIFFERENT exchanges, so ReuseExchange
+    # cannot collapse them — unpersisted, the O(tokens × span_words)
+    # digest projection (the docstring's dominant-CPU caveat) runs
+    # twice per action. Cached in the module cache; released by
+    # unpersist_shingles() like every other staged dedup frame.
+    from pyspark import StorageLevel
+
     wins = eligible.select(
         F.col(id_col),
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
             lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k),
                                          delim))))
-        .alias("__idx", "__dg"))
+        .alias("__idx", "__dg")).persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE.append(wins)
     firsts = wins.groupBy("__dg").agg(
         F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__f"))
     drops = (wins.join(firsts, "__dg")

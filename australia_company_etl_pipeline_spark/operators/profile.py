@@ -326,15 +326,19 @@ def profile_drift(old: DataFrame | None, new: DataFrame,
         raise ValueError("profile_drift needs either the old frame or "
                          "its saved old_profile report")
     if cols is None:
-        if old_profile is not None:
+        if old is not None:
+            # old frame available (even alongside old_profile): keep
+            # the documented both-schemas intersection — a column only
+            # `new` has was never baselined and must not emit one-sided
+            # NULL-old rows that downstream alerting reads as drift
+            o = {f.name for f in old.schema}
+            cols = [f.name for f in new.schema if f.name in o]
+        else:
             # the old side exists only as its saved report — its live
             # schema is unavailable by design, so profile every column
             # of `new`; metrics the old report lacks surface as NULL
             # old_value rows in the full-outer join below
             cols = [f.name for f in new.schema]
-        else:
-            o = {f.name for f in old.schema}
-            cols = [f.name for f in new.schema if f.name in o]
         if not cols:
             raise ValueError("snapshots share no columns to profile")
     po = (old_profile if old_profile is not None

@@ -318,6 +318,11 @@ def prepare_training_corpus(
         stages["decontaminated"] = current
 
     if segment_words is not None:
+        # span_dedup stages its window-digest frame in the dedup module
+        # cache — re-home it (decontaminate discipline) so
+        # release_corpus_cache() frees it without evicting unrelated
+        # callers' frames
+        seg_before = dd.shingle_cache_snapshot()
         if segment_mode == "grid":
             seg = dd.segment_dedup(current, id_col=id_col,
                                    text_col=text_col,
@@ -330,6 +335,7 @@ def prepare_training_corpus(
                                 text_col=text_col,
                                 span_words=segment_words) \
                 .filter(F.col("n_kept") > 0)
+            _STAGE_CACHE.extend(dd.new_shingles_since(seg_before))
         else:
             raise ValueError(f"unknown segment_mode {segment_mode!r}: "
                              "use 'grid' or 'span'")

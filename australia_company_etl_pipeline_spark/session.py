@@ -37,9 +37,12 @@ _DEFAULTS = {
     # local[] runs the whole engine in the DRIVER JVM: 32 concurrent
     # tasks + 64m broadcast builds cannot live in Spark's 1g default
     # heap (bench hit notEnoughMemoryToBuildAndBroadcastTableError at
-    # sf0.1). 16g fits the 128 GiB rig; on a real cluster submit with
-    # explicit --driver-memory/--executor-memory as usual.
-    "spark.driver.memory": "16g",
+    # sf0.1). The default sizes for THIS 128 GiB rig — override with
+    # SPARK_GRAFT_DRIVER_MEM on smaller machines; on a real cluster
+    # submit with explicit --driver-memory/--executor-memory as usual
+    # (and note the setting is inert if a JVM gateway already exists).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                          "16g"),
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",

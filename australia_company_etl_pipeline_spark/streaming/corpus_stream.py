@@ -124,10 +124,9 @@ def stream_embed_index(stream: DataFrame, index_path: str,
         # re-bootstrap would retrain centroids mid-stream and silently
         # invalidate every existing inverted list (same trap the
         # partitioned-upsert bootstrap documents in sources/sinks.py)
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/centroids")
-        return p.getFileSystem(conf).exists(p)
+        from ..session import hadoop_exists
+
+        return hadoop_exists(spark, f"{index_path}/centroids")
 
     def embed_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -251,9 +250,22 @@ def stream_media_dedup_ingest(stream: DataFrame, out_path: str,
     from ..operators import dedup as dd
 
     def media_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        if batch_df.isEmpty():
+            # empty/replayed-empty triggers must not append zero-row
+            # files to the index forever (same guard as
+            # stream_embed_index's bootstrap)
+            return
         spark = batch_df.sparkSession
         id_col = "media_id"
-        fp = perceptual_hash(batch_df, codec=codec)
+        # the fingerprint frame has FOUR consumers (index append, the
+        # history join's new side, both sides of the own-batch self
+        # join) — persist it so the mapInPandas decode pass (the
+        # dominant cost under a real codec) runs once per trigger, the
+        # incremental_dedup bucket-frame discipline
+        fp = perceptual_hash(batch_df, codec=codec) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         id_type = batch_df.schema[id_col].dataType
         from pyspark.sql.types import (LongType, StringType, StructField,
                                        StructType)
@@ -294,13 +306,16 @@ def stream_media_dedup_ingest(stream: DataFrame, out_path: str,
                  .distinct())
         # Index listing was captured at read time above, so this
         # append cannot feed the batch back into its own history.
-        fp.write.mode("append").parquet(index_path)
-        (batch_df.join(drops, id_col, "left_anti")
-         .withColumn("__batch", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("__batch")
-         .parquet(out_path))
+        try:
+            fp.write.mode("append").parquet(index_path)
+            (batch_df.join(drops, id_col, "left_anti")
+             .withColumn("__batch", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__batch")
+             .parquet(out_path))
+        finally:
+            fp.unpersist()
 
     writer = (stream.writeStream.foreachBatch(media_batch)
               .option("checkpointLocation", checkpoint_dir))

@@ -210,3 +210,19 @@ def test_perceptual_hash_real_codec_is_stubbed(spark):
         "media_id long, kind string, payload binary, meta string")
     with pytest.raises(PythonException, match="NotImplementedError"):
         perceptual_hash(df, codec="real").collect()
+
+
+def test_banded_hamming_pairs_single_band(spark):
+    """n_bands=1 (exact-fingerprint blocking) must not crash on the
+    64-bit mask literal: only hamming-0 pairs can collide, so it finds
+    exact fingerprint duplicates and nothing else."""
+    from australia_company_etl_pipeline_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    fp = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -9223372036854775808), (4, 5)],
+        "media_id long, phash long")
+    got = {(r.id_a, r.id_b): r.hamming for r in banded_hamming_pairs(
+        fp, "media_id", "phash", max_hamming=6, n_bands=1).collect()}
+    assert got == {(1, 2): 0}

@@ -558,3 +558,32 @@ def test_profile_drift_old_profile_reuse(spark):
 
     with pytest.raises(ValueError, match="either the old frame"):
         profile_drift(None, new, table_name="t")
+
+
+def test_profile_drift_old_frame_keeps_intersection_cols(spark):
+    """With the old FRAME present — even alongside old_profile — cols
+    default to the both-schemas intersection: a column only `new` has
+    was never baselined and must not emit one-sided NULL-old drift rows
+    (the false-alarm rule downstream alerting applies)."""
+    from australia_company_etl_pipeline_spark.operators.profile import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = spark.createDataFrame([(1, 10.0), (2, 12.0)], "a long, b double")
+    new = spark.createDataFrame([(1, 10.0, "x"), (2, 12.5, "y")],
+                                "a long, b double, c string")
+    saved = profile_table(old, "t", ["a", "b"])
+
+    # old frame given: intersection — no metric row mentions column c
+    for call in (profile_drift(old, new),
+                 profile_drift(old, new, old_profile=saved)):
+        names = [r.metric_name for r in call.collect()]
+        assert names and not any(".c." in n or n.startswith("c.")
+                                 for n in names), names
+    # old frame absent: every `new` column profiles; c's rows carry
+    # NULL old_value (the documented saved-report behavior)
+    d = profile_drift(None, new, old_profile=saved)
+    c_rows = [r for r in d.collect() if ".c." in r.metric_name
+              or r.metric_name.startswith("c.")]
+    assert c_rows and all(r.old_value is None for r in c_rows)
