@@ -1256,6 +1256,85 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
                     .alias(out_col)))
 
 
+def span_dup_rate_estimate(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", span_words: int = 8,
+                           winnow_k: int = 4,
+                           delim: str = " ") -> DataFrame:
+    """Winnowed ESTIMATE of the duplicated-span rate — the planning
+    probe you run on 100 TB before committing to a full ``span_dedup``
+    campaign, using the published winnowing scheme (Schleimer et al.
+    2003, MOSS): within every run of ``winnow_k`` consecutive window
+    digests, the MINIMUM digest is an anchor. Anchors are
+    content-defined, so both copies of a span select the SAME anchors
+    at any alignment (the property a strided sample lacks), and any
+    copied span of length >= ``span_words + winnow_k − 1`` shares at
+    least one anchor. The estimate is the fraction of anchor
+    occurrences whose digest occurs at more than one (id, position) —
+    an unbiased-ish content sample of what ``span_dedup`` would remove.
+
+    Returns one row ``(n_anchors, n_dup_anchors, dup_span_rate_est)``
+    (NULL rate on an anchor-free corpus). Trade: spans shorter than
+    ``span_words + winnow_k − 1`` may go unsampled — raise
+    ``winnow_k`` for a cheaper, coarser probe.
+
+    Scale shape: the digest projection is the same O(tokens ×
+    span_words) map-side pass as ``span_dedup``, but only ~2/(k+1) of
+    windows survive winnowing, so the two partial-agg shuffles (anchor
+    distinct, then the digest count) carry k×-fewer rows — and unlike
+    ``span_dedup`` there is no join-back, window-coverage explode or
+    reassembly at all. The winnow argmin is a per-doc range window
+    (partitioned by id — skew equals document length, not
+    duplication)."""
+    import re as _re
+
+    if span_words < 1:
+        raise ValueError("span_words must be >= 1")
+    if winnow_k < 1:
+        raise ValueError("winnow_k must be >= 1")
+    k = span_words
+    toks = F.split(F.col(text_col), _re.escape(delim))
+    wins = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__toks"))
+            .filter(F.size("__toks") >= k)
+            .select(
+                F.col(id_col),
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+                    lambda i: F.md5(F.array_join(
+                        F.slice("__toks", i + 1, k), delim))))
+                .alias("__idx", "__dg")))
+    # classic winnowing selection: each run of winnow_k consecutive
+    # windows contributes its ARGMIN (min over struct(dg, idx) — ties
+    # to the earliest position) as an anchor; overlapping runs electing
+    # the same window collapse via distinct. Guarantees >=1 anchor per
+    # winnow_k consecutive windows — a self-min rule (anchor iff a
+    # window is the min of its own forward run) would anchor NOTHING
+    # over a monotone digest run and lose the density guarantee.
+    w = (Window.partitionBy(id_col).orderBy("__idx")
+         .rowsBetween(0, winnow_k - 1))
+    anchors = (wins
+               .withColumn("__wmin",
+                           F.min(F.struct(F.col("__dg"),
+                                          F.col("__idx"))).over(w))
+               .select(F.col(id_col),
+                       F.col("__wmin.__idx").alias("__idx"),
+                       F.col("__wmin.__dg").alias("__dg"))
+               .distinct())
+    per_dg = anchors.groupBy("__dg").agg(
+        F.count(F.lit(1)).alias("__n"))
+    return per_dg.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n_anchors"),
+        F.coalesce(F.sum(F.when(F.col("__n") > 1, F.col("__n"))
+                         .otherwise(F.lit(0))), F.lit(0))
+        .alias("n_dup_anchors")
+    ).select(
+        "n_anchors", "n_dup_anchors",
+        F.when(F.col("n_anchors") > 0,
+               F.round(F.col("n_dup_anchors").cast("double")
+                       / F.col("n_anchors").cast("double"), 6))
+        .alias("dup_span_rate_est"))
+
+
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", mode: str = "first",
                min_docs: int = 3,

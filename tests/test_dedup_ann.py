@@ -1525,3 +1525,48 @@ def test_duplicate_rate_estimate(spark):
     with contextlib.redirect_stdout(buf):
         plan_df.explain("formatted")
     assert "Exchange hashpartitioning" not in buf.getvalue()
+
+
+def test_span_dup_rate_estimate_winnowed(spark):
+    """The winnowed span-duplication probe: a copied span of length >=
+    span_words + winnow_k - 1 shares at least one anchor at ANY
+    alignment (the content-defined property a strided sample lacks); a
+    disjoint corpus estimates 0; an empty corpus returns NULL."""
+    import pytest
+
+    span, wk = 5, 3
+    copied = " ".join(f"c{j}tok" for j in range(span + wk - 1 + 4))
+    rows = [
+        # the copied run sits at DIFFERENT offsets in the two docs
+        (1, "aaa bbb " + copied + " zzz final"),
+        (2, "x1 y2 z3 q4 " + copied),
+        (3, " ".join(f"u{j}only" for j in range(20))),   # unique
+        (4, " ".join(f"v{j}only" for j in range(20))),   # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dd.span_dup_rate_estimate(df, span_words=span,
+                                  winnow_k=wk).collect()[0]
+    assert r.n_dup_anchors >= 2            # both copies anchor the span
+    assert 0 < r.dup_span_rate_est <= 1
+
+    clean = df.filter("doc_id >= 3")
+    r2 = dd.span_dup_rate_estimate(clean, span_words=span,
+                                   winnow_k=wk).collect()[0]
+    assert r2.n_dup_anchors == 0 and r2.dup_span_rate_est == 0.0
+    assert r2.n_anchors > 0
+
+    empty = df.filter("doc_id < 0")
+    r3 = dd.span_dup_rate_estimate(empty, span_words=span,
+                                   winnow_k=wk).collect()[0]
+    assert r3.n_anchors == 0 and r3.dup_span_rate_est is None
+
+    # heavily duplicated corpus -> high rate
+    dup = spark.createDataFrame(
+        [(i, "the same exact sentence repeated across the corpus body")
+         for i in range(10)], "doc_id long, text string")
+    r4 = dd.span_dup_rate_estimate(dup, span_words=span,
+                                   winnow_k=wk).collect()[0]
+    assert r4.dup_span_rate_est == 1.0
+
+    with pytest.raises(ValueError, match="winnow_k"):
+        dd.span_dup_rate_estimate(df, span_words=span, winnow_k=0)
