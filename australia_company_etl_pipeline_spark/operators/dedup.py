@@ -1148,6 +1148,33 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
                      delim).alias(out_col)))
 
 
+def _span_token_base(docs: DataFrame, id_col: str, text_col: str,
+                     delim: str) -> DataFrame:
+    """NULL-filtered ``(id_col, __toks)`` token projection shared by the
+    span-dedup family."""
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(delim))
+    return (docs.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__toks")))
+
+
+def _window_digests(base: DataFrame, id_col: str, k: int,
+                    delim: str) -> DataFrame:
+    """``(id_col, __idx, __dg)`` — md5 digest of every stride-1 k-token
+    window. ONE definition shared by ``span_dedup`` (the campaign) and
+    ``span_dup_rate_estimate`` (its planning probe), so the probe's
+    digests stay bit-identical to what the campaign would remove."""
+    return (base.filter(F.size("__toks") >= k)
+            .select(
+                F.col(id_col),
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+                    lambda i: F.md5(F.array_join(
+                        F.slice("__toks", i + 1, k), delim))))
+                .alias("__idx", "__dg")))
+
+
 def span_dedup(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", span_words: int = 8,
                delim: str = " ",
@@ -1200,31 +1227,21 @@ def span_dedup(docs: DataFrame, id_col: str = "doc_id",
     digest expression.  Compare the reference's whole-document digests
     (``exact_dedup``) and 4-char blocking (M7): same hash-partition
     discipline, sub-document unit."""
-    import re as _re
-
     if span_words < 1:
         raise ValueError("span_words must be >= 1")
     k = span_words
-    toks = F.split(F.col(text_col), _re.escape(delim))
-    base = (docs.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col), toks.alias("__toks")))
-
-    eligible = base.filter(F.size("__toks") >= k)
+    base = _span_token_base(docs, id_col, text_col, delim)
     # wins feeds TWO plan positions (the keep-first aggregate and the
     # join probe side) through DIFFERENT exchanges, so ReuseExchange
     # cannot collapse them — unpersisted, the O(tokens × span_words)
     # digest projection (the docstring's dominant-CPU caveat) runs
     # twice per action. Cached in the module cache; released by
-    # unpersist_shingles() like every other staged dedup frame.
+    # unpersist_shingles() (or a new_shingles_since re-home) like every
+    # other staged dedup frame.
     from pyspark import StorageLevel
 
-    wins = eligible.select(
-        F.col(id_col),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
-            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k),
-                                         delim))))
-        .alias("__idx", "__dg")).persist(StorageLevel.MEMORY_AND_DISK)
+    wins = _window_digests(base, id_col, k, delim) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     _SHINGLE_CACHE.append(wins)
     firsts = wins.groupBy("__dg").agg(
         F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__f"))
@@ -1285,24 +1302,13 @@ def span_dup_rate_estimate(docs: DataFrame, id_col: str = "doc_id",
     reassembly at all. The winnow argmin is a per-doc range window
     (partitioned by id — skew equals document length, not
     duplication)."""
-    import re as _re
-
     if span_words < 1:
         raise ValueError("span_words must be >= 1")
     if winnow_k < 1:
         raise ValueError("winnow_k must be >= 1")
     k = span_words
-    toks = F.split(F.col(text_col), _re.escape(delim))
-    wins = (docs.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col), toks.alias("__toks"))
-            .filter(F.size("__toks") >= k)
-            .select(
-                F.col(id_col),
-                F.posexplode(F.transform(
-                    F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
-                    lambda i: F.md5(F.array_join(
-                        F.slice("__toks", i + 1, k), delim))))
-                .alias("__idx", "__dg")))
+    wins = _window_digests(
+        _span_token_base(docs, id_col, text_col, delim), id_col, k, delim)
     # classic winnowing selection: each run of winnow_k consecutive
     # windows contributes its ARGMIN (min over struct(dg, idx) — ties
     # to the earliest position) as an anchor; overlapping runs electing

@@ -321,7 +321,14 @@ def profile_drift(old: DataFrame | None, new: DataFrame,
     never re-scanned, halving the cost — ``old`` may then be ``None``
     (the natural monitoring call, ``profile_drift(None, new,
     old_profile=saved)``; ``cols`` is derived from ``new`` alone, so
-    the never-rescan-the-old-side path needs no placeholder frame)."""
+    the never-rescan-the-old-side path needs no placeholder frame).
+
+    Caveat when passing BOTH ``old`` and ``old_profile``: default
+    ``cols`` come from the schemas' intersection, not from what the
+    saved report actually covers (metric names are not parseable back
+    to columns once dots appear in them) — if the report was built on
+    a SUBSET of the old frame's columns, pass that subset as ``cols``
+    explicitly or the uncovered columns emit one-sided NULL-old rows."""
     if old is None and old_profile is None:
         raise ValueError("profile_drift needs either the old frame or "
                          "its saved old_profile report")

@@ -318,11 +318,6 @@ def prepare_training_corpus(
         stages["decontaminated"] = current
 
     if segment_words is not None:
-        # span_dedup stages its window-digest frame in the dedup module
-        # cache — re-home it (decontaminate discipline) so
-        # release_corpus_cache() frees it without evicting unrelated
-        # callers' frames
-        seg_before = dd.shingle_cache_snapshot()
         if segment_mode == "grid":
             seg = dd.segment_dedup(current, id_col=id_col,
                                    text_col=text_col,
@@ -330,7 +325,12 @@ def prepare_training_corpus(
         elif segment_mode == "span":
             # exact substring-level dedup (Lee et al. 2022): stride-1
             # windows catch grid-straddling copies the fixed grid
-            # misses; docs stripped to nothing (pure later-copies) drop
+            # misses; docs stripped to nothing (pure later-copies)
+            # drop. span_dedup stages its window-digest frame in the
+            # dedup module cache — re-home it (decontaminate
+            # discipline) so release_corpus_cache() frees it without
+            # evicting unrelated callers' frames
+            seg_before = dd.shingle_cache_snapshot()
             seg = dd.span_dedup(current, id_col=id_col,
                                 text_col=text_col,
                                 span_words=segment_words) \

@@ -34,15 +34,10 @@ _DEFAULTS = {
     # 128m split targets keep scan tasks sized for executor memory at scale.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    # local[] runs the whole engine in the DRIVER JVM: 32 concurrent
-    # tasks + 64m broadcast builds cannot live in Spark's 1g default
-    # heap (bench hit notEnoughMemoryToBuildAndBroadcastTableError at
-    # sf0.1). The default sizes for THIS 128 GiB rig — override with
-    # SPARK_GRAFT_DRIVER_MEM on smaller machines; on a real cluster
-    # submit with explicit --driver-memory/--executor-memory as usual
-    # (and note the setting is inert if a JVM gateway already exists).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                                          "16g"),
+    # spark.driver.memory is added in get_spark (read from
+    # SPARK_GRAFT_DRIVER_MEM at CALL time, like cpu_count's knob —
+    # an import-time read would freeze the value before a harness can
+    # set the env var); see the comment there.
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
@@ -257,6 +252,15 @@ def get_spark(app_name: str = "australia-company-etl-pipeline-spark",
     # One shuffle partition per core locally; AQE coalesces further.
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     conf["spark.default.parallelism"] = str(cpus)
+    # local[] runs the whole engine in the DRIVER JVM: 32 concurrent
+    # tasks + 64m broadcast builds cannot live in Spark's 1g default
+    # heap (bench hit notEnoughMemoryToBuildAndBroadcastTableError at
+    # sf0.1). The default sizes for THIS 128 GiB rig — override with
+    # SPARK_GRAFT_DRIVER_MEM on smaller machines; on a real cluster
+    # submit with explicit --driver-memory/--executor-memory as usual
+    # (and note the setting is inert if a JVM gateway already exists).
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "16g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -150,6 +150,10 @@ def main() -> None:
         t = time.time()
         force(dd.span_dedup(corpus, span_words=8))
         sec = time.time() - t
+        # span_dedup stages its window-digest frame in the module
+        # cache — release per mult so the pinned frames don't compound
+        # across replications and distort the very trend being measured
+        dd.unpersist_shingles()
         print(f"span_dedup mult={mult} rows={rows} sec={sec:.2f}")
 
     # --- jaccard_similarity_join: linear backbone, no pair space ------

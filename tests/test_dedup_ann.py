@@ -1388,8 +1388,13 @@ def test_span_dedup_fuzz_vs_python_oracle(spark):
             kept = [t for j, t in enumerate(tt) if j not in dropped]
             expect[i] = (len(tt), len(kept), " ".join(kept))
 
-        got = {r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
-               for r in dd.span_dedup(df, span_words=k).collect()}
+        try:
+            got = {r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
+                   for r in dd.span_dedup(df, span_words=k).collect()}
+        finally:
+            # span_dedup stages its digest frame in the module cache;
+            # release per example or the fuzz pins one frame per case
+            dd.unpersist_shingles()
         assert got == expect
 
     check()
