@@ -349,3 +349,43 @@ def test_dsir_scoring_single_shuffle_broadcast_model(spark, sf_dir):
     # per-doc scoring sum — corpus-sized data crosses the wire once
     plain_exchanges = plan.count("+- Exchange hashpartitioning")
     assert plain_exchanges <= 5, plan
+
+
+def test_jaccard_similarity_join_plan_shape(spark, sf_dir):
+    """The prefix-filtered exact similarity join must stay bucketed:
+    candidates come from an equi-join on the prefix shingle (sort-merge
+    or shuffled-hash — a JOIN with keys), never a cartesian/nested-loop
+    pass, and the keep/verify aggregates are partial (map-side combine
+    visible as HashAggregate pairs)."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import dedup as dd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = dd.shingle_frame(docs, "text", "doc_id", shingle=3,
+                          persist=False)
+    plan = _plan(dd.jaccard_similarity_join(sh, "doc_id", threshold=0.8))
+    counts = _node_counts(plan)
+    assert counts["CartesianProduct"] == 0, counts
+    assert counts["BroadcastNestedLoopJoin"] == 0, counts
+    assert counts["SortMergeJoin"] + counts["ShuffledHashJoin"] \
+        + counts["BroadcastHashJoin"] >= 3, counts  # freq join-back,
+    #                                   candidate self-join, 2 verifies
+    assert counts["HashAggregate"] >= 4, counts
+
+
+def test_span_dup_rate_estimate_windows_per_doc(spark, sf_dir):
+    """The winnow argmin must ride a PER-DOC window (partitioned by id
+    — skew bounded by document length), never a global single-partition
+    window, and the whole probe carries no join at all."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import dedup as dd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(dd.span_dup_rate_estimate(docs, span_words=8,
+                                           winnow_k=4))
+    counts = _node_counts(plan)
+    assert counts["Window"] >= 1, counts
+    assert "SinglePartition" not in plan.split("Window")[1][:400], plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert counts[node] == 0, counts
