@@ -1148,6 +1148,59 @@ def segment_dedup(docs: DataFrame, id_col: str = "doc_id",
                      delim).alias(out_col)))
 
 
+def corpus_novelty_estimate(base: DataFrame, incoming: DataFrame,
+                            text_col: str, shingle: int = 3,
+                            rsd: float = 0.02) -> DataFrame:
+    """Cross-corpus NOVELTY estimate — the third planning probe (with
+    ``duplicate_rate_estimate`` and ``span_dup_rate_estimate``): before
+    paying for ingest + dedup of a new crawl, ask how much of it is
+    content we do not already have. Sketch-only: three HLL++
+    ``approx_count_distinct`` aggregates over shingle digests (base,
+    incoming, and their union via inclusion–exclusion) — shuffle-free
+    map-side sketches, no join, no candidate pairs, nothing persisted.
+
+    Returns one row ``(base_shingles, incoming_shingles,
+    overlap_shingles, novelty_est)`` where ``novelty_est ≈ 1 −
+    overlap/incoming`` (fraction of the incoming corpus's distinct
+    shingles unseen in base), clamped to [0, 1] — HLL error (``rsd``)
+    can push the raw inclusion–exclusion slightly outside. NULL
+    novelty when the incoming side has no shingles.
+
+    Reading it: ~1 → the crawl is fresh, ingest it all; ~0 → mostly
+    re-crawl, route through ``incremental_dedup`` and expect heavy
+    drops; mid → size the dedup campaign's shuffle to
+    ``incoming × novelty``. Estimates SHINGLE-level overlap (content
+    mass), not document counts — a few giant duplicated docs and many
+    small ones read the same, which is what a byte-budget decision
+    wants."""
+    if not 0.0 < rsd < 1.0:
+        raise ValueError(f"rsd must be in (0, 1), got {rsd}")
+    dg = F.explode(word_ngrams(F.col(text_col), shingle)).alias("__g")
+    a = base.select(dg).select(F.xxhash64("__g").alias("__h"))
+    b = incoming.select(dg).select(F.xxhash64("__g").alias("__h"))
+    ca = a.agg(F.approx_count_distinct("__h", rsd).alias("base_shingles"))
+    cb = b.agg(F.approx_count_distinct("__h", rsd)
+               .alias("incoming_shingles"))
+    cu = (a.unionByName(b)
+          .agg(F.approx_count_distinct("__h", rsd).alias("__u")))
+    joined = ca.crossJoin(cb).crossJoin(cu)   # three 1-row frames
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("base_shingles") + F.col("incoming_shingles")
+        - F.col("__u"))
+    return (joined
+            .withColumn("overlap_shingles", overlap)
+            .select(
+                "base_shingles", "incoming_shingles", "overlap_shingles",
+                F.when(
+                    F.col("incoming_shingles") > 0,
+                    F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.round(
+                        F.lit(1.0)
+                        - F.col("overlap_shingles").cast("double")
+                        / F.col("incoming_shingles").cast("double"), 6))))
+                .alias("novelty_est")))
+
+
 def _span_token_base(docs: DataFrame, id_col: str, text_col: str,
                      delim: str) -> DataFrame:
     """NULL-filtered ``(id_col, __toks)`` token projection shared by the

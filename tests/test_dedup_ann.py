@@ -1575,3 +1575,36 @@ def test_span_dup_rate_estimate_winnowed(spark):
 
     with pytest.raises(ValueError, match="winnow_k"):
         dd.span_dup_rate_estimate(df, span_words=span, winnow_k=0)
+
+
+def test_corpus_novelty_estimate(spark):
+    """The sketch-only novelty probe: ~1 on a disjoint incoming corpus,
+    ~0 on a re-crawl, ~half on a half-new mix (HLL rsd=0.02), NULL when
+    the incoming side has no shingles."""
+    import pytest
+
+    def mk(prefix, n):
+        return spark.createDataFrame(
+            [(i, " ".join(f"{prefix}{i}w{j}" for j in range(12)))
+             for i in range(n)], "doc_id long, text string")
+
+    held = mk("base", 200)
+    fresh = mk("new", 200)
+    r = dd.corpus_novelty_estimate(held, fresh, "text").collect()[0]
+    assert r.novelty_est == pytest.approx(1.0, abs=0.05)
+
+    r = dd.corpus_novelty_estimate(held, held, "text").collect()[0]
+    assert r.novelty_est == pytest.approx(0.0, abs=0.05)
+
+    mixed = mk("base", 100).unionByName(
+        mk("new", 100).select((F.col("doc_id") + 1000).alias("doc_id"),
+                              "text"))
+    r = dd.corpus_novelty_estimate(held, mixed, "text").collect()[0]
+    assert r.novelty_est == pytest.approx(0.5, abs=0.07)
+
+    empty = held.filter("doc_id < 0")
+    r = dd.corpus_novelty_estimate(held, empty, "text").collect()[0]
+    assert r.incoming_shingles == 0 and r.novelty_est is None
+
+    with pytest.raises(ValueError, match="rsd"):
+        dd.corpus_novelty_estimate(held, fresh, "text", rsd=1.5)
