@@ -1,0 +1,189 @@
+"""URL canonicalization / per-domain corpus shaping (training-data ops).
+
+Web-crawl corpora (Common Crawl derivatives like C4 / RefinedWeb /
+FineWeb) dedup and downsample documents by URL before any content-level
+pass: the same page is fetched under dozens of surface forms
+(`HTTP://WWW.Example.com:80/a//b/?utm_source=x#top` is
+`http://example.com/a/b`), and a handful of boilerplate-heavy hosts
+otherwise dominate the corpus. This module provides that layer as pure
+native ``Column`` expressions — no UDF, fully whole-stage-codegen, and
+every regex is RE2-safe (no backreferences / lookaround) so the DuckDB
+oracle replays the exact same canonicalization.
+
+Extends the reference's URL surface (F3 ``extract_domain`` /
+P8 domain predicate, /root/reference/src/common/utils.py:120-161) from
+"host of a URL" to the full canonical form a crawl pipeline keys on.
+
+Canonicalization contract (deterministic, documented):
+- NULL / empty / host-less input canonicalizes to ``''`` (unparseable
+  marker — keeps the function total, lets callers quarantine)
+- scheme-less input is treated as ``http://`` (crawl manifests carry a
+  scheme; the default keeps ad-hoc host lists usable)
+- scheme and host are lowercased; a trailing ``.`` on the host (DNS
+  root form) is dropped
+- default ports are dropped (``http``:80, ``https``:443); others kept
+- the fragment is always dropped
+- tracking query params are dropped (``TRACKING_PARAM_RE``); surviving
+  params are byte-sorted so param order never splits one page into two
+  keys (ASCII params assumed — crawl URLs)
+- runs of ``/`` in the path collapse to one; trailing ``/`` is dropped
+  (root path canonicalizes to no path at all, so ``http://x.com`` ==
+  ``http://x.com/``)
+- percent-encoding is NOT normalized (``%41`` vs ``A`` stay distinct) —
+  a lossless simplification, stated so the contract is checkable
+
+Scale: every function here is a projection — zero shuffles.
+``url_dedup`` is one partial-aggregated shuffle + a semi join (AQE
+broadcasts the keep-set when small); ``domain_cap`` inherits
+``cap_per_key``'s window with its documented hot-key caveat — but the
+cap key here is the *registrable domain*, exactly the column whose
+pile-up the cap exists to remove, so pre-thin pathological hosts with
+``deterministic_sample`` first at true crawl scale (see cap_per_key's
+docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TRACKING_PARAM_RE", "SECOND_LEVEL_LABELS",
+    "canonicalize_url", "url_key", "registrable_domain",
+    "url_dedup", "domain_cap",
+]
+
+# Anchored RE2-safe matcher for one `key=value` (or bare `key`) query
+# param that is pure click-tracking. Shared verbatim with the DuckDB
+# oracle (plans/text.py _URL_SQL) — change both together.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-zA-Z0-9_]*|fbclid|gclid|dclid|msclkid|mc_eid|mc_cid"
+    r"|igshid|_ga|yclid)(=.*)?$"
+)
+
+# Heuristic public-suffix-lite: second-level labels under a short TLD
+# that act as a suffix (example.com.au → registrable example.com.au,
+# not com.au). A full Public Suffix List is a data file, not logic;
+# this allowlist covers the reference's AU-centric corpus plus the
+# global common cases, and the heuristic is part of the contract.
+SECOND_LEVEL_LABELS = ("com", "net", "org", "gov", "edu", "ac", "co", "asn")
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
+def _parts(url: Column) -> dict[str, Column]:
+    """Split into scheme / authority / path / query (fragment dropped)."""
+    u = F.coalesce(url, F.lit(""))
+    u = F.when(u == "", u).otherwise(
+        F.when(u.rlike(_SCHEME_RE), u)
+        .otherwise(F.concat(F.lit("http://"), u)))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    return {
+        "scheme": F.lower(
+            F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)),
+        "authority": authority,
+        "path": F.regexp_extract(tail, r"^([^?#]*)", 1),
+        "query": F.regexp_extract(tail, r"^[^?#]*\?([^#]*)", 1),
+    }
+
+
+def _host_of(authority: Column, strip_www: bool) -> Column:
+    host = F.lower(F.regexp_replace(authority, r":[0-9]*$", ""))
+    host = F.regexp_replace(host, r"\.$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def _canonical(url: Column, *, strip_www: bool, with_scheme: bool,
+               tracking_re: str, sort_params: bool) -> Column:
+    p = _parts(url)
+    host = _host_of(p["authority"], strip_www)
+    port = F.regexp_extract(p["authority"], r":([0-9]+)$", 1)
+    default_port = (((p["scheme"] == "http") & (port == "80"))
+                    | ((p["scheme"] == "https") & (port == "443")))
+    portpart = F.when((port == "") | default_port, F.lit("")) \
+                .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(p["path"], r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/+$", "")
+    params = F.filter(F.split(p["query"], "&"),
+                      lambda q: (q != "") & ~q.rlike(tracking_re))
+    if sort_params:
+        params = F.array_sort(params)
+    qs = F.array_join(params, "&")
+    qspart = F.when(qs == "", qs).otherwise(F.concat(F.lit("?"), qs))
+    prefix = (F.concat(p["scheme"], F.lit("://")) if with_scheme
+              else F.lit(""))
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(prefix, host, portpart, path, qspart))
+
+
+def canonicalize_url(url: Column, *, strip_www: bool = False,
+                     tracking_re: str = TRACKING_PARAM_RE,
+                     sort_params: bool = True) -> Column:
+    """Full canonical URL string per the module contract ('' = bad)."""
+    return _canonical(url, strip_www=strip_www, with_scheme=True,
+                      tracking_re=tracking_re, sort_params=sort_params)
+
+
+def url_key(url: Column) -> Column:
+    """Dedup key: canonical form minus scheme, ``www.`` stripped — the
+    form under which http/https and www/bare fetches of one page
+    collide. '' = unparseable (callers should quarantine, not dedup,
+    the '' group)."""
+    return _canonical(url, strip_www=True, with_scheme=False,
+                      tracking_re=TRACKING_PARAM_RE, sort_params=True)
+
+
+def registrable_domain(url: Column) -> Column:
+    """Heuristic registrable domain ('' = no host): last two labels of
+    the host, or last three when the TLD is ≤3 chars and the
+    second-level label is in ``SECOND_LEVEL_LABELS`` (example.com.au).
+    Accepts full URLs or bare hosts (scheme defaulted)."""
+    host = _host_of(_parts(url)["authority"], strip_www=False)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last = F.element_at(labels, -1)
+    second = F.element_at(labels, -2)
+    suffix3 = ((n >= 3) & (F.length(last) <= 3)
+               & second.isin(*SECOND_LEVEL_LABELS))
+    return (F.when(host == "", F.lit(""))
+            .when(n <= 2, host)
+            .when(suffix3, F.concat_ws(".", F.element_at(labels, -3),
+                                       second, last))
+            .otherwise(F.concat_ws(".", second, last)))
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """Keep one row per ``url_key`` — the min-``id_col`` row
+    (deterministic keep-first). Unparseable URLs (key='') are NOT
+    collapsed into one survivor: they keep all their rows, because ''
+    marks "unknown page", not "same page".
+
+    Shape: partial-aggregated ``groupBy(min(id))`` (map-side combine,
+    skew-safe — the same shape line_dedup mode='first' uses) + a semi
+    join back on (key, id). No window, no row funnel.
+    """
+    key = url_key(F.col(url_col))
+    tagged = df.withColumn("__uk", key)
+    firsts = (tagged.filter(F.col("__uk") != "")
+              .groupBy("__uk").agg(F.min(id_col).alias(id_col)))
+    kept = tagged.join(firsts, ["__uk", id_col], "leftsemi")
+    bad = tagged.filter(F.col("__uk") == "")
+    return kept.unionByName(bad).drop("__uk")
+
+
+def domain_cap(df: DataFrame, url_col: str, n: int,
+               order_col: str | None = None) -> DataFrame:
+    """Keep ≤ ``n`` rows per registrable domain (anti-over-representation
+    guard). Deterministic keep order per ``cap_per_key`` (``order_col``
+    ascending when given — e.g. a negated quality score to keep the
+    best — else a seeded content hash). The '' (host-less) group is
+    capped too: it is a real over-representation bucket in dirty crawls.
+    """
+    from .textstats import cap_per_key
+    tagged = df.withColumn("__dom", registrable_domain(F.col(url_col)))
+    return cap_per_key(tagged, ["__dom"], n, order_col=order_col) \
+        .drop("__dom")

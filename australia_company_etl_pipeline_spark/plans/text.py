@@ -20,6 +20,7 @@ from ..catalog import table
 from ..operators import dsir as dsir_ops
 from ..operators import lm as lm_ops
 from ..operators import textstats as ts
+from ..operators import urls as url_ops
 from .registry import register
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
@@ -615,6 +616,43 @@ mix_kept AS (SELECT d.lang AS stratum, count(*) AS kept
              GROUP BY 1)"""
 
 
+_URL_CAP_N = 5  # kind='urlcap' per-registrable-domain cap
+_URL_SAMPLE_MOD = 37  # kind='urlnorm' canonical-string sample stride
+
+
+def _url_sql() -> str:
+    """DuckDB twin of the URL fixture + shaping arms. The canonical /
+    key / domain strings are derived DIRECTLY from the fixture's
+    doc_id arithmetic (not by replaying operators/urls.py's regex
+    chain) — an independent derivation, so a canonicalization bug on
+    any clause (case folding, default-port drop, // collapse, trailing
+    slash, tracking strip, param sort, fragment drop, www strip,
+    public-suffix-lite domain) hash-mismatches instead of being
+    reproduced on both sides."""
+    return f"""
+url_f AS (
+  SELECT doc_id, doc_id % 2 = 0 AS au,
+         CAST(doc_id % 23 AS VARCHAR) AS k,
+         CAST(doc_id % 7 AS VARCHAR) AS j,
+         doc_id % 3 AS m3
+  FROM documents
+), url_c AS (
+  SELECT doc_id,
+    concat('https://www.site', k,
+           CASE WHEN au THEN '.example.com.au'
+                ELSE '.example-two.org:8080' END,
+           '/p/', j,
+           CASE WHEN m3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END) AS canon,
+    concat('site', k,
+           CASE WHEN au THEN '.example.com.au'
+                ELSE '.example-two.org:8080' END,
+           '/p/', j,
+           CASE WHEN m3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END) AS ukey,
+    CASE WHEN au THEN 'example.com.au' ELSE 'example-two.org' END AS dom
+  FROM url_f
+)"""
+
+
 @register(
     "corpus_filter_stats",
     doc="Corpus observability rollups, kind-tagged (r4: + PII audit; "
@@ -647,10 +685,23 @@ mix_kept AS (SELECT d.lang AS stratum, count(*) AS kept
         "a wrong importance weight that changes the kept set "
         "hash-mismatches, not just a wrong total). Every bucket hash, "
         "smoothed probability, ln, 1e-6 rounding, decimal ×count "
-        "accumulation and the (logw, id) top-k replay in DuckDB.",
+        "accumulation and the (logw, id) top-k replay in DuckDB. "
+        "kind='urlnorm'/'urlkey'/'urlcap' (r7, operators/urls.py): "
+        "crawl-style URL shaping over a deterministic messy-URL "
+        "fixture (upper-cased scheme/host, default and non-default "
+        "ports, // runs, trailing /, tracking params, unsorted params, "
+        "fragments). urlnorm value-checks canonicalize_url STRING-"
+        "EXACTLY on a doc_id%37 sample — the oracle derives the "
+        "canonical from the fixture arithmetic, not from the regex "
+        "chain, so both sides cannot share a bug. urlkey = url_dedup "
+        "(min-doc_id per scheme-less www-less key) rolled up per "
+        "registrable domain with a doc_id membership checksum; urlcap "
+        "= domain_cap(n=5) under a portable md5(doc_id) keep order, "
+        "same checksum discipline as kind='cap'.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
+{_url_sql().lstrip()},
 {_dsir_sql().lstrip()},
 planted AS (
   SELECT text FROM documents
@@ -700,6 +751,25 @@ SELECT 'dsir' AS kind, d.lang AS key, count(*) AS n_docs,
        sum(d.doc_id) AS n_hits
 FROM dsir_sel s JOIN documents d USING (doc_id)
 GROUP BY 2
+UNION ALL
+SELECT 'urlnorm' AS kind, canon AS key, count(*) AS n_docs,
+       sum(doc_id) AS n_hits
+FROM url_c WHERE doc_id % {_URL_SAMPLE_MOD} = 0 GROUP BY canon
+UNION ALL
+SELECT 'urlkey' AS kind, dom AS key, count(*) AS n_docs,
+       sum(doc_id) AS n_hits
+FROM (SELECT dom, doc_id,
+             min(doc_id) OVER (PARTITION BY ukey) AS first_id
+      FROM url_c)
+WHERE doc_id = first_id GROUP BY dom
+UNION ALL
+SELECT 'urlcap' AS kind, dom AS key, count(*) AS n_docs,
+       sum(doc_id) FILTER (WHERE rn <= {_URL_CAP_N}) AS n_hits
+FROM (SELECT dom, doc_id,
+             row_number() OVER (PARTITION BY dom
+                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM url_c)
+GROUP BY dom
 """,
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,5 +818,45 @@ def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum("doc_id").alias("n_hits"))
           .select(F.lit("dsir").alias("kind"), F.col("lang").alias("key"),
                   "n_docs", "n_hits"))
+    # kind='urlnorm'/'urlkey'/'urlcap': crawl URL shaping over a messy
+    # deterministic fixture; the oracle derives every expected string
+    # from the fixture arithmetic (see _url_sql), so the regex chain in
+    # operators/urls.py is checked, not replayed
+    uf = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 23).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".Example.COM.AU:443"))
+             .otherwise(F.lit(".example-Two.ORG:8080")),
+            F.lit("//p//"), (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("/?b=2&utm_source=feed&a=1#frag"))
+             .when(F.col("doc_id") % 3 == 1, F.lit("/?a=1&b=2"))
+             .otherwise(F.lit("/"))).alias("url"))
+    urlnorm = (uf.filter(F.col("doc_id") % _URL_SAMPLE_MOD == 0)
+               .groupBy(url_ops.canonicalize_url(F.col("url")).alias("key"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("n_hits"))
+               .select(F.lit("urlnorm").alias("kind"), "key",
+                       "n_docs", "n_hits"))
+    urlkey = (url_ops.url_dedup(uf, "url", "doc_id")
+              .groupBy(url_ops.registrable_domain(F.col("url")).alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("doc_id").alias("n_hits"))
+              .select(F.lit("urlkey").alias("kind"), "key",
+                      "n_docs", "n_hits"))
+    capped = url_ops.domain_cap(
+        uf.withColumn("__ord", F.md5(F.col("doc_id").cast("string"))),
+        "url", _URL_CAP_N, order_col="__ord")
+    urlcap = (uf.groupBy(url_ops.registrable_domain(F.col("url"))
+                         .alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .join(capped.groupBy(
+                        url_ops.registrable_domain(F.col("url"))
+                        .alias("key"))
+                    .agg(F.sum("doc_id").alias("n_hits")), "key", "left")
+              .select(F.lit("urlcap").alias("kind"), "key",
+                      "n_docs", "n_hits"))
     return (filt.unionByName(pii).unionByName(mix).unionByName(cap)
-            .unionByName(ds))
+            .unionByName(ds).unionByName(urlnorm).unionByName(urlkey)
+            .unionByName(urlcap))
