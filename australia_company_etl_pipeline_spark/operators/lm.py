@@ -265,3 +265,95 @@ def lm_threshold_from_reference(reference: DataFrame, text_col: str,
         raise ValueError("reference slice produced no scored documents "
                          "(all <2 tokens?) — cannot calibrate")
     return float(row["t"])
+
+
+def exact_order_stat(df: DataFrame, val_col: str, id_col: str, k: int,
+                     coarse_grid: int = 1000):
+    """Exact k-th smallest ``(val, id)`` pair (1-based) WITHOUT a global
+    sort or a driver-sized limit funnel — the order-statistic primitive
+    the perplexity tiers below need at corpus scale.
+
+    Two phases: (1) one partial-aggregated histogram shuffle over
+    ``floor(val * coarse_grid)`` bins locates the bin containing rank k
+    (driver receives the histogram — bounded by distinct bins, not
+    rows); (2) the in-bin offset is resolved with a sort+limit over
+    ONLY that bin's rows. The phase-2 limit funnels at most one bin —
+    a 1/grid-wide value slice; if one such slice holds a macroscopic
+    share of the corpus, raise ``coarse_grid`` (the knob trades
+    histogram width for funnel depth).
+
+    Returns a ``Row(v, i)`` or ``None`` when k is out of range.
+    ``val_col`` must be non-NULL; ``(val, id)`` pairs must be distinct
+    (unique ids suffice).
+    """
+    if k < 1:
+        return None
+    bin_col = F.floor(F.col(val_col) * coarse_grid)
+    hist = (df.groupBy(bin_col.alias("__bin"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy("__bin").collect())
+    run = 0
+    target_bin, offset = None, 0
+    for r in hist:
+        if run + r["__c"] >= k:
+            target_bin, offset = r["__bin"], k - run
+            break
+        run += r["__c"]
+    if target_bin is None:
+        return None
+    sub = df.filter(bin_col == target_bin)
+    return (sub.select(F.col(val_col).alias("v"), F.col(id_col).alias("i"))
+            .orderBy("v", "i").limit(offset)
+            .agg(F.max(F.struct("v", "i")).alias("m"))
+            .collect()[0]["m"])
+
+
+def ccnet_buckets(scored: DataFrame, nll_col: str = "avg_nll",
+                  id_col: str = "doc_id", parts: int = 3,
+                  labels: tuple[str, ...] = ("head", "middle", "tail"),
+                  coarse_grid: int = 1000) -> DataFrame:
+    """CCNet-style perplexity tiers (Wenzek et al. 2020): split the
+    scored corpus into ``parts`` equal tiers by LM score — 'head' is
+    the most fluent third, 'tail' the least; downstream recipes keep
+    head+middle or reweight by tier. Published CCNet cuts on
+    percentiles of the Kneser-Ney perplexity; this is the same rule
+    over ``bigram_lm_score``'s ``avg_nll`` (monotone in perplexity, so
+    the tiers are identical).
+
+    Tier boundaries are the ``floor(n·i/parts)``-th smallest
+    ``(nll, id)`` pairs — EXACT order statistics via
+    ``exact_order_stat`` (two bounded passes each, no global sort), so
+    the assignment is deterministic and engine-reproducible: a doc is
+    in tier i iff its (nll, id) pair ≤ the i-th boundary pair, which
+    equals the rank rule ``row_number() OVER (ORDER BY nll, id) ≤
+    floor(n·i/parts)`` an oracle can replay. Ties in nll are split by
+    id, so equal-score docs land deterministically.
+
+    Input rows must have non-NULL ``nll_col`` and unique ``id_col``
+    (``bigram_lm_score`` guarantees both). ``scored`` is persisted for
+    the boundary probes + final projection — call ``unpersist_lm()``
+    after the terminal action. Adds column ``ppl_bucket``.
+    """
+    if len(labels) != parts:
+        raise ValueError(f"need {parts} labels, got {len(labels)}")
+    from pyspark import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    _LM_CACHE.append(scored)
+    n = scored.count()
+    conds = []
+    for i, lbl in enumerate(labels[:-1], start=1):
+        b = exact_order_stat(scored, nll_col, id_col, (n * i) // parts,
+                             coarse_grid=coarse_grid)
+        if b is None:
+            continue
+        conds.append((
+            (F.col(nll_col) < b["v"])
+            | ((F.col(nll_col) == b["v"]) & (F.col(id_col) <= b["i"])),
+            lbl))
+    expr = None
+    for cond, lbl in conds:
+        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+    expr = (F.lit(labels[-1]) if expr is None
+            else expr.otherwise(F.lit(labels[-1])))
+    return scored.withColumn("ppl_bucket", expr)

@@ -449,10 +449,15 @@ lm_sc AS (
         "the corpus's own add-1-smoothed bigram table scores every "
         "document's mean transition NLL (score = avg_nll, n_matched = "
         "transition count; perplexity = exp(score)) — the quality gate "
-        "a crawl pipeline runs before expensive classifiers. Per-doc "
-        "score assembly across all kinds is order-independent decimal "
-        "accumulation on the 1e-6 grid → fully value-checked against "
-        "DuckDB.",
+        "a crawl pipeline runs before expensive classifiers. "
+        "kind='ccnet' (r7): CCNet head/middle/tail perplexity tiers "
+        "(Wenzek 2020; operators/lm.py ccnet_buckets) over the SAME "
+        "scored frame — term carries the tier label; boundaries are "
+        "exact order statistics computed with the two-phase histogram "
+        "probe (no global sort), value-checked against DuckDB's "
+        "row_number rank rule. Per-doc score assembly across all kinds "
+        "is order-independent decimal accumulation on the 1e-6 grid → "
+        "fully value-checked against DuckDB.",
     tags=("text",),
     oracle=f"""
 WITH {_BM25_SQL_CTES}
@@ -470,9 +475,22 @@ SELECT 'lm' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
        nt AS n_matched, round(CAST(s AS DOUBLE) / nt, 6) AS score,
        CAST(NULL AS INT) AS rank
 FROM lm_sc
+UNION ALL
+SELECT 'ccnet' AS kind, doc_id,
+       CASE WHEN rn <= n // 3 THEN 'head'
+            WHEN rn <= (2 * n) // 3 THEN 'middle'
+            ELSE 'tail' END AS term,
+       CAST(NULL AS INT) AS n_matched, nll AS score,
+       CAST(NULL AS INT) AS rank
+FROM (SELECT doc_id, round(CAST(s AS DOUBLE) / nt, 6) AS nll,
+             row_number() OVER (
+                 ORDER BY round(CAST(s AS DOUBLE) / nt, 6), doc_id)
+               AS rn,
+             count(*) OVER () AS n
+      FROM lm_sc)
 """,
     branches={k: (lambda s, d, _k=k: _doc_search_branches(s, d, _k))
-              for k in ("search", "keyterm", "lm")},
+              for k in ("search", "keyterm", "lm", "ccnet")},
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_search_branches(spark, sf_dir, None)
@@ -505,19 +523,32 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                 .select(F.lit("keyterm").alias("kind"), "doc_id", "term",
                         F.lit(None).cast("int").alias("n_matched"),
                         "score", "rank"))
-    if kind in (None, "lm"):
+    if kind in (None, "lm", "ccnet"):
         # LM scoring needs token ORDER, which the (id, term, tf) postings
         # aggregate has discarded — it pays its own tokenization scans,
         # deliberately UNcached (persist_tokens=False default:
         # serializing token arrays measured slower than re-splitting a
         # cheap local scan; see the lm module note)
-        parts.append(
-            lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0)
-            .select(F.lit("lm").alias("kind"), "doc_id",
-                    F.lit(None).cast("string").alias("term"),
-                    F.col("n_transitions").alias("n_matched"),
-                    F.col("avg_nll").alias("score"),
-                    F.lit(None).cast("int").alias("rank")))
+        scored = lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0)
+        if kind in (None, "lm"):
+            parts.append(
+                scored
+                .select(F.lit("lm").alias("kind"), "doc_id",
+                        F.lit(None).cast("string").alias("term"),
+                        F.col("n_transitions").alias("n_matched"),
+                        F.col("avg_nll").alias("score"),
+                        F.lit(None).cast("int").alias("rank")))
+        if kind in (None, "ccnet"):
+            # ccnet_buckets persists the scored frame, so in the fold
+            # the lm arm above reads the same cache instead of paying a
+            # second LM scoring pass; bench releases via unpersist_lm()
+            parts.append(
+                lm_ops.ccnet_buckets(scored, "avg_nll", "doc_id")
+                .select(F.lit("ccnet").alias("kind"), "doc_id",
+                        F.col("ppl_bucket").alias("term"),
+                        F.lit(None).cast("int").alias("n_matched"),
+                        F.col("avg_nll").alias("score"),
+                        F.lit(None).cast("int").alias("rank")))
     if not parts:
         raise ValueError(f"unknown doc_search_bm25 kind {kind!r}")
     out = parts[0]

@@ -680,3 +680,81 @@ def test_lm_threshold_calibration(spark, tmp_path):
     with pt.raises(ValueError, match="pct"):
         lm.lm_threshold_from_reference(ref, "text", "doc_id", path,
                                        pct=1.5)
+
+
+# ---------------------------------------------------------------------------
+# exact order statistics + CCNet perplexity tiers (operators/lm.py r7)
+# ---------------------------------------------------------------------------
+
+def test_exact_order_stat_matches_python_sort(spark):
+    import random
+
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
+
+    rng = random.Random(11)
+    # duplicate values on purpose — the id tiebreak must resolve them;
+    # include a hot bin (many equal values) to cross bin boundaries
+    vals = [round(rng.choice([0.5, 1.25, 1.2501, 3.0, rng.random() * 5]), 6)
+            for _ in range(200)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double").repartition(7)
+    ordered = sorted((v, i) for i, v in rows)
+    for k in (1, 2, 66, 133, 199, 200):
+        got = lm_ops.exact_order_stat(df, "v", "i", k)
+        assert (got["v"], got["i"]) == ordered[k - 1], k
+    assert lm_ops.exact_order_stat(df, "v", "i", 0) is None
+    assert lm_ops.exact_order_stat(df, "v", "i", 201) is None
+
+
+def test_ccnet_buckets_match_rank_rule(spark):
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [5.0, 1.0, 3.0, 3.0, 3.0, 2.0, 9.0, 0.5, 3.0])]  # ties at 3.0
+    df = spark.createDataFrame(rows, "doc_id long, avg_nll double") \
+        .repartition(5)
+    out = {r.doc_id: r.ppl_bucket
+           for r in lm_ops.ccnet_buckets(df, "avg_nll", "doc_id").collect()}
+    lm_ops.unpersist_lm()
+    ordered = sorted((v, i) for i, v in rows)
+    n = len(rows)
+    want = {}
+    for rn, (_, i) in enumerate(ordered, start=1):
+        want[i] = ("head" if rn <= n // 3 else
+                   "middle" if rn <= (2 * n) // 3 else "tail")
+    assert out == want
+    # tiers are exact thirds
+    from collections import Counter
+    assert Counter(out.values()) == Counter(head=3, middle=3, tail=3)
+
+
+def test_ccnet_buckets_tiny_corpus_degenerates_to_tail(spark):
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
+
+    df = spark.createDataFrame([(1, 2.0), (2, 1.0)],
+                               "doc_id long, avg_nll double")
+    out = {r.doc_id: r.ppl_bucket
+           for r in lm_ops.ccnet_buckets(df, "avg_nll", "doc_id").collect()}
+    lm_ops.unpersist_lm()
+    # n=2: k1=0 (head empty), k2=1 → middle={min pair}, tail=rest
+    assert out == {2: "middle", 1: "tail"}
+
+
+def test_ccnet_buckets_partition_layout_invariant(spark):
+    import random
+
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
+
+    rng = random.Random(3)
+    rows = [(i, round(rng.random() * 4, 6)) for i in range(100)]
+    a = spark.createDataFrame(rows, "doc_id long, avg_nll double")
+    got_a = {r.doc_id: r.ppl_bucket
+             for r in lm_ops.ccnet_buckets(a, "avg_nll", "doc_id")
+             .collect()}
+    b = spark.createDataFrame(rows, "doc_id long, avg_nll double") \
+        .repartition(13)
+    got_b = {r.doc_id: r.ppl_bucket
+             for r in lm_ops.ccnet_buckets(b, "avg_nll", "doc_id")
+             .collect()}
+    lm_ops.unpersist_lm()
+    assert got_a == got_b
