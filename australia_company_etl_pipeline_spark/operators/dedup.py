@@ -1529,7 +1529,8 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
                       id_col: str, threshold: float = 0.8,
                       num_hashes: int = 32, bands: int = 8,
                       shingle: int = 3,
-                      hash_fn: str = "native") -> DataFrame:
+                      hash_fn: str = "native",
+                      id_buckets: int | None = None) -> DataFrame:
     """Dedup an arriving batch against EVERYTHING seen before without
     recomputing history — the only near-dup shape that survives a corpus
     growing by terabytes a day (re-running ``minhash_dup_pairs`` over the
@@ -1573,6 +1574,23 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     scale, write the index bucketed on ``bh`` (see
     ``sinks.write_bucketed_parquet``) to make the per-batch candidate
     join exchange-free on the index side.
+
+    ``id_buckets`` (r7, opt-in like every other index parameter: fixed
+    for the life of one index) partition-prunes the expensive side of
+    the verify join.  The shingle table — the big one: it carries the
+    full shingle ARRAYS where the buckets table carries two ints — is
+    written hash-partitioned on ``pmod(xxhash64(id), id_buckets)``.
+    Per batch, the candidate pairs' distinct seen-id buckets (bounded
+    by ``id_buckets``, one tiny collect) become a static
+    ``PartitionFilters`` predicate on the history-shingle scan, so a
+    day's batch against a year's corpus reads the few shingle
+    partitions its candidates actually touch instead of scanning every
+    shingle ever indexed.  The candidate frame is persisted (released
+    by ``unpersist_shingles()``) because the bucket probe and the
+    verify join both consume it.  Size ``id_buckets`` so one partition
+    of history shingles ≈ one comfortable scan unit (history_rows /
+    id_buckets × avg shingle bytes); too-large values just make small
+    files.
     """
     from pyspark.sql.types import (ArrayType, StringType, StructField,
                                    StructType)
@@ -1611,10 +1629,14 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
             StructField("band", buckets.schema["band"].dataType),
             StructField("bh", buckets.schema["bh"].dataType)]),
         siblings=(f"{buckets_path}.__old",))
+    sh_fields = [StructField(id_col, id_type),
+                 StructField("__sh", ArrayType(StringType()))]
+    if id_buckets is not None:
+        from pyspark.sql.types import LongType
+
+        sh_fields.append(StructField("__pb", LongType()))
     idx_sh = _read_or_empty(
-        spark, shingles_path, StructType([
-            StructField(id_col, id_type),
-            StructField("__sh", ArrayType(StringType()))]),
+        spark, shingles_path, StructType(sh_fields),
         siblings=(f"{shingles_path}.__old", buckets_path))
 
     # seen_id < new_id, NOT just a self-pair exclusion: under the
@@ -1640,6 +1662,22 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
                    F.col(f"a.{id_col}").alias("seen_id")))
     cands = hist.unionByName(own).distinct()
 
+    if id_buckets is not None:
+        # The candidate frame feeds BOTH the partition probe (eager,
+        # tiny) and the verify join — persist so the probe doesn't
+        # recompute the bucket joins.
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE.append(cands)
+        need = [r["b"] for r in
+                (cands.select(F.pmod(F.xxhash64("seen_id"),
+                                     F.lit(id_buckets)).alias("b"))
+                 .distinct().collect())]
+        # Static IN-list on the partition column → PartitionFilters on
+        # the history-shingle scan (pinned in tests); empty candidate
+        # set prunes the whole table.
+        idx_sh = idx_sh.filter(F.col("__pb").isin(need)
+                               if need else F.lit(False)).drop("__pb")
+
     seen_sh = idx_sh.unionByName(sh)
     verified = (cands
                 .join(sh.select(F.col(id_col).alias("new_id"),
@@ -1658,7 +1696,12 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     # shingle rows (harmless — never candidates without bucket rows),
     # whereas orphaned BUCKET rows would generate candidates whose verify
     # join finds no shingles and silently re-admit known duplicates.
-    sh.write.mode("append").parquet(shingles_path)
+    if id_buckets is not None:
+        (sh.withColumn("__pb", F.pmod(F.xxhash64(id_col),
+                                      F.lit(id_buckets)))
+         .write.mode("append").partitionBy("__pb").parquet(shingles_path))
+    else:
+        sh.write.mode("append").parquet(shingles_path)
     buckets.write.mode("append").parquet(buckets_path)
 
     return batch.join(drops, id_col, "left_anti")
@@ -1697,7 +1740,13 @@ def compact_dedup_index(spark, index_path: str) -> dict[str, int]:
         tmp = f"{index_path}/{sub}.__compact_tmp.{_os.getpid()}"
         df = spark.read.parquet(path)
         before = df.count()
-        df.dropDuplicates().write.mode("overwrite").parquet(tmp)
+        w = df.dropDuplicates().write.mode("overwrite")
+        # id_buckets layout: keep the shingle table hash-partitioned —
+        # a flat rewrite would silently disable the per-batch
+        # PartitionFilters pruning and splinter later appends' layout
+        if "__pb" in df.columns:
+            w = w.partitionBy("__pb")
+        w.parquet(tmp)
         after = spark.read.parquet(tmp).count()
         replace_dir(spark, tmp, path)
         removed[sub] = before - after

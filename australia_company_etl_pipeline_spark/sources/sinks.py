@@ -372,3 +372,37 @@ def compact_parquet(spark, path: str, target_bytes: int = 128 << 20,
     replace_dir(spark, tmp, path)
     return {"files_before": files_before, "files_after": data_files(),
             "bytes": int(total)}
+
+
+def write_training_shards(df: DataFrame, path: str, id_col: str,
+                          shards: int, seed: int = 42,
+                          max_records_per_file: int | None = None) -> None:
+    """Training-order corpus writer: the complement of
+    ``write_sharded_corpus``.  A release wants KEY order (binary-search
+    shards); a training run wants the opposite — a decorrelated global
+    order, because curation leaves the corpus sorted by source/time/
+    quality and gradient training on correlated batches degrades.  The
+    standard recipe shuffles once at write time so every epoch reader
+    streams shards sequentially.
+
+    Order is ``xxhash64(seed, id)`` — deterministic pseudo-random:
+    reproducible end-to-end from (input, seed), re-shuffled by bumping
+    ``seed``, independent of cluster size and partition layout (unlike
+    ``orderBy(rand())``, which is neither reproducible nor stable
+    across retried tasks — a retried stage would re-draw its randoms
+    and silently duplicate/drop rows under speculative execution).
+
+    Scale: one ``repartitionByRange`` over the hash (sampled balanced
+    boundaries — hash values are uniform, so shards are even) + local
+    sort; ``maxRecordsPerFile`` caps file sizes without extra shuffle.
+    Shard i's CONTENT depends only on (input, seed, shards).
+    """
+    order = F.xxhash64(F.lit(seed), F.col(id_col))
+    w = (df.withColumn("__ord", order)
+         .repartitionByRange(shards, F.col("__ord"))
+         .sortWithinPartitions("__ord")
+         .drop("__ord")
+         .write.mode("overwrite"))
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

@@ -1608,3 +1608,82 @@ def test_corpus_novelty_estimate(spark):
 
     with pytest.raises(ValueError, match="rsd"):
         dd.corpus_novelty_estimate(held, fresh, "text", rsd=1.5)
+
+
+# ---------------------------------------------------------------------------
+# id_buckets: partition-pruned shingle history (r7)
+# ---------------------------------------------------------------------------
+
+def _run_chunks_bucketed(spark, tmp_path, docs, chunks, tag, id_buckets):
+    idx = str(tmp_path / f"idx_{tag}")
+    kept: list[int] = []
+    start = 0
+    for size in chunks:
+        batch = spark.createDataFrame(docs[start:start + size],
+                                      "doc_id long, text string")
+        out = dd.incremental_dedup(batch, idx, "text", "doc_id",
+                                   threshold=0.8, id_buckets=id_buckets)
+        kept += [r["doc_id"] for r in out.select("doc_id").collect()]
+        start += size
+    dd.unpersist_shingles()
+    return sorted(kept)
+
+
+def test_incremental_dedup_id_buckets_same_verdicts(spark, tmp_path):
+    """The partitioned layout is a LAYOUT: kept sets must equal the flat
+    layout's under every chunking."""
+    docs = _inc_corpus()
+    n = len(docs)
+    flat = _run_chunks(spark, tmp_path, docs, [n // 2, n - n // 2],
+                       "pbflat")
+    for nb in (1, 8):
+        got = _run_chunks_bucketed(
+            spark, tmp_path, docs,
+            [n // 3, n // 3, n - 2 * (n // 3)], f"pb{nb}", nb)
+        assert got == flat, nb
+
+
+def test_incremental_dedup_id_buckets_prunes_history_scan(spark,
+                                                          tmp_path):
+    """The verify join's history-shingle scan must carry a
+    PartitionFilters predicate on __pb — the read-less-than-everything
+    contract the layout exists for."""
+    docs = _inc_corpus()
+    idx = str(tmp_path / "idx_prune")
+    b1 = spark.createDataFrame(docs[:20], "doc_id long, text string")
+    dd.incremental_dedup(b1, idx, "text", "doc_id", id_buckets=16)
+    dd.unpersist_shingles()
+    b2 = spark.createDataFrame(docs[20:], "doc_id long, text string")
+    out = dd.incremental_dedup(b2, idx, "text", "doc_id", id_buckets=16)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    dd.unpersist_shingles()
+    assert "PartitionFilters: [__pb" in plan.replace("#", " #") or \
+        "__pb" in plan.split("PartitionFilters")[1][:200], plan
+    # and the partitioned table really is laid out in __pb= dirs
+    import os
+    subdirs = [d for d in os.listdir(f"{idx}/shingles")
+               if d.startswith("__pb=")]
+    assert subdirs, os.listdir(f"{idx}/shingles")
+
+
+def test_compact_preserves_id_bucket_layout(spark, tmp_path):
+    docs = _inc_corpus()
+    idx = str(tmp_path / "idx_compact_pb")
+    b = spark.createDataFrame(docs, "doc_id long, text string")
+    dd.incremental_dedup(b, idx, "text", "doc_id", id_buckets=4)
+    dd.incremental_dedup(b, idx, "text", "doc_id", id_buckets=4)  # replay
+    dd.unpersist_shingles()
+    removed = dd.compact_dedup_index(spark, idx)
+    assert removed["shingles"] > 0
+    import os
+    subdirs = [d for d in os.listdir(f"{idx}/shingles")
+               if d.startswith("__pb=")]
+    assert subdirs, "compaction flattened the partitioned layout"
+    # the index still answers correctly after compaction
+    extra = spark.createDataFrame(
+        [(500, docs[0][1])], "doc_id long, text string")
+    out = dd.incremental_dedup(extra, idx, "text", "doc_id",
+                               id_buckets=4)
+    dd.unpersist_shingles()
+    assert out.count() == 0  # exact copy of doc 0 → dropped

@@ -617,3 +617,39 @@ def test_replace_dir_swap_and_stale_backup_cleanup(spark, tmp_path):
     with pytest.raises(IOError):
         replace_dir(spark, str(tmp_path / "nope"), final)
     assert spark.read.parquet(final).count() == 9   # target untouched
+
+
+def test_write_training_shards_deterministic_shuffle(spark, tmp_path):
+    """Seeded hash order: reproducible across writes, decorrelated from
+    the input key order, re-drawn by bumping the seed, lossless."""
+    import glob
+
+    from australia_company_etl_pipeline_spark.sources import sinks
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(300)],
+                               "doc_id long, text string")
+
+    def read_order(path):
+        out = []
+        for shard in sorted(glob.glob(f"{path}/part-*.parquet")):
+            out += [r.doc_id for r in
+                    spark.read.parquet(shard).collect()]
+        return out
+
+    p1, p2, p3 = (str(tmp_path / n) for n in ("a", "b", "c"))
+    sinks.write_training_shards(df, p1, "doc_id", shards=4, seed=1)
+    sinks.write_training_shards(df.repartition(11), p2, "doc_id",
+                                shards=4, seed=1)
+    sinks.write_training_shards(df, p3, "doc_id", shards=4, seed=2)
+
+    o1, o2, o3 = read_order(p1), read_order(p2), read_order(p3)
+    assert o1 == o2                      # layout-independent, same seed
+    assert o1 != o3                      # seed re-shuffles
+    assert sorted(o1) == list(range(300)) == sorted(o3)  # lossless
+    # decorrelated from id order: positions of ids 0..299 look shuffled
+    pos = {d: i for i, d in enumerate(o1)}
+    n = 300
+    import statistics
+    rho = statistics.correlation(list(range(n)),
+                                 [pos[i] for i in range(n)])
+    assert abs(rho) < 0.25, rho
