@@ -65,6 +65,7 @@ def prepare_training_corpus(
         semantic_clusters: int = 16,
         semantic_keep: str = "far",
         bpe_merges: list[tuple[str, str]] | None = None,
+        url_col: str | None = None,
         domain_cap: tuple[str, int] | None = None,
         line_dedup_mode: str | None = None,
         line_min_docs: int = 3,
@@ -85,12 +86,19 @@ def prepare_training_corpus(
 
     Stages (each optional knob noted):
 
+    0. URL dedup (only when ``url_col`` is given) — ``urls.url_dedup``
+       collapses refetches of one page under scheme/www/tracking-param
+       variants (min-id keep) BEFORE anything content-level runs: the
+       cheapest pass goes first;
     1. quality filter — ``corpus_filter`` one-pass gate, drop reasons
        attributed (``filter_kwargs`` forwards thresholds);
     1b. domain cap (only when ``domain_cap=(key_col, n)`` is given) —
        ``cap_per_key`` keeps at most n docs per key (host/domain
        over-representation guard), BEFORE dedup so a boilerplate-heavy
-       host can't dominate the shingle/cluster stages either;
+       host can't dominate the shingle/cluster stages either; pass
+       ``key_col == url_col`` to cap on the URL column's REGISTRABLE
+       DOMAIN (``urls.domain_cap``, the FineWeb-style host
+       downsampling) instead of a raw column value;
     1c. line-level boilerplate removal (only when ``line_dedup_mode``
        is 'first' or 'common') — ``dedup.line_dedup`` rewrites each
        doc without its boilerplate lines (``line_min_docs`` gates the
@@ -200,6 +208,17 @@ def prepare_training_corpus(
     """
     stages: dict[str, DataFrame] = {"ingested": docs}
 
+    if url_col is not None:
+        # Stage 0: URL-level dedup FIRST — the cheapest pass in a crawl
+        # pipeline (pure string canonicalization + one keyed
+        # aggregation), removing refetches of one page under
+        # http/https/www/tracking-param variants before any
+        # content-level stage pays for them.
+        from ..operators import urls as url_ops
+
+        docs = _stage(url_ops.url_dedup(docs, url_col, id_col))
+        stages["url_deduped"] = docs
+
     flagged = ts.corpus_filter(docs, text_col, **(filter_kwargs or {}))
     kept = _stage(flagged.filter(F.col("drop_reason").isNull())
                   .drop("drop_reason"))
@@ -207,7 +226,15 @@ def prepare_training_corpus(
 
     if domain_cap is not None:
         cap_col, cap_n = domain_cap
-        kept = _stage(ts.cap_per_key(kept, [cap_col], cap_n))
+        if url_col is not None and cap_col == url_col:
+            # cap over the REGISTRABLE DOMAIN derived from the URL
+            # column (FineWeb-style host downsampling), not the raw
+            # URL string — passing the url_col selects this form
+            from ..operators import urls as url_ops
+
+            kept = _stage(url_ops.domain_cap(kept, url_col, cap_n))
+        else:
+            kept = _stage(ts.cap_per_key(kept, [cap_col], cap_n))
         stages["domain_capped"] = kept
 
     if line_dedup_mode is not None:

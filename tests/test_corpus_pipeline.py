@@ -526,3 +526,42 @@ def test_prepare_training_corpus_classifier_calibrated(spark, sf_dir):
                                                     clean_ref)))
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_url_stages(spark, sf_dir):
+    """url_col drives stage-0 URL dedup; domain_cap=(url_col, n) caps on
+    the registrable domain derived from it."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    # siblings 2k / 2k+1 share one page; the odd sibling carries the
+    # messy variant (scheme case, www, tracking param) -> stage-0 must
+    # collapse each pair to its even (min-id) member. Host alternates
+    # per page so the registrable-domain cap sees two domains.
+    page = (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+    host = F.when((F.col("doc_id") / 2).cast("long") % 2 == 0,
+                  F.lit("hosta.example.com")) \
+            .otherwise(F.lit("b.example-b.org"))
+    base = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 2 == 1,
+               F.concat(F.lit("HTTP://WWW."), host, F.lit("/page/"),
+                        page, F.lit("/?utm_source=x")))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit("/page/"),
+                            page)))
+    try:
+        packed, report = prepare_training_corpus(
+            base, url_col="url", domain_cap=("url", 10),
+            pack_budget=2048)
+        import json as _json
+        counts = _json.loads(report.collect()[0]["stage_counts"])
+        n_pages = base.select(
+            (F.col("doc_id") - F.col("doc_id") % 2)).distinct().count()
+        # stage 0 kept exactly one row per page -- the even sibling
+        assert counts["url_deduped"] == n_pages
+        kept_ids = [r.doc_id for r in packed.select("doc_id").collect()]
+        assert all(i % 2 == 0 for i in kept_ids)
+        # registrable-domain cap: at most 10 per domain, 2 domains
+        assert counts["domain_capped"] <= 20
+        assert counts["domain_capped"] < counts["url_deduped"]
+    finally:
+        release_corpus_cache()
