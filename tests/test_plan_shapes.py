@@ -389,3 +389,57 @@ def test_span_dup_rate_estimate_windows_per_doc(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert counts[node] == 0, counts
+
+
+# ---------------------------------------------------------------------------
+# r7 operators: URL shaping, ccnet tiers (plan shapes)
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_is_pure_projection(spark, sf_dir):
+    """Canonicalization must stay a shuffle-free codegen projection —
+    no Exchange, no Python evaluation."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import urls as U
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("http://h.com/"),
+                           F.col("doc_id").cast("string")).alias("url"))
+    plan = _plan(d.select(U.canonicalize_url(F.col("url")),
+                          U.url_key(F.col("url")),
+                          U.registrable_domain(F.col("url"))))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted mode marks codegen stages with '*'; the higher-order
+    # param-filter lambda keeps the outermost Project interpreted, but
+    # the chain must stay scan→project only
+    assert "* Project" in plan or "* ColumnarToRow" in plan, plan
+
+
+def test_url_dedup_uses_partial_agg_not_window(spark, sf_dir):
+    """url_dedup's keep-first must be the skew-safe partial-aggregated
+    groupBy(min) + join shape — no window funnel per URL key."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import urls as U
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("http://h.com/"),
+                           (F.col("doc_id") % 50).cast("string"))
+        .alias("url"))
+    plan = _plan(U.url_dedup(d, "url", "doc_id"))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_ccnet_buckets_output_plan_is_projection_over_cache(spark):
+    """After the eager boundary probes, the RETURNED frame must be a
+    pure projection over the persisted scored frame — no extra
+    shuffle, no join, no window in the steady-state read path."""
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
+
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(50)],
+                               "doc_id long, avg_nll double")
+    out = lm_ops.ccnet_buckets(df, "avg_nll", "doc_id")
+    plan = _plan(out)
+    lm_ops.unpersist_lm()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
