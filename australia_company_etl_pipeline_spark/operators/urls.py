@@ -48,9 +48,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "TRACKING_PARAM_RE", "SECOND_LEVEL_LABELS",
+    "TRACKING_PARAM_RE", "SECOND_LEVEL_LABELS", "URL_IN_TEXT_RE",
     "canonicalize_url", "url_key", "registrable_domain",
-    "url_dedup", "domain_cap",
+    "url_dedup", "domain_cap", "extract_urls", "filter_blocked_domains",
 ]
 
 # Anchored RE2-safe matcher for one `key=value` (or bare `key`) query
@@ -187,3 +187,61 @@ def domain_cap(df: DataFrame, url_col: str, n: int,
     tagged = df.withColumn("__dom", registrable_domain(F.col(url_col)))
     return cap_per_key(tagged, ["__dom"], n, order_col=order_col) \
         .drop("__dom")
+
+
+URL_IN_TEXT_RE = r"https?://[^\s<>\"')\]]+"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs appearing in free text (array<string>, [] when
+    none) — the outlink extractor quality signals and link-graph
+    analyses start from. RE2-safe single regex, pure projection; the
+    trailing-punctuation convention (stop at whitespace / common
+    closers) is the usual crawl heuristic, documented not configurable."""
+    return F.coalesce(
+        F.regexp_extract_all(F.coalesce(text, F.lit("")),
+                             F.lit(URL_IN_TEXT_RE), F.lit(0)),
+        F.array().cast("array<string>"))
+
+
+def filter_blocked_domains(df: DataFrame, url_col: str, blocked,
+                           mode: str = "domain") -> DataFrame:
+    """Blocklist filter (the RefinedWeb shape: a multi-million-entry
+    domain blocklist applied before anything content-level): drop rows
+    whose registrable domain (``mode='domain'``) or full host
+    (``mode='host'``) appears in ``blocked``.
+
+    ``blocked`` is a 1-column DataFrame or an iterable of strings.
+    Entries are normalized through the SAME key function as the data
+    side (case-insensitive; under mode='domain' an entry
+    'www.Spam.example.COM' normalizes to 'example.com' and therefore
+    blocks the whole registrable domain — use mode='host' when an
+    entry is meant to block only one host).
+
+    Scale: broadcast LEFT ANTI join — a blocklist is millions of rows,
+    tiny next to a crawl; an ``isin`` literal list would compile an
+    unbounded expression tree into every task. Unparseable URLs
+    (key='') are NEVER dropped by the blocklist — '' is "unknown", and
+    a blocklist entry cannot mean "unknown".
+    """
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame([(b,) for b in blocked],
+                                        "b string")
+    bcol = blocked.columns[0]
+    if mode == "domain":
+        key = registrable_domain(F.col(url_col))
+        bkey = registrable_domain(F.col(bcol))
+    elif mode == "host":
+        key = _host_of(_parts(F.col(url_col))["authority"],
+                       strip_www=True)
+        bkey = _host_of(_parts(F.col(bcol))["authority"], strip_www=True)
+    else:
+        raise ValueError(f"mode must be 'domain' or 'host', got {mode!r}")
+    blk = (blocked.select(bkey.alias("__blk")).where(F.col("__blk") != "")
+           .distinct())
+    tagged = df.withColumn("__key", key)
+    kept = (tagged.join(F.broadcast(blk),
+                        tagged["__key"] == blk["__blk"], "left_anti")
+            .drop("__key"))
+    return kept

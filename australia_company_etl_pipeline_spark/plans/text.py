@@ -802,92 +802,122 @@ FROM (SELECT dom, doc_id,
       FROM url_c)
 GROUP BY dom
 """,
+    branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
+              for k in ("filter", "pii", "mixture", "cap", "dsir", "url")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_filter_branches(spark, sf_dir, None)
+
+
+def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
+                            kind: str | None) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    filtered = ts.corpus_filter(d, "text", allowed_langs=["en", "und"])
-    filt = (ts.corpus_filter_stats(filtered)
+    parts: list[DataFrame] = []
+    if kind in (None, "filter"):
+        filtered = ts.corpus_filter(d, "text",
+                                    allowed_langs=["en", "und"])
+        parts.append(
+            ts.corpus_filter_stats(filtered)
             .select(F.lit("filter").alias("kind"),
                     F.coalesce("drop_reason", F.lit("kept")).alias("key"),
                     "n_docs", F.lit(None).cast("long").alias("n_hits")))
-    planted = (d.filter(F.col("doc_id") % 3 == 0)
-               .select(F.concat(F.lit("ping user"),
-                                F.col("doc_id").cast("string"),
-                                F.lit(_PII_SUFFIX)).alias("text")))
-    corpus = d.select("text").unionByName(planted)
-    pii = (ts.pii_stats(corpus, "text")
-           .select(F.lit("pii").alias("kind"), F.col("kind").alias("key"),
-                   "n_docs", "n_hits"))
-    _, report = ts.mixture_sample(d, "lang", _MIX_WEIGHTS, "doc_id",
-                                  budget=_MIX_BUDGET, hash_fn="md5")
-    mix = report.select(F.lit("mixture").alias("kind"),
-                        F.col("stratum").alias("key"),
-                        F.col("available").cast("long").alias("n_docs"),
-                        F.col("kept").cast("long").alias("n_hits"))
-    # kind='cap': per-key cap with an engine-portable keep order
-    # (md5(text) — distinct over this corpus, so the content-hash
-    # tiebreak never fires and DuckDB replays the exact kept SET);
-    # n_hits = sum of kept doc_ids — a membership checksum, so the
-    # oracle catches a wrong keep-choice, not just a wrong count
-    capped = ts.cap_per_key(
-        d.withColumn("__ord", F.md5("text")), ["lang"], n=_CAP_N,
-        order_col="__ord")
-    cap = (d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-           .join(capped.groupBy("lang")
-                 .agg(F.sum("doc_id").alias("n_hits")), "lang", "left")
-           .select(F.lit("cap").alias("kind"), F.col("lang").alias("key"),
-                   "n_docs", "n_hits"))
-    # kind='dsir': select the 100 pool docs that look most like the
-    # lang='en' trusted slice (hashed-n-gram importance resampling),
-    # report per-lang selected counts + a doc_id membership checksum
-    selected = dsir_ops.dsir_select(
-        spark, d.select("doc_id", "lang", "text"),
-        d.filter(F.col("lang") == "en").select("text"),
-        "text", "doc_id", k=_DSIR_K, n_buckets=_DSIR_B)
-    ds = (selected.groupBy("lang")
-          .agg(F.count(F.lit(1)).alias("n_docs"),
-               F.sum("doc_id").alias("n_hits"))
-          .select(F.lit("dsir").alias("kind"), F.col("lang").alias("key"),
-                  "n_docs", "n_hits"))
-    # kind='urlnorm'/'urlkey'/'urlcap': crawl URL shaping over a messy
-    # deterministic fixture; the oracle derives every expected string
-    # from the fixture arithmetic (see _url_sql), so the regex chain in
-    # operators/urls.py is checked, not replayed
-    uf = d.select(
-        "doc_id",
-        F.concat(
-            F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 23).cast("string"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(".Example.COM.AU:443"))
-             .otherwise(F.lit(".example-Two.ORG:8080")),
-            F.lit("//p//"), (F.col("doc_id") % 7).cast("string"),
-            F.when(F.col("doc_id") % 3 == 0,
-                   F.lit("/?b=2&utm_source=feed&a=1#frag"))
-             .when(F.col("doc_id") % 3 == 1, F.lit("/?a=1&b=2"))
-             .otherwise(F.lit("/"))).alias("url"))
-    urlnorm = (uf.filter(F.col("doc_id") % _URL_SAMPLE_MOD == 0)
-               .groupBy(url_ops.canonicalize_url(F.col("url")).alias("key"))
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("doc_id").alias("n_hits"))
-               .select(F.lit("urlnorm").alias("kind"), "key",
-                       "n_docs", "n_hits"))
-    urlkey = (url_ops.url_dedup(uf, "url", "doc_id")
-              .groupBy(url_ops.registrable_domain(F.col("url")).alias("key"))
-              .agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.sum("doc_id").alias("n_hits"))
-              .select(F.lit("urlkey").alias("kind"), "key",
-                      "n_docs", "n_hits"))
-    capped = url_ops.domain_cap(
-        uf.withColumn("__ord", F.md5(F.col("doc_id").cast("string"))),
-        "url", _URL_CAP_N, order_col="__ord")
-    urlcap = (uf.groupBy(url_ops.registrable_domain(F.col("url"))
-                         .alias("key"))
-              .agg(F.count(F.lit(1)).alias("n_docs"))
-              .join(capped.groupBy(
-                        url_ops.registrable_domain(F.col("url"))
-                        .alias("key"))
-                    .agg(F.sum("doc_id").alias("n_hits")), "key", "left")
-              .select(F.lit("urlcap").alias("kind"), "key",
-                      "n_docs", "n_hits"))
-    return (filt.unionByName(pii).unionByName(mix).unionByName(cap)
-            .unionByName(ds).unionByName(urlnorm).unionByName(urlkey)
-            .unionByName(urlcap))
+    if kind in (None, "pii"):
+        planted = (d.filter(F.col("doc_id") % 3 == 0)
+                   .select(F.concat(F.lit("ping user"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(_PII_SUFFIX)).alias("text")))
+        corpus = d.select("text").unionByName(planted)
+        parts.append(
+            ts.pii_stats(corpus, "text")
+            .select(F.lit("pii").alias("kind"), F.col("kind").alias("key"),
+                    "n_docs", "n_hits"))
+    if kind in (None, "mixture"):
+        _, report = ts.mixture_sample(d, "lang", _MIX_WEIGHTS, "doc_id",
+                                      budget=_MIX_BUDGET, hash_fn="md5")
+        parts.append(
+            report.select(F.lit("mixture").alias("kind"),
+                          F.col("stratum").alias("key"),
+                          F.col("available").cast("long").alias("n_docs"),
+                          F.col("kept").cast("long").alias("n_hits")))
+    if kind in (None, "cap"):
+        # kind='cap': per-key cap with an engine-portable keep order
+        # (md5(text) — distinct over this corpus, so the content-hash
+        # tiebreak never fires and DuckDB replays the exact kept SET);
+        # n_hits = sum of kept doc_ids — a membership checksum, so the
+        # oracle catches a wrong keep-choice, not just a wrong count
+        capped = ts.cap_per_key(
+            d.withColumn("__ord", F.md5("text")), ["lang"], n=_CAP_N,
+            order_col="__ord")
+        parts.append(
+            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+            .join(capped.groupBy("lang")
+                  .agg(F.sum("doc_id").alias("n_hits")), "lang", "left")
+            .select(F.lit("cap").alias("kind"), F.col("lang").alias("key"),
+                    "n_docs", "n_hits"))
+    if kind in (None, "dsir"):
+        # kind='dsir': select the 100 pool docs that look most like the
+        # lang='en' trusted slice (hashed-n-gram importance resampling),
+        # report per-lang selected counts + a doc_id membership checksum
+        selected = dsir_ops.dsir_select(
+            spark, d.select("doc_id", "lang", "text"),
+            d.filter(F.col("lang") == "en").select("text"),
+            "text", "doc_id", k=_DSIR_K, n_buckets=_DSIR_B)
+        parts.append(
+            selected.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("dsir").alias("kind"), F.col("lang").alias("key"),
+                    "n_docs", "n_hits"))
+    if kind in (None, "url"):
+        # kind='urlnorm'/'urlkey'/'urlcap' (one bench branch — they
+        # share the fixture projection): crawl URL shaping over a messy
+        # deterministic fixture; the oracle derives every expected
+        # string from the fixture arithmetic (see _url_sql), so the
+        # regex chain in operators/urls.py is checked, not replayed
+        uf = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://WWW.Site"),
+                (F.col("doc_id") % 23).cast("string"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit(".Example.COM.AU:443"))
+                 .otherwise(F.lit(".example-Two.ORG:8080")),
+                F.lit("//p//"), (F.col("doc_id") % 7).cast("string"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("/?b=2&utm_source=feed&a=1#frag"))
+                 .when(F.col("doc_id") % 3 == 1, F.lit("/?a=1&b=2"))
+                 .otherwise(F.lit("/"))).alias("url"))
+        parts.append(
+            uf.filter(F.col("doc_id") % _URL_SAMPLE_MOD == 0)
+            .groupBy(url_ops.canonicalize_url(F.col("url")).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("urlnorm").alias("kind"), "key",
+                    "n_docs", "n_hits"))
+        parts.append(
+            url_ops.url_dedup(uf, "url", "doc_id")
+            .groupBy(url_ops.registrable_domain(F.col("url"))
+                     .alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("urlkey").alias("kind"), "key",
+                    "n_docs", "n_hits"))
+        capped_u = url_ops.domain_cap(
+            uf.withColumn("__ord", F.md5(F.col("doc_id").cast("string"))),
+            "url", _URL_CAP_N, order_col="__ord")
+        parts.append(
+            uf.groupBy(url_ops.registrable_domain(F.col("url"))
+                       .alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .join(capped_u.groupBy(
+                      url_ops.registrable_domain(F.col("url"))
+                      .alias("key"))
+                  .agg(F.sum("doc_id").alias("n_hits")), "key", "left")
+            .select(F.lit("urlcap").alias("kind"), "key",
+                    "n_docs", "n_hits"))
+    if not parts:
+        raise ValueError(f"unknown corpus_filter_stats kind {kind!r}")
+    out = parts[0]
+    for pf in parts[1:]:
+        out = out.unionByName(pf)
+    return out

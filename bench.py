@@ -57,6 +57,9 @@ HEADLINE = [
     "ann_approx_topk",
     "doc_profile",
     "doc_search_bm25",
+    "corpus_filter_stats",  # r7: the 6-branch curation rollup (filter/
+    #                         pii/mixture/cap/dsir/url) joins the perf
+    #                         gate with per-branch attribution
     "events_session_windows",
 ]
 

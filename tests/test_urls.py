@@ -182,3 +182,55 @@ def test_domain_cap_deterministic_without_order_col(spark):
     b = sorted(r.doc_id for r in
                U.domain_cap(df.repartition(7), "url", 4).collect())
     assert a == b and len(a) == 4
+
+
+def test_extract_urls_from_text(spark):
+    rows = [
+        ("see https://a.com/x and http://b.org/y?z=1.", 2),
+        ("no links here", 0),
+        (None, 0),
+        ("wrapped (https://c.net/p) and <https://d.io/q>", 2),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [len(r.u) for r in
+           df.select(U.extract_urls(F.col("text")).alias("u")).collect()]
+    assert got == [n for _, n in rows]
+    one = df.select(U.extract_urls(F.col("text")).alias("u")) \
+        .collect()[3].u
+    assert one == ["https://c.net/p", "https://d.io/q"]
+
+
+def test_filter_blocked_domains_modes(spark):
+    rows = [
+        (1, "http://WWW.Spam.example.com/a"),   # domain example.com
+        (2, "https://good.org/b"),
+        (3, "http://sub.spam-site.net/c"),
+        (4, ""),                                 # unparseable — kept
+        (5, "http://spam-site.net/d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    # domain mode: blocklist entries normalize to registrable domains
+    kept = sorted(r.doc_id for r in U.filter_blocked_domains(
+        df, "url", ["Spam-Site.NET", "http://x.example.com/ignored"]
+    ).collect())
+    assert kept == [2, 4]
+    # host mode: only the exact (www-less) host is blocked
+    kept = sorted(r.doc_id for r in U.filter_blocked_domains(
+        df, "url", ["sub.spam-site.net"], mode="host").collect())
+    assert kept == [1, 2, 4, 5]
+    # DataFrame blocklist form
+    blk = spark.createDataFrame([("spam-site.net",)], "d string")
+    kept = sorted(r.doc_id for r in
+                  U.filter_blocked_domains(df, "url", blk).collect())
+    assert kept == [1, 2, 4]
+
+
+def test_filter_blocked_domains_plan_broadcasts(spark):
+    df = spark.createDataFrame([(1, "http://a.com/x")],
+                               "doc_id long, url string")
+    out = U.filter_blocked_domains(df, "url", ["b.com"])
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    assert "Broadcast" in buf.getvalue()
