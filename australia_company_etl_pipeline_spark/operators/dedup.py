@@ -1822,3 +1822,87 @@ def cluster_keepers(clusters: DataFrame, df: DataFrame, id_col: str,
                        (F.col(id_col) == F.col("__keeper"))
                        .alias("is_canonical")))
     return elected.unionByName(singles)
+
+
+def incremental_exact_dedup(batch: DataFrame, index_path: str, key,
+                            id_col: str,
+                            id_buckets: int | None = None) -> DataFrame:
+    """Exact cross-batch dedup by an arbitrary KEY — the exact-match
+    twin of ``incremental_dedup`` for the keys a crawl pipeline dedups
+    on long before any fuzzy pass: the canonical URL key
+    (``urls.url_key``), a content digest (``F.md5(text)``), an
+    external-record id.  ``key`` is a column name or a Column
+    expression evaluated against the batch.
+
+    The index at ``index_path``/keys is ONE ROW PER DISTINCT KEY —
+    ``(__k, first id)`` — not an append log.  Under the increasing-id
+    contract (same as ``incremental_dedup``) the first arrival has the
+    minimal id forever, so a compact keys table decides every future
+    verdict:
+
+    - a batch row DROPS iff its key was seen with a strictly lower id
+      (in history, or earlier in its own batch — min-per-key);
+    - only NEVER-SEEN keys append (anti join), so a replayed batch
+      appends nothing and returns the identical kept set —
+      idempotence by construction, no compaction step needed;
+    - chunk-invariance follows: any chunking replays the same
+      min-id-per-key tournament.
+
+    NULL/'' keys are passed through unexamined (both mean "no key",
+    and "no key" never equals "same page") — mirror of
+    ``urls.url_dedup``'s quarantine rule.
+
+    Scale: per batch, one partial-aggregated min-per-key shuffle over
+    the BATCH (small), one equi-join against the keys table, one anti
+    join for the append.  With ``id_buckets`` the keys table is
+    hash-partitioned on ``pmod(xxhash64(__k), id_buckets)`` and both
+    the verdict join and the append's anti join read ONLY the
+    partitions holding the batch's key buckets (static
+    ``PartitionFilters`` from one bounded collect) — the same
+    read-less-than-everything layout as ``incremental_dedup``'s
+    shingle history, fixed for the life of one index.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+
+    spark = batch.sparkSession
+    keys_path = f"{index_path}/keys"
+    kcol = F.col(key) if isinstance(key, str) else key
+    tagged = batch.withColumn("__k", kcol.cast("string"))
+    keyed = tagged.filter(F.col("__k").isNotNull() & (F.col("__k") != ""))
+    bad = tagged.filter(F.col("__k").isNull() | (F.col("__k") == ""))
+
+    id_type = batch.schema[id_col].dataType
+    fields = [StructField("__k", StringType()),
+              StructField("__first", id_type)]
+    if id_buckets is not None:
+        fields.append(StructField("__pb", LongType()))
+    hist = _read_or_empty(spark, keys_path, StructType(fields))
+
+    if id_buckets is not None:
+        need = [r["b"] for r in
+                (keyed.select(F.pmod(F.xxhash64("__k"),
+                                     F.lit(id_buckets)).alias("b"))
+                 .distinct().collect())]
+        hist = hist.filter(F.col("__pb").isin(need)
+                           if need else F.lit(False)).drop("__pb")
+
+    batch_first = keyed.groupBy("__k").agg(F.min(id_col).alias("__bf"))
+    seen = (batch_first.join(hist, "__k", "left")
+            .select("__k",
+                    F.least("__bf", "__first").alias("__floor"),
+                    F.col("__first").isNotNull().alias("__in_hist")))
+    kept = (keyed.join(seen.select("__k", "__floor"), "__k")
+            .filter(F.col(id_col) <= F.col("__floor"))
+            .drop("__floor"))
+
+    new_keys = (seen.filter(~F.col("__in_hist"))
+                .select("__k", F.col("__floor").alias("__first")))
+    if id_buckets is not None:
+        (new_keys.withColumn("__pb", F.pmod(F.xxhash64("__k"),
+                                            F.lit(id_buckets)))
+         .write.mode("append").partitionBy("__pb").parquet(keys_path))
+    else:
+        new_keys.write.mode("append").parquet(keys_path)
+
+    return kept.unionByName(bad).drop("__k")

@@ -1687,3 +1687,97 @@ def test_compact_preserves_id_bucket_layout(spark, tmp_path):
                                id_buckets=4)
     dd.unpersist_shingles()
     assert out.count() == 0  # exact copy of doc 0 → dropped
+
+
+# ---------------------------------------------------------------------------
+# incremental_exact_dedup (r7)
+# ---------------------------------------------------------------------------
+
+def _exact_docs():
+    # ids 0..19; content repeats every 7 → key collisions across the
+    # whole range; '' and NULL keys sprinkled in (quarantined)
+    rows = []
+    for i in range(20):
+        rows.append((i, f"content-{i % 7}"))
+    rows.append((100, ""))
+    rows.append((101, None))
+    rows.append((102, ""))
+    return rows
+
+
+def _run_exact_chunks(spark, tmp_path, rows, chunks, tag, **kw):
+    idx = str(tmp_path / f"xidx_{tag}")
+    kept = []
+    start = 0
+    for size in chunks:
+        batch = spark.createDataFrame(rows[start:start + size],
+                                      "doc_id long, k string")
+        out = dd.incremental_exact_dedup(batch, idx, "k", "doc_id", **kw)
+        kept += [r.doc_id for r in out.select("doc_id").collect()]
+        start += size
+    assert start == len(rows)
+    return sorted(kept)
+
+
+def test_incremental_exact_dedup_chunk_invariance_and_quarantine(
+        spark, tmp_path):
+    rows = _exact_docs()
+    n = len(rows)
+    whole = _run_exact_chunks(spark, tmp_path, rows, [n], "w")
+    thirds = _run_exact_chunks(spark, tmp_path, rows,
+                               [n // 3, n // 3, n - 2 * (n // 3)], "t")
+    assert whole == thirds
+    # first 7 ids keep (distinct contents), later repeats drop; all
+    # NULL/'' keyed rows pass through
+    assert whole == [0, 1, 2, 3, 4, 5, 6, 100, 101, 102]
+
+
+def test_incremental_exact_dedup_replay_is_idempotent(spark, tmp_path):
+    rows = _exact_docs()
+    idx = str(tmp_path / "xidx_replay")
+    b = spark.createDataFrame(rows, "doc_id long, k string")
+    first = sorted(r.doc_id for r in dd.incremental_exact_dedup(
+        b, idx, "k", "doc_id").collect())
+    n_index = spark.read.parquet(f"{idx}/keys").count()
+    replay = sorted(r.doc_id for r in dd.incremental_exact_dedup(
+        b, idx, "k", "doc_id").collect())
+    assert first == replay
+    # the keys table did NOT grow on replay — no compaction ever needed
+    assert spark.read.parquet(f"{idx}/keys").count() == n_index == 7
+
+
+def test_incremental_exact_dedup_column_expression_key(spark, tmp_path):
+    """key can be an expression — the url_key use case."""
+    from australia_company_etl_pipeline_spark.operators import urls as U
+
+    idx = str(tmp_path / "xidx_url")
+    rows = [(1, "http://www.page.net/a?utm_source=x"),
+            (2, "https://page.net/a/"),
+            (3, "http://other.net/b")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dd.incremental_exact_dedup(df, idx, U.url_key(F.col("url")),
+                                     "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_incremental_exact_dedup_id_buckets_prunes(spark, tmp_path):
+    rows = _exact_docs()
+    idx = str(tmp_path / "xidx_pb")
+    b1 = spark.createDataFrame(rows[:10], "doc_id long, k string")
+    dd.incremental_exact_dedup(b1, idx, "k", "doc_id", id_buckets=8)
+    b2 = spark.createDataFrame(rows[10:], "doc_id long, k string")
+    out = dd.incremental_exact_dedup(b2, idx, "k", "doc_id",
+                                     id_buckets=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "__pb" in plan, plan
+    import os
+    assert any(d.startswith("__pb=")
+               for d in os.listdir(f"{idx}/keys"))
+    # verdicts equal the flat layout's
+    flat = _run_exact_chunks(spark, tmp_path, rows, [10, len(rows) - 10],
+                             "pbflat")
+    got = sorted([r.doc_id for r in out.collect()]
+                 + _run_exact_chunks(spark, tmp_path, rows[:10], [10],
+                                     "pbhead", id_buckets=8))
+    assert got == flat
