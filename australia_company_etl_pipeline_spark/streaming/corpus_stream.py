@@ -38,10 +38,20 @@ def stream_dedup_ingest(stream: DataFrame, out_path: str, index_path: str,
                         threshold: float = 0.8, num_hashes: int = 32,
                         bands: int = 8,
                         lm_gate: tuple[str, float] | None = None,
+                        url_col: str | None = None,
                         available_now: bool = True):
     """Start the dedup-ingest stream: per micro-batch, drop near-dups of
     anything seen before (or earlier in the same batch), append survivors
     to ``out_path`` partitioned by batch id.
+
+    ``url_col`` prepends the streaming form of the recipe's stage 0:
+    per batch, ``incremental_exact_dedup`` on ``urls.url_key`` against
+    its own compact key index at ``index_path``/urlkeys — a page
+    refetched under scheme/www/tracking variants (or redelivered) is
+    dropped for the price of one equi-join on a one-row-per-key table
+    BEFORE the MinHash machinery shingles it. Runs before the LM gate
+    (cheapest first), and its replay idempotence means at-least-once
+    delivery needs no extra handling.
 
     ``lm_gate=(lm_path, max_nll)`` additionally scores each batch
     against a FROZEN persisted bigram LM (``lm.save_bigram_lm`` — train
@@ -62,6 +72,12 @@ def stream_dedup_ingest(stream: DataFrame, out_path: str, index_path: str,
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         before = dd.shingle_cache_snapshot()
         try:
+            if url_col is not None:
+                from ..operators import urls as url_ops
+
+                batch_df = dd.incremental_exact_dedup(
+                    batch_df, f"{index_path}/urlkeys",
+                    url_ops.url_key(F.col(url_col)), id_col)
             if lm_gate is not None:
                 from ..operators import lm as lm_ops
 

@@ -542,3 +542,55 @@ def test_stream_media_dedup_ingest_replay_keeps_same_set(spark,
     # but the VERDICTS did not change
     idx = spark.read.parquet(index)
     assert idx.select("media_id").distinct().count() == 7
+
+
+def test_stream_dedup_ingest_url_stage(spark, tmp_path):
+    """url_col prepends a per-batch exact URL dedup against its own
+    persisted key index: a page refetched under a messy URL variant in
+    a LATER batch is dropped before the MinHash machinery sees it, and
+    distinct-content docs sharing no URL still flow through."""
+    import time
+
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        read_documents_stream, stream_dedup_ingest)
+
+    landing = str(tmp_path / "ulanding")
+    out = str(tmp_path / "uout")
+    index = str(tmp_path / "uindex")
+    ck = str(tmp_path / "uck")
+
+    def doc(i, url):
+        text = " ".join(f"w{i}x{j}" for j in range(20))
+        return (i, text, url)
+
+    schema = "doc_id long, text string, url string"
+    b1 = spark.createDataFrame(
+        [doc(i, f"http://site.net/p/{i}") for i in range(5)], schema)
+    b2 = spark.createDataFrame(
+        [doc(10, "HTTPS://WWW.site.net/p/3/?utm_source=x"),  # refetch of 3
+         doc(11, "http://site.net/p/11"),                    # new page
+         doc(12, "http://site.net/p/0")],                    # refetch of 0
+        schema)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_dedup_ingest(stream, out, index, ck, threshold=0.8,
+                            url_col="url")
+    q.awaitTermination(180)
+
+    kept = sorted(r.doc_id for r in
+                  spark.read.parquet(out).select("doc_id").collect())
+    # 10 and 12 die at the URL stage (content differs — MinHash alone
+    # would have kept them); 11 lands
+    assert kept == [0, 1, 2, 3, 4, 11]
+    # the url-key index holds one row per distinct key
+    ukeys = spark.read.parquet(f"{index}/urlkeys/keys")
+    assert ukeys.count() == 6
+    # and the MinHash shingle index never saw the URL-dropped docs
+    sh = spark.read.parquet(f"{index}/shingles")
+    assert sorted(r.doc_id for r in
+                  sh.select("doc_id").distinct().collect()) == \
+        [0, 1, 2, 3, 4, 11]
