@@ -1,6 +1,7 @@
 """Scalar function library (SURVEY.md §2.8–2.9) — all Column -> Column."""
 
-from .abn import abn_checksum, clean_abn, format_abn, validate_abn
+from .abn import (abn_checksum, acn_from_abn, clean_abn, format_abn,
+                  format_acn, validate_abn, validate_acn, validate_tfn)
 from .dates import coerce_date, parse_date_multi
 from .scoring import (coalesce_merge, completeness, confidence_bucket,
                       differing_or_null, weighted_score)
@@ -15,7 +16,8 @@ from .text import (blocking_key, clean_company_name, clean_entity_name,
                    normalize_company_name)
 
 __all__ = [
-    "abn_checksum", "clean_abn", "format_abn", "validate_abn",
+    "abn_checksum", "acn_from_abn", "clean_abn", "format_abn",
+    "format_acn", "validate_abn", "validate_acn", "validate_tfn",
     "coerce_date", "parse_date_multi",
     "coalesce_merge", "completeness", "confidence_bucket",
     "differing_or_null", "weighted_score",

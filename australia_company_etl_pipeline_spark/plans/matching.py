@@ -529,22 +529,46 @@ def _checksum_sql(d: str) -> str:
     return " + ".join(terms)
 
 
+def _acn_check_sql(d: str) -> str:
+    from ..functions.abn import ACN_WEIGHTS
+    s = " + ".join(f"CAST(substr({d}, {i + 1}, 1) AS INT) * {w}"
+                   for i, w in enumerate(ACN_WEIGHTS))
+    return (f"((10 - ({s}) % 10) % 10 = CAST(substr({d}, 9, 1) AS INT))")
+
+
+def _tfn_check_sql(d: str) -> str:
+    from ..functions.abn import TFN_WEIGHTS
+    s = " + ".join(f"CAST(substr({d}, {i + 1}, 1) AS INT) * {w}"
+                   for i, w in enumerate(TFN_WEIGHTS))
+    return f"(({s}) % 11 = 0)"
+
+
 @register(
     "abn_validate_format",
-    doc="F8/F9/F10 — mod-89 ABN checksum + formatting as pure column "
-        "arithmetic (utils.py:246-300), on 11-digit strings derived from "
-        "customer keys; the oracle recomputes the weighted sum in SQL.",
+    doc="F8/F9/F10 (+r7 ACN/TFN) — mod-89 ABN checksum + formatting as "
+        "pure column arithmetic (utils.py:246-300), on 11-digit strings "
+        "derived from customer keys; r7 adds the ASIC ACN check digit, "
+        "the ATO TFN mod-11 rule and the ACN-embedded-in-ABN extraction, "
+        "all the same codegen shape; the oracle recomputes every weighted "
+        "sum in SQL.",
     tags=("functions",),
     oracle=f"""
 WITH derived AS (
   SELECT c_custkey,
-         lpad(CAST((c_custkey * 7919) % 100000000000 AS VARCHAR), 11, '0') AS abn11
+         lpad(CAST((c_custkey * 7919) % 100000000000 AS VARCHAR), 11, '0') AS abn11,
+         lpad(CAST((c_custkey * 104729) % 1000000000 AS VARCHAR), 9, '0') AS id9
   FROM customer
 )
-SELECT c_custkey, abn11,
+SELECT c_custkey, abn11, id9,
        (({_checksum_sql('abn11')}) % 89 = 0) AS is_valid,
        substr(abn11,1,2) || ' ' || substr(abn11,3,3) || ' ' ||
-       substr(abn11,6,3) || ' ' || substr(abn11,9,3) AS formatted
+       substr(abn11,6,3) || ' ' || substr(abn11,9,3) AS formatted,
+       {_acn_check_sql('id9')} AS acn_valid,
+       substr(id9,1,3) || ' ' || substr(id9,4,3) || ' ' ||
+       substr(id9,7,3) AS acn_formatted,
+       {_tfn_check_sql('id9')} AS tfn_valid,
+       CASE WHEN ({_checksum_sql('abn11')}) % 89 = 0
+            THEN substr(abn11, 3, 9) END AS acn_of_abn
 FROM derived
 """,
 )
@@ -553,11 +577,17 @@ def abn_validate_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived = c.select(
         "c_custkey",
         F.lpad(((F.col("c_custkey") * 7919) % 100000000000)
-               .cast("string"), 11, "0").alias("abn11"))
+               .cast("string"), 11, "0").alias("abn11"),
+        F.lpad(((F.col("c_custkey") * 104729) % 1000000000)
+               .cast("string"), 9, "0").alias("id9"))
     return derived.select(
-        "c_custkey", "abn11",
+        "c_custkey", "abn11", "id9",
         fx.validate_abn(F.col("abn11")).alias("is_valid"),
-        fx.format_abn(F.col("abn11")).alias("formatted"))
+        fx.format_abn(F.col("abn11")).alias("formatted"),
+        fx.validate_acn(F.col("id9")).alias("acn_valid"),
+        fx.format_acn(F.col("id9")).alias("acn_formatted"),
+        fx.validate_tfn(F.col("id9")).alias("tfn_valid"),
+        fx.acn_from_abn(F.col("abn11")).alias("acn_of_abn"))
 
 
 _DUCK_FMTS = ("%Y%m%d", "%Y-%m-%d", "%-d/%-m/%Y", "%Y/%-m/%-d", "%-d-%-m-%Y")

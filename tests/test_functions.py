@@ -73,6 +73,52 @@ def test_format_abn(spark, abn, expected):
     assert ev(spark, fx.format_abn, abn) == expected
 
 
+# --- (r7) ACN / TFN checksums -----------------------------------------------
+
+@pytest.mark.parametrize("acn,expected", [
+    ("000250000", True),       # ASIC's published worked example
+    ("000 250 000", True),
+    ("000000019", True),       # minimal: sum=1 -> check digit 9
+    ("000250001", False),      # check digit off by one
+    ("00025000", False),       # 8 digits
+    (None, False),
+    ("", False),
+])
+def test_validate_acn(spark, acn, expected):
+    assert ev(spark, fx.validate_acn, acn) is expected
+
+
+@pytest.mark.parametrize("acn,expected", [
+    ("000250000", "000 250 000"),
+    ("000 250 000", "000 250 000"),
+    (None, ""),
+    ("12345", "12345"),
+])
+def test_format_acn(spark, acn, expected):
+    assert ev(spark, fx.format_acn, acn) == expected
+
+
+@pytest.mark.parametrize("tfn,expected", [
+    ("123456782", True),       # the commonly published valid test TFN
+    ("123 456 782", True),
+    ("123456783", False),
+    ("12345678", False),       # 8-digit sum 1+8+9+28+25+48+42+72=233, %11!=0
+    ("87654321", True),        # 8*1+7*4+6*3+5*7+4*5+3*8+2*6+1*9=154=11*14
+    (None, False),
+    ("", False),
+])
+def test_validate_tfn(spark, tfn, expected):
+    assert ev(spark, fx.validate_tfn, tfn) is expected
+
+
+def test_acn_from_abn(spark):
+    # valid ABN -> its last 9 digits; invalid ABN -> NULL (never launder
+    # a corrupt identifier into a new one)
+    assert ev(spark, fx.acn_from_abn, "51824753556") == "824753556"
+    assert ev(spark, fx.acn_from_abn, "51824753557") is None
+    assert ev(spark, fx.acn_from_abn, None) is None
+
+
 # --- F10 clean_abn -----------------------------------------------------------
 
 @pytest.mark.parametrize("abn,expected", [

@@ -91,6 +91,33 @@ def test_fuzz_clean_and_validate_abn(spark):
                    "validate_abn")
 
 
+def test_fuzz_validate_acn_tfn(spark):
+    rng = random.Random(17)
+    vals = ["".join(rng.choice("0123456789 -x") for _ in range(
+        rng.randint(0, 14))) for _ in range(400)]
+    # seed plenty of well-formed 9-digit strings so both branches are hit
+    vals += ["".join(rng.choice("0123456789") for _ in range(9))
+             for _ in range(200)]
+    vals += ["000250000", "123456782", "87654321", ""]
+
+    def acn_oracle(s):
+        d = re.sub(r"\D", "", s)
+        if len(d) != 9:
+            return False
+        total = sum(int(c) * w for c, w in zip(d, [8, 7, 6, 5, 4, 3, 2, 1]))
+        return (10 - total % 10) % 10 == int(d[8])
+
+    def tfn_oracle(s):
+        d = re.sub(r"\D", "", s)
+        w = [1, 4, 3, 7, 5, 8, 6, 9, 10]
+        if len(d) not in (8, 9):
+            return False
+        return sum(int(c) * x for c, x in zip(d, w)) % 11 == 0
+
+    _batch_compare(spark, vals, fx.validate_acn, acn_oracle, "validate_acn")
+    _batch_compare(spark, vals, fx.validate_tfn, tfn_oracle, "validate_tfn")
+
+
 def test_fuzz_clean_postcode(spark):
     rng = random.Random(13)
     vals = []
