@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import html as html_fx
 from ..operators import dsir as dsir_ops
 from ..operators import lm as lm_ops
 from ..operators import textstats as ts
@@ -684,6 +685,47 @@ url_f AS (
 )"""
 
 
+_HTML_SAMPLE_MOD = 41  # kind='html*' extraction sample stride
+
+# HTML page fixture, as literal fragments shared byte-for-byte by the
+# Spark builder and the SQL oracle (doc_id / text spliced between them;
+# single-quote-free so SQL embedding is trivial). The expected
+# extraction is derived INDEPENDENTLY from the spliced parts — not by
+# replaying functions/html.py's regex chain — so a bug in any removal
+# step (script/style/comment/head, block-tag newlines, entity order,
+# whitespace folding) hash-mismatches instead of reproducing.
+_HTML_F1 = "<!DOCTYPE html><html><HEAD><title> Doc &amp; Page "
+_HTML_F2 = (" </title><style>body { color: red; }</style>"
+            '<script type="text/javascript">if (1 < 2) '
+            '{ document.write("<b>js</b>"); }</script></HEAD>'
+            "<body><!-- nav <div>chrome</div> --><h1>Doc ")
+_HTML_F3 = "</h1><P>"
+_HTML_F4 = "</P>"
+_HTML_LIST = "<ul><li>item A</li><li>item B</li></ul>"
+_HTML_F5 = "<div>&quot;Example&quot;&nbsp;Pty Ltd</div></body></html>"
+
+
+def _html_sql() -> str:
+    return f"""
+html_f AS (
+  SELECT doc_id, text, doc_id % 3 = 0 AS lst,
+         '{_HTML_F1}' || CAST(doc_id AS VARCHAR) || '{_HTML_F2}' ||
+         CAST(doc_id AS VARCHAR) || '{_HTML_F3}' || text || '{_HTML_F4}' ||
+         CASE WHEN doc_id % 3 = 0 THEN '{_HTML_LIST}' ELSE '' END ||
+         '{_HTML_F5}' AS html
+  FROM documents WHERE doc_id % {_HTML_SAMPLE_MOD} = 0
+), html_e AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10) ||
+         CASE WHEN lst THEN 'item A' || chr(10) || 'item B' || chr(10)
+              ELSE '' END ||
+         '"Example" Pty Ltd' AS exp_text,
+         'Doc & Page ' || CAST(doc_id AS VARCHAR) AS exp_title,
+         length(html) AS html_len
+  FROM html_f
+)"""
+
+
 @register(
     "corpus_filter_stats",
     doc="Corpus observability rollups, kind-tagged (r4: + PII audit; "
@@ -728,11 +770,19 @@ url_f AS (
         "(min-doc_id per scheme-less www-less key) rolled up per "
         "registrable domain with a doc_id membership checksum; urlcap "
         "= domain_cap(n=5) under a portable md5(doc_id) keep order, "
-        "same checksum discipline as kind='cap'.",
+        "same checksum discipline as kind='cap'. "
+        "kind='html'/'htmltitle'/'htmlratio' (r7, functions/html.py): "
+        "HTML→text extraction over synthetic pages wrapping each "
+        "sampled doc (script/style/comment/head noise, block tags, "
+        "entities) — key = the FULL extracted text / title, derived in "
+        "the oracle from the spliced fixture parts, not the regex "
+        "chain; htmlratio pins floor(1e6·len(text)/len(html)), the "
+        "boilerplate-density signal.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
 {_url_sql().lstrip()},
+{_html_sql().lstrip()},
 {_dsir_sql().lstrip()},
 planted AS (
   SELECT text FROM documents
@@ -801,9 +851,24 @@ FROM (SELECT dom, doc_id,
                  ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
       FROM url_c)
 GROUP BY dom
+UNION ALL
+SELECT 'html' AS kind, exp_text AS key, count(*) AS n_docs,
+       sum(doc_id) AS n_hits
+FROM html_e GROUP BY 2
+UNION ALL
+SELECT 'htmltitle' AS kind, exp_title AS key, count(*) AS n_docs,
+       sum(doc_id) AS n_hits
+FROM html_e GROUP BY 2
+UNION ALL
+SELECT 'htmlratio' AS kind, CAST(doc_id AS VARCHAR) AS key,
+       CAST(length(exp_text) AS BIGINT) AS n_docs,
+       CAST(floor(1000000.0 * (CAST(length(exp_text) AS DOUBLE)
+                               / html_len)) AS BIGINT) AS n_hits
+FROM html_e
 """,
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
-              for k in ("filter", "pii", "mixture", "cap", "dsir", "url")},
+              for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
+                        "html")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -915,6 +980,42 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                   .agg(F.sum("doc_id").alias("n_hits")), "key", "left")
             .select(F.lit("urlcap").alias("kind"), "key",
                     "n_docs", "n_hits"))
+    if kind in (None, "html"):
+        # kind='html'/'htmltitle'/'htmlratio': HTML→text extraction over
+        # synthetic pages wrapping each sampled doc; the oracle derives
+        # the expected strings from the spliced fixture parts (see
+        # _html_sql), so the regex chain is checked, not replayed
+        hf = (d.filter(F.col("doc_id") % _HTML_SAMPLE_MOD == 0)
+              .select("doc_id", F.concat(
+                  F.lit(_HTML_F1), F.col("doc_id").cast("string"),
+                  F.lit(_HTML_F2), F.col("doc_id").cast("string"),
+                  F.lit(_HTML_F3), F.col("text"), F.lit(_HTML_F4),
+                  F.when(F.col("doc_id") % 3 == 0, _HTML_LIST)
+                   .otherwise(""),
+                  F.lit(_HTML_F5)).alias("html")))
+        ext = hf.select(
+            "doc_id",
+            html_fx.extract_html_text(F.col("html")).alias("etext"),
+            html_fx.html_title(F.col("html")).alias("title"),
+            html_fx.html_text_ratio(F.col("html")).alias("ratio"))
+        parts.append(
+            ext.groupBy(F.col("etext").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("html").alias("kind"), "key",
+                    "n_docs", "n_hits"))
+        parts.append(
+            ext.groupBy(F.col("title").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("htmltitle").alias("kind"), "key",
+                    "n_docs", "n_hits"))
+        parts.append(
+            ext.select(F.lit("htmlratio").alias("kind"),
+                       F.col("doc_id").cast("string").alias("key"),
+                       F.length("etext").cast("long").alias("n_docs"),
+                       F.floor(F.lit(1000000.0) * F.col("ratio"))
+                        .cast("long").alias("n_hits")))
     if not parts:
         raise ValueError(f"unknown corpus_filter_stats kind {kind!r}")
     out = parts[0]
