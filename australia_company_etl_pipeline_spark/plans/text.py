@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import html as html_fx
+from ..operators import bloom as bloom_ops
 from ..operators import dsir as dsir_ops
 from ..operators import lm as lm_ops
 from ..operators import textstats as ts
@@ -705,6 +706,28 @@ _HTML_LIST = "<ul><li>item A</li><li>item B</li></ul>"
 _HTML_F5 = "<div>&quot;Example&quot;&nbsp;Pty Ltd</div></body></html>"
 
 
+_BLOOM_M = 63 * 400  # kind='bloom' filter size (bits)
+_BLOOM_K = 5
+
+
+def _bloom_sql() -> str:
+    """DuckDB twin of the md5-backed Bloom build over documents.text:
+    the same double-hash positions (hex slices of md5), 63-bit words,
+    bit_or aggregation — the whole filter value-checked word by word."""
+    return f"""
+bloom_p AS (
+  SELECT (CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+          + i.range * CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT))
+         % {_BLOOM_M} AS pos
+  FROM documents CROSS JOIN range({_BLOOM_K}) i
+  WHERE text IS NOT NULL
+), bloom_w AS (
+  SELECT pos // 63 AS widx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+  FROM bloom_p GROUP BY 1
+)"""
+
+
 def _html_sql() -> str:
     return f"""
 html_f AS (
@@ -777,12 +800,18 @@ html_f AS (
         "entities) — key = the FULL extracted text / title, derived in "
         "the oracle from the spliced fixture parts, not the regex "
         "chain; htmlratio pins floor(1e6·len(text)/len(html)), the "
-        "boilerplate-density signal.",
+        "boilerplate-density signal. "
+        "kind='bloom' (r7, operators/bloom.py): the distributed Bloom "
+        "filter over md5(text) keys — every (word_idx, bits) word of "
+        "the built filter value-checked (key=word_idx, "
+        "n_docs=bit_count, n_hits=the 63-bit word itself), double-hash "
+        "positions replayed from the same md5 hex slices in DuckDB.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
 {_url_sql().lstrip()},
 {_html_sql().lstrip()},
+{_bloom_sql().lstrip()},
 {_dsir_sql().lstrip()},
 planted AS (
   SELECT text FROM documents
@@ -865,10 +894,14 @@ SELECT 'htmlratio' AS kind, CAST(doc_id AS VARCHAR) AS key,
        CAST(floor(1000000.0 * (CAST(length(exp_text) AS DOUBLE)
                                / html_len)) AS BIGINT) AS n_hits
 FROM html_e
+UNION ALL
+SELECT 'bloom' AS kind, CAST(widx AS VARCHAR) AS key,
+       CAST(bit_count(bits) AS BIGINT) AS n_docs, bits AS n_hits
+FROM bloom_w
 """,
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
               for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
-                        "html")},
+                        "html", "bloom")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -1016,6 +1049,18 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                        F.length("etext").cast("long").alias("n_docs"),
                        F.floor(F.lit(1000000.0) * F.col("ratio"))
                         .cast("long").alias("n_hits")))
+    if kind in (None, "bloom"):
+        # kind='bloom': the distributed Bloom filter built over
+        # md5(text) keys with the engine-portable backend — every
+        # (word_idx, bits) word value-checked against DuckDB's replay
+        # of the same double-hash positions
+        filt = bloom_ops.build_bloom(d, F.col("text"), _BLOOM_M,
+                                     _BLOOM_K, hash_fn="md5")
+        parts.append(
+            filt.select(F.lit("bloom").alias("kind"),
+                        F.col("word_idx").cast("string").alias("key"),
+                        F.bit_count("bits").cast("long").alias("n_docs"),
+                        F.col("bits").alias("n_hits")))
     if not parts:
         raise ValueError(f"unknown corpus_filter_stats kind {kind!r}")
     out = parts[0]
