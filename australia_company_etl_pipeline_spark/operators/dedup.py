@@ -1826,7 +1826,9 @@ def cluster_keepers(clusters: DataFrame, df: DataFrame, id_col: str,
 
 def incremental_exact_dedup(batch: DataFrame, index_path: str, key,
                             id_col: str,
-                            id_buckets: int | None = None) -> DataFrame:
+                            id_buckets: int | None = None,
+                            bloom_bits: int | None = None,
+                            bloom_k: int = 5) -> DataFrame:
     """Exact cross-batch dedup by an arbitrary KEY — the exact-match
     twin of ``incremental_dedup`` for the keys a crawl pipeline dedups
     on long before any fuzzy pass: the canonical URL key
@@ -1861,6 +1863,22 @@ def incremental_exact_dedup(batch: DataFrame, index_path: str, key,
     ``PartitionFilters`` from one bounded collect) — the same
     read-less-than-everything layout as ``incremental_dedup``'s
     shingle history, fixed for the life of one index.
+
+    ``bloom_bits`` maintains a Bloom-filter sidecar over the key
+    history (``operators/bloom.py``) at ``index_path``/bloom:
+    definitely-new keys (the vast majority of a fresh crawl batch)
+    skip the keys-table join ENTIRELY, and with ``id_buckets`` the
+    partition pruning narrows to the maybe-seen minority's buckets —
+    the history scan shrinks from O(batch's buckets) to O(maybe-seen's
+    buckets).  Correctness never depends on the filter's false-positive
+    rate (a false positive just pays the join it would have paid
+    anyway); the no-false-negative guarantee is protected by two
+    disciplines: the sidecar merge lands BEFORE the keys append (a
+    crash between them leaves extra bits — false positives — never
+    missing ones), and (m, k) are pinned in a meta table so a
+    mismatched probe fails loudly instead of mis-hashing.  Enabling
+    the sidecar on an index that already has history backfills it from
+    the full keys table (one-time O(history) build, logged cost).
     """
     from pyspark.sql.types import LongType, StringType, StructField, \
         StructType
@@ -1879,25 +1897,110 @@ def incremental_exact_dedup(batch: DataFrame, index_path: str, key,
         fields.append(StructField("__pb", LongType()))
     hist = _read_or_empty(spark, keys_path, StructType(fields))
 
+    batch_first = keyed.groupBy("__k").agg(F.min(id_col).alias("__bf"))
+
+    bloom_words = None
+    if bloom_bits is not None:
+        from ..session import hadoop_exists
+        from . import bloom as _bloom
+
+        words_path = f"{index_path}/bloom/words"
+        meta_path = f"{index_path}/bloom/meta"
+        word_schema = StructType([StructField("word_idx", LongType()),
+                                  StructField("bits", LongType())])
+        if hadoop_exists(spark, meta_path):
+            meta = spark.read.parquet(meta_path).head()
+            if (meta.m_bits, meta.k) != (bloom_bits, bloom_k):
+                raise ValueError(
+                    f"bloom sidecar at {index_path} was built with "
+                    f"(m_bits={meta.m_bits}, k={meta.k}); probing with "
+                    f"({bloom_bits}, {bloom_k}) would mis-hash — pass "
+                    "the original parameters or rebuild the index")
+            bloom_words = _read_or_empty(
+                spark, words_path, word_schema,
+                siblings=(f"{words_path}.__old",))
+        elif hadoop_exists(spark, keys_path):
+            # history exists but predates the sidecar: one-time backfill
+            # from the FULL keys table (O(history), once)
+            full_hist = _read_or_empty(
+                spark, keys_path, StructType(fields))
+            bloom_words = _bloom.build_bloom(
+                full_hist, F.col("__k"), bloom_bits, bloom_k)
+        else:
+            bloom_words = spark.createDataFrame([], word_schema)
+
+        probed = _bloom.bloom_probe(
+            batch_first, F.col("__k"), bloom_words, bloom_bits, bloom_k,
+            id_col="__k", out_col="__maybe")
+        maybe_first = probed.filter(F.col("__maybe")).drop("__maybe")
+        fresh_first = probed.filter(~F.col("__maybe")).drop("__maybe")
+    else:
+        maybe_first, fresh_first = batch_first, None
+
     if id_buckets is not None:
+        # prune the history scan to the buckets of keys that might be
+        # in it — with the sidecar, that is the maybe-seen minority
         need = [r["b"] for r in
-                (keyed.select(F.pmod(F.xxhash64("__k"),
-                                     F.lit(id_buckets)).alias("b"))
+                (maybe_first.select(F.pmod(F.xxhash64("__k"),
+                                           F.lit(id_buckets)).alias("b"))
                  .distinct().collect())]
         hist = hist.filter(F.col("__pb").isin(need)
                            if need else F.lit(False)).drop("__pb")
 
-    batch_first = keyed.groupBy("__k").agg(F.min(id_col).alias("__bf"))
-    seen = (batch_first.join(hist, "__k", "left")
+    seen = (maybe_first.join(hist, "__k", "left")
             .select("__k",
                     F.least("__bf", "__first").alias("__floor"),
                     F.col("__first").isNotNull().alias("__in_hist")))
+    if fresh_first is not None:
+        # definitely-new keys never touch the keys table: the sidecar's
+        # no-false-negative guarantee stands in for the join
+        seen = seen.unionByName(
+            fresh_first.select("__k", F.col("__bf").alias("__floor"),
+                               F.lit(False).alias("__in_hist")))
     kept = (keyed.join(seen.select("__k", "__floor"), "__k")
             .filter(F.col(id_col) <= F.col("__floor"))
             .drop("__floor"))
 
     new_keys = (seen.filter(~F.col("__in_hist"))
                 .select("__k", F.col("__floor").alias("__first")))
+
+    if bloom_bits is not None:
+        from ..session import replace_dir
+        from . import bloom as _bloom
+
+        # sidecar merge lands BEFORE the keys append: a crash between
+        # the two writes leaves the filter with extra bits (false
+        # positives — the next batch pays a join it didn't need) but
+        # never missing ones (which would silently re-admit dups)
+        new_keys = new_keys.persist()
+        try:
+            if new_keys.count() > 0:
+                new_words = _bloom.build_bloom(
+                    new_keys, F.col("__k"), bloom_bits, bloom_k)
+                merged = (bloom_words.unionByName(new_words)
+                          .groupBy("word_idx")
+                          .agg(F.bit_or("bits").alias("bits")))
+                tmp = f"{words_path}.__tmp"
+                merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+                if hadoop_exists(spark, words_path):
+                    replace_dir(spark, tmp, words_path)
+                else:
+                    _hadoop_rename(spark, tmp, words_path)
+                if not hadoop_exists(spark, meta_path):
+                    spark.createDataFrame(
+                        [(bloom_bits, bloom_k)], "m_bits long, k long"
+                    ).write.parquet(meta_path)
+            _append_keys(new_keys, keys_path, id_buckets)
+        finally:
+            new_keys.unpersist()
+    else:
+        _append_keys(new_keys, keys_path, id_buckets)
+
+    return kept.unionByName(bad).drop("__k")
+
+
+def _append_keys(new_keys: DataFrame, keys_path: str,
+                 id_buckets: int | None) -> None:
     if id_buckets is not None:
         (new_keys.withColumn("__pb", F.pmod(F.xxhash64("__k"),
                                             F.lit(id_buckets)))
@@ -1905,4 +2008,12 @@ def incremental_exact_dedup(batch: DataFrame, index_path: str, key,
     else:
         new_keys.write.mode("append").parquet(keys_path)
 
-    return kept.unionByName(bad).drop("__k")
+
+def _hadoop_rename(spark, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    s = jvm.org.apache.hadoop.fs.Path(src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = d.getFileSystem(conf)
+    if not fs.rename(s, d):
+        raise IOError(f"rename {src} -> {dst} failed")

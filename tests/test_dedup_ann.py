@@ -4,6 +4,7 @@ their exact in-engine baselines instead."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from australia_company_etl_pipeline_spark import plans
@@ -1758,6 +1759,73 @@ def test_incremental_exact_dedup_column_expression_key(spark, tmp_path):
     out = dd.incremental_exact_dedup(df, idx, U.url_key(F.col("url")),
                                      "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_incremental_exact_dedup_bloom_sidecar(spark, tmp_path):
+    """Verdicts are identical with the Bloom sidecar on — chunked or
+    whole — and the sidecar + meta land on disk."""
+    rows = _exact_docs()
+    n = len(rows)
+    kw = dict(bloom_bits=63 * 128, bloom_k=4)
+    whole = _run_exact_chunks(spark, tmp_path, rows, [n], "bw", **kw)
+    thirds = _run_exact_chunks(spark, tmp_path, rows,
+                               [n // 3, n // 3, n - 2 * (n // 3)], "bt",
+                               **kw)
+    assert whole == thirds == [0, 1, 2, 3, 4, 5, 6, 100, 101, 102]
+    idx = str(tmp_path / "xidx_bt")
+    assert spark.read.parquet(f"{idx}/bloom/words").count() > 0
+    meta = spark.read.parquet(f"{idx}/bloom/meta").head()
+    assert (meta.m_bits, meta.k) == (63 * 128, 4)
+
+
+def test_incremental_exact_dedup_bloom_replay_idempotent(spark, tmp_path):
+    rows = _exact_docs()
+    idx = str(tmp_path / "xidx_brep")
+    b = spark.createDataFrame(rows, "doc_id long, k string")
+    kw = dict(bloom_bits=63 * 128, bloom_k=4)
+    first = sorted(r.doc_id for r in dd.incremental_exact_dedup(
+        b, idx, "k", "doc_id", **kw).collect())
+    words = {r.word_idx: r.bits for r in
+             spark.read.parquet(f"{idx}/bloom/words").collect()}
+    replay = sorted(r.doc_id for r in dd.incremental_exact_dedup(
+        b, idx, "k", "doc_id", **kw).collect())
+    assert first == replay
+    assert spark.read.parquet(f"{idx}/keys").count() == 7
+    # no new keys on replay → the sidecar did not change either
+    assert {r.word_idx: r.bits for r in
+            spark.read.parquet(f"{idx}/bloom/words").collect()} == words
+
+
+def test_incremental_exact_dedup_bloom_meta_mismatch_raises(
+        spark, tmp_path):
+    idx = str(tmp_path / "xidx_bmeta")
+    b = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    dd.incremental_exact_dedup(b, idx, "k", "doc_id", bloom_bits=63 * 64)
+    with pytest.raises(ValueError, match="mis-hash"):
+        dd.incremental_exact_dedup(b, idx, "k", "doc_id",
+                                   bloom_bits=63 * 128)
+
+
+def test_incremental_exact_dedup_bloom_backfill(spark, tmp_path):
+    """Enabling the sidecar on an index with pre-sidecar history
+    backfills from the full keys table — known duplicates still drop
+    (no false negatives against old history)."""
+    rows = _exact_docs()
+    idx = str(tmp_path / "xidx_bfill")
+    b1 = spark.createDataFrame(rows[:10], "doc_id long, k string")
+    dd.incremental_exact_dedup(b1, idx, "k", "doc_id")  # no bloom
+    b2 = spark.createDataFrame(rows[10:], "doc_id long, k string")
+    out = dd.incremental_exact_dedup(b2, idx, "k", "doc_id",
+                                     bloom_bits=63 * 128)
+    # rows 10..19 all repeat keys 0..6 → only quarantined rows survive
+    assert sorted(r.doc_id for r in out.collect()) == [100, 101, 102]
+
+
+def test_incremental_exact_dedup_bloom_with_id_buckets(spark, tmp_path):
+    rows = _exact_docs()
+    got = _run_exact_chunks(spark, tmp_path, rows, [10, len(rows) - 10],
+                            "bpb", id_buckets=8, bloom_bits=63 * 128)
+    assert got == [0, 1, 2, 3, 4, 5, 6, 100, 101, 102]
 
 
 def test_incremental_exact_dedup_id_buckets_prunes(spark, tmp_path):
