@@ -432,6 +432,26 @@ lm_sc AS (
   JOIN lm_ctx USING (w1)
   CROSS JOIN lm_v
   GROUP BY 1
+),
+-- c-TF-IDF (operators/cluster.py, r7): one (class, term) count; every
+-- total DERIVES from it; same expression tree as the operator:
+-- (tf/wc) * ln(1 + A/ft), rounded to the 1e-6 grid
+ctf_tf AS (
+  SELECT lang, t.term, count(*) AS tf
+  FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents
+        WHERE lang IS NOT NULL) t
+  GROUP BY 1, 2
+), ctf_wc AS (SELECT lang, sum(tf) AS wc FROM ctf_tf GROUP BY 1),
+ctf_ft AS (SELECT term, sum(tf) AS ft FROM ctf_tf GROUP BY 1),
+ctf_a AS (SELECT avg(wc) AS a FROM ctf_wc),
+ctf_rk AS (
+  SELECT lang, term, tf,
+         round((CAST(tf AS DOUBLE) / CAST(wc AS DOUBLE))
+               * ln(CAST(1.0 AS DOUBLE)
+                    + a / CAST(ft AS DOUBLE)), 6) AS score
+  FROM ctf_tf JOIN ctf_wc USING (lang) JOIN ctf_ft USING (term)
+  CROSS JOIN ctf_a
+  WHERE tf >= 2
 )"""
 
 
@@ -457,9 +477,15 @@ lm_sc AS (
         "scored frame — term carries the tier label; boundaries are "
         "exact order statistics computed with the two-phase histogram "
         "probe (no global sort), value-checked against DuckDB's "
-        "row_number rank rule. Per-doc score assembly across all kinds "
-        "is order-independent decimal accumulation on the 1e-6 grid → "
-        "fully value-checked against DuckDB.",
+        "row_number rank rule. kind='ctfidf' (r7, operators/cluster.py): "
+        "BERTopic-style class-based TF-IDF top-5 terms per lang class — "
+        "(tf/words_class)·ln(1+A/f_term) with every total derived from "
+        "ONE (class, term) aggregate (exchange-reuse pinned in pytest); "
+        "the deterministic lang classes value-check the scoring math, "
+        "the k-means cluster path rides the pinned IVF kernel. Per-doc "
+        "score assembly across all kinds is order-independent decimal "
+        "accumulation on the 1e-6 grid → fully value-checked against "
+        "DuckDB.",
     tags=("text",),
     oracle=f"""
 WITH {_BM25_SQL_CTES}
@@ -490,9 +516,17 @@ FROM (SELECT doc_id, round(CAST(s AS DOUBLE) / nt, 6) AS nll,
                AS rn,
              count(*) OVER () AS n
       FROM lm_sc)
+UNION ALL
+SELECT 'ctfidf' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+       lang || ':' || term AS term, CAST(tf AS INT) AS n_matched,
+       score,
+       CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY score DESC, term ASC) AS INT) AS rank
+FROM ctf_rk
+QUALIFY rank <= 5
 """,
     branches={k: (lambda s, d, _k=k: _doc_search_branches(s, d, _k))
-              for k in ("search", "keyterm", "lm", "ccnet")},
+              for k in ("search", "keyterm", "lm", "ccnet", "ctfidf")},
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_search_branches(spark, sf_dir, None)
@@ -551,6 +585,20 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                         F.lit(None).cast("int").alias("n_matched"),
                         F.col("avg_nll").alias("score"),
                         F.lit(None).cast("int").alias("rank")))
+    if kind in (None, "ctfidf"):
+        # kind='ctfidf' (r7, operators/cluster.py): class-based TF-IDF
+        # topic terms over the lang classes — the deterministic class
+        # column value-checks ALL the scoring arithmetic (the k-means
+        # clustering path reuses the pinned IVF kernel in pytest)
+        from ..operators import cluster as cl_ops
+
+        t = cl_ops.ctfidf_terms(d, "lang", "text", top_k=5, min_count=2)
+        parts.append(
+            t.select(F.lit("ctfidf").alias("kind"),
+                     F.lit(None).cast("long").alias("doc_id"),
+                     F.concat_ws(":", "lang", "term").alias("term"),
+                     F.col("tf").cast("int").alias("n_matched"),
+                     "score", "rank"))
     if not parts:
         raise ValueError(f"unknown doc_search_bm25 kind {kind!r}")
     out = parts[0]
