@@ -171,6 +171,50 @@ def token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
     return F.size(encode(text, merges))
 
 
+def fertility_stats(df: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text",
+                    group_col: str = "lang") -> DataFrame:
+    """Per-group tokenizer fertility: (group, n_docs, bpe_tokens,
+    ws_tokens, chars, tokens_per_word, chars_per_token).
+
+    Fertility (tokens per whitespace word) is the number that says a
+    tokenizer is mis-fit for a slice of the corpus — a language at
+    ≫1.5× the corpus average is underrepresented in the merge table and
+    will cost that much more context window and compute per sentence.
+    chars_per_token is the compression view of the same thing.
+
+    One projection (the Arrow-batched encoder is the only non-native
+    step, same as ``encode``) + ONE partial-aggregated shuffle on the
+    group key; ratios are derived from the sums, rounded to the 1e-6
+    grid. NULL text counts as 0 everywhere.
+    """
+    from .textstats import tokens as _ws_tokens
+
+    base = df.select(
+        F.col(group_col),
+        F.when(F.col(text_col).isNotNull(),
+               token_count(F.col(text_col), merges).cast("long"))
+        .otherwise(F.lit(0)).alias("__bpe"),
+        F.when(F.col(text_col).isNotNull(),
+               F.size(_ws_tokens(F.col(text_col))).cast("long"))
+        .otherwise(F.lit(0)).alias("__ws"),
+        F.coalesce(F.length(text_col), F.lit(0)).cast("long")
+        .alias("__ch"))
+    agg = (base.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__bpe").alias("bpe_tokens"),
+                F.sum("__ws").alias("ws_tokens"),
+                F.sum("__ch").alias("chars")))
+    return agg.select(
+        group_col, "n_docs", "bpe_tokens", "ws_tokens", "chars",
+        F.when(F.col("ws_tokens") > 0,
+               F.round(F.col("bpe_tokens").cast("double")
+                       / F.col("ws_tokens"), 6)).alias("tokens_per_word"),
+        F.when(F.col("bpe_tokens") > 0,
+               F.round(F.col("chars").cast("double")
+                       / F.col("bpe_tokens"), 6)).alias("chars_per_token"))
+
+
 def decode(tokens: Column) -> Column:
     """Inverse of ``encode`` up to the pre-tokenization unit boundaries:
     merges are word-internal, so concatenation restores each unit's

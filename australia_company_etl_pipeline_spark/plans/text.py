@@ -215,7 +215,11 @@ def _bpe_count_sql() -> str:
         "(operators/bpe.py encode — Arrow-batched greedy merge loop) "
         "with a fixed rank-ordered merge table; the oracle simulates "
         "the same merges with chained replaces, so the real tokenizer "
-        "path is value-checked doc by doc.",
+        "path is value-checked doc by doc. kind='fertility' (r7, "
+        "bpe.fertility_stats): per-lang tokenizer-fit sums — BPE "
+        "tokens (n_tokens), whitespace words (pack_id), chars "
+        "(pack_offset); tokens-per-word fertility and chars-per-token "
+        "compression derive from these, so the sums pin the operator.",
     tags=("text",),
     oracle=f"""
 WITH tl AS (
@@ -260,6 +264,14 @@ SELECT 'bpe' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
        FALSE AS spans_packs,
        CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS VARCHAR) AS chunk_text
 FROM documents
+UNION ALL
+SELECT 'fertility' AS kind, CAST(NULL AS BIGINT) AS doc_id, lang,
+       CAST(SUM({_bpe_count_sql()}) AS BIGINT) AS n_tokens,
+       CAST(SUM(coalesce(len({_TOKS}), 0)) AS BIGINT) AS pack_id,
+       CAST(SUM(coalesce(length(text), 0)) AS BIGINT) AS pack_offset,
+       FALSE AS spans_packs,
+       CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS VARCHAR) AS chunk_text
+FROM documents GROUP BY lang
 """,
 )
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +310,21 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("spans_packs"),
         F.lit(None).cast("int").alias("chunk_idx"),
         F.lit(None).cast("string").alias("chunk_text"))
-    return pack.unionByName(chunk).unionByName(bpe_rows)
+    # kind='fertility' (r7): per-lang tokenizer fertility sums — BPE
+    # tokens ride n_tokens, whitespace words ride pack_id, chars ride
+    # pack_offset; the ratio columns derive from these three sums, so
+    # value-checking the sums pins the operator
+    fert_rows = (bpe.fertility_stats(d, _BPE_MERGES, "text", "lang")
+                 .select(F.lit("fertility").alias("kind"),
+                         F.lit(None).cast("long").alias("doc_id"), "lang",
+                         F.col("bpe_tokens").alias("n_tokens"),
+                         F.col("ws_tokens").alias("pack_id"),
+                         F.col("chars").alias("pack_offset"),
+                         F.lit(False).alias("spans_packs"),
+                         F.lit(None).cast("int").alias("chunk_idx"),
+                         F.lit(None).cast("string").alias("chunk_text")))
+    return (pack.unionByName(chunk).unionByName(bpe_rows)
+            .unionByName(fert_rows))
 
 
 @register(

@@ -180,3 +180,27 @@ def test_registered_merge_table_chained_replace_equivalence(spark,
     assert vocab
     for w in sorted(vocab):
         assert _bpe_word(w, ranks, {}) == chained(w), w
+
+
+def test_fertility_stats_hand_golden(spark):
+    """Sums and ratios replayed by hand: merges [('a','b')] make 'ab'
+    one token, everything else chars."""
+    merges = [("a", "b")]
+    rows = [(0, "en", "ab ab cd"),   # bpe: 1+1+2=4, ws: 3, ch: 8
+            (1, "en", "ab"),         # bpe: 1, ws: 1, ch: 2
+            (2, "de", "xyz"),        # bpe: 3, ws: 1, ch: 3
+            (3, "de", None)]         # all zeros, still counted as a doc
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in
+           bpe.fertility_stats(df, merges).collect()}
+    en, de = got["en"], got["de"]
+    assert (en.n_docs, en.bpe_tokens, en.ws_tokens, en.chars) == (2, 5, 4, 10)
+    assert en.tokens_per_word == round(5 / 4, 6)
+    assert en.chars_per_token == round(10 / 5, 6)
+    assert (de.n_docs, de.bpe_tokens, de.ws_tokens, de.chars) == (2, 3, 1, 3)
+    # zero-denominator ratios stay NULL, never divide
+    empty = spark.createDataFrame([(0, "fr", "")],
+                                  "doc_id long, lang string, text string")
+    r = bpe.fertility_stats(empty, merges).head()
+    assert r.bpe_tokens == 0 and r.tokens_per_word is None \
+        and r.chars_per_token is None
