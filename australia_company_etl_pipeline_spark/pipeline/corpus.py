@@ -66,6 +66,7 @@ def prepare_training_corpus(
         semantic_keep: str = "far",
         bpe_merges: list[tuple[str, str]] | None = None,
         url_col: str | None = None,
+        c4_rules: dict | None = None,
         domain_cap: tuple[str, int] | None = None,
         line_dedup_mode: str | None = None,
         line_min_docs: int = 3,
@@ -90,6 +91,15 @@ def prepare_training_corpus(
        collapses refetches of one page under scheme/www/tracking-param
        variants (min-id keep) BEFORE anything content-level runs: the
        cheapest pass goes first;
+    0b. C4 page/line cleaning (only when ``c4_rules`` is given — a
+       kwargs dict for ``c4.c4_clean``, ``{}`` for the paper defaults)
+       — the Raffel-2020 web-cleaning recipe: line rules (terminal
+       punctuation, min words, javascript) rewrite each page, page
+       rules (lorem ipsum, curly brace, blocklist, min sentences) drop
+       it. Runs BEFORE the quality filter, per the original pipeline's
+       ordering: nav chrome and boilerplate lines would otherwise skew
+       the punctuation/stopword quality metrics of pages whose actual
+       prose is fine. One extra shuffle-free projection;
     1. quality filter — ``corpus_filter`` one-pass gate, drop reasons
        attributed (``filter_kwargs`` forwards thresholds);
     1b. domain cap (only when ``domain_cap=(key_col, n)`` is given) —
@@ -218,6 +228,20 @@ def prepare_training_corpus(
 
         docs = _stage(url_ops.url_dedup(docs, url_col, id_col))
         stages["url_deduped"] = docs
+
+    if c4_rules is not None:
+        # Stage 0b: C4 page/line cleaning — rewrite pages to their
+        # surviving lines, drop pages failing the page rules, BEFORE
+        # the quality metrics see the text (chrome-free prose scores
+        # honestly). Same scan; no shuffle.
+        from ..operators import c4 as c4_ops
+
+        cleaned = c4_ops.c4_clean(docs, text_col, **c4_rules)
+        docs = _stage(cleaned.filter(F.col("c4_reason").isNull())
+                      .withColumn(text_col, F.col("c4_text"))
+                      .drop("c4_reason", "c4_text", "c4_sentences",
+                            "c4_lines_kept", "c4_lines_total"))
+        stages["c4_cleaned"] = docs
 
     flagged = ts.corpus_filter(docs, text_col, **(filter_kwargs or {}))
     kept = _stage(flagged.filter(F.col("drop_reason").isNull())

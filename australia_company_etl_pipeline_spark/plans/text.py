@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions import html as html_fx
 from ..operators import bloom as bloom_ops
+from ..operators import c4 as c4_ops
 from ..operators import dsir as dsir_ops
 from ..operators import lm as lm_ops
 from ..operators import textstats as ts
@@ -784,6 +785,51 @@ _BLOOM_M = 63 * 400  # kind='bloom' filter size (bits)
 _BLOOM_K = 5
 
 
+# C4-cleaning fixture (kind='c4'/'c4text', operators/c4.py): synthetic
+# pages built from doc_id ARITHMETIC ONLY (no raw text spliced), so a
+# testdata regen can never flip a rule through content — every page's
+# expected fate is derivable from its id. Literal fragments shared
+# byte-for-byte by the Spark builder and the SQL oracle (single-quote
+# free). Per line: L1 always survives the line rules; L2 dies to the
+# javascript rule; L3 to terminal punctuation; L4 to min-words; L5
+# ('fillerX ' * (id%4) + tail) has 4+(id%4) words, so it survives iff
+# id%4 >= 1 — the min-words rule exercised with arithmetic variety; L6
+# (even ids) adds the third sentence; the footer dies to punctuation.
+# Page fate: lorem (7|id) → curly (11|id) → blocked (13|id) →
+# sentences = 1 + (id%4>=1) + (2|id) < 3 unless id%4 == 2 → kept.
+_C4_SAMPLE_MOD = 17  # kind='c4text' cleaned-page sample stride
+_C4_L1 = "Welcome to the company register page "  # + id + '.'
+_C4_L2 = "Please enable javascript to view this content."
+_C4_L3 = "Home | About | Contact"
+_C4_L4 = "Too short line."
+_C4_L5 = "this line ends now."
+_C4_L6 = "It also carries one extra detail sentence."
+_C4_LOREM = "Also some Lorem ipsum dolor sit amet text."
+_C4_CURLY = "var f = function() { return 1; }"
+_C4_BLOCK = "This page mentions badword1 explicitly today."
+_C4_FOOT = "Copyright 2024 All Rights Reserved"
+
+
+def _c4_sql() -> str:
+    """DuckDB twin of the C4-cleaning fixture. Both the per-page fate
+    (kind='c4' rollup) and the expected cleaned text (kind='c4text')
+    are derived straight from the doc_id arithmetic above — NOT by
+    replaying operators/c4.py's regex rules — so a bug in any rule
+    (terminal punct, word count, javascript, lorem/curly/blocklist
+    page drops, sentence threshold, reassembly order) hash-mismatches
+    instead of reproducing on both sides."""
+    return f"""
+c4_f AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'lorem_ipsum'
+              WHEN doc_id % 11 = 0 THEN 'curly_brace'
+              WHEN doc_id % 13 = 0 THEN 'blocked_word'
+              WHEN doc_id % 4 <> 2 THEN 'too_few_sentences'
+              ELSE 'kept' END AS reason
+  FROM documents
+)"""
+
+
 def _bloom_sql() -> str:
     """DuckDB twin of the md5-backed Bloom build over documents.text:
     the same double-hash positions (hex slices of md5), 63-bit words,
@@ -879,13 +925,23 @@ html_f AS (
         "filter over md5(text) keys — every (word_idx, bits) word of "
         "the built filter value-checked (key=word_idx, "
         "n_docs=bit_count, n_hits=the 63-bit word itself), double-hash "
-        "positions replayed from the same md5 hex slices in DuckDB.",
+        "positions replayed from the same md5 hex slices in DuckDB. "
+        "kind='c4'/'c4text' (r7, operators/c4.py): the C4 web-cleaning "
+        "recipe (Raffel 2020 §2.2 — terminal-punct/min-words/"
+        "javascript line rules, lorem-ipsum/curly-brace/blocklist/"
+        "min-sentences page rules) over an arithmetic-only synthetic "
+        "page fixture; the oracle derives every page's fate AND the "
+        "full cleaned text from the doc_id arithmetic, not the rules, "
+        "so both sides cannot share a bug (key=drop reason with doc_id "
+        "membership checksum; c4text = the reassembled cleaned page "
+        "string-exact on an id%17 sample).",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
 {_url_sql().lstrip()},
 {_html_sql().lstrip()},
 {_bloom_sql().lstrip()},
+{_c4_sql().lstrip()},
 {_dsir_sql().lstrip()},
 planted AS (
   SELECT text FROM documents
@@ -972,10 +1028,22 @@ UNION ALL
 SELECT 'bloom' AS kind, CAST(widx AS VARCHAR) AS key,
        CAST(bit_count(bits) AS BIGINT) AS n_docs, bits AS n_hits
 FROM bloom_w
+UNION ALL
+SELECT 'c4' AS kind, reason AS key, count(*) AS n_docs,
+       sum(doc_id) AS n_hits
+FROM c4_f GROUP BY 2
+UNION ALL
+SELECT 'c4text' AS kind,
+       '{_C4_L1}' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+       repeat('filler' || CAST(doc_id % 5 AS VARCHAR) || ' ',
+              CAST(doc_id % 4 AS INT)) ||
+       '{_C4_L5}' || chr(10) || '{_C4_L6}' AS key,
+       CAST(3 AS BIGINT) AS n_docs, doc_id AS n_hits
+FROM c4_f WHERE reason = 'kept' AND doc_id % {_C4_SAMPLE_MOD} = 0
 """,
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
               for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
-                        "html", "bloom")},
+                        "html", "bloom", "c4")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -1135,6 +1203,41 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                         F.col("word_idx").cast("string").alias("key"),
                         F.bit_count("bits").cast("long").alias("n_docs"),
                         F.col("bits").alias("n_hits")))
+    if kind in (None, "c4"):
+        # kind='c4'/'c4text': the C4 cleaning recipe over arithmetic-
+        # only synthetic pages (see the _C4_* fixture comment); the
+        # oracle derives reasons and cleaned text from the doc_id
+        # arithmetic, so the rules are checked, not replayed
+        did = F.col("doc_id")
+        page = F.concat(
+            F.lit(_C4_L1), did.cast("string"), F.lit(".\n"),
+            F.lit(_C4_L2 + "\n" + _C4_L3 + "\n" + _C4_L4 + "\n"),
+            F.repeat(F.concat(F.lit("filler"), (did % 5).cast("string"),
+                              F.lit(" ")), (did % 4).cast("int")),
+            F.lit(_C4_L5 + "\n"),
+            F.when(did % 2 == 0, F.lit(_C4_L6 + "\n")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(_C4_LOREM + "\n"))
+             .otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(_C4_CURLY + "\n"))
+             .otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(_C4_BLOCK + "\n"))
+             .otherwise(F.lit("")),
+            F.lit(_C4_FOOT))
+        cleaned = c4_ops.c4_clean(d.select("doc_id", page.alias("text")),
+                                  "text", blocklist=["badword1"])
+        parts.append(
+            cleaned.groupBy(F.coalesce("c4_reason", F.lit("kept"))
+                            .alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("c4").alias("kind"), "key", "n_docs", "n_hits"))
+        parts.append(
+            cleaned.filter(F.col("c4_reason").isNull()
+                           & (did % _C4_SAMPLE_MOD == 0))
+            .select(F.lit("c4text").alias("kind"),
+                    F.col("c4_text").alias("key"),
+                    F.col("c4_lines_kept").cast("long").alias("n_docs"),
+                    F.col("doc_id").alias("n_hits")))
     if not parts:
         raise ValueError(f"unknown corpus_filter_stats kind {kind!r}")
     out = parts[0]

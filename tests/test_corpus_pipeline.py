@@ -565,3 +565,39 @@ def test_prepare_training_corpus_url_stages(spark, sf_dir):
         assert counts["domain_capped"] < counts["url_deduped"]
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_c4_stage(spark, sf_dir):
+    """c4_rules drives stage-0b page/line cleaning: pages are rewritten
+    to their surviving lines BEFORE the quality filter, page-rule
+    failures drop, and the stage count lands in the report."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    good = ("This is a perfectly reasonable first sentence here.\n"
+            "The second sentence also reads quite naturally too.\n"
+            "A third sentence keeps the page above the floor.")
+    base = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(good + "\nSome lorem ipsum filler got pasted in."))
+        .otherwise(F.concat(
+            F.lit(good + "\nHome | About | Contact\n"),
+            F.lit("Trailing doc marker number "),
+            F.col("doc_id").cast("string"), F.lit("."))))
+    try:
+        packed, report = prepare_training_corpus(
+            base, c4_rules={}, pack_budget=2048)
+        import json as _json
+        counts = _json.loads(report.collect()[0]["stage_counts"])
+        n = base.count()
+        n_lorem = base.filter(F.col("doc_id") % 5 == 0).count()
+        # page rule dropped every lorem page
+        assert counts["c4_cleaned"] == n - n_lorem
+        assert counts["ingested"] == n
+        # line rules rewrote the text: nav chrome gone, prose kept
+        texts = [r.text for r in packed.select("text").limit(5).collect()]
+        for t in texts:
+            assert "Home | About" not in t
+            assert t.startswith("This is a perfectly reasonable")
+    finally:
+        release_corpus_cache()

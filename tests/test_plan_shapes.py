@@ -133,14 +133,18 @@ def test_pack_docs_single_window_pass(spark, sf_dir):
     exactly one exchange (hash partitioning on lang), one Window, no
     join, no global single-partition sort. The r4 chunk branch adds a
     second scan but must stay shuffle-free; the r5 bpe branch adds a
-    third scan and exactly ONE Arrow crossing (the greedy-merge
-    pandas_udf), also shuffle-free."""
+    third scan and ONE Arrow crossing (the greedy-merge pandas_udf),
+    also shuffle-free; the r7 fertility branch adds a fourth scan, a
+    second Arrow crossing (the tokenizer encode) and exactly ONE
+    partial-aggregated exchange (the per-lang fertility rollup —
+    map-side combine, so the shuffle moves one row per (lang,
+    partition), never the corpus)."""
     plan = _plan(plans.REGISTRY["pack_docs"].builder(spark, sf_dir))
     counts = _node_counts(plan)
     assert counts["Window"] == 1, counts
-    assert counts["Exchange"] == 1, counts
-    assert counts["Scan"] == 3, counts
-    assert counts["ArrowEvalPython"] == 1, counts
+    assert counts["Exchange"] == 2, counts
+    assert counts["Scan"] == 4, counts
+    assert counts["ArrowEvalPython"] == 2, counts
     assert "SinglePartition" not in plan, "global-order funnel"
 
 
