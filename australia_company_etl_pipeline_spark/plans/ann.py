@@ -269,11 +269,21 @@ _REG["ann_bruteforce_topk"].oracle = (
         "quarantined vectors), rank = 1 for the elected canonical "
         "member else 0. Iterative k-means with engine-specific init "
         "hashing -> rows-only driver check; per-method recall and "
-        "election invariants pinned in tests/test_dedup_ann.py.",
+        "election invariants pinned in tests/test_dedup_ann.py. "
+        "method='pq' rows (r7, operators/pq.py) are product-"
+        "quantization ADC top-10 answered from the PERSISTED PQ index "
+        "(16 subspaces × 16 codes = 64-bit codes, a 16-32× smaller "
+        "scan than the float vectors) with the faiss-style refine "
+        "stage: ADC prunes to 5·k candidates, the exact cosine runs "
+        "on those rows only via an equi-join back to the embeddings "
+        "— the 100 TB shape where floats are touched per candidate, "
+        "never per corpus row. Iterative subspace k-means -> "
+        "rows-only; ADC-vs-reconstruction identity, nearest-code "
+        "argmin and recall floors pinned in tests/test_pq.py.",
     tags=("ann",),
     oracle=None,
     branches={m: (lambda s, d, _m=m: _ann_approx_branches(s, d, _m))
-              for m in ("ivf", "semdedup")},
+              for m in ("ivf", "semdedup", "pq")},
 )
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_approx_branches(spark, sf_dir, None)
@@ -297,6 +307,22 @@ def _ann_approx_branches(spark: SparkSession, sf_dir: str,
             ann.ivf_index_topk(spark, _ivf_path(spark, sf_dir),
                                _queries_df(spark, sf_dir), k=K, n_probe=4)
             .select(F.lit("ivf").alias("method"), "query_id", "vec_id",
+                    "cosine_sim", "rank"))
+    if method in (None, "pq"):
+        from ..operators import pq as pq_ops
+
+        pq_path = _cached_index(
+            spark, sf_dir, "pq", "64|16|16|3|42",
+            lambda p: pq_ops.build_pq_index(
+                _corpus(spark, sf_dir), p, dim=64, m=16, n_codes=16,
+                kmeans_iter=3, seed=42))
+        parts.append(
+            pq_ops.pq_index_topk(
+                spark, pq_path, _queries_df(spark, sf_dir), k=K,
+                rerank_df=_corpus(spark, sf_dir).select("vec_id",
+                                                        "embedding"),
+                oversample=5)
+            .select(F.lit("pq").alias("method"), "query_id", "vec_id",
                     "cosine_sim", "rank"))
     if method in (None, "semdedup"):
         # SemDeDup rides the SAME persisted centroids the IVF index

@@ -1,0 +1,189 @@
+"""Product quantization (operators/pq.py, r7).
+
+The ADC arithmetic is pinned EXACTLY against driver-side
+reconstruction (a mathematical identity, not a tolerance guess); the
+approximation quality is pinned as recall vs the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.catalog import table
+from australia_company_etl_pipeline_spark.operators import ann, pq
+
+M, CODES, DIM = 16, 16, 64
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def books(corpus):
+    return pq.train_pq(corpus, dim=DIM, m=M, n_codes=CODES, kmeans_iter=3)
+
+
+def test_codebook_shape(books):
+    assert len(books) == M
+    for sub in books:
+        assert len(sub) == CODES
+        assert all(len(cv) == DIM // M for cv in sub)
+
+
+def test_train_deterministic(corpus, books):
+    again = pq.train_pq(corpus, dim=DIM, m=M, n_codes=CODES, kmeans_iter=3)
+    assert again == books
+
+
+def test_encode_shape_and_range(corpus, books):
+    enc = pq.pq_encode(corpus, books)
+    rows = enc.select("pq_codes", "pq_norm").collect()
+    for r in rows:
+        assert len(r.pq_codes) == M
+        assert all(0 <= c < CODES for c in r.pq_codes)
+        assert r.pq_norm >= 0
+
+
+def test_norm_matches_reconstruction(corpus, books):
+    rows = pq.pq_encode(corpus, books).limit(20).collect()
+    for r in rows:
+        recon = pq.reconstruct(books, r.pq_codes)
+        assert r.pq_norm == pytest.approx(
+            math.sqrt(sum(x * x for x in recon)), rel=1e-9)
+
+
+def test_codes_are_nearest_subcentroids(corpus, books):
+    """Each emitted code IS the argmin-L2 sub-centroid (ties → lowest
+    code), replayed in python per subspace."""
+    ds = DIM // M
+    rows = (pq.pq_encode(corpus, books)
+            .select("embedding", "pq_codes").limit(20).collect())
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        for j in range(M):
+            sub = v[j * ds:(j + 1) * ds]
+            dists = [sum((a - b) ** 2 for a, b in zip(sub, cv))
+                     for cv in books[j]]
+            assert dists[r.pq_codes[j]] == min(dists)
+
+
+def test_adc_score_is_exact_on_reconstruction(spark, corpus, books):
+    """cosine_sim == cos(query, reconstruct(codes)) to fp precision —
+    the ADC lookup-table sum is an identity, not an approximation,
+    w.r.t. the quantized vector."""
+    enc = pq.pq_encode(corpus, books).select("vec_id", "pq_codes",
+                                             "pq_norm")
+    queries = (corpus.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    got = pq.pq_topk(enc, queries, books, k=5)
+    qvs = {r.query_id: [float(x) for x in r.query_vec]
+           for r in queries.collect()}
+    codes = {r.vec_id: r.pq_codes for r in enc.collect()}
+    for r in got.collect():
+        q = qvs[r.query_id]
+        recon = pq.reconstruct(books, codes[r.vec_id])
+        d = sum(a * b for a, b in zip(q, recon))
+        nq = math.sqrt(sum(x * x for x in q))
+        nr = math.sqrt(sum(x * x for x in recon))
+        assert r.cosine_sim == pytest.approx(round(d / (nq * nr), 6),
+                                             abs=2e-6)
+
+
+def test_recall_vs_bruteforce(spark, corpus, books):
+    """Recall@10 against the exact cosine oracle: the flat-ADC floor
+    is measured headroom below the observed 0.46 (64-bit codes over
+    synthetic near-random embeddings — PQ's hardest case); the
+    faiss-style refine stage (ADC prune → exact cosine on the
+    oversampled candidates only) measured 0.86 at 5× and 1.0 at 10×.
+    The assertions catch rank-arithmetic regressions, not quantization
+    noise."""
+    queries = (corpus.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    truth = ann.brute_force_topk(corpus, queries, k=10)
+    enc = pq.pq_encode(corpus, books).select("vec_id", "pq_codes",
+                                             "pq_norm")
+    t = {(r.query_id, r.vec_id) for r in truth.collect()}
+
+    g = {(r.query_id, r.vec_id)
+         for r in pq.pq_topk(enc, queries, books, k=10).collect()}
+    assert len(t & g) / len(t) >= 0.3
+
+    r10 = {(r.query_id, r.vec_id)
+           for r in pq.pq_topk(enc, queries, books, k=10,
+                               rerank_df=corpus,
+                               oversample=10).collect()}
+    assert len(t & r10) / len(t) >= 0.9
+
+
+def test_rerank_scores_are_exact_cosine(spark, corpus, books):
+    """Refined rows carry the EXACT cosine (identical to the
+    brute-force oracle's score for the same pair), not the ADC
+    estimate."""
+    queries = (corpus.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    truth = {(r.query_id, r.vec_id): r.cosine_sim
+             for r in ann.brute_force_topk(corpus, queries,
+                                           k=50).collect()}
+    enc = pq.pq_encode(corpus, books).select("vec_id", "pq_codes",
+                                             "pq_norm")
+    got = pq.pq_topk(enc, queries, books, k=10, rerank_df=corpus,
+                     oversample=5).collect()
+    for r in got:
+        key = (r.query_id, r.vec_id)
+        if key in truth:
+            assert r.cosine_sim == pytest.approx(truth[key], abs=1e-6)
+
+
+def test_encode_plan_is_shuffle_free(corpus, books):
+    plan = (pq.pq_encode(corpus, books)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """More codes than distinct sub-vectors: training still returns a
+    full codebook (emptied codes carry their init centroid forward)."""
+    rows = [(i, [float(i % 2)] * 8) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq.train_pq(df, dim=8, m=2, n_codes=4, kmeans_iter=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    enc = pq.pq_encode(df, books).collect()
+    assert all(len(r.pq_codes) == 2 for r in enc)
+
+
+def test_persisted_index_roundtrip(spark, corpus, tmp_path):
+    """build → load → probe parity with the in-memory kernel, and a
+    REBUILD swaps atomically (no mixed codebook/codes state, no
+    residue)."""
+    import os
+
+    path = str(tmp_path / "pqidx")
+    pq.build_pq_index(corpus, path, dim=DIM, m=4, n_codes=4,
+                      kmeans_iter=2)
+    books = pq.load_pq_codebook(spark, path)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    queries = (corpus.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    got = pq.pq_index_topk(spark, path, queries, k=5).collect()
+    mem = pq.pq_topk(
+        pq.pq_encode(corpus, books).select("vec_id", "pq_codes",
+                                           "pq_norm"),
+        queries, books, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, mem))
+    # rebuild with different params swaps in place, leaves no tmp/old
+    pq.build_pq_index(corpus, path, dim=DIM, m=2, n_codes=4,
+                      kmeans_iter=1)
+    assert len(pq.load_pq_codebook(spark, path)) == 2
+    residue = [d for d in os.listdir(tmp_path)
+               if d.startswith("pqidx.")]
+    assert residue == []

@@ -164,11 +164,15 @@ def test_registered_query_shares_one_postings_build(spark, sf_dir):
         # cached build subtree — same node id — under every consumer):
         # one for the shared postings build + one per corpus_stats copy
         # + the lm branch's per-consumer scans (bigram, context, probe,
-        # vocabulary)
+        # vocabulary) + the r7 ccnet branch's order-stat probe and
+        # score scans and the r7 ctfidf branch's clustering scan —
+        # each new FOLD may add scans; each fold's own plan discipline
+        # is pinned in its module tests, this guard only catches a
+        # single branch regressing into uncached scan fan-out
         import re
 
         scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
-        assert len(scan_ids) <= 8, sorted(scan_ids)
+        assert len(scan_ids) <= 11, sorted(scan_ids)
     finally:
         rt.unpersist_postings()
         lmo.unpersist_lm()
