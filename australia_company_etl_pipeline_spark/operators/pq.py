@@ -256,24 +256,49 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
     computations, never the corpus), and the final top-k ranks by the
     exact score. The scan stays 16-32× smaller; the float vectors are
     touched per candidate, which is how PQ recall gets bought back at
-    100 TB without scanning floats."""
+    100 TB without scanning floats.
+
+    The LUT is computed DATA-SIDE — the codebook becomes an m·n_codes
+    row frame, one broadcast cross join against the (tiny) query set
+    computes every sub-dot-product, and a per-query aggregate folds
+    them into one flat array ordered by (subspace, code). Inlining the
+    codebook as per-cell literal expressions instead (the
+    ``pq_encode`` style) measured ~6 s of pure plan construction per
+    probe — thousands of driver-side Column objects — vs milliseconds
+    for this join; encode keeps the literal form because it builds
+    once and its argmin needs expression-level candidates."""
     m = len(books)
-    qv = _dbl(F.col(query_vec_col))
-    # LUT[j][c] = dot(q_sub_j, books[j][c]) as nested array expression
+    n_codes = len(books[0])
     ds = len(books[0][0])
-    lut = F.array(*[
-        F.array(*[dot(F.slice(qv, j * ds + 1, ds),
-                      F.array(*[F.lit(x) for x in cv]))
-                  for cv in books[j]])
-        for j in range(m)])
-    qn = F.sqrt(dot(qv, qv))
-    q = queries.select(F.col(query_id_col), lut.alias("__lut"),
-                       qn.alias("__qn"))
-    adc = None
-    for j in range(m):
-        term = F.element_at(F.element_at("__lut", j + 1),
-                            F.element_at("pq_codes", j + 1) + 1)
-        adc = term if adc is None else adc + term
+    spark = codes_df.sparkSession
+    cb = spark.createDataFrame(
+        [(j, c, cv) for j, sub in enumerate(books)
+         for c, cv in enumerate(sub)],
+        "subspace int, code int, centroid_vec array<double>")
+    qv = _dbl(F.col(query_vec_col))
+    qpre = queries.select(F.col(query_id_col), qv.alias("__qv"),
+                          F.sqrt(dot(qv, qv)).alias("__qn"))
+    # LUT[j*n_codes + c] = dot(q_sub_j, books[j][c]); flat array keeps
+    # the per-row lookup a single element_at
+    cell = dot(F.slice(F.col("__qv"),
+                       F.col("subspace") * ds + 1, ds),
+               F.col("centroid_vec"))
+    q = (qpre.crossJoin(F.broadcast(cb))
+         .select(query_id_col, "__qn", "subspace", "code",
+                 cell.alias("__v"))
+         .groupBy(query_id_col)
+         .agg(F.first("__qn").alias("__qn"),
+              F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("subspace", "code", "__v"))),
+                  lambda s: s["__v"]).alias("__lut")))
+    adc = F.aggregate(
+        F.zip_with(F.col("pq_codes"),
+                   F.sequence(F.lit(0), F.lit(m - 1)),
+                   lambda c, j: F.element_at(
+                       F.col("__lut"),
+                       (j * n_codes + c + 1).cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
     scored = (codes_df.crossJoin(F.broadcast(q))
               .select(F.col(query_id_col), F.col(id_col),
                       F.round(adc / (F.col("__qn") * F.col("pq_norm")), 6)

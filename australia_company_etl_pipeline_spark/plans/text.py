@@ -328,13 +328,25 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(fert_rows))
 
 
+_CMS_D, _CMS_W = 4, 512  # kind='cms' sketch (narrow → real collisions)
+_CMS_PROBE = ["hash", "spark", "vector", "zzz_absent_term"]
+
+
 @register(
     "vocab_ngram_counts",
     doc="Corpus vocabulary + word-bigram statistics in one result "
         "(kind='token' | 'bigram'): occurrence and document frequencies, "
         "min_count 3. The tokenizer-training / collocation staple. "
         "Scale: explode → ONE partial-aggregated shuffle per branch; hot "
-        "grams collapse map-side, so no skew blowup.",
+        "grams collapse map-side, so no skew blowup. "
+        "kind='cms'/'cms_probe' (r7, operators/cms.py): a 4×512 "
+        "Count-Min sketch over the SAME token stream under the "
+        "engine-portable md5 double-hash backend — every nonzero "
+        "counter value-checked (gram='row:col', n_occurrences=count) "
+        "and four point estimates (incl. an absent term, so the "
+        "collision-overcount path is exercised) replayed via the same "
+        "min-over-rows rule in DuckDB. The width is deliberately "
+        "narrow: collisions must OCCUR for the check to mean anything.",
     tags=("text",),
     oracle=f"""
 WITH tl AS (
@@ -348,6 +360,26 @@ WITH tl AS (
               for i in generate_series(1, len(toks) - 1)]
            ELSE CAST([] AS VARCHAR[]) END) AS gram
   FROM tl
+), cms_w AS (
+  SELECT row_idx, col_idx, count(*) AS cnt
+  FROM (SELECT i.range AS row_idx,
+               (CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+                + i.range
+                  * CAST(concat('0x', substr(md5(gram), 9, 8)) AS BIGINT))
+               % {_CMS_W} AS col_idx
+        FROM tok CROSS JOIN range({_CMS_D}) i)
+  GROUP BY 1, 2
+), cms_e AS (
+  SELECT term, min(coalesce(w.cnt, 0)) AS est
+  FROM (SELECT term, i.range AS row_idx,
+               (CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                + i.range
+                  * CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT))
+               % {_CMS_W} AS col_idx
+        FROM (SELECT unnest({_CMS_PROBE!r}) AS term)
+        CROSS JOIN range({_CMS_D}) i) p
+  LEFT JOIN cms_w w USING (row_idx, col_idx)
+  GROUP BY term
 )
 SELECT 'token' AS kind, gram, count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs
@@ -356,9 +388,20 @@ UNION ALL
 SELECT 'bigram' AS kind, gram, count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs
 FROM bi GROUP BY 2 HAVING count(*) >= 3
+UNION ALL
+SELECT 'cms' AS kind,
+       CAST(row_idx AS VARCHAR) || ':' || CAST(col_idx AS VARCHAR) AS gram,
+       cnt AS n_occurrences, CAST(NULL AS BIGINT) AS n_docs
+FROM cms_w
+UNION ALL
+SELECT 'cms_probe' AS kind, term AS gram, est AS n_occurrences,
+       CAST(NULL AS BIGINT) AS n_docs
+FROM cms_e
 """,
 )
 def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cms as cms_ops
+
     d = table(spark, sf_dir, "documents")
     vocab = (ts.vocab_counts(d, "text", min_count=3)
              .select(F.lit("token").alias("kind"),
@@ -369,7 +412,26 @@ def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit("bigram").alias("kind"),
                        F.col("ngram").alias("gram"),
                        "n_occurrences", "n_docs"))
-    return vocab.unionByName(bigrams)
+    tokdf = d.select(F.explode(ts.tokens(F.col("text"))).alias("gram"))
+    sketch = cms_ops.build_cms(tokdf, F.col("gram"), _CMS_D, _CMS_W,
+                               hash_fn="md5")
+    cms_rows = sketch.select(
+        F.lit("cms").alias("kind"),
+        F.concat_ws(":", "row_idx", "col_idx").alias("gram"),
+        F.col("cnt").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"))
+    probe = spark.createDataFrame([(t,) for t in _CMS_PROBE],
+                                  "term string")
+    probe_rows = (cms_ops.cms_estimate(probe, F.col("term"), sketch,
+                                       _CMS_D, _CMS_W, hash_fn="md5",
+                                       id_col="term",
+                                       out_col="n_occurrences")
+                  .select(F.lit("cms_probe").alias("kind"),
+                          F.col("term").alias("gram"),
+                          F.col("n_occurrences").cast("long"),
+                          F.lit(None).cast("long").alias("n_docs")))
+    return (vocab.unionByName(bigrams).unionByName(cms_rows)
+            .unionByName(probe_rows))
 
 
 _BM25_TERMS = ["hash", "quantum", "spark", "vector"]  # 'quantum' absent
