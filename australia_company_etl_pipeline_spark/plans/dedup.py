@@ -647,7 +647,14 @@ def _incremental_verdicts(spark: SparkSession,
         "propagation with pointer jumping (O(log diameter) shuffle "
         "rounds) → (doc_id, cluster_id=min id in component, is_canonical)."
         " Singletons keep their own id. Oracle = DuckDB recursive CTE "
-        "reachability over the quadratic pair set.",
+        "reachability over the quadratic pair set. "
+        "r7 adds the LEAKAGE-SAFE SPLIT column (operators/splits.py): "
+        "split = 80/10/10 train/val/test assigned by the engine-"
+        "portable md5 bucket of the CLUSTER id, so every member of a "
+        "near-dup cluster lands in one split (doc-id hashing would put "
+        "a doc in train and its near-copy in test — the memorization "
+        "leak dedup exists to prevent). The oracle replays bucket and "
+        "ranges on top of its recursive-CTE cluster check.",
     tags=("dedup",),
     oracle=f"""
 WITH RECURSIVE corpus AS ({_DOCS_DUPS_SQL}),
@@ -673,15 +680,33 @@ reach(id, r) AS (
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
 )
-SELECT id AS doc_id, min(r) AS cluster_id,
-       id = min(r) AS is_canonical
-FROM reach GROUP BY id
+, cl AS (
+  SELECT id AS doc_id, min(r) AS cluster_id,
+         id = min(r) AS is_canonical
+  FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id, is_canonical,
+       CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *,
+             CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                  CAST(cluster_id AS VARCHAR), '42')), 1, 8)) AS BIGINT)
+             % 1000000 AS bkt
+      FROM cl)
 """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import splits as sp
+
     corpus = _docs_with_dups(spark, sf_dir)
-    return dd.dedup_clusters(corpus, "text", "doc_id", threshold=0.8,
-                             method="prefix")
+    cl = dd.dedup_clusters(corpus, "text", "doc_id", threshold=0.8,
+                           method="prefix")
+    return cl.withColumn(
+        "split",
+        sp.split_expr(F.col("cluster_id"),
+                      {"train": 0.8, "val": 0.1, "test": 0.1},
+                      seed=42, hash_fn="md5"))
 
 
 @register(
