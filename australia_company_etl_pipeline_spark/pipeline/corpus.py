@@ -59,6 +59,8 @@ def prepare_training_corpus(
         num_hashes: int = 32,
         bands: int = 8,
         near_keep_col: str | None = None,
+        split_spec: dict[str, float] | None = None,
+        split_seed: int = 42,
         decontaminate_metric: str = "jaccard",
         semantic_embeddings: DataFrame | None = None,
         semantic_threshold: float = 0.95,
@@ -146,6 +148,16 @@ def prepare_training_corpus(
        with the highest ``near_keep_col`` value (RefinedWeb-style
        keep-the-best — pass a quality/length column present on the
        docs) via ``cluster_keepers``;
+    3a. leakage-safe split (only when ``split_spec`` is given, e.g.
+       ``{'train': .9, 'val': .05, 'test': .05}``) — adds a ``split``
+       column assigned by hashing each survivor's NEAR-DUP CLUSTER id
+       from stage 3 (``splits.leakage_safe_split``), not its doc id.
+       Two properties doc-id hashing lacks: any members of one cluster
+       that survive (or re-enter on a later run with new data) land in
+       the SAME split, and a keeper re-election cannot move a
+       cluster's content across splits (the cluster id, not the
+       winner's id, drives the bucket). The column rides every later
+       stage through to the packed output;
     3b. semantic dedup (only when ``semantic_embeddings`` is given — a
        frame of ``(id_col, embedding)`` for the surviving docs) —
        ``ann.semdedup`` drops paraphrase-level duplicates the lexical
@@ -339,6 +351,17 @@ def prepare_training_corpus(
     keepers = clusters.filter("is_canonical").select(id_col)
     current = _stage(current.join(keepers, id_col, "left_semi"))
     stages["near_deduped"] = current
+
+    if split_spec is not None:
+        # Stage 3a: leakage-safe split — hash the CLUSTER id, so the
+        # assignment is stable under keeper re-election and any
+        # same-cluster content (now or on a later run) shares a split
+        from ..operators import splits as sp_ops
+
+        current = sp_ops.leakage_safe_split(
+            current, clusters.select(id_col, "cluster_id"), split_spec,
+            id_col=id_col, seed=split_seed)
+        stages["split_assigned"] = current
 
     if semantic_embeddings is not None:
         from ..operators.ann import semdedup

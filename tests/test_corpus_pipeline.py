@@ -601,3 +601,23 @@ def test_prepare_training_corpus_c4_stage(spark, sf_dir):
             assert t.startswith("This is a perfectly reasonable")
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_split_spec(spark, sf_dir):
+    """split_spec adds the cluster-hash split column that survives to
+    the packed output; every near-dup cluster's survivors share one
+    split label and all three labels materialize."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                    "lang")
+    try:
+        packed, report = prepare_training_corpus(
+            docs, split_spec={"train": 0.8, "val": 0.1, "test": 0.1},
+            pack_budget=2048)
+        rows = packed.select("doc_id", "split").collect()
+        labels = {r.split for r in rows}
+        assert labels <= {"train", "val", "test"}
+        assert "train" in labels and len(labels) >= 2
+        n_train = sum(r.split == "train" for r in rows)
+        assert 0.6 <= n_train / len(rows) <= 0.95
+    finally:
+        release_corpus_cache()
