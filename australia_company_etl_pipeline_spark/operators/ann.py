@@ -796,6 +796,64 @@ def embedding_dup_pairs_lsh(corpus: DataFrame, threshold: float = 0.99,
             .filter(F.col("cosine_sim") >= threshold))
 
 
+def semantic_cross_pairs(corpus_emb: DataFrame, benchmark_emb: DataFrame,
+                         threshold: float = 0.9, n_planes: int = 8,
+                         dim: int = 64, seed: int = 42,
+                         multiprobe: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Semantic decontamination pairs: corpus docs whose EMBEDDING is
+    within ``threshold`` cosine of an eval doc's →
+    ``(corpus_id, benchmark_id, cosine_sim)``.
+
+    The leak class the lexical decontaminators structurally miss: a
+    PARAPHRASED eval answer shares almost no n-grams with the eval doc
+    (containment ≈ 0, Jaccard ≈ 0, MinHash never collides) but sits on
+    top of it in embedding space. The published recipes stack this on
+    top of n-gram decontamination for exactly that reason.
+
+    Shape mirrors ``cross_corpus_dup_pairs``: candidates pair only
+    ACROSS the two sides — the corpus buckets ONCE (one sign bucket
+    per row, never exploded), the benchmark side (orders of magnitude
+    smaller) explodes the multiprobe bucket set and BROADCASTS, so the
+    join is a broadcast equi-join on bucket, never a cross join; every
+    candidate is verified with exact cosine, so precision is exact and
+    only recall rides the sketch (pinned in tests)."""
+    planes = _planes(dim, n_planes, seed)
+    c = corpus_emb.select(F.col(id_col).alias("corpus_id"),
+                          F.col(vec_col).alias("__vc"),
+                          lsh_bucket(F.col(vec_col), planes)
+                          .alias("__bucket"))
+    bsk = benchmark_emb.select(F.col(id_col).alias("benchmark_id"),
+                               F.col(vec_col).alias("__vb"),
+                               lsh_bucket(F.col(vec_col), planes)
+                               .alias("__b"))
+    b = (bsk.select("benchmark_id", "__vb",
+                    F.explode(F.array(*_probe_masks(
+                        F.col("__b"), n_planes, multiprobe)))
+                    .alias("__bucket")))
+    return (c.join(F.broadcast(b), "__bucket")
+            .dropDuplicates(["corpus_id", "benchmark_id"])
+            .select("corpus_id", "benchmark_id",
+                    F.round(cosine(F.col("__vc"), F.col("__vb")), 6)
+                    .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+
+def semantic_decontaminate(corpus: DataFrame, corpus_emb: DataFrame,
+                           benchmark_emb: DataFrame, id_col: str,
+                           threshold: float = 0.9,
+                           **lsh_kwargs) -> DataFrame:
+    """Drop every corpus row whose embedding near-matches an eval
+    embedding (``semantic_cross_pairs`` hits → left_anti). Corpus rows
+    WITHOUT an embedding row pass through unexamined — a missing
+    vector must not silently delete the doc (the semdedup contract)."""
+    hits = (semantic_cross_pairs(corpus_emb, benchmark_emb, threshold,
+                                 id_col=id_col, **lsh_kwargs)
+            .select(F.col("corpus_id").alias(id_col)).distinct())
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def ivf_recall_probe(spark, path: str, k: int = 10, n_probe: int = 4,
                      sample: int = 32,
                      id_col: str = "vec_id",

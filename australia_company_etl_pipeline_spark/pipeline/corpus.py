@@ -62,6 +62,8 @@ def prepare_training_corpus(
         split_spec: dict[str, float] | None = None,
         split_seed: int = 42,
         decontaminate_metric: str = "jaccard",
+        benchmark_embeddings: DataFrame | None = None,
+        semantic_decon_threshold: float = 0.9,
         semantic_embeddings: DataFrame | None = None,
         semantic_threshold: float = 0.95,
         semantic_clusters: int = 16,
@@ -169,10 +171,15 @@ def prepare_training_corpus(
        silently delete the doc);
     4. decontamination (only when ``benchmark`` is given) — drop docs
        near-duplicating the eval set; ``decontaminate_metric``
-       chooses whole-document 'jaccard' (MinHash+LSH candidates) or
+       chooses whole-document 'jaccard' (MinHash+LSH candidates),
        'containment' (GPT-3-style n-gram overlap — catches a benchmark
        passage EMBEDDED in a longer doc, which Jaccard dilutes to ~0
-       and whose MinHash candidates LSH cannot generate);
+       and whose MinHash candidates LSH cannot generate), or
+       'semantic' (r7 — embedding-cosine ≥ ``semantic_decon_threshold``
+       against ``benchmark_embeddings``, corpus vectors from
+       ``semantic_embeddings``: the PARAPHRASED eval leak both lexical
+       metrics structurally miss; docs without an embedding row pass
+       through unexamined);
     5. segment dedup (only when ``segment_words`` is set) — sub-document
        keep-first, text REWRITTEN to the deduplicated form.
        ``segment_mode='grid'`` (default) is the fixed-window
@@ -377,18 +384,35 @@ def prepare_training_corpus(
         current = _stage(current.join(dropped, id_col, "left_anti"))
         stages["semantic_deduped"] = current
 
-    if benchmark is not None:
-        # decontaminate persists shingle frames through the dedup module's
-        # cache; re-home them so release_corpus_cache() frees them
-        # without evicting unrelated callers' shingles
-        before = dd.shingle_cache_snapshot()
-        extra = ({} if decontaminate_metric == "containment"
-                 else {"num_hashes": num_hashes, "bands": bands})
-        current = _stage(dd.decontaminate(
-            current, benchmark, text_col, id_col,
-            threshold=near_threshold, metric=decontaminate_metric,
-            **extra))
-        _STAGE_CACHE.extend(dd.new_shingles_since(before))
+    if benchmark is not None or (decontaminate_metric == "semantic"
+                                 and benchmark_embeddings is not None):
+        if decontaminate_metric == "semantic":
+            # the paraphrase leak: match in embedding space, not token
+            # space; corpus vectors are the same frame semdedup uses
+            from ..operators.ann import semantic_decontaminate
+
+            if semantic_embeddings is None or benchmark_embeddings is None:
+                raise ValueError(
+                    "decontaminate_metric='semantic' needs BOTH "
+                    "semantic_embeddings (corpus side) and "
+                    "benchmark_embeddings")
+            emb = semantic_embeddings.join(current.select(id_col),
+                                           id_col, "left_semi")
+            current = _stage(semantic_decontaminate(
+                current, emb, benchmark_embeddings, id_col,
+                threshold=semantic_decon_threshold))
+        else:
+            # decontaminate persists shingle frames through the dedup
+            # module's cache; re-home them so release_corpus_cache()
+            # frees them without evicting unrelated callers' shingles
+            before = dd.shingle_cache_snapshot()
+            extra = ({} if decontaminate_metric == "containment"
+                     else {"num_hashes": num_hashes, "bands": bands})
+            current = _stage(dd.decontaminate(
+                current, benchmark, text_col, id_col,
+                threshold=near_threshold, metric=decontaminate_metric,
+                **extra))
+            _STAGE_CACHE.extend(dd.new_shingles_since(before))
         stages["decontaminated"] = current
 
     if segment_words is not None:
