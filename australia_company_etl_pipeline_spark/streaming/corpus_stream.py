@@ -338,3 +338,83 @@ def stream_media_dedup_ingest(stream: DataFrame, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_sketch_batch(batch_df: DataFrame, batch_id: int,
+                      state_path: str, key_col: str,
+                      depth: int = 4, width: int = 4096,
+                      lg_k: int = 12, hash_fn: str = "xxhash64") -> bool:
+    """Fold one micro-batch into the persisted sketch state (the unit
+    ``stream_sketch_ingest`` runs per trigger; public so replay
+    behavior is directly testable). Returns False when the batch was
+    SKIPPED as a replay.
+
+    State layout under ``state_path`` (one generation, swapped
+    atomically as a whole so cms/hll/meta can never mix):
+    - ``cms/``  — (row_idx, col_idx, cnt) counters;
+    - ``hll/``  — one DataSketches HLL row;
+    - ``meta/`` — (last_batch_id,).
+
+    Sketch merges are SUMS — unlike the dedup ingests (where an id
+    anti-join makes replay a no-op), a replayed trigger would
+    double-count every key. The fence is the stored batch id:
+    ``batch_id <= last_batch_id`` returns without touching state.
+    Structured Streaming's foreachBatch delivers batch ids
+    monotonically and replays use the SAME id, so the fence turns
+    at-least-once triggers into exactly-once sketch contents — the
+    transactional foreachBatch pattern from the Spark docs, applied to
+    sketch state."""
+    import os
+
+    from ..operators import cms as cms_ops
+    from ..operators import hll as hll_ops
+    from ..session import hadoop_exists, replace_dir
+
+    spark = batch_df.sparkSession
+    have = hadoop_exists(spark, f"{state_path}/meta")
+    if have:
+        last = spark.read.parquet(f"{state_path}/meta") \
+            .head()["last_batch_id"]
+        if batch_id <= last:
+            return False
+    if batch_df.isEmpty():
+        return False
+    key = F.col(key_col)
+    new_cms = cms_ops.build_cms(batch_df, key, depth, width, hash_fn)
+    new_hll = hll_ops.distinct_sketch(batch_df, key, lg_k=lg_k)
+    if have:
+        new_cms = cms_ops.merge_cms(
+            spark.read.parquet(f"{state_path}/cms"), new_cms)
+        new_hll = hll_ops.merge_sketches(
+            spark.read.parquet(f"{state_path}/hll").unionByName(new_hll))
+    tmp = f"{state_path}.__build_tmp.{os.getpid()}"
+    new_cms.write.mode("errorifexists").parquet(f"{tmp}/cms")
+    new_hll.write.mode("errorifexists").parquet(f"{tmp}/hll")
+    spark.createDataFrame([(int(batch_id),)], "last_batch_id long") \
+        .coalesce(1).write.mode("errorifexists").parquet(f"{tmp}/meta")
+    replace_dir(spark, tmp, state_path)
+    return True
+
+
+def stream_sketch_ingest(stream: DataFrame, state_path: str,
+                         checkpoint_dir: str, key_col: str,
+                         depth: int = 4, width: int = 4096,
+                         lg_k: int = 12, hash_fn: str = "xxhash64",
+                         available_now: bool = True):
+    """Maintain key-frequency (CMS) + distinct-count (HLL) sketches
+    over everything a stream has ever delivered, in O(depth·width +
+    2^lg_k) state per trigger — never O(history). The monitoring twin
+    of the dedup ingests: "how often does each domain arrive, and how
+    many distinct urls so far?" answerable at any moment from a
+    kilobytes-sized table (``cms.cms_estimate`` /
+    ``hll.distinct_estimate`` over the state dir), with per-trigger
+    cost independent of how long the stream has run."""
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_sketch_batch(batch_df, batch_id, state_path, key_col,
+                          depth, width, lg_k, hash_fn)
+
+    writer = (stream.writeStream.foreachBatch(sketch_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -594,3 +594,62 @@ def test_stream_dedup_ingest_url_stage(spark, tmp_path):
     assert sorted(r.doc_id for r in
                   sh.select("doc_id").distinct().collect()) == \
         [0, 1, 2, 3, 4, 11]
+
+
+def test_stream_sketch_ingest_folds_and_fences(spark, tmp_path):
+    """Two triggers fold into sketch state that EXACTLY equals the
+    one-shot CMS of the union (the merge identity), the HLL estimate
+    tracks the true distinct count, and a replayed batch id is fenced
+    out instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from australia_company_etl_pipeline_spark.operators import cms, hll
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        fold_sketch_batch, read_documents_stream, stream_sketch_ingest)
+
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    rows_a = [(i, f"dom{i % 20}") for i in range(500)]
+    rows_b = [(1000 + i, f"dom{i % 50}") for i in range(500)]
+    schema = "doc_id long, domain string"
+    spark.createDataFrame(rows_a, schema).coalesce(1) \
+        .write.parquet(land, mode="append")
+    q = stream_sketch_ingest(
+        read_documents_stream(spark, land, schema), state, ck, "domain",
+        depth=4, width=4096, lg_k=12)
+    q.awaitTermination(120)
+    spark.createDataFrame(rows_b, schema).coalesce(1) \
+        .write.parquet(land, mode="append")
+    q2 = stream_sketch_ingest(
+        read_documents_stream(spark, land, schema), state, ck, "domain",
+        depth=4, width=4096, lg_k=12)
+    q2.awaitTermination(120)
+
+    both = spark.createDataFrame(rows_a + rows_b, schema)
+    direct = {(r.row_idx, r.col_idx): r.cnt
+              for r in cms.build_cms(both, F.col("domain"), 4,
+                                     4096).collect()}
+    got = {(r.row_idx, r.col_idx): r.cnt
+           for r in spark.read.parquet(f"{state}/cms").collect()}
+    assert got == direct                      # merge identity, exact
+    est = hll.distinct_estimate(
+        spark.read.parquet(f"{state}/hll")).head()["n_distinct"]
+    assert est == pytest.approx(50, rel=0.05)  # dom0..dom49
+
+    meta = spark.read.parquet(f"{state}/meta").head()
+    last = meta["last_batch_id"]
+    # replayed trigger (same or older id) must be fenced out
+    replay = spark.createDataFrame(rows_b, schema)
+    assert fold_sketch_batch(replay, last, state, "domain",
+                             4, 4096, 12) is False
+    got2 = {(r.row_idx, r.col_idx): r.cnt
+            for r in spark.read.parquet(f"{state}/cms").collect()}
+    assert got2 == direct                     # unchanged
+    # a genuinely new batch folds
+    extra = spark.createDataFrame([(9999, "domNEW")], schema)
+    assert fold_sketch_batch(extra, last + 1, state, "domain",
+                             4, 4096, 12) is True
+    est2 = hll.distinct_estimate(
+        spark.read.parquet(f"{state}/hll")).head()["n_distinct"]
+    assert est2 > est
