@@ -116,6 +116,14 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
                           seed + j)
         rows = {r["centroid_id"]: list(r["centroid_vec"])
                 for r in cents.collect()}  # ≤ n_codes rows
+        if len(rows) < n_codes:
+            # fewer vectors than codes: the init sample came up short.
+            # Fail loudly — a silently smaller codebook would shift
+            # every later code id and mis-decode existing indexes.
+            raise ValueError(
+                f"subspace {j}: corpus has only {len(rows)} init "
+                f"vectors for n_codes={n_codes}; shrink n_codes or "
+                "grow the corpus")
         books.append([rows[i + 1] for i in range(n_codes)])
     return books
 

@@ -57,9 +57,12 @@ HEADLINE = [
     "ann_approx_topk",
     "doc_profile",
     "doc_search_bm25",
-    "corpus_filter_stats",  # r7: the 6-branch curation rollup (filter/
-    #                         pii/mixture/cap/dsir/url) joins the perf
-    #                         gate with per-branch attribution
+    "corpus_filter_stats",  # r7: the 9-branch curation rollup (filter/
+    #                         pii/mixture/cap/dsir/url/html/bloom/c4)
+    #                         joins the perf gate with per-branch
+    #                         attribution
+    "vocab_ngram_counts",   # r7: gained the CMS fold (token+bigram+
+    #                         sketch counters over the same explode)
     "events_session_windows",
 ]
 

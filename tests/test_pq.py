@@ -187,3 +187,10 @@ def test_persisted_index_roundtrip(spark, corpus, tmp_path):
     residue = [d for d in os.listdir(tmp_path)
                if d.startswith("pqidx.")]
     assert residue == []
+
+
+def test_tiny_corpus_fails_loudly(spark):
+    df = spark.createDataFrame([(i, [float(i)] * 8) for i in range(3)],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_codes"):
+        pq.train_pq(df, dim=8, m=2, n_codes=8, kmeans_iter=1)
