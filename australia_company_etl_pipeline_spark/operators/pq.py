@@ -19,10 +19,12 @@ Spark shape: training is ``m`` bounded Lloyd's loops (same
 crossJoin(broadcast(centroids)) → ``max(struct)`` argmin →
 posexplode-mean update as ``ann.kmeans_centroids``, minus the
 unit-normalization — subspace magnitudes carry the dot product, so
-spherical k-means would be WRONG here). Encode and the per-query LUT
-are pure shuffle-free codegen projections with the codebook inlined as
-literals (the BPE-dict / LSH-plane discipline: small learned state
-rides the plan, not a join). ADC scoring is one broadcast
+spherical k-means would be WRONG here). Encode is a pure shuffle-free
+codegen projection with the codebook inlined as literals (the
+BPE-dict / LSH-plane discipline — its argmin needs expression-level
+candidates); the per-query LUT is computed DATA-SIDE from a tiny
+codebook frame instead (see ``pq_topk`` — the literal form cost ~6 s
+of plan construction per probe). ADC scoring is one broadcast
 query×codes join + a per-query top-k window — the ``lsh_topk`` shape
 over 1/32nd the bytes. Compose with the IVF index for list pruning;
 flat ADC is already the right scan for mid-size corpora.
@@ -233,7 +235,8 @@ def pq_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                   rerank_df: DataFrame | None = None,
                   oversample: int = 5) -> DataFrame:
     """Probe a persisted PQ index: the scan reads the compact codes
-    table only; the codebook rides the plan as literals."""
+    table only; the collected codebook (m·n_codes rows, bounded)
+    feeds ``pq_topk``'s data-side LUT join."""
     books = load_pq_codebook(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     return pq_topk(codes, queries, books, k, id_col, query_id_col,

@@ -30,6 +30,12 @@ the plan scales the way its docstring claims:
   and the timing isolates the backbone (frequency aggregate + prefix
   explode + rare-key join) — must grow ~N×, while the quadratic
   baseline it replaces would grow N².
+- pq_index_topk (r7): ADC over the persisted codes + 5x exact refine.
+  Both PQ and brute force scan linearly; the claim is the SLOPE — the
+  codes table is 16-32x smaller than the float vectors, so the probe
+  must track the brute-force growth from well below it, and the
+  refine's exact-cosine joins stay k·oversample·queries rows at every
+  mult.
 - dsir_select (r6): importance-resampling selection. The claim is
   linear in total tokens: two bucket-count fits (partial-agg), one
   broadcast scoring join, a top-k — the pool replicates N× while the
@@ -186,6 +192,39 @@ def main() -> None:
         dd.unpersist_shingles()
         print(f"jaccard_similarity_join mult={mult} rows={rows} "
               f"sec={sec:.2f}")
+
+    # --- pq probe: ADC scans codes (16-32x fewer bytes), refine pays
+    # only k*oversample exact computations — probe latency must grow
+    # ~linearly with corpus size but stay well under the brute-force
+    # cosine growth at the same mult (both scans are linear; PQ's
+    # slope is the compressed one) -------------------------------------
+    from australia_company_etl_pipeline_spark.operators import pq
+
+    for mult in (1, 2, 4):
+        corpus = emb
+        m, off = mult, 10_000_000
+        while m > 1:
+            corpus = corpus.unionByName(
+                emb.select((F.col("vec_id") + off).alias("vec_id"),
+                           "embedding"))
+            off += 10_000_000
+            m -= 1
+        with tempfile.TemporaryDirectory() as path:
+            idx_path = os.path.join(path, "pq")
+            rows = corpus.count()     # outside the timers
+            t = time.time()
+            pq.build_pq_index(corpus, idx_path, dim=64, m=16,
+                              n_codes=16, kmeans_iter=3)
+            build = time.time() - t
+            t = time.time()
+            force(pq.pq_index_topk(spark, idx_path, queries, k=10,
+                                   rerank_df=corpus, oversample=5))
+            probe = time.time() - t
+            t = time.time()
+            force(ann.brute_force_topk(corpus, queries, k=10))
+            brute = time.time() - t
+            print(f"pq mult={mult} rows={rows} build_sec={build:.2f} "
+                  f"probe_sec={probe:.2f} brute_sec={brute:.2f}")
 
     # --- dsir_select: linear scoring, fixed 4096-row model ------------
     target = docs.limit(200)          # fixed trusted slice
