@@ -22,10 +22,10 @@ Shape (skew-safe by construction):
   deterministic pseudo-random partner with no shuffle of the corpus
   and no RNG (reruns and retries mine identical triples).
 
-The bucket-representative negatives are "easy" negatives; hard
-negatives (top-k ANN neighbors that are NOT cluster members) can be
-layered with ``ann.pq_topk``/``ivf_index_topk`` output filtered
-against ``clusters`` — documented here rather than hidden inside.
+The bucket-representative negatives are "easy" negatives;
+``hard_negatives`` layers the informative kind on top — each anchor's
+top-k EMBEDDING neighbors that are not cluster members (the
+look-alike non-matches contrastive training actually learns from).
 """
 
 from __future__ import annotations
@@ -90,3 +90,55 @@ def mine_contrastive_pairs(clusters: DataFrame, docs: DataFrame,
                      F.col(text_col).alias(f"{role}_text")),
             f"{role}_id")
     return triples
+
+
+def hard_negatives(triples: DataFrame, embeddings: DataFrame,
+                   clusters: DataFrame, k: int = 3,
+                   n_planes: int = 8, dim: int = 64, seed: int = 42,
+                   id_col: str = "doc_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Upgrade a mined triple set with HARD negatives: for each anchor,
+    the top-``k`` embedding-space neighbors that are NOT in its
+    near-dup cluster → ``(anchor_id, negative_id, cosine_sim, rank)``.
+
+    Easy (random-bucket) negatives saturate contrastive training
+    quickly; the informative negatives are the look-alike non-matches
+    — exactly what ANN + the cluster frame can separate. Shape: the
+    LSH top-k kernel (``ann.lsh_topk`` — corpus bucketed once, anchors
+    explode multiprobe buckets) with same-cluster candidates
+    anti-joined out BEFORE the rank window, so a cluster member can
+    never rank as its own negative. O(anchors × probe buckets), never
+    a cross join."""
+    from .ann import lsh_topk
+
+    anchors = (triples.select("anchor_id").distinct()
+               .join(embeddings.select(F.col(id_col).alias("anchor_id"),
+                                       F.col(vec_col)), "anchor_id")
+               .select(F.col("anchor_id").alias("query_id"),
+                       F.col(vec_col).alias("query_vec")))
+    cl = clusters.select(F.col(id_col), F.col("cluster_id"))
+    # neighbors (k + headroom), then strike same-cluster pairs and
+    # re-rank to exactly k
+    from pyspark.sql.window import Window
+
+    raw = lsh_topk(embeddings, anchors, k=k + 8, n_planes=n_planes,
+                   dim=dim, seed=seed, multiprobe=2, id_col=id_col,
+                   vec_col=vec_col)
+    joined = (raw
+              .join(cl.select(F.col(id_col).alias("query_id"),
+                              F.col("cluster_id").alias("__acl")),
+                    "query_id", "left")
+              .join(cl.select(F.col(id_col),
+                              F.col("cluster_id").alias("__ncl")),
+                    id_col, "left")
+              .filter((F.col("query_id") != F.col(id_col))
+                      & (F.col("__acl").isNull()
+                         | F.col("__ncl").isNull()
+                         | (F.col("__acl") != F.col("__ncl")))))
+    win = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id"))
+    return (joined
+            .select(F.col("query_id").alias("anchor_id"),
+                    F.col(id_col).alias("negative_id"), "cosine_sim")
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))

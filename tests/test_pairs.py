@@ -61,3 +61,27 @@ def test_no_cartesian_in_plan(spark, corpus, clusters):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_exclude_cluster_members(spark, corpus, clusters):
+    """Hard negatives are embedding neighbors OUTSIDE the anchor's
+    cluster — its near-dup twin, the nearest vector of all, must never
+    appear; unrelated docs must."""
+    import math
+
+    from australia_company_etl_pipeline_spark.operators import embed
+
+    triples = pr.mine_contrastive_pairs(clusters, corpus, text_col=None)
+    emb = embed.embed_documents(corpus, "text", out_col="embedding",
+                                dim=64).select("doc_id", "embedding")
+    hard = pr.hard_negatives(triples, emb, clusters, k=3).collect()
+    assert hard, "no hard negatives mined"
+    members = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    per_anchor = {}
+    for r in hard:
+        assert members[r.negative_id] != members[r.anchor_id]
+        assert r.negative_id != r.anchor_id
+        per_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
