@@ -1,0 +1,87 @@
+"""Link-graph PageRank (operators/graph.py, r7).
+
+Pinned against a from-scratch python power iteration on the same
+graph (same damping, same dangling redistribution, same iteration
+count) — exact to fp tolerance, not direction-of-effect.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.operators import graph
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("d", "c"),            # d has in-degree 0
+         ("c", "e")]            # e is dangling (no outlinks)
+
+
+def _py_pagerank(edges, damping=0.85, iters=10):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / out[s]
+        dang = sum(r for v, r in rank.items() if v not in out)
+        rank = {v: (1 - damping) / n + damping * (contrib[v] + dang / n)
+                for v in nodes}
+    return rank
+
+
+@pytest.fixture(scope="module")
+def ranks(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    return {r.node: r.rank
+            for r in graph.pagerank(e, max_iter=10).collect()}
+
+
+def test_matches_python_power_iteration(ranks):
+    want = _py_pagerank(EDGES)
+    assert set(ranks) == set(want)
+    for v, r in want.items():
+        assert ranks[v] == pytest.approx(r, abs=1e-9)
+
+
+def test_ranks_sum_to_one(ranks):
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_authority_ordering(ranks):
+    # c receives from a, b, d -> the most authoritative; d receives
+    # nothing -> the least
+    assert ranks["c"] == max(ranks.values())
+    assert ranks["d"] == min(ranks.values())
+
+
+def test_dupes_and_self_loops_collapse(spark):
+    e = spark.createDataFrame(EDGES + [("a", "b"), ("a", "a")],
+                              "src string, dst string")
+    got = {r.node: r.rank for r in graph.pagerank(e, max_iter=10).collect()}
+    want = _py_pagerank(EDGES)
+    for v, r in want.items():
+        assert got[v] == pytest.approx(r, abs=1e-9)
+
+
+def test_empty_graph(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert graph.pagerank(e).count() == 0
+
+
+def test_host_graph_extraction(spark):
+    docs = spark.createDataFrame(
+        [("https://www.blog.site-a.com/post",
+          "see https://site-b.org/x and http://www.site-b.org/y plus "
+          "https://blog.site-a.com/self ok"),
+         ("https://site-b.org/", "no links here")],
+        "url string, text string")
+    edges = {(r.src, r.dst)
+             for r in graph.host_graph(docs, "url", "text").collect()}
+    # both site-b links collapse to one registrable domain; the
+    # self-host link drops
+    assert edges == {("site-a.com", "site-b.org")}
