@@ -613,3 +613,27 @@ def cap_per_key(df, key_cols: list[str], n: int,
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+def temperature_weights(counts: dict[str, float],
+                        alpha: float = 0.3) -> dict[str, float]:
+    """Temperature-scaled mixture weights (the mT5 rule, Xue et al.
+    2021 §3.1): weight_s ∝ count_s^alpha, normalized to sum 1 — feeds
+    ``mixture_sample``'s ``weights``.
+
+    ``alpha=1`` reproduces the natural (size-proportional) mix;
+    ``alpha→0`` flattens toward uniform; mT5 shipped 0.3. This is the
+    knob that keeps a 100× bigger English slice from drowning the
+    tails without hand-tuning per-language numbers. Counts usually
+    come from one availability aggregate
+    (``df.groupBy(stratum).count()`` collected — K rows, bounded) or
+    the ``mixture_sample`` report of a previous run."""
+    if not counts:
+        raise ValueError("empty counts")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError("counts must be positive")
+    raw = {k: float(c) ** alpha for k, c in counts.items()}
+    total = sum(raw.values())
+    return {k: v / total for k, v in raw.items()}

@@ -562,3 +562,43 @@ def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "yyyy-MM-dd").alias("order_month"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  dsum(F.col("o_totalprice")).alias("month_revenue")))
+
+
+@register(
+    "cohort_retention",
+    doc="Cohort retention over orders (r7): cohort = the customer's "
+        "FIRST order month, offset = months since it; per (cohort, "
+        "offset) the distinct returning customers and their orders — "
+        "the standard warehouse retention triangle. Scale: one "
+        "partial-agg shuffle for first-order months, a custkey "
+        "equi-join (both sides hash on the key — no broadcast needed, "
+        "no window), one distinct-count rollup. Exactly the shape a "
+        "1000-executor run wants: every stage is keyed partial "
+        "aggregation, the per-customer frame never funnels.",
+    tags=("agg", "date"),
+    oracle="""
+WITH fm AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m
+  FROM orders
+), fc AS (SELECT o_custkey, min(m) AS c FROM fm GROUP BY 1)
+SELECT strftime(c, '%Y-%m-%d') AS cohort_month,
+       date_diff('month', c, m) AS month_offset,
+       count(DISTINCT fm.o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM fm JOIN fc USING (o_custkey)
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("__m"))
+    first = o.groupBy("o_custkey").agg(F.min("__m").alias("__c"))
+    return (o.join(first, "o_custkey")
+            .groupBy(F.date_format("__c", "yyyy-MM-dd")
+                     .alias("cohort_month"),
+                     F.months_between(F.col("__m"), F.col("__c"))
+                     .cast("long").alias("month_offset"))
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders")))

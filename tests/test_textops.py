@@ -758,3 +758,26 @@ def test_ccnet_buckets_partition_layout_invariant(spark):
              .collect()}
     lm_ops.unpersist_lm()
     assert got_a == got_b
+
+
+def test_temperature_weights():
+    import pytest as _pt
+
+    from australia_company_etl_pipeline_spark.operators.textstats import (
+        temperature_weights)
+
+    counts = {"en": 10000, "de": 100, "fr": 100}
+    natural = temperature_weights(counts, alpha=1.0)
+    assert natural["en"] == _pt.approx(10000 / 10200)
+    flat = temperature_weights(counts, alpha=0.0)
+    assert flat["en"] == _pt.approx(1 / 3) == _pt.approx(flat["de"])
+    t = temperature_weights(counts, alpha=0.3)
+    # tails boosted relative to natural, head still ahead of tails
+    assert t["de"] > natural["de"] and t["en"] > t["de"]
+    assert sum(t.values()) == _pt.approx(1.0)
+    with _pt.raises(ValueError):
+        temperature_weights({}, 0.3)
+    with _pt.raises(ValueError):
+        temperature_weights({"a": 0}, 0.3)
+    with _pt.raises(ValueError):
+        temperature_weights({"a": 1}, -1)
