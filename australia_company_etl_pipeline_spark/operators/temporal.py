@@ -445,3 +445,45 @@ def bucket_zscores(resampled: DataFrame, value_col: str,
             .withColumn("zscore",
                         F.round((v - mean) / F.nullif(sd, F.lit(0.0)), 6))
             .drop("__n", "__s", "__ss", "__lo", "__hi"))
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Sequential-funnel counts → ``(step, step_name, n_users)``: how
+    many users performed step 1, then step 2 strictly AFTER their
+    first step-1 event, and so on (the product-analytics staple:
+    view → click → purchase).
+
+    Semantics: greedy earliest matching — a user converts step ``i+1``
+    iff some step-``i+1`` event lands strictly after their EARLIEST
+    qualifying step-``i`` time. Greedy is exact for existence (taking
+    the earliest prior-step time can only admit more, never fewer,
+    later events), so this equals the "any increasing subsequence"
+    definition while staying a join chain.
+
+    Scale: per step, one filtered scan + one keyed equi-join against
+    the (one row per surviving user) frontier + one partial-agg min —
+    no windows, no per-user event arrays (a bot with millions of
+    events costs map-side-combined minimums, not a collect_list blob),
+    no broadcast dependence. N steps = N keyed shuffles, each smaller
+    than the last."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    t, u = F.col(ts_col), F.col(user_col)
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(t).alias("__t")))
+    frontiers = [cur]
+    for s in steps[1:]:
+        cur = (events.filter(F.col(type_col) == s)
+               .join(cur.withColumnRenamed("__t", "__prev"), user_col)
+               .filter(t > F.col("__prev"))
+               .groupBy(user_col).agg(F.min(t).alias("__t")))
+        frontiers.append(cur)
+    out = None
+    for i, (name, fr) in enumerate(zip(steps, frontiers)):
+        row = fr.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(name).alias("step_name"),
+            "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -100,3 +100,41 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n", F.lit(0)).alias("n_clicks_1h"),
                     F.round(F.coalesce("sv", F.lit(0.0)), 2)
                      .alias("sum_click_value_1h")))
+
+
+@register(
+    "event_funnel",
+    doc="Sequential funnel over events (r7, operators/temporal.py "
+        "funnel): view -> click -> purchase with strictly-increasing "
+        "timestamps, greedy earliest matching (exact for existence — "
+        "the earliest prior-step time can only admit more later "
+        "events). Spark = filtered scan + frontier equi-join + "
+        "partial-agg min per step (no windows, no per-user arrays, no "
+        "broadcast dependence); the oracle spells the same greedy "
+        "chain as sequential min-ts joins.",
+    tags=("temporal", "agg"),
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM s3
+""",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import funnel
+
+    e = table(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"])

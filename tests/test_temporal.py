@@ -603,3 +603,42 @@ def test_bucket_zscores_locf_nulls_and_nonrepresentable_constant(spark):
     for i in range(4):
         r = got[("flat", base + i * 3600)]
         assert r.stddev == 0.0 and r.zscore is None, r
+
+
+def test_funnel_hand_golden(spark):
+    """Hand-built users: full converter, wrong-order, partial,
+    equal-timestamp (strictness), repeat-step."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        funnel)
+
+    rows = [
+        # u1 converts fully: view@1 click@2 purchase@3
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # u2 wrong order: click BEFORE the first view -> stops at view
+        (2, "click", 1), (2, "view", 2), (2, "purchase", 3),
+        # wait - u2 has purchase@3 after view@2 but no click after view
+        # -> reaches step 1 only
+        # u3 partial: view then click, no purchase
+        (3, "view", 1), (3, "click", 5),
+        # u4 equal timestamps: click at the SAME ts as view -> strict >
+        # rejects it
+        (4, "view", 7), (4, "click", 7),
+        # u5 greedy rescue: view@1 click@2 (early), purchase@10 -> the
+        # EARLIEST click after view admits the purchase
+        (5, "view", 1), (5, "click", 2), (5, "click", 9),
+        (5, "purchase", 10),
+        # u6 never views
+        (6, "click", 1), (6, "purchase", 2),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in rows],
+        "user_id long, event_type string, secs double").select(
+        "user_id", "event_type",
+        F.timestamp_seconds(F.col("secs")).alias("ts"))
+    got = {r.step_name: r.n_users
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 5, "click": 3, "purchase": 2}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least 2"):
+        funnel(df, ["view"])
