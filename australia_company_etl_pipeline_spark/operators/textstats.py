@@ -575,7 +575,8 @@ def mixture_sample(df, stratum_col: str, weights: dict[str, float],
 
 
 def cap_per_key(df, key_cols: list[str], n: int,
-                order_col: str | None = None, seed: int = 42):
+                order_col: str | None = None, seed: int = 42,
+                salt_buckets: int = 64):
     """Keep at most ``n`` rows per key — the "≤ N documents per domain"
     anti-over-representation guard (a handful of boilerplate-heavy hosts
     otherwise dominates a crawl corpus).
@@ -587,17 +588,37 @@ def cap_per_key(df, key_cols: list[str], n: int,
     partition layout (full-duplicate rows tie, but they are
     interchangeable). The content hash also breaks ``order_col`` TIES,
     so equal scores don't make the kept set partition-layout-dependent.
-    One shuffle (window over the key).
 
-    Scale caveat: a window partition is one task, so a key with 10⁹ rows
-    serializes — cap AFTER coarser filters, or pre-thin pathological
-    keys with ``deterministic_sample(strata_col=key)`` at fraction
-    ``≈ n / expected_max`` first; the window then ranks a bounded set.
+    Skew-safe by construction (two-level salted top-n): the cap's
+    primary target IS the pathological 10⁹-row host, so a single window
+    partitioned on the raw key — one task per key — would serialize
+    exactly the key the cap exists to tame. Instead:
+
+    1. Every row gets a content-derived salt in ``[0, salt_buckets)``
+       (seeded murmur3 — layout-independent, so the subgroup a row
+       lands in is stable across runs/partitionings). Level 1 ranks
+       within ``(key, salt)`` and keeps top ``n`` per subgroup: the hot
+       key fans out over ``salt_buckets`` parallel tasks instead of 1.
+    2. Level 2 ranks the ≤ ``salt_buckets·n`` survivors per key and
+       keeps the true top ``n``.
+
+    EXACT, not approximate: each of a key's true top-``n`` rows is top-n
+    within its own subgroup (a subgroup is a subset of the key), so
+    level 1 never drops a final keeper; keys with ≤ ``n`` rows pass
+    level 1 whole and level 2 keeps them all — the kept SET is
+    identical to a single global ranking (membership-checksum oracles
+    pin this). Cost: one extra light shuffle of the ≤ ``salt_buckets·n``
+    per-key survivors; level-1 sort volume equals what the single
+    window sorted anyway, at ``salt_buckets×`` the parallelism. Size
+    ``salt_buckets`` so the biggest expected key / salt_buckets fits a
+    task comfortably (64 default; 1024 at full-crawl scale).
     """
     if not key_cols:
         raise ValueError("cap_per_key needs at least one key column")
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     from pyspark.sql.window import Window
 
     from ..session import contains_map_type
@@ -610,9 +631,18 @@ def cap_per_key(df, key_cols: list[str], n: int,
     content = F.hash(*[F.col(c) for c in hashable], F.lit(seed)).asc()
     order = ([F.col(order_col).asc_nulls_last(), content] if order_col
              else [content])
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n).drop("__rn"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    if salt_buckets > 1:
+        # independent seed so the salt doesn't alias the order hash
+        salt = F.pmod(F.hash(*[F.col(c) for c in hashable],
+                             F.lit(seed + 0x5a17)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order)
+        df = (df.withColumn("__salt", salt)
+              .withColumn("__rn1", F.row_number().over(w1))
+              .filter(F.col("__rn1") <= n).drop("__rn1"))
+    out = (df.withColumn("__rn", F.row_number().over(w2))
+           .filter(F.col("__rn") <= n).drop("__rn"))
+    return out.drop("__salt") if salt_buckets > 1 else out
 
 
 def temperature_weights(counts: dict[str, float],

@@ -35,11 +35,10 @@ Canonicalization contract (deterministic, documented):
 Scale: every function here is a projection — zero shuffles.
 ``url_dedup`` is one partial-aggregated shuffle + a semi join (AQE
 broadcasts the keep-set when small); ``domain_cap`` inherits
-``cap_per_key``'s window with its documented hot-key caveat — but the
-cap key here is the *registrable domain*, exactly the column whose
-pile-up the cap exists to remove, so pre-thin pathological hosts with
-``deterministic_sample`` first at true crawl scale (see cap_per_key's
-docstring).
+``cap_per_key``'s two-level salted top-n, so the pathological 10⁹-row
+host — exactly the key whose pile-up the cap exists to remove — fans
+out over ``salt_buckets`` parallel tasks instead of serializing into
+one (see cap_per_key's docstring for the exactness argument).
 """
 
 from __future__ import annotations
@@ -176,17 +175,20 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
 
 
 def domain_cap(df: DataFrame, url_col: str, n: int,
-               order_col: str | None = None) -> DataFrame:
+               order_col: str | None = None,
+               salt_buckets: int = 64) -> DataFrame:
     """Keep ≤ ``n`` rows per registrable domain (anti-over-representation
     guard). Deterministic keep order per ``cap_per_key`` (``order_col``
     ascending when given — e.g. a negated quality score to keep the
     best — else a seeded content hash). The '' (host-less) group is
     capped too: it is a real over-representation bucket in dirty crawls.
+    Skew-safe on the default path: cap_per_key's two-level salted
+    top-n means a mega-host never serializes into one task.
     """
     from .textstats import cap_per_key
     tagged = df.withColumn("__dom", registrable_domain(F.col(url_col)))
-    return cap_per_key(tagged, ["__dom"], n, order_col=order_col) \
-        .drop("__dom")
+    return cap_per_key(tagged, ["__dom"], n, order_col=order_col,
+                       salt_buckets=salt_buckets).drop("__dom")
 
 
 URL_IN_TEXT_RE = r"https?://[^\s<>\"')\]]+"

@@ -447,3 +447,55 @@ def test_ccnet_buckets_output_plan_is_projection_over_cache(spark):
     lm_ops.unpersist_lm()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_cap_per_key_no_window_on_raw_key_over_full_input(spark, sf_dir):
+    """Skew pin (r8): the cap's level-1 window must partition on
+    (key, __salt) — never on the raw key alone over the full input —
+    so a mega-host fans out over salt_buckets tasks. The raw-key
+    window is allowed only on level 2, downstream of the level-1
+    row_number filter (a bounded <= salt_buckets*n survivor set)."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import (
+        textstats as ts,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                    "text")
+    plan = _plan(ts.cap_per_key(docs, ["lang"], n=5))
+    counts = _node_counts(plan)
+    assert counts["Window"] == 2, counts
+    # parse each Window node's detail block: windowspecdefinition(...)
+    # carries the partition spec; node ids increase downstream, so the
+    # raw-key (unsalted) window must come AFTER the __rn1 filter node
+    import re
+    win_nodes = [(int(m.group(1)), m.group(2)) for m in re.finditer(
+        r"\((\d+)\) Window\s*\n((?:.+\n)+?)\n", plan)]
+    assert len(win_nodes) == 2, plan
+    salted = [nid for nid, d in win_nodes if "__salt" in d]
+    raw = [nid for nid, d in win_nodes if "__salt" not in d]
+    assert len(salted) == 1 and len(raw) == 1, win_nodes
+    rn1_filter = re.search(r"\((\d+)\) Filter\s*\n(?:.+\n)*?"
+                           r".*__rn1.*<= 5", plan)
+    assert rn1_filter, plan
+    assert raw[0] > int(rn1_filter.group(1)) > salted[0], (
+        salted, raw, rn1_filter.group(1))
+    # map-side top-n pruning must survive: both shuffles preceded by a
+    # partial WindowGroupLimit so only <=n rows per group per map task
+    # ever enter an exchange
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_cap_per_key_salt_disabled_single_window(spark, sf_dir):
+    """salt_buckets=1 must reproduce the single-window form (no salt
+    column, one Window) for callers that know their keys are tiny."""
+    from australia_company_etl_pipeline_spark.catalog import table
+    from australia_company_etl_pipeline_spark.operators import (
+        textstats as ts,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = _plan(ts.cap_per_key(docs, ["lang"], n=5, salt_buckets=1))
+    counts = _node_counts(plan)
+    assert counts["Window"] == 1, counts
+    assert "__salt" not in plan, plan
