@@ -19,6 +19,17 @@ Branch timings are STANDALONE costs (a branch built alone re-creates
 any projection the fold shares, e.g. a persisted shingle frame), so the
 fold total can legitimately be less than its branch sum; compare
 branches round-over-round, totals for the headline.
+
+SENTINEL NORMALIZATION (r8): the same commit has benched 70s in one
+window and 112-122s hours later — single wall-clock runs cannot
+falsify a real regression against that host noise. A tiny fixed
+sentinel (SENTINEL below, a one-scan partial agg whose plan hasn't
+changed since r2) is timed at the START of every interleaved round;
+the JSON carries the sentinel's per-round times + median and
+"queries_normalized" = per-query median / sentinel median. Compare
+NORMALIZED ratios round-over-round: a query that doubled while the
+sentinel also doubled is host noise; a query that doubled against a
+flat sentinel is a regression.
 """
 
 from __future__ import annotations
@@ -71,12 +82,16 @@ REPS = 5  # per-query repetitions; the JSON reports per-query MEDIANS
 #           real deltas — a 5-sample median tolerates two bad rounds)
 
 # Heavy-query rep overrides: ngram_jaccard_dup_pairs runs FIVE
-# pipelines including a per-invocation persisted-index replay (~43s at
-# sf0.1 — 21s of it the incremental chunked ingest, inherent to its
-# fresh-index-per-run contract); 5 reps of it alone would double the
-# bench's wall clock. 3 samples still give a median that tolerates one
-# bad round.
+# pipelines (r8: the incremental branch's fresh-index replay is now a
+# keyed cached artifact — the first rep may pay a one-time build, the
+# median reflects steady-state reads); 5 reps of it alone would still
+# stretch the bench's wall clock. 3 samples give a median that
+# tolerates one bad round.
 REPS_OVERRIDE = {"ngram_jaccard_dup_pairs": 3}
+
+# The drift sentinel: one scan + partial agg over orders, plan
+# unchanged since r2, ~0.3s at sf0.1 — a pure host-speed probe.
+SENTINEL = "stats_rollup"
 
 BRANCH_REPS = 2  # per-branch repetitions for folded queries — branch
 #                  rows are for ATTRIBUTION (which branch moved), not
@@ -124,7 +139,12 @@ def main() -> None:
     # round); per-query MEDIAN is reported — one slow outlier round no
     # longer masks or fakes a regression (±40% external noise observed).
     times: dict[str, list[float]] = {n: [] for n in names}
+    sentinel_times: list[float] = []
+    sentinel_builder = plans.REGISTRY[SENTINEL].builder
     for rep in range(REPS):
+        t0 = time.perf_counter()
+        force(sentinel_builder(spark, sf_dir))
+        sentinel_times.append(time.perf_counter() - t0)
         for name in names:
             if rep >= REPS_OVERRIDE.get(name, REPS):
                 continue
@@ -135,6 +155,9 @@ def main() -> None:
     per_query = {n: round(statistics.median(ts), 3)
                  for n, ts in times.items()}
     total = round(sum(per_query.values()), 3)
+    sentinel_median = statistics.median(sentinel_times)
+    normalized = {n: round(v / sentinel_median, 2)
+                  for n, v in per_query.items()}
 
     # per-branch attribution for folded queries (same interleaving +
     # median discipline; standalone costs — see module docstring)
@@ -163,6 +186,11 @@ def main() -> None:
         "reps_override": REPS_OVERRIDE,
         "aggregate": "median",
         "queries": per_query,
+        "sentinel": {"name": SENTINEL,
+                     "times": [round(t, 3) for t in sentinel_times],
+                     "median": round(sentinel_median, 3)},
+        "queries_normalized": normalized,
+        "value_normalized": round(total / sentinel_median, 2),
         "branches": branches,
         "branch_reps": BRANCH_REPS,
         "sf": sf,
