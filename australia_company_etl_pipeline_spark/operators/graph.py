@@ -54,6 +54,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # edges with the source's out-degree, persisted once for the loop
     ed = materialize(e.join(deg, "src"))
+    # the SET of dangling nodes (no outlinks) is loop-invariant —
+    # compute the anti-join once; each round only sums the current
+    # ranks over it (semi join against a materialized, usually tiny
+    # set) instead of re-deriving the set with a fresh anti-join
+    dangling = materialize(
+        nodes.join(deg.select(F.col("src").alias("node")),
+                   "node", "left_anti"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
         contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -65,8 +72,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # dangling mass: rank held by nodes with no outlinks this
         # round, folded in as a broadcast 1-row frame — the round stays
         # ONE job (the materialize), no per-round driver action
-        dang = (ranks.join(deg.select(F.col("src").alias("node")),
-                           "node", "left_anti")
+        dang = (ranks.join(dangling, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__d")))
         ranks = materialize(
             nodes.join(contrib, "node", "left")
@@ -85,9 +91,15 @@ def host_graph(docs: DataFrame, url_col: str, text_col: str) -> DataFrame:
     projection + explode; feed to ``pagerank``."""
     from . import urls
 
+    # registrable_domain returns '' (never NULL) for host-less or
+    # unparseable URLs — '' means "unknown, quarantine" per the urls
+    # module contract, so it must not become a pseudo-host that absorbs
+    # and scatters PageRank mass (every bad URL would collapse into one
+    # mega-node). Filter on != '' — an isNotNull guard alone is dead
+    # code against this column.
     return (docs.select(
         urls.registrable_domain(F.col(url_col)).alias("src"),
         F.explode(urls.extract_urls(F.col(text_col))).alias("__u"))
         .select("src", urls.registrable_domain(F.col("__u")).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+        .filter((F.col("src") != "") & (F.col("dst") != "")
                 & (F.col("src") != F.col("dst"))))

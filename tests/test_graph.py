@@ -85,3 +85,18 @@ def test_host_graph_extraction(spark):
     # both site-b links collapse to one registrable domain; the
     # self-host link drops
     assert edges == {("site-a.com", "site-b.org")}
+
+
+def test_host_graph_quarantines_unknown_hosts(spark):
+    """ADVICE r7: registrable_domain returns '' (never NULL) for
+    host-less/unparseable URLs — '' rows must be dropped, not collapsed
+    into a pseudo-host that absorbs PageRank mass."""
+    docs = spark.createDataFrame(
+        [("", "see https://site-b.org/x"),                 # host-less page
+         ("https://site-a.com/p", "see http:///nohost ok"),  # bad outlink
+         ("https://site-a.com/q", "see https://site-b.org/y")],
+        "url string, text string")
+    edges = {(r.src, r.dst)
+             for r in graph.host_graph(docs, "url", "text").collect()}
+    assert edges == {("site-a.com", "site-b.org")}
+    assert not any(s == "" or d == "" for s, d in edges)
