@@ -1525,6 +1525,54 @@ def _read_or_empty(spark, path: str, schema,
         return spark.createDataFrame([], schema)
 
 
+def _pin_layout_meta(spark, index_path: str, id_buckets: int | None,
+                     probe_table: str) -> None:
+    """Pin the index's PHYSICAL LAYOUT (``id_buckets``) in a 1-row meta
+    table at ``<index_path>/layout_meta``, mirroring the bloom
+    sidecar's loud (m_bits, k) validation: probing an index written
+    with a different ``id_buckets`` — or a flat index probed WITH
+    ``id_buckets`` — reads ``__pb`` as NULL (schema-fill on
+    unpartitioned files) or mismatched bucket values, so the
+    ``isin(need)`` partition prune silently drops most/all history and
+    re-admits known duplicates with no error.  Stores ``-1`` for the
+    flat (unpartitioned) layout.
+
+    Legacy indexes written before this meta existed are validated by
+    schema probe — ``__pb`` presence in the persisted table must match
+    the call — then the meta is backfilled; the exact VALUE of a
+    legacy partitioned index cannot be re-derived from the files, so
+    the first post-upgrade call pins whatever it passes (pass the
+    original).  Fresh indexes pin the first call's layout before any
+    data lands."""
+    from ..session import hadoop_exists
+
+    meta_path = f"{index_path}/layout_meta"
+    want = -1 if id_buckets is None else int(id_buckets)
+    if hadoop_exists(spark, meta_path):
+        got = spark.read.parquet(meta_path).head()["id_buckets"]
+        if got != want:
+            raise ValueError(
+                f"index at {index_path} was written with id_buckets="
+                f"{None if got == -1 else got}; probing with "
+                f"{id_buckets} would silently prune the history scan to "
+                f"wrong (or NULL) __pb partitions and re-admit known "
+                f"duplicates — pass the original value or rebuild the "
+                f"index")
+        return
+    if hadoop_exists(spark, probe_table):
+        has_pb = "__pb" in spark.read.parquet(probe_table).columns
+        if has_pb != (id_buckets is not None):
+            have = "hash-partitioned on __pb" if has_pb else "flat"
+            raise ValueError(
+                f"index table {probe_table} is {have} but this call "
+                f"passed id_buckets={id_buckets}; the partition prune "
+                f"would silently read wrong/NULL buckets and re-admit "
+                f"known duplicates — match the index's layout (then "
+                f"this call backfills the layout meta)")
+    (spark.createDataFrame([(want,)], "id_buckets long")
+     .coalesce(1).write.mode("overwrite").parquet(meta_path))
+
+
 def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
                       id_col: str, threshold: float = 0.8,
                       num_hashes: int = 32, bands: int = 8,
@@ -1589,7 +1637,12 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     by ``unpersist_shingles()``) because the bucket probe and the
     verify join both consume it.  Size ``id_buckets`` so one partition
     of history shingles ≈ one comfortable scan unit (history_rows /
-    id_buckets × avg shingle bytes); too-large values just make small
+    id_buckets × avg shingle bytes).  The value is pinned in
+    ``<index_path>/layout_meta`` on first write (-1 = flat); a later
+    call with a different value — or a flat index probed WITH a value
+    — raises loudly instead of silently pruning history to wrong/NULL
+    partitions (the re-admission failure the bloom sidecar's (m, k)
+    meta check prevents for hashing).  Too-large values just make small
     files.
     """
     from pyspark.sql.types import (ArrayType, StringType, StructField,
@@ -1598,6 +1651,7 @@ def incremental_dedup(batch: DataFrame, index_path: str, text_col: str,
     spark = batch.sparkSession
     buckets_path = f"{index_path}/buckets"
     shingles_path = f"{index_path}/shingles"
+    _pin_layout_meta(spark, index_path, id_buckets, shingles_path)
 
     sh = shingle_frame(batch, text_col, id_col, shingle)
     # The signature build is the dominant per-batch cost and has THREE
@@ -1872,19 +1926,43 @@ def incremental_exact_dedup(batch: DataFrame, index_path: str, key,
     the history scan shrinks from O(batch's buckets) to O(maybe-seen's
     buckets).  Correctness never depends on the filter's false-positive
     rate (a false positive just pays the join it would have paid
-    anyway); the no-false-negative guarantee is protected by two
+    anyway); the no-false-negative guarantee is protected by three
     disciplines: the sidecar merge lands BEFORE the keys append (a
     crash between them leaves extra bits — false positives — never
-    missing ones), and (m, k) are pinned in a meta table so a
-    mismatched probe fails loudly instead of mis-hashing.  Enabling
-    the sidecar on an index that already has history backfills it from
+    missing ones), (m, k) are pinned in a meta table so a mismatched
+    probe fails loudly instead of mis-hashing, and a call that OMITS
+    ``bloom_bits`` on an index whose sidecar exists auto-adopts the
+    pinned (m, k) and keeps maintaining it — otherwise its appended
+    keys would be invisible to every later bloom probe (false
+    negatives: re-admitted dups and doubled key rows).  Enabling the
+    sidecar on an index that already has history backfills it from
     the full keys table (one-time O(history) build, logged cost).
+
+    ``id_buckets`` is pinned in ``<index_path>/layout_meta`` on first
+    write (-1 = flat) and every later call validates against it —
+    probing with a mismatched value (or a flat index with any value)
+    raises instead of silently pruning the history scan to wrong/NULL
+    partitions.  Same rule in ``incremental_dedup``.
     """
     from pyspark.sql.types import LongType, StringType, StructField, \
         StructType
 
     spark = batch.sparkSession
     keys_path = f"{index_path}/keys"
+    _pin_layout_meta(spark, index_path, id_buckets, keys_path)
+    if bloom_bits is None:
+        # An existing sidecar MUST stay maintained: a bloom-less call
+        # that appends keys without merging them into the filter hands
+        # a later bloom-enabled call false negatives — "definitely new"
+        # for seen keys — silently re-admitting duplicates AND breaking
+        # the one-row-per-key invariant. Auto-adopt the pinned params
+        # (ADVICE r7) instead of failing: the sidecar's own meta is the
+        # source of truth.
+        from ..session import hadoop_exists as _hx
+
+        if _hx(spark, f"{index_path}/bloom/meta"):
+            _m = spark.read.parquet(f"{index_path}/bloom/meta").head()
+            bloom_bits, bloom_k = int(_m["m_bits"]), int(_m["k"])
     kcol = F.col(key) if isinstance(key, str) else key
     tagged = batch.withColumn("__k", kcol.cast("string"))
     keyed = tagged.filter(F.col("__k").isNotNull() & (F.col("__k") != ""))

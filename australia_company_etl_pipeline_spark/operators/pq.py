@@ -326,13 +326,19 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
     vec_col = [c for c in rerank_df.columns if c != id_col][0]
     qfull = queries.select(F.col(query_id_col),
                            _dbl(F.col(query_vec_col)).alias("__qv"))
-    exact = (top.drop("cosine_sim", "rank")
+    # LEFT join: a candidate id missing from rerank_df (a filtered or
+    # partial embeddings table) keeps its ADC score instead of being
+    # silently dropped — an inner join could return fewer than k rows
+    # or lose true top hits with no warning (ADVICE r7)
+    exact = (top.drop("rank")
+             .withColumnRenamed("cosine_sim", "__adc")
              .join(rerank_df.select(F.col(id_col),
                                     _dbl(F.col(vec_col)).alias("__cv")),
-                   id_col)
+                   id_col, "left")
              .join(F.broadcast(qfull), query_id_col)
              .select(query_id_col, id_col,
-                     F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
-                     .alias("cosine_sim")))
+                     F.coalesce(
+                         F.round(cosine(F.col("__cv"), F.col("__qv")), 6),
+                         F.col("__adc")).alias("cosine_sim")))
     return (exact.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k))

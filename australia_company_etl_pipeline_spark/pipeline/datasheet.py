@@ -78,9 +78,15 @@ def corpus_datasheet(docs: DataFrame, text_col: str = "text",
         ("quality", "p90", F.col("q_p")[2]),
         ("repetition", "token_dup_ratio", F.col("rep_tokens")),
         ("repetition", "line_dup_ratio", F.col("rep_lines")),
+        # approx_count_distinct(md5(text)) skips NULL-text rows, so the
+        # denominator must too — dividing by n_docs would report a 10%-
+        # NULL zero-dup corpus as ~10% duplicated (ADVICE r7); NULLIF
+        # guards the all-NULL corpus (rate 0, not a divide-by-zero)
         ("duplication", "dup_rate_est",
-         F.greatest(F.lit(0.0),
-                    F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"))),
+         F.greatest(F.lit(0.0), F.coalesce(
+             F.lit(1.0) - F.col("n_distinct")
+             / F.nullif(F.col("n_docs") - F.col("n_null_text"),
+                        F.lit(0)), F.lit(0.0)))),
     ]
     scalars = (row.select(F.explode(F.array(*[
         F.struct(F.lit(s).alias("section"), F.lit(k).alias("key"),

@@ -149,6 +149,11 @@ def replace_dir(spark: SparkSession, tmp: str, final: str) -> None:
         raise IOError(f"rename {tmp} -> {final} failed; previous data "
                       f"preserved at {final}.__old")
     fs.delete(old, True)
+    # drop any cached file listing for the swapped path: a same-session
+    # reader that listed the OLD files (InMemoryFileIndex caches per
+    # path) would otherwise fail with FAILED_READ_FILE.FILE_NOT_EXIST —
+    # or, worse on object stores, silently read the stale generation
+    spark.catalog.refreshByPath(final)
 
 
 def _parse_bytes(v: str) -> int:

@@ -55,3 +55,28 @@ def test_pii_counts(sheet):
 
 def test_repetition_bounded(sheet):
     assert 0.0 <= sheet[("repetition", "token_dup_ratio")] <= 1.0
+
+
+def test_dup_rate_excludes_null_text(spark):
+    """ADVICE r7: a zero-dup corpus with NULL texts must not report a
+    duplicate rate (~n_null/n_docs) — the distinct count skips NULLs,
+    so the denominator must too."""
+    rows = ([(i, f"a unique document body number {i} with words", "en")
+             for i in range(30)]
+            + [(100 + i, None, "null") for i in range(10)])
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, tag string")
+    sheet = {(r.section, r.key): r.value
+             for r in corpus_datasheet(docs, "text", "doc_id").collect()}
+    assert sheet[("volume", "n_null_text")] == 10.0
+    # 0 true dups; HLL ±2% tolerance, but nowhere near the 0.25 the
+    # wrong n_docs denominator produced
+    assert sheet[("duplication", "dup_rate_est")] <= 0.05
+
+
+def test_dup_rate_all_null_corpus(spark):
+    docs = spark.createDataFrame([(1, None, "x"), (2, None, "y")],
+                                 "doc_id long, text string, tag string")
+    sheet = {(r.section, r.key): r.value
+             for r in corpus_datasheet(docs, "text", "doc_id").collect()}
+    assert sheet[("duplication", "dup_rate_est")] == 0.0

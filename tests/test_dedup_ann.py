@@ -1849,3 +1849,88 @@ def test_incremental_exact_dedup_id_buckets_prunes(spark, tmp_path):
                  + _run_exact_chunks(spark, tmp_path, rows[:10], [10],
                                      "pbhead", id_buckets=8))
     assert got == flat
+
+
+def test_incremental_exact_dedup_blooomless_call_maintains_sidecar(
+        spark, tmp_path):
+    """ADVICE r7: a call that OMITS bloom_bits on an index whose
+    sidecar exists must auto-adopt the pinned params and keep the
+    filter in sync — otherwise its appended keys are invisible to
+    every later bloom probe (false negatives: re-admitted dups and a
+    doubled (__k, __first) row breaking one-row-per-key)."""
+    idx = str(tmp_path / "xidx_stale")
+    kw = dict(bloom_bits=63 * 64, bloom_k=4)
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "doc_id long, k string")
+    dd.incremental_exact_dedup(b1, idx, "k", "doc_id", **kw)
+    # bloom-less call appends a NEW key 'c' — the sidecar must learn it
+    b2 = spark.createDataFrame([(3, "c"), (4, "a")],
+                               "doc_id long, k string")
+    out2 = sorted(r.doc_id for r in dd.incremental_exact_dedup(
+        b2, idx, "k", "doc_id").collect())
+    assert out2 == [3]  # 'a' drops against history even without bloom
+    # bloom-enabled call replays 'c': the probe must say maybe-seen
+    # (no false negative), so 'c' drops and the keys table stays
+    # one-row-per-key
+    b3 = spark.createDataFrame([(5, "c"), (6, "d")],
+                               "doc_id long, k string")
+    out3 = sorted(r.doc_id for r in dd.incremental_exact_dedup(
+        b3, idx, "k", "doc_id", **kw).collect())
+    assert out3 == [6]
+    keys = spark.read.parquet(f"{idx}/keys")
+    assert keys.count() == keys.select("__k").distinct().count() == 4
+
+
+def test_incremental_exact_dedup_id_buckets_mismatch_raises(
+        spark, tmp_path):
+    """ADVICE r7: id_buckets is pinned in layout_meta — probing with a
+    different value (or a flat index probed WITH a value, or a
+    partitioned index probed without) raises instead of silently
+    pruning the history scan to wrong/NULL partitions."""
+    b = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    idx = str(tmp_path / "xidx_lay")
+    dd.incremental_exact_dedup(b, idx, "k", "doc_id", id_buckets=4)
+    with pytest.raises(ValueError, match="id_buckets"):
+        dd.incremental_exact_dedup(b, idx, "k", "doc_id", id_buckets=8)
+    with pytest.raises(ValueError, match="id_buckets"):
+        dd.incremental_exact_dedup(b, idx, "k", "doc_id")
+    flat = str(tmp_path / "xidx_flat")
+    dd.incremental_exact_dedup(b, flat, "k", "doc_id")
+    with pytest.raises(ValueError, match="id_buckets"):
+        dd.incremental_exact_dedup(b, flat, "k", "doc_id", id_buckets=4)
+
+
+def test_incremental_dedup_id_buckets_mismatch_raises(spark, tmp_path):
+    """Same layout pin for the MinHash index's shingle history."""
+    b = spark.createDataFrame([(1, "x y z w v u t s")],
+                              "doc_id long, text string")
+    idx = str(tmp_path / "midx_lay")
+    dd.incremental_dedup(b, idx, "text", "doc_id", id_buckets=4)
+    dd.unpersist_shingles()
+    with pytest.raises(ValueError, match="id_buckets"):
+        dd.incremental_dedup(b, idx, "text", "doc_id", id_buckets=8)
+    with pytest.raises(ValueError, match="id_buckets"):
+        dd.incremental_dedup(b, idx, "text", "doc_id")
+    dd.unpersist_shingles()
+
+
+def test_incremental_exact_dedup_legacy_index_backfills_layout_meta(
+        spark, tmp_path):
+    """A pre-meta index (simulated by deleting layout_meta) validates
+    by schema probe and backfills the meta on the next call."""
+    import shutil
+
+    b = spark.createDataFrame([(1, "a"), (2, "b")],
+                              "doc_id long, k string")
+    idx = str(tmp_path / "xidx_legacy")
+    dd.incremental_exact_dedup(b, idx, "k", "doc_id", id_buckets=4)
+    shutil.rmtree(f"{idx}/layout_meta")
+    # wrong-shape probe on the legacy index fails loudly
+    with pytest.raises(ValueError, match="layout"):
+        dd.incremental_exact_dedup(b, idx, "k", "doc_id")
+    # matching-shape probe works and re-pins the meta
+    out = sorted(r.doc_id for r in dd.incremental_exact_dedup(
+        b, idx, "k", "doc_id", id_buckets=4).collect())
+    assert out == [1, 2]
+    assert spark.read.parquet(f"{idx}/layout_meta").head()[
+        "id_buckets"] == 4

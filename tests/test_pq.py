@@ -194,3 +194,25 @@ def test_tiny_corpus_fails_loudly(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="n_codes"):
         pq.train_pq(df, dim=8, m=2, n_codes=8, kmeans_iter=1)
+
+
+def test_rerank_partial_table_falls_back_to_adc(spark, corpus, books):
+    """ADVICE r7: a candidate id missing from rerank_df (filtered /
+    partial embeddings table) must keep its ADC score via the LEFT
+    join, not vanish — k rows still come back per query."""
+    queries = (corpus.filter(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    enc = pq.pq_encode(corpus, books).select("vec_id", "pq_codes",
+                                             "pq_norm")
+    # rerank table covers only even ids — half the candidates miss
+    partial = corpus.filter(F.col("vec_id") % 2 == 0)
+    got = pq.pq_topk(enc, queries, books, k=10, rerank_df=partial,
+                     oversample=5).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in per_q.items():
+        assert len(rows) == 10, (qid, len(rows))
+    # odd ids (ADC-fallback-scored) can still appear in the top-k
+    assert all(r.cosine_sim is not None for r in got)
