@@ -85,21 +85,37 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
-def host_graph(docs: DataFrame, url_col: str, text_col: str) -> DataFrame:
-    """Page rows → registrable-domain edge list ``(src, dst)``: the
-    page's own host links to every host in its outlinks. One
-    projection + explode; feed to ``pagerank``."""
+def host_graph(docs: DataFrame, url_col: str, text_col: str,
+               granularity: str = "domain") -> DataFrame:
+    """Page rows → host edge list ``(src, dst)``: the page's own host
+    links to every host in its outlinks. One projection + explode;
+    feed to ``pagerank``.
+
+    ``granularity='domain'`` (default) collapses to registrable
+    domains — the crawl-frontier view. ``'host'`` keeps full hostnames
+    (``urls.host_key``), which is the granularity authority-weighted
+    domain shaping needs: under ``domain_cap(authority=...)`` the cap
+    key is the registrable domain while the rank must discriminate its
+    SUBDOMAINS (blog.example.com vs spam.example.com), so a
+    domain-level rank would be constant within every cap group."""
     from . import urls
 
-    # registrable_domain returns '' (never NULL) for host-less or
+    if granularity == "domain":
+        key = urls.registrable_domain
+    elif granularity == "host":
+        key = urls.host_key
+    else:
+        raise ValueError(
+            f"granularity must be 'domain' or 'host', got {granularity!r}")
+    # the key functions return '' (never NULL) for host-less or
     # unparseable URLs — '' means "unknown, quarantine" per the urls
     # module contract, so it must not become a pseudo-host that absorbs
     # and scatters PageRank mass (every bad URL would collapse into one
     # mega-node). Filter on != '' — an isNotNull guard alone is dead
-    # code against this column.
+    # code against these columns.
     return (docs.select(
-        urls.registrable_domain(F.col(url_col)).alias("src"),
+        key(F.col(url_col)).alias("src"),
         F.explode(urls.extract_urls(F.col(text_col))).alias("__u"))
-        .select("src", urls.registrable_domain(F.col("__u")).alias("dst"))
+        .select("src", key(F.col("__u")).alias("dst"))
         .filter((F.col("src") != "") & (F.col("dst") != "")
                 & (F.col("src") != F.col("dst"))))

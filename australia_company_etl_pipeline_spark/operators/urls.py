@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "TRACKING_PARAM_RE", "SECOND_LEVEL_LABELS", "URL_IN_TEXT_RE",
-    "canonicalize_url", "url_key", "registrable_domain",
+    "canonicalize_url", "url_key", "host_key", "registrable_domain",
     "url_dedup", "domain_cap", "extract_urls", "filter_blocked_domains",
 ]
 
@@ -136,6 +136,16 @@ def url_key(url: Column) -> Column:
                       tracking_re=TRACKING_PARAM_RE, sort_params=True)
 
 
+def host_key(url: Column) -> Column:
+    """Full lowercase host of a URL ('' = no host): port stripped,
+    trailing dot dropped, ``www.`` KEPT (subdomains are signal — this
+    is the key host-granularity PageRank and authority-weighted
+    shaping rank on, where ``registrable_domain`` would collapse
+    blog.example.com and spam.example.com into one node). Accepts full
+    URLs or bare hosts (scheme defaulted)."""
+    return _host_of(_parts(url)["authority"], strip_www=False)
+
+
 def registrable_domain(url: Column) -> Column:
     """Heuristic registrable domain ('' = no host): last two labels of
     the host, or last three when the TLD is ≤3 chars and the
@@ -176,7 +186,8 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
 
 def domain_cap(df: DataFrame, url_col: str, n: int,
                order_col: str | None = None,
-               salt_buckets: int = 64) -> DataFrame:
+               salt_buckets: int = 64,
+               authority: DataFrame | None = None) -> DataFrame:
     """Keep ≤ ``n`` rows per registrable domain (anti-over-representation
     guard). Deterministic keep order per ``cap_per_key`` (``order_col``
     ascending when given — e.g. a negated quality score to keep the
@@ -184,9 +195,37 @@ def domain_cap(df: DataFrame, url_col: str, n: int,
     capped too: it is a real over-representation bucket in dirty crawls.
     Skew-safe on the default path: cap_per_key's two-level salted
     top-n means a mega-host never serializes into one task.
-    """
+
+    ``authority`` closes the loop ``graph.pagerank`` opens: a
+    ``(node, rank)`` frame over FULL HOSTS (``host_graph(...,
+    granularity='host')`` → ``pagerank``) is broadcast-joined on
+    ``host_key`` and the keep order becomes highest-authority-first —
+    under the cap, a registrable domain keeps its best-ranked
+    subdomains' docs instead of a hash-random sample (unknown hosts
+    rank as 0, i.e. last among ranked hosts; ties still break on the
+    content hash, so the kept set stays layout-independent).
+    Mutually exclusive with ``order_col``."""
     from .textstats import cap_per_key
+    if authority is not None and order_col is not None:
+        raise ValueError("pass order_col OR authority, not both")
     tagged = df.withColumn("__dom", registrable_domain(F.col(url_col)))
+    if authority is not None:
+        node_col, rank_col = authority.columns[0], authority.columns[1]
+        auth = authority.select(F.col(node_col).alias("__ahost"),
+                                F.col(rank_col).alias("__arank"))
+        # no broadcast hint: a rank table is one row per host — tiny at
+        # test scale (AQE broadcasts it anyway) but 10^8 rows on a full
+        # crawl, where this must stay a shuffled equi-join with AQE
+        # skew handling on the doc side's hot hosts
+        tagged = (tagged.withColumn("__host", host_key(F.col(url_col)))
+                  .join(auth,
+                        F.col("__host") == F.col("__ahost"), "left")
+                  .withColumn("__neg_auth",
+                              -F.coalesce("__arank", F.lit(0.0)))
+                  .drop("__host", "__ahost", "__arank"))
+        return cap_per_key(tagged, ["__dom"], n, order_col="__neg_auth",
+                           salt_buckets=salt_buckets) \
+            .drop("__dom", "__neg_auth")
     return cap_per_key(tagged, ["__dom"], n, order_col=order_col,
                        salt_buckets=salt_buckets).drop("__dom")
 

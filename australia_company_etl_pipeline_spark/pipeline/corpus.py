@@ -72,6 +72,7 @@ def prepare_training_corpus(
         url_col: str | None = None,
         c4_rules: dict | None = None,
         domain_cap: tuple[str, int] | None = None,
+        authority_weights: DataFrame | None = None,
         line_dedup_mode: str | None = None,
         line_min_docs: int = 3,
         quality_classifier=None,
@@ -112,7 +113,11 @@ def prepare_training_corpus(
        host can't dominate the shingle/cluster stages either; pass
        ``key_col == url_col`` to cap on the URL column's REGISTRABLE
        DOMAIN (``urls.domain_cap``, the FineWeb-style host
-       downsampling) instead of a raw column value;
+       downsampling) instead of a raw column value; with
+       ``authority_weights`` (a ``(node, rank)`` frame from
+       ``graph.pagerank`` over ``host_graph(granularity='host')``)
+       the keep order is highest-authority-first — the domain keeps
+       its best-ranked subdomains' docs under the cap;
     1c. line-level boilerplate removal (only when ``line_dedup_mode``
        is 'first' or 'common') — ``dedup.line_dedup`` rewrites each
        doc without its boilerplate lines (``line_min_docs`` gates the
@@ -272,13 +277,26 @@ def prepare_training_corpus(
         if url_col is not None and cap_col == url_col:
             # cap over the REGISTRABLE DOMAIN derived from the URL
             # column (FineWeb-style host downsampling), not the raw
-            # URL string — passing the url_col selects this form
+            # URL string — passing the url_col selects this form.
+            # authority_weights (a (node, rank) frame from
+            # graph.pagerank over host_graph(granularity='host'))
+            # makes the keep order highest-authority-first: under the
+            # cap, a domain keeps its best-ranked subdomains' docs
+            # instead of a hash-random sample
             from ..operators import urls as url_ops
 
-            kept = _stage(url_ops.domain_cap(kept, url_col, cap_n))
+            kept = _stage(url_ops.domain_cap(
+                kept, url_col, cap_n, authority=authority_weights))
         else:
+            if authority_weights is not None:
+                raise ValueError(
+                    "authority_weights needs the URL-derived cap: pass "
+                    "domain_cap=(url_col, n) with url_col set")
             kept = _stage(ts.cap_per_key(kept, [cap_col], cap_n))
         stages["domain_capped"] = kept
+    elif authority_weights is not None:
+        raise ValueError("authority_weights does nothing without "
+                         "domain_cap — pass domain_cap=(url_col, n)")
 
     if line_dedup_mode is not None:
         ld = dd.line_dedup(kept, id_col=id_col, text_col=text_col,

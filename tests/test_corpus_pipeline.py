@@ -621,3 +621,41 @@ def test_prepare_training_corpus_split_spec(spark, sf_dir):
         assert 0.6 <= n_train / len(rows) <= 0.95
     finally:
         release_corpus_cache()
+
+
+def test_prepare_training_corpus_authority_weighted_cap(spark, sf_dir):
+    """authority_weights steers the domain cap: with two hosts per
+    registrable domain and a rank table favouring one, every capped
+    survivor comes from the favoured host (r8 — closes the loop
+    graph.pagerank's docstring promises)."""
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .filter(F.col("doc_id") < 200))
+    host = F.when(F.col("doc_id") % 2 == 0,
+                  F.lit("good.example.com")) \
+            .otherwise(F.lit("spam.example.com"))
+    base = docs.withColumn(
+        "url", F.concat(F.lit("http://"), host, F.lit("/d/"),
+                        F.col("doc_id").cast("string")))
+    ranks = spark.createDataFrame(
+        [("good.example.com", 0.9), ("spam.example.com", 0.1)],
+        "node string, rank double")
+    try:
+        packed, report = prepare_training_corpus(
+            base, url_col="url", domain_cap=("url", 25),
+            authority_weights=ranks, pack_budget=2048)
+        import json as _json
+        counts = _json.loads(report.collect()[0]["stage_counts"])
+        assert counts["domain_capped"] <= 25
+        kept_ids = [r.doc_id for r in packed.select("doc_id").collect()]
+        # only the favoured host's (even-id) docs survive the cap
+        assert kept_ids and all(i % 2 == 0 for i in kept_ids)
+    finally:
+        release_corpus_cache()
+
+    import pytest
+    with pytest.raises(ValueError, match="authority_weights"):
+        prepare_training_corpus(base, authority_weights=ranks)
+    with pytest.raises(ValueError, match="authority_weights"):
+        prepare_training_corpus(base, domain_cap=("lang", 5),
+                                authority_weights=ranks)

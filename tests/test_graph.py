@@ -100,3 +100,58 @@ def test_host_graph_quarantines_unknown_hosts(spark):
              for r in graph.host_graph(docs, "url", "text").collect()}
     assert edges == {("site-a.com", "site-b.org")}
     assert not any(s == "" or d == "" for s, d in edges)
+
+
+def test_host_graph_host_granularity(spark):
+    """granularity='host' keeps full hostnames so subdomains of one
+    registrable domain are distinct nodes (what authority-weighted
+    shaping needs); 'domain' (default) collapses them."""
+    docs = spark.createDataFrame(
+        [("https://blog.example.com/a", "see https://docs.example.com/x"),
+         ("https://spam.example.com/b", "see https://blog.example.com/a")],
+        "url string, text string")
+    host_edges = {(r.src, r.dst) for r in
+                  graph.host_graph(docs, "url", "text",
+                                   granularity="host").collect()}
+    assert host_edges == {("blog.example.com", "docs.example.com"),
+                          ("spam.example.com", "blog.example.com")}
+    # domain view: all three hosts are example.com → only self-loops,
+    # which drop
+    assert graph.host_graph(docs, "url", "text").count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="granularity"):
+        graph.host_graph(docs, "url", "text", granularity="page")
+
+
+def test_domain_cap_authority_keeps_best_ranked_hosts(spark):
+    """The closed loop: host-granularity PageRank feeds
+    domain_cap(authority=...) — under the cap, the registrable domain
+    keeps its highest-authority subdomains' docs, not a hash-random
+    sample; unknown hosts rank last."""
+    from australia_company_etl_pipeline_spark.operators import urls as U
+
+    # link graph: many hosts endorse blog.example.com; spam endorses
+    # nothing and nobody endorses it
+    pages = spark.createDataFrame(
+        [(f"https://ref{i}.org/p", "see https://blog.example.com/x")
+         for i in range(5)]
+        + [("https://blog.example.com/x", "see https://docs.example.com/y")],
+        "url string, text string")
+    ranks = graph.pagerank(
+        graph.host_graph(pages, "url", "text", granularity="host"))
+    rank_map = {r.node: r["rank"] for r in ranks.collect()}
+    assert rank_map["blog.example.com"] == max(rank_map.values())
+
+    # corpus: one registrable domain, 6 docs on the high-authority
+    # host, 6 on spam (unranked), cap n=6
+    docs = spark.createDataFrame(
+        [(i, f"https://blog.example.com/p{i}") for i in range(6)]
+        + [(100 + i, f"https://spam.example.com/p{i}") for i in range(6)],
+        "doc_id long, url string")
+    kept = {r.doc_id for r in
+            U.domain_cap(docs, "url", 6, authority=ranks).collect()}
+    assert kept == set(range(6))  # every survivor is a blog doc
+    import pytest
+    with pytest.raises(ValueError, match="not both"):
+        U.domain_cap(docs, "url", 6, order_col="doc_id",
+                     authority=ranks)
