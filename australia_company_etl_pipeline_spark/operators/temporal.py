@@ -449,7 +449,8 @@ def bucket_zscores(resampled: DataFrame, value_col: str,
 
 def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type") -> DataFrame:
+           type_col: str = "event_type",
+           max_gap: int | None = None) -> DataFrame:
     """Sequential-funnel counts → ``(step, step_name, n_users)``: how
     many users performed step 1, then step 2 strictly AFTER their
     first step-1 event, and so on (the product-analytics staple:
@@ -462,22 +463,39 @@ def funnel(events: DataFrame, steps: list[str],
     later events), so this equals the "any increasing subsequence"
     definition while staying a join chain.
 
+    ``max_gap`` (seconds) bounds each step's conversion window — the
+    real-funnel form ("purchased within 7 days of the click"): step
+    ``i+1`` must land in ``(t_i, t_i + max_gap]``. NOTE the semantics
+    under a gap bound are ANCHOR-GREEDY (first-touch): the chain
+    anchors at the user's earliest step-1 event and each step extends
+    from the earliest qualifying previous-step time. This is the
+    classic first-touch funnel, and it is NOT "exists any chain" — a
+    user whose only fast A→B pair starts at a LATER A does not
+    convert (greedy's exactness argument needs an unbounded window;
+    pinned in tests with a hand golden either way).
+
     Scale: per step, one filtered scan + one keyed equi-join against
     the (one row per surviving user) frontier + one partial-agg min —
     no windows, no per-user event arrays (a bot with millions of
     events costs map-side-combined minimums, not a collect_list blob),
     no broadcast dependence. N steps = N keyed shuffles, each smaller
-    than the last."""
+    than the last; the gap bound only adds a predicate to the join."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if max_gap is not None and max_gap <= 0:
+        raise ValueError(f"max_gap must be > 0 seconds, got {max_gap}")
     t, u = F.col(ts_col), F.col(user_col)
     cur = (events.filter(F.col(type_col) == steps[0])
            .groupBy(user_col).agg(F.min(t).alias("__t")))
     frontiers = [cur]
     for s in steps[1:]:
+        cond = t > F.col("__prev")
+        if max_gap is not None:
+            cond = cond & (t <= F.col("__prev")
+                           + F.expr(f"INTERVAL {int(max_gap)} SECOND"))
         cur = (events.filter(F.col(type_col) == s)
                .join(cur.withColumnRenamed("__t", "__prev"), user_col)
-               .filter(t > F.col("__prev"))
+               .filter(cond)
                .groupBy(user_col).agg(F.min(t).alias("__t")))
         frontiers.append(cur)
     out = None

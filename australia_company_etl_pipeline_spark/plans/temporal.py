@@ -111,7 +111,14 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events). Spark = filtered scan + frontier equi-join + "
         "partial-agg min per step (no windows, no per-user arrays, no "
         "broadcast dependence); the oracle spells the same greedy "
-        "chain as sequential min-ts joins.",
+        "chain as sequential min-ts joins. "
+        "r8 folds kind='within_1d': the TIME-BOUNDED funnel (max_gap="
+        "86400 — each step must land within a day of the previous "
+        "step's frontier time). Under a gap bound the semantics are "
+        "ANCHOR-GREEDY/first-touch, not exists-any-chain (documented "
+        "on the operator, hand-golden-pinned in tests); the oracle "
+        "replays the identical anchored chain with the same interval "
+        "predicate.",
     tags=("temporal", "agg"),
     oracle="""
 WITH s1 AS (
@@ -125,16 +132,33 @@ WITH s1 AS (
   SELECT e.user_id, min(e.ts) AS t
   FROM events e JOIN s2 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+), g2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 86400 SECOND GROUP BY 1
+), g3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN g2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > g2.t
+    AND e.ts <= g2.t + INTERVAL 86400 SECOND GROUP BY 1
 )
-SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
-UNION ALL
-SELECT 2, 'click', count(*) FROM s2
-UNION ALL
-SELECT 3, 'purchase', count(*) FROM s3
+SELECT 'all' AS kind, 1 AS step, 'view' AS step_name,
+       count(*) AS n_users FROM s1
+UNION ALL SELECT 'all', 2, 'click', count(*) FROM s2
+UNION ALL SELECT 'all', 3, 'purchase', count(*) FROM s3
+UNION ALL SELECT 'within_1d', 1, 'view', count(*) FROM s1
+UNION ALL SELECT 'within_1d', 2, 'click', count(*) FROM g2
+UNION ALL SELECT 'within_1d', 3, 'purchase', count(*) FROM g3
 """,
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import funnel
 
     e = table(spark, sf_dir, "events")
-    return funnel(e, ["view", "click", "purchase"])
+    steps = ["view", "click", "purchase"]
+    unbounded = funnel(e, steps).select(
+        F.lit("all").alias("kind"), "step", "step_name", "n_users")
+    bounded = funnel(e, steps, max_gap=86400).select(
+        F.lit("within_1d").alias("kind"), "step", "step_name", "n_users")
+    return unbounded.unionByName(bounded)

@@ -642,3 +642,41 @@ def test_funnel_hand_golden(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least 2"):
         funnel(df, ["view"])
+
+
+def test_funnel_max_gap_hand_golden(spark):
+    """Time-bounded funnel (r8): step i+1 must land in
+    (t_i, t_i + max_gap]. Pins the ANCHOR-GREEDY (first-touch)
+    semantics: the chain anchors at the user's EARLIEST step-1 event —
+    a user whose only fast A->B pair starts at a later A does NOT
+    convert (this is deliberately not exists-any-chain)."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        funnel)
+
+    rows = [
+        # u1: click 5s after first view -> converts under gap=10
+        (1, "view", 0), (1, "click", 5),
+        # u2: click 50s after first view -> misses gap=10
+        (2, "view", 0), (2, "click", 50),
+        # u3 ANCHOR pin: a later view@40 would put click@45 in window,
+        # but the funnel anchors at view@0 -> no conversion
+        (3, "view", 0), (3, "view", 40), (3, "click", 45),
+        # u4 boundary: click exactly at t + gap -> inclusive, converts
+        (4, "view", 0), (4, "click", 10),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in rows],
+        "user_id long, event_type string, secs double").select(
+        "user_id", "event_type",
+        F.timestamp_seconds(F.col("secs")).alias("ts"))
+    got = {r.step_name: r.n_users
+           for r in funnel(df, ["view", "click"], max_gap=10).collect()}
+    assert got == {"view": 4, "click": 2}  # u1 + u4
+    # unbounded admits everyone with any later click
+    all_got = {r.step_name: r.n_users
+               for r in funnel(df, ["view", "click"]).collect()}
+    assert all_got == {"view": 4, "click": 4}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_gap"):
+        funnel(df, ["view", "click"], max_gap=0)
