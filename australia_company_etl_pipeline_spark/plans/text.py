@@ -996,7 +996,12 @@ html_f AS (
         "full cleaned text from the doc_id arithmetic, not the rules, "
         "so both sides cannot share a bug (key=drop reason with doc_id "
         "membership checksum; c4text = the reassembled cleaned page "
-        "string-exact on an id%17 sample).",
+        "string-exact on an id%17 sample). "
+        "kind='datasheet' (r8, pipeline/datasheet.py): the corpus "
+        "datasheet's deterministic sections — volume counts and the "
+        "language mix — value-checked THROUGH corpus_datasheet itself; "
+        "approximate sections (percentile sketches, HLL dup rate) stay "
+        "pytest-gated and pii is covered by kind='pii'.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
@@ -1102,10 +1107,30 @@ SELECT 'c4text' AS kind,
        '{_C4_L5}' || chr(10) || '{_C4_L6}' AS key,
        CAST(3 AS BIGINT) AS n_docs, doc_id AS n_hits
 FROM c4_f WHERE reason = 'kept' AND doc_id % {_C4_SAMPLE_MOD} = 0
+UNION ALL
+SELECT 'datasheet' AS kind, 'volume:n_docs' AS key,
+       CAST(NULL AS BIGINT) AS n_docs, count(*) AS n_hits
+FROM documents
+UNION ALL
+SELECT 'datasheet', 'volume:n_null_text', CAST(NULL AS BIGINT),
+       count(*) FILTER (WHERE text IS NULL OR trim(text) = '')
+FROM documents
+UNION ALL
+SELECT 'datasheet', 'volume:total_tokens', CAST(NULL AS BIGINT),
+       CAST(coalesce(sum(coalesce(n_tokens, 0)), 0) AS BIGINT)
+FROM prof
+UNION ALL
+SELECT 'datasheet', 'volume:total_chars', CAST(NULL AS BIGINT),
+       CAST(coalesce(sum(coalesce(length(text), 0)), 0) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'datasheet', 'langs:' || lang_pred, CAST(NULL AS BIGINT),
+       count(*)
+FROM prof GROUP BY 2
 """,
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
               for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
-                        "html", "bloom", "c4")},
+                        "html", "bloom", "c4", "datasheet")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -1300,6 +1325,28 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                     F.col("c4_text").alias("key"),
                     F.col("c4_lines_kept").cast("long").alias("n_docs"),
                     F.col("doc_id").alias("n_hits")))
+    if kind in (None, "datasheet"):
+        # kind='datasheet' (r8): the corpus datasheet's deterministic
+        # sections value-checked end-to-end THROUGH
+        # pipeline/datasheet.py itself (not re-derived inline): volume
+        # counts (n_docs / n_null_text / total_tokens / total_chars)
+        # and the language mix — all integer-valued, so the cast to the
+        # fold's long n_hits is exact. The approximate sections
+        # (percentile sketches, HLL dup rate) stay pytest-gated; the
+        # pii section is skipped here because kind='pii' already
+        # value-checks pii_stats with planted hits (the base corpus
+        # carries none). Catalyst prunes the unused datasheet branches
+        # via the constant section filter.
+        from ..pipeline.datasheet import corpus_datasheet
+
+        sheet = corpus_datasheet(d.select("doc_id", "text"),
+                                 "text", "doc_id")
+        parts.append(
+            sheet.filter(F.col("section").isin("volume", "langs"))
+            .select(F.lit("datasheet").alias("kind"),
+                    F.concat_ws(":", "section", "key").alias("key"),
+                    F.lit(None).cast("long").alias("n_docs"),
+                    F.col("value").cast("long").alias("n_hits")))
     if not parts:
         raise ValueError(f"unknown corpus_filter_stats kind {kind!r}")
     out = parts[0]
