@@ -607,11 +607,19 @@ def cap_per_key(df, key_cols: list[str], n: int,
     level 1 never drops a final keeper; keys with ≤ ``n`` rows pass
     level 1 whole and level 2 keeps them all — the kept SET is
     identical to a single global ranking (membership-checksum oracles
-    pin this). Cost: one extra light shuffle of the ≤ ``salt_buckets·n``
-    per-key survivors; level-1 sort volume equals what the single
-    window sorted anyway, at ``salt_buckets×`` the parallelism. Size
-    ``salt_buckets`` so the biggest expected key / salt_buckets fits a
-    task comfortably (64 default; 1024 at full-crawl scale).
+    pin this).
+
+    Regime, stated honestly (measured in ``scripts/scale_probe.py``):
+    Spark's WindowGroupLimit PARTIAL pruning already caps what each
+    map task ships per group at ``n`` rows, so the raw-key window's
+    single hot reducer receives ``min(hot_rows, n·M)`` (M = map-task
+    count). Salting divides that by up to ``salt_buckets`` and it pays
+    off when ``M >> salt_buckets`` — every real cluster (M ~ 10⁵–10⁶
+    scan tasks over 100 TB vs S=64; probe at M=512 measures ~3×). When
+    ``M <= salt_buckets`` (a local[32] micro-job) the second shuffle
+    is pure overhead — pass ``salt_buckets=1`` there, or size it so
+    the level-2 bound ``salt_buckets·n`` stays well under ``n·M``
+    (64 default; 1024 at full-crawl scale).
     """
     if not key_cols:
         raise ValueError("cap_per_key needs at least one key column")

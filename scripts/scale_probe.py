@@ -244,6 +244,49 @@ def main() -> None:
         sec = time.time() - t
         print(f"dsir_select mult={mult} rows={rows} sec={sec:.2f}")
 
+    # --- cap_per_key (r8): salted vs raw-key window under skew --------
+    # One pathological key holds ~99% of the rows (the exact shape the
+    # cap exists to tame). Regime matters, stated honestly: Spark's
+    # WindowGroupLimit PARTIAL pruning already caps what each MAP task
+    # ships per group at n rows, so the raw-key window's single hot
+    # reducer receives min(hot_rows, n x M) where M = map-task count —
+    # salting pays off when M >> salt_buckets (every real cluster:
+    # M ~ 10^5-10^6 scan tasks vs S=64), and is pure overhead when
+    # M <= S (a local[32] micro-run). The probe emulates the cluster
+    # regime with repartition(512) >> S=64; the claim is the ratio —
+    # salted must beat the raw window while both return the identical
+    # kept set (identity asserted once, small n).
+    from australia_company_etl_pipeline_spark.operators import (
+        textstats as ts,
+    )
+
+    for mult in (2, 4):
+        n_hot = 1_000_000 * mult
+        hot = spark.range(n_hot).select(
+            F.lit("hot.example.com").alias("domain"),
+            F.col("id").alias("doc_id"))
+        cold = spark.range(50_000).select(
+            F.concat(F.lit("cold"), (F.col("id") % 5_000).cast("string"),
+                     F.lit(".org")).alias("domain"),
+            (F.col("id") + 100_000_000).alias("doc_id"))
+        df = hot.unionByName(cold).repartition(512).persist()
+        rows = df.count()             # outside the timers
+        if mult == 2:
+            a = {r.doc_id for r in ts.cap_per_key(
+                df, ["domain"], n=100, salt_buckets=1).collect()}
+            b = {r.doc_id for r in ts.cap_per_key(
+                df, ["domain"], n=100).collect()}
+            assert a == b, "salted kept set diverged from single-window"
+        t = time.time()
+        force(ts.cap_per_key(df, ["domain"], n=10_000, salt_buckets=1))
+        raw = time.time() - t
+        t = time.time()
+        force(ts.cap_per_key(df, ["domain"], n=10_000))
+        salted = time.time() - t
+        df.unpersist()
+        print(f"cap_per_key mult={mult} rows={rows} M=512 n=10000 "
+              f"raw_window_sec={raw:.2f} salted_sec={salted:.2f}")
+
 
 if __name__ == "__main__":
     main()
