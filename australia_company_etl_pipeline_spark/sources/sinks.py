@@ -406,3 +406,48 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def write_curriculum_shards(df: DataFrame, path: str, id_col: str,
+                            order_col: str, shards: int,
+                            blocks: int = 10, seed: int = 42,
+                            max_records_per_file: int | None = None,
+                            ) -> None:
+    """Curriculum/annealing-order corpus writer: shards stream in
+    ASCENDING ``order_col`` blocks (e.g. a quality score — the
+    data-annealing practice of ending training on the cleanest slice;
+    pass a negated score for the reverse curriculum), while rows
+    WITHIN a block stay pseudo-randomly decorrelated (a strict global
+    score sort would feed the model long runs of near-identical
+    documents — exactly the correlation ``write_training_shards``
+    exists to break).
+
+    Order key = ``(block, xxhash64(seed, id))`` where ``block`` is the
+    row's ``blocks``-quantile bucket of ``order_col`` (boundaries from
+    ONE ``percentile_approx`` aggregate — deterministic given the
+    data; NULL scores land in block 0, i.e. earliest). Reproducible
+    end-to-end from (input, seed, blocks, shards) and stable under
+    task retry, like the flat shuffle writer.
+
+    Scale: one agg for the boundaries + one ``repartitionByRange`` +
+    local sort — identical shape to ``write_training_shards`` plus a
+    one-row aggregate. Shard files in name order ARE the training
+    order."""
+    if blocks < 2:
+        raise ValueError(f"blocks must be >= 2, got {blocks}")
+    qs = [i / blocks for i in range(1, blocks)]
+    bounds = df.agg(F.percentile_approx(
+        order_col, qs, 10_000).alias("b")).head()["b"]
+    blk = F.lit(0)
+    for b in bounds:
+        blk = blk + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    order = F.xxhash64(F.lit(seed), F.col(id_col))
+    w = (df.withColumn("__blk", blk)
+         .withColumn("__ord", order)
+         .repartitionByRange(shards, F.col("__blk"), F.col("__ord"))
+         .sortWithinPartitions("__blk", "__ord")
+         .drop("__blk", "__ord")
+         .write.mode("overwrite"))
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

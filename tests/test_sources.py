@@ -653,3 +653,62 @@ def test_write_training_shards_deterministic_shuffle(spark, tmp_path):
     rho = statistics.correlation(list(range(n)),
                                  [pos[i] for i in range(n)])
     assert abs(rho) < 0.25, rho
+
+
+def test_write_curriculum_shards_annealing_order(spark, tmp_path):
+    """r8 curriculum writer: shard-sequential read order is ascending
+    in quality BLOCKS (annealing — cleanest data last), decorrelated
+    within a block, reproducible, lossless; NULL scores land first."""
+    import glob
+
+    from australia_company_etl_pipeline_spark.sources import sinks
+
+    rows = [(i, float((i * 37) % 400)) for i in range(400)]
+    df = (spark.createDataFrame(rows, "doc_id long, quality double")
+          # two NULL-score rows must land at the very front (block 0)
+          .unionByName(spark.createDataFrame(
+              [(1000, None), (1001, None)],
+              "doc_id long, quality double")))
+
+    def read_rows(path):
+        out = []
+        for shard in sorted(glob.glob(f"{path}/part-*.parquet")):
+            out += spark.read.parquet(shard).collect()
+        return out
+
+    p1, p2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    sinks.write_curriculum_shards(df, p1, "doc_id", "quality",
+                                  shards=4, blocks=4, seed=1)
+    sinks.write_curriculum_shards(df.repartition(13), p2, "doc_id",
+                                  "quality", shards=4, blocks=4, seed=1)
+    r1, r2 = read_rows(p1), read_rows(p2)
+    assert [r.doc_id for r in r1] == [r.doc_id for r in r2]  # reproducible
+    assert sorted(r.doc_id for r in r1) == sorted(
+        [i for i in range(400)] + [1000, 1001])              # lossless
+    # NULL scores land in block 0: both appear before any block>=1 row
+    null_pos = [i for i, r in enumerate(r1) if r.quality is None]
+    first_b1 = min(i for i, r in enumerate(r1)
+                   if r.quality is not None and r.quality >= 100.0)
+    assert len(null_pos) == 2 and max(null_pos) < first_b1
+    # block sequence is nondecreasing: quartile index of quality along
+    # the read order never steps down (NULLs -> block 0)
+    def block(q):
+        if q is None:
+            return 0
+        return min(3, int(q // 100))
+    blocks_seq = [block(r.quality) for r in r1]
+    assert all(a <= b for a, b in zip(blocks_seq, blocks_seq[1:])), \
+        blocks_seq[:20]
+    # within the first full block, order is decorrelated from doc_id
+    first_block = [r.doc_id for r in r1 if block(r.quality) == 0
+                   and r.quality is not None]
+    import statistics
+    pos = {d: i for i, d in enumerate(first_block)}
+    ids = sorted(first_block)
+    rho = statistics.correlation(ids, [pos[i] for i in ids])
+    assert abs(rho) < 0.35, rho
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="blocks"):
+        sinks.write_curriculum_shards(df, p1, "doc_id", "quality",
+                                      shards=4, blocks=1)
