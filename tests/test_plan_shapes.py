@@ -499,3 +499,18 @@ def test_cap_per_key_salt_disabled_single_window(spark, sf_dir):
     counts = _node_counts(plan)
     assert counts["Window"] == 1, counts
     assert "__salt" not in plan, plan
+
+
+def test_top10_fold_uses_takeordered_and_broadcast(spark, sf_dir):
+    """r8 fold pin: order_rank_and_lag's global top-10 must lower to
+    TakeOrderedAndProject (per-partition top-k + driver merge — no
+    global sort shuffle) and rejoin via broadcast, never a sort-merge
+    join or a single-partition global Sort."""
+    from australia_company_etl_pipeline_spark import plans
+
+    plan = _plan(plans.REGISTRY["order_rank_and_lag"].builder(
+        spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    counts = _node_counts(plan)
+    assert counts["SortMergeJoin"] == 0, counts
