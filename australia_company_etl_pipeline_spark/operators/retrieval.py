@@ -214,3 +214,40 @@ def tfidf_keyterms(df: DataFrame, text_col: str, id_col: str,
     return tfidf_keyterms_from_postings(
         term_postings(df, text_col, id_col), corpus_stats(df, text_col),
         id_col, top_k)
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str,
+             k: int = 60, rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) — the standard
+    hybrid-retrieval combiner: given N ranked candidate lists over one
+    id space (e.g. a BM25 term list and an embedding-cosine list, the
+    classic RAG hybrid), score every candidate
+    ``sum over lists of 1 / (k + rank)`` and re-rank. Rank position is
+    all that crosses lists, so incomparable score scales (BM25 logs vs
+    cosine) fuse without calibration; ``k=60`` is the paper's constant.
+
+    → ``(id, n_lists, rrf_score, rank)``: candidates absent from a
+    list simply contribute nothing (union + partial-agg sum, no outer
+    join); ``n_lists`` = how many lists proposed the candidate. The
+    contribution sum accumulates in exact decimal (this package's
+    order-independent-sum discipline), so the fused ranking is
+    bit-stable under any partitioning and DuckDB-replayable. The final
+    row_number window is global but runs over the union of top-N
+    lists — bounded by N·len(rankings) rows, never the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    contrib = (F.lit(1.0) / (F.lit(k) + F.col(rank_col))) \
+        .cast("decimal(28,12)")
+    parts = [r.select(F.col(id_col), contrib.alias("__c"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("int").alias("n_lists"),
+                  F.round(F.sum("__c").cast("double"), 6)
+                  .alias("rrf_score")))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return fused.withColumn("rank", F.row_number().over(w))

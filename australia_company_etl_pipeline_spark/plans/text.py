@@ -571,7 +571,13 @@ ctf_rk AS (
         "(tf/words_class)·ln(1+A/f_term) with every total derived from "
         "ONE (class, term) aggregate (exchange-reuse pinned in pytest); "
         "the deterministic lang classes value-check the scoring math, "
-        "the k-means cluster path rides the pinned IVF kernel. Per-doc "
+        "the k-means cluster path rides the pinned IVF kernel. "
+        "kind='rrf' (r8, operators/retrieval.py rrf_fuse): HYBRID "
+        "retrieval — the BM25 term list fused with an embedding-cosine "
+        "list by reciprocal-rank fusion (Cormack & Clarke 2009, k=60); "
+        "rank position is all that crosses lists so incomparable score "
+        "scales fuse without calibration, and the decimal contribution "
+        "sum makes the fused ranking order-independent. Per-doc "
         "score assembly across all kinds is order-independent decimal "
         "accumulation on the 1e-6 grid → fully value-checked against "
         "DuckDB.",
@@ -613,9 +619,35 @@ SELECT 'ctfidf' AS kind, CAST(NULL AS BIGINT) AS doc_id,
             ORDER BY score DESC, term ASC) AS INT) AS rank
 FROM ctf_rk
 QUALIFY rank <= 5
+UNION ALL
+SELECT 'rrf' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+       CAST(n_lists AS INT) AS n_matched, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+FROM (
+  SELECT doc_id, count(*) AS n_lists,
+         round(CAST(sum(CAST(1.0 / (60 + rank) AS DECIMAL(28,12)))
+                    AS DOUBLE), 6) AS score
+  FROM (
+    SELECT doc_id, CAST(row_number() OVER (
+        ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+    FROM btop
+    UNION ALL
+    SELECT vec_id AS doc_id, rank FROM (
+      SELECT vec_id, CAST(row_number() OVER (
+          ORDER BY round(list_cosine_similarity(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+               FROM embeddings WHERE vec_id = 0)), 6) DESC,
+          vec_id ASC) AS INT) AS rank
+      FROM embeddings
+    ) WHERE rank <= 10
+  ) GROUP BY doc_id
+)
 """,
     branches={k: (lambda s, d, _k=k: _doc_search_branches(s, d, _k))
-              for k in ("search", "keyterm", "lm", "ccnet", "ctfidf")},
+              for k in ("search", "keyterm", "lm", "ccnet", "ctfidf",
+                        "rrf")},
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_search_branches(spark, sf_dir, None)
@@ -627,7 +659,7 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
 
     d = table(spark, sf_dir, "documents")
     parts = []
-    if kind in (None, "search", "keyterm"):
+    if kind in (None, "search", "keyterm", "rrf"):
         # ONE persisted postings build feeds both retrieval branches and
         # the DF counts (four corpus tokenizations without it — see
         # postings_frame docs); released by bench via unpersist_postings()
@@ -641,6 +673,32 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                         F.lit(None).cast("string").alias("term"),
                         F.col("n_terms_matched").alias("n_matched"),
                         "score", "rank"))
+        if kind in (None, "rrf"):
+            # kind='rrf' (r8): HYBRID retrieval — the BM25 term list
+            # fused with an embedding-cosine list by reciprocal-rank
+            # fusion (operators/retrieval.py rrf_fuse; embeddings.vec_id
+            # aligns with documents.doc_id in this catalog). Rank
+            # position is all that crosses lists, so the incomparable
+            # score scales fuse without calibration; the decimal
+            # contribution sum keeps the fused ranking value-checkable.
+            from ..operators import ann as ann_ops
+
+            emb = table(spark, sf_dir, "embeddings")
+            qv = (emb.filter(F.col("vec_id") == 0)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("query_vec")))
+            cos = (ann_ops.brute_force_topk(
+                       emb.select("vec_id", "embedding"), qv, k=10)
+                   .select(F.col("vec_id").alias("doc_id"), "rank"))
+            bm = (rt.bm25_search_from_postings(post, stats, "doc_id",
+                                               _BM25_TERMS, top_n=10)
+                  .select("doc_id", "rank"))
+            parts.append(
+                rt.rrf_fuse([bm, cos], "doc_id", k=60)
+                .select(F.lit("rrf").alias("kind"), "doc_id",
+                        F.lit(None).cast("string").alias("term"),
+                        F.col("n_lists").alias("n_matched"),
+                        F.col("rrf_score").alias("score"), "rank"))
         if kind in (None, "keyterm"):
             parts.append(
                 rt.tfidf_keyterms_from_postings(post, stats, "doc_id",

@@ -171,8 +171,41 @@ def test_registered_query_shares_one_postings_build(spark, sf_dir):
         # single branch regressing into uncached scan fan-out
         import re
 
+        # (r8: +3 for the rrf hybrid branch — the embeddings corpus +
+        # query-vector scans and its own corpus_stats copy; its BM25
+        # list reads the cached postings build)
         scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
-        assert len(scan_ids) <= 11, sorted(scan_ids)
+        assert len(scan_ids) <= 14, sorted(scan_ids)
     finally:
         rt.unpersist_postings()
         lmo.unpersist_lm()
+
+
+def test_rrf_fuse_hand_golden(spark):
+    """RRF (r8): fused score = sum of 1/(60+rank) over the lists a
+    candidate appears in; absent-from-a-list contributes nothing;
+    ties break on ascending id; layout-independent."""
+    from australia_company_etl_pipeline_spark.operators.retrieval import (
+        rrf_fuse)
+
+    bm = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                               "doc_id long, rank int")
+    cos = spark.createDataFrame([(20, 1), (40, 2), (10, 3)],
+                                "doc_id long, rank int")
+    got = {r.doc_id: r for r in rrf_fuse([bm, cos], "doc_id").collect()}
+    import pytest as _pt
+    # doc 20: 1/62 + 1/61 ; doc 10: 1/61 + 1/63 ; 30: 1/63 ; 40: 1/62
+    assert got[20].rrf_score == _pt.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9)
+    assert got[10].rrf_score == _pt.approx(
+        round(1 / 61 + 1 / 63, 6), abs=1e-9)
+    assert [got[i].rank for i in (20, 10, 40, 30)] == [1, 2, 3, 4]
+    assert got[20].n_lists == 2 and got[30].n_lists == 1
+    # layout independence
+    again = {r.doc_id: r.rank for r in rrf_fuse(
+        [bm.repartition(7), cos.repartition(3)], "doc_id").collect()}
+    assert again == {d: r.rank for d, r in got.items()}
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse([], "doc_id")
+    with _pt.raises(ValueError, match="k must"):
+        rrf_fuse([bm], "doc_id", k=0)
