@@ -1934,3 +1934,32 @@ def test_incremental_exact_dedup_legacy_index_backfills_layout_meta(
     assert out == [1, 2]
     assert spark.read.parquet(f"{idx}/layout_meta").head()[
         "id_buckets"] == 4
+
+
+def test_incremental_verdicts_cached_per_dataset_key(spark, sf_dir):
+    """r8: the ngram query's incremental branch persists its verdict
+    table once per (documents.parquet size+mtime, params) key — the
+    second invocation must read the artifact, not replay the two-chunk
+    ingest (steady-state headline cost)."""
+    import os
+
+    from australia_company_etl_pipeline_spark.plans import dedup as pd_
+
+    root, path = pd_._verdicts_cache_path(sf_dir)
+    first = pd_._ngram_jaccard_branches(spark, sf_dir, "incremental")
+    n1 = first.count()
+    assert os.path.isdir(path), path
+    mtime = os.path.getmtime(path)
+    again = pd_._ngram_jaccard_branches(spark, sf_dir, "incremental")
+    assert again.count() == n1 > 0
+    # unchanged artifact -> no rebuild happened
+    assert os.path.getmtime(path) == mtime
+    # the cached read IS the plan: a scan of the verdict table, no joins
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        again.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "Window" not in plan, plan
+    dd.unpersist_shingles()
