@@ -665,10 +665,13 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
         # postings_frame docs); released by bench via unpersist_postings()
         post = rt.postings_frame(d, "text", "doc_id")
         stats = rt.corpus_stats(d, "text")
+        # ONE BM25 build feeds both the search branch and the rrf
+        # fusion's term list
+        bm_top = rt.bm25_search_from_postings(post, stats, "doc_id",
+                                              _BM25_TERMS, top_n=10)
         if kind in (None, "search"):
             parts.append(
-                rt.bm25_search_from_postings(post, stats, "doc_id",
-                                             _BM25_TERMS, top_n=10)
+                bm_top
                 .select(F.lit("search").alias("kind"), "doc_id",
                         F.lit(None).cast("string").alias("term"),
                         F.col("n_terms_matched").alias("n_matched"),
@@ -690,9 +693,7 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
             cos = (ann_ops.brute_force_topk(
                        emb.select("vec_id", "embedding"), qv, k=10)
                    .select(F.col("vec_id").alias("doc_id"), "rank"))
-            bm = (rt.bm25_search_from_postings(post, stats, "doc_id",
-                                               _BM25_TERMS, top_n=10)
-                  .select("doc_id", "rank"))
+            bm = bm_top.select("doc_id", "rank")
             parts.append(
                 rt.rrf_fuse([bm, cos], "doc_id", k=60)
                 .select(F.lit("rrf").alias("kind"), "doc_id",
