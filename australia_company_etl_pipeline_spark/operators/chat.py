@@ -1,0 +1,182 @@
+"""Chat/SFT sample assembly — the last mile between a curated corpus
+and a fine-tuning run.
+
+A pretraining pipeline ends at packed token shards; an SFT pipeline
+ends at RENDERED conversations: multi-turn (role, content) records
+flattened through a chat template, validated for structural sanity
+(roles alternate, the sample ends on an assistant turn, nothing is
+empty), loss-masked so only assistant spans train, and deduplicated by
+prompt so one over-represented instruction can't dominate an epoch.
+Public recipes (Alpaca/Vicuna-style SFT sets, HuggingFace
+`apply_chat_template`) all perform exactly these four steps; this
+module expresses them as pure Column expressions so they run inside
+whole-stage codegen at corpus scale — no UDF, no driver loop.
+
+Everything is deterministic string/length arithmetic, which is the
+point: the driver oracle replays rendering and span offsets in DuckDB
+character-for-character (`corpus_filter_stats` kind='chat'), the same
+discipline as the HTML-extraction and C4 folds.
+
+Template contract (``DEFAULT_TEMPLATE``): each role renders as
+``prefix + content + suffix``. Offsets returned by
+``assistant_spans`` are 0-based CHARACTER offsets into the rendered
+string, [start, end) around the assistant CONTENT only (markers never
+train). Character offsets are the portable interchange form — the
+tokenizer-side loss mask derives from them after encoding, which is
+how offset-mapping-based maskers (fast-tokenizer ``return_offsets``)
+consume SFT data.
+
+Scale notes: rendering/validation/spans are shuffle-free projections
+over the conversation column; ``sft_pair_dedup`` is one
+``cap_per_key`` (two-level salted top-n — skew-safe when one viral
+prompt floods the feed, exact keep-best).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "DEFAULT_TEMPLATE", "TURNS_SCHEMA", "render_chat", "validate_chat",
+    "assistant_spans", "sft_pair_dedup",
+]
+
+# role -> (prefix, suffix); rendering is prefix + content + suffix
+DEFAULT_TEMPLATE: dict[str, tuple[str, str]] = {
+    "system": ("<|system|>\n", "\n"),
+    "user": ("<|user|>\n", "\n"),
+    "assistant": ("<|assistant|>\n", "<|end|>\n"),
+}
+
+TURNS_SCHEMA = "array<struct<role:string,content:string>>"
+
+
+def _role_expr(role: Column, mapping: dict[str, str],
+               default: str = "") -> Column:
+    """Chained CASE over the template's roles — unknown roles hit the
+    default ('' for markers: validate_chat flags them loudly, the
+    renderer must not invent text for them)."""
+    out: Column = F.lit(default)
+    for r, v in mapping.items():
+        out = F.when(role == r, F.lit(v)).otherwise(out)
+    return out
+
+
+def render_chat(turns: Column,
+                template: dict[str, tuple[str, str]] | None = None,
+                ) -> Column:
+    """Flatten ``array<struct<role, content>>`` through the chat
+    template: ``concat(prefix + content + suffix per turn)``. Pure
+    codegen (transform + array_join) — no UDF. NULL content renders as
+    '' (and is flagged by ``validate_chat``)."""
+    tpl = template or DEFAULT_TEMPLATE
+    pre = {r: ps[0] for r, ps in tpl.items()}
+    suf = {r: ps[1] for r, ps in tpl.items()}
+    return F.array_join(
+        F.transform(turns, lambda t: F.concat(
+            _role_expr(t["role"], pre),
+            F.coalesce(t["content"], F.lit("")),
+            _role_expr(t["role"], suf))),
+        "")
+
+
+def validate_chat(turns: Column,
+                  template: dict[str, tuple[str, str]] | None = None,
+                  ) -> Column:
+    """FIRST failing structural rule, NULL when valid (the
+    ``corpus_filter`` drop-reason convention — a filter deleting 30%
+    of an SFT set must be debuggable):
+
+    - ``empty``: no turns (or NULL column);
+    - ``unknown_role``: a role outside the template;
+    - ``bad_start``: first role is neither ``system`` nor ``user``;
+    - ``misplaced_system``: ``system`` anywhere but turn 0;
+    - ``repeated_role``: two consecutive turns with one role (no
+      alternation — double-user means a lost response);
+    - ``empty_content``: any NULL/whitespace-only content;
+    - ``no_final_assistant``: the sample does not end on an assistant
+      turn (nothing to train on).
+    """
+    tpl = template or DEFAULT_TEMPLATE
+    roles = F.transform(turns, lambda t: t["role"])
+    known = list(tpl)
+    n = F.size(turns)
+    tail = F.slice(roles, 2, F.greatest(n - 1, F.lit(0)))
+    # zip (r_i, r_{i+1}) to spot consecutive repeats
+    repeats = F.exists(
+        F.zip_with(F.slice(roles, 1, F.greatest(n - 1, F.lit(0))), tail,
+                   lambda a, b: a == b), lambda x: x)
+    return (
+        F.when(turns.isNull() | (n == 0), F.lit("empty"))
+        .when(F.exists(roles, lambda r: ~r.isin(*known)),
+              F.lit("unknown_role"))
+        .when(~F.element_at(roles, 1).isin("system", "user"),
+              F.lit("bad_start"))
+        .when(F.exists(tail, lambda r: r == "system"),
+              F.lit("misplaced_system"))
+        .when(repeats, F.lit("repeated_role"))
+        .when(F.exists(turns, lambda t: t["content"].isNull()
+                       | (F.trim(t["content"]) == "")),
+              F.lit("empty_content"))
+        .when(F.element_at(roles, -1) != "assistant",
+              F.lit("no_final_assistant"))
+        .otherwise(F.lit(None).cast("string")))
+
+
+def assistant_spans(turns: Column,
+                    template: dict[str, tuple[str, str]] | None = None,
+                    ) -> Column:
+    """0-based character [start, end) offsets of each ASSISTANT turn's
+    CONTENT inside ``render_chat(turns)`` — the loss mask (markers and
+    non-assistant turns never train). One ``aggregate`` fold carrying
+    (cursor, spans): per turn the cursor advances by
+    ``len(prefix) + len(content) + len(suffix)``; assistant turns also
+    append ``(cursor + len(prefix), cursor + len(prefix) +
+    len(content))``. Pure codegen arithmetic — DuckDB replays it
+    exactly."""
+    tpl = template or DEFAULT_TEMPLATE
+    pre = {r: ps[0] for r, ps in tpl.items()}
+    suf = {r: ps[1] for r, ps in tpl.items()}
+
+    def step(acc, t):
+        plen = F.length(_role_expr(t["role"], pre))
+        clen = F.length(F.coalesce(t["content"], F.lit("")))
+        slen = F.length(_role_expr(t["role"], suf))
+        start = acc["pos"] + plen
+        span = F.struct(start.alias("start"),
+                        (start + clen).alias("end"))
+        return F.struct(
+            (acc["pos"] + plen + clen + slen).alias("pos"),
+            F.when(t["role"] == "assistant",
+                   F.array_append(acc["spans"], span))
+            .otherwise(acc["spans"]).alias("spans"))
+
+    zero = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.array().cast("array<struct<start:int,end:int>>")
+        .alias("spans"))
+    return F.aggregate(turns, zero, step, lambda acc: acc["spans"])
+
+
+def sft_pair_dedup(df: DataFrame, prompt_col: str, id_col: str,
+                   order_col: str | None = None, n: int = 1,
+                   salt_buckets: int = 64) -> DataFrame:
+    """Keep ``n`` (default 1) samples per distinct prompt — the SFT
+    twin of ``urls.url_dedup``: instruction sets are scraped/merged
+    from overlapping sources, and a duplicated prompt over-weights its
+    answer every epoch. Keep-best via ``order_col`` ascending (e.g. a
+    negated reward/quality score), else the seeded content hash.
+    Shape: ``cap_per_key`` on ``md5(prompt)`` — two-level salted
+    top-n, skew-safe when one viral prompt floods the feed; NULL/''
+    prompts are quarantined (kept, never collapsed), mirroring
+    url_dedup's '' rule."""
+    from .textstats import cap_per_key
+
+    tagged = df.withColumn(
+        "__pk", F.md5(F.coalesce(F.col(prompt_col), F.lit(""))))
+    good = tagged.filter(F.coalesce(F.col(prompt_col), F.lit("")) != "")
+    bad = tagged.filter(F.coalesce(F.col(prompt_col), F.lit("")) == "")
+    kept = cap_per_key(good, ["__pk"], n, order_col=order_col,
+                       salt_buckets=salt_buckets)
+    return kept.unionByName(bad).drop("__pk")

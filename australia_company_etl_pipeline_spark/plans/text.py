@@ -883,6 +883,7 @@ url_f AS (
 
 
 _HTML_SAMPLE_MOD = 41  # kind='html*' extraction sample stride
+_CHAT_SAMPLE_MOD = 31  # kind='chat' rendered-sample stride
 
 # HTML page fixture, as literal fragments shared byte-for-byte by the
 # Spark builder and the SQL oracle (doc_id / text spliced between them;
@@ -1060,7 +1061,15 @@ html_f AS (
         "datasheet's deterministic sections — volume counts and the "
         "language mix — value-checked THROUGH corpus_datasheet itself; "
         "approximate sections (percentile sketches, HLL dup rate) stay "
-        "pytest-gated and pii is covered by kind='pii'.",
+        "pytest-gated and pii is covered by kind='pii'. "
+        "kind='chat'/'chatval' (r8, operators/chat.py): SFT sample "
+        "assembly — chat-template rendering STRING-EXACT on a "
+        "doc_id%31 sample with the assistant loss-mask span offsets "
+        "as a checksum (the oracle derives both from the fixture's "
+        "prefix/suffix length arithmetic, never running the "
+        "operator), and validate_chat verdicts over a planted-"
+        "violation fixture whose expected reason is a pure CASE over "
+        "doc_id%10.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
@@ -1167,6 +1176,51 @@ SELECT 'c4text' AS kind,
        CAST(3 AS BIGINT) AS n_docs, doc_id AS n_hits
 FROM c4_f WHERE reason = 'kept' AND doc_id % {_C4_SAMPLE_MOD} = 0
 UNION ALL
+SELECT 'chat' AS kind,
+       (CASE WHEN doc_id % 3 = 0
+             THEN '<|system|>' || chr(10) || 'Answer briefly.' || chr(10)
+             ELSE '' END)
+       || '<|user|>' || chr(10) || coalesce(substr(text, 1, 40), '')
+       || chr(10)
+       || '<|assistant|>' || chr(10) || 'Reply '
+       || CAST(doc_id AS VARCHAR) || '<|end|>' || chr(10)
+       || (CASE WHEN doc_id % 2 = 0
+             THEN '<|user|>' || chr(10) || 'Follow-up '
+                  || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                  || '<|assistant|>' || chr(10) || 'Done '
+                  || CAST(doc_id % 5 AS VARCHAR) || '<|end|>' || chr(10)
+             ELSE '' END) AS key,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_docs,
+       CAST(a1s * 100003 + a1e
+            + CASE WHEN doc_id % 2 = 0
+                   THEN (a1e + 8 + 9 + 10
+                         + length(CAST(doc_id % 7 AS VARCHAR)) + 1 + 14)
+                        * 100003
+                        + (a1e + 8 + 9 + 10
+                           + length(CAST(doc_id % 7 AS VARCHAR)) + 1 + 14
+                           + 5 + length(CAST(doc_id % 5 AS VARCHAR)))
+                   ELSE 0 END AS BIGINT) AS n_hits
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 27 ELSE 0 END
+           + 9 + length(coalesce(substr(text, 1, 40), '')) + 1 + 14
+           AS a1s,
+         CASE WHEN doc_id % 3 = 0 THEN 27 ELSE 0 END
+           + 9 + length(coalesce(substr(text, 1, 40), '')) + 1 + 14
+           + 6 + length(CAST(doc_id AS VARCHAR)) AS a1e
+  FROM documents WHERE doc_id % 31 = 0
+)
+UNION ALL
+SELECT 'chatval' AS kind,
+       CASE doc_id % 10
+            WHEN 1 THEN 'empty' WHEN 2 THEN 'unknown_role'
+            WHEN 3 THEN 'bad_start' WHEN 4 THEN 'misplaced_system'
+            WHEN 5 THEN 'repeated_role' WHEN 6 THEN 'empty_content'
+            WHEN 7 THEN 'no_final_assistant' ELSE 'valid' END AS key,
+       count(*) AS n_docs, sum(doc_id) AS n_hits
+FROM documents GROUP BY 2
+UNION ALL
 SELECT 'datasheet' AS kind, 'volume:n_docs' AS key,
        CAST(NULL AS BIGINT) AS n_docs, count(*) AS n_hits
 FROM documents
@@ -1189,7 +1243,7 @@ FROM prof GROUP BY 2
 """,
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
               for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
-                        "html", "bloom", "c4", "datasheet")},
+                        "html", "bloom", "c4", "datasheet", "chat")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -1384,6 +1438,75 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                     F.col("c4_text").alias("key"),
                     F.col("c4_lines_kept").cast("long").alias("n_docs"),
                     F.col("doc_id").alias("n_hits")))
+    if kind in (None, "chat"):
+        # kind='chat'/'chatval' (r8, operators/chat.py): SFT assembly.
+        # 'chat' renders a deterministic multi-turn fixture (system
+        # turn on doc_id%3=0, a second exchange on doc_id%2=0, user
+        # content from the doc text) through the DEFAULT_TEMPLATE and
+        # emits the rendered string (string-exact key on a doc_id%31
+        # sample) plus the assistant loss-mask spans as a checksum —
+        # the oracle derives both from the fixture's length arithmetic
+        # (prefix/suffix constants + length(content)), never running
+        # the operator, so both sides cannot share a bug. 'chatval'
+        # runs validate_chat over a planted-violation fixture keyed by
+        # doc_id%10 (one violation class per residue) — the expected
+        # reason in DuckDB is a pure CASE over the residue.
+        from ..operators import chat as chat_ops
+
+        did = F.col("doc_id")
+
+        def _t(role: str, content) -> F.Column:
+            c = content if not isinstance(content, str) else F.lit(content)
+            return F.struct(F.lit(role).alias("role"), c.alias("content"))
+
+        sys_t = _t("system", "Answer briefly.")
+        u1 = _t("user", F.substring(F.col("text"), 1, 40))
+        a1 = _t("assistant", F.concat(F.lit("Reply "), did.cast("string")))
+        u2 = _t("user", F.concat(F.lit("Follow-up "),
+                                 (did % 7).cast("string")))
+        a2 = _t("assistant", F.concat(F.lit("Done "),
+                                      (did % 5).cast("string")))
+        base = (F.when(did % 2 == 0, F.array(u1, a1, u2, a2))
+                .otherwise(F.array(u1, a1)))
+        turns = (F.when(did % 3 == 0, F.concat(F.array(sys_t), base))
+                 .otherwise(base))
+        cf = (d.filter(did % _CHAT_SAMPLE_MOD == 0)
+              .select("doc_id", turns.alias("__turns")))
+        spans = chat_ops.assistant_spans(F.col("__turns"))
+        parts.append(cf.select(
+            F.lit("chat").alias("kind"),
+            chat_ops.render_chat(F.col("__turns")).alias("key"),
+            F.size(spans).cast("long").alias("n_docs"),
+            F.aggregate(
+                spans, F.lit(0).cast("long"),
+                lambda acc, s: acc + s["start"].cast("long") * 100003
+                + s["end"]).alias("n_hits")))
+
+        m = did % 10
+        empty = F.array().cast(chat_ops.TURNS_SCHEMA)
+        vturns = (
+            F.when(m == 1, empty)
+            .when(m == 2, F.array(_t("tool", "x"), _t("assistant", "a")))
+            .when(m == 3, F.array(_t("assistant", "a")))
+            .when(m == 4, F.array(_t("user", "q"), _t("system", "s"),
+                                  _t("assistant", "a")))
+            .when(m == 5, F.array(_t("user", "q"), _t("user", "q2"),
+                                  _t("assistant", "a")))
+            .when(m == 6, F.array(_t("user", "  "), _t("assistant", "a")))
+            .when(m == 7, F.array(_t("system", "s"), _t("user", "q")))
+            .when(m == 0, F.array(_t("user", "q"), _t("assistant", "a")))
+            .otherwise(F.array(_t("system", "s"), _t("user", "q"),
+                               _t("assistant", "a"), _t("user", "q2"),
+                               _t("assistant", "a2"))))
+        parts.append(
+            d.select(did.alias("doc_id"),
+                     F.coalesce(chat_ops.validate_chat(vturns),
+                                F.lit("valid")).alias("reason"))
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("chatval").alias("kind"),
+                    F.col("reason").alias("key"), "n_docs", "n_hits"))
     if kind in (None, "datasheet"):
         # kind='datasheet' (r8): the corpus datasheet's deterministic
         # sections value-checked end-to-end THROUGH

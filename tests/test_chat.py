@@ -1,0 +1,122 @@
+"""Chat/SFT assembly operators (operators/chat.py, r8): template
+rendering, structural validation, loss-mask span offsets, prompt-level
+dedup. Every golden is hand-computed from the DEFAULT_TEMPLATE
+constants so a template edit fails loudly here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from australia_company_etl_pipeline_spark.operators import chat as C
+
+
+def _df(spark, turns):
+    return spark.createDataFrame(
+        [(1, turns)], f"doc_id long, turns {C.TURNS_SCHEMA}")
+
+
+def _one(spark, col, turns):
+    return _df(spark, turns).select(col.alias("v")).head()["v"]
+
+
+def test_render_hand_golden(spark):
+    turns = [("system", "Be helpful."), ("user", "Hi"),
+             ("assistant", "Hello!")]
+    got = _one(spark, C.render_chat(F.col("turns")), turns)
+    assert got == ("<|system|>\nBe helpful.\n"
+                   "<|user|>\nHi\n"
+                   "<|assistant|>\nHello!<|end|>\n")
+
+
+def test_render_null_content_and_custom_template(spark):
+    got = _one(spark, C.render_chat(F.col("turns")),
+               [("user", None), ("assistant", "a")])
+    assert got == "<|user|>\n\n<|assistant|>\na<|end|>\n"
+    tpl = {"user": ("U:", "\n"), "assistant": ("A:", "\n")}
+    got = _one(spark, C.render_chat(F.col("turns"), tpl),
+               [("user", "q"), ("assistant", "a")])
+    assert got == "U:q\nA:a\n"
+
+
+@pytest.mark.parametrize("turns,reason", [
+    ([], "empty"),
+    ([("tool", "x"), ("assistant", "y")], "unknown_role"),
+    ([("assistant", "y")], "bad_start"),
+    ([("user", "q"), ("system", "s"), ("assistant", "a")],
+     "misplaced_system"),
+    ([("user", "q"), ("user", "q2"), ("assistant", "a")],
+     "repeated_role"),
+    ([("user", "  "), ("assistant", "a")], "empty_content"),
+    ([("user", "q"), ("assistant", None)], "empty_content"),
+    ([("system", "s"), ("user", "q")], "no_final_assistant"),
+    ([("user", "q"), ("assistant", "a")], None),
+    ([("system", "s"), ("user", "q"), ("assistant", "a"),
+      ("user", "q2"), ("assistant", "a2")], None),
+])
+def test_validate_first_failing_rule(spark, turns, reason):
+    got = _one(spark, C.validate_chat(F.col("turns")), turns)
+    assert got == reason, (turns, got)
+
+
+def test_assistant_spans_hand_golden(spark):
+    turns = [("system", "Be helpful."), ("user", "Hi"),
+             ("assistant", "Hello!"), ("user", "More?"),
+             ("assistant", "Sure.")]
+    rendered = _one(spark, C.render_chat(F.col("turns")), turns)
+    spans = _one(spark, C.assistant_spans(F.col("turns")), turns)
+    # hand arithmetic: system 11+11+1=23, user 9+2+1 -> pos 35,
+    # assistant prefix 14 -> start 49 + len("Hello!") -> 55; after
+    # <|end|>\n (8) pos 63, user2 15 -> 78, +14 -> 92 + 5 -> 97
+    assert [tuple(s) for s in spans] == [(49, 55), (92, 97)]
+    # the definition test: each span slices exactly its content out of
+    # the rendered string
+    assert rendered[49:55] == "Hello!"
+    assert rendered[92:97] == "Sure."
+    # markers never train
+    for s, e in [tuple(x) for x in spans]:
+        assert "<|" not in rendered[s:e]
+
+
+def test_assistant_spans_empty_and_no_assistant(spark):
+    assert _one(spark, C.assistant_spans(F.col("turns")),
+                [("user", "q")]) == []
+
+
+def test_sft_pair_dedup_keep_best_and_quarantine(spark):
+    rows = [
+        (1, "what is spark", 0.9),
+        (2, "what is spark", 0.4),   # same prompt, better (lower) score
+        (3, "what is spark", 0.7),
+        (4, "other prompt", 0.5),
+        (5, "", 0.1), (6, None, 0.2),  # quarantined, never collapsed
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prompt string, neg_reward double")
+    kept = {r.doc_id for r in C.sft_pair_dedup(
+        df, "prompt", "doc_id", order_col="neg_reward").collect()}
+    assert kept == {2, 4, 5, 6}
+    # layout independence
+    again = {r.doc_id for r in C.sft_pair_dedup(
+        df.repartition(5), "prompt", "doc_id",
+        order_col="neg_reward").collect()}
+    assert again == kept
+
+
+def test_spans_plan_is_shuffle_free(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(1, [("user", "q"), ("assistant", "a")])],
+        f"doc_id long, turns {C.TURNS_SCHEMA}")
+    out = df.select(C.render_chat(F.col("turns")),
+                    C.validate_chat(F.col("turns")),
+                    C.assistant_spans(F.col("turns")))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
