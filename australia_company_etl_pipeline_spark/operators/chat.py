@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "DEFAULT_TEMPLATE", "TURNS_SCHEMA", "render_chat", "validate_chat",
-    "assistant_spans", "sft_pair_dedup",
+    "assistant_spans", "sft_pair_dedup", "sft_prepare",
 ]
 
 # role -> (prefix, suffix); rendering is prefix + content + suffix
@@ -180,3 +180,48 @@ def sft_pair_dedup(df: DataFrame, prompt_col: str, id_col: str,
     kept = cap_per_key(good, ["__pk"], n, order_col=order_col,
                        salt_buckets=salt_buckets)
     return kept.unionByName(bad).drop("__pk")
+
+
+def sft_prepare(df: DataFrame, turns_col: str, id_col: str,
+                order_col: str | None = None,
+                template: dict[str, tuple[str, str]] | None = None,
+                ) -> tuple[DataFrame, DataFrame]:
+    """One-call SFT prep: validate → drop invalid (attributed) →
+    prompt-dedup → render + loss-mask spans.
+
+    Prompt identity for the dedup = the rendered conversation MINUS
+    its final assistant turn (the standard notion: two samples with
+    one prompt and different answers are duplicates; keep the best by
+    ``order_col`` ascending, e.g. a negated reward).
+
+    Returns ``(samples, report)``:
+
+    - ``samples``: ``(id_col, text, spans, n_turns)`` — the rendered
+      training string and its assistant character spans, one row per
+      surviving conversation;
+    - ``report``: ``(reason, n)`` — counts per validation drop reason
+      plus ``'kept'`` (the observability layer: an SFT filter deleting
+      30% of a set must say why).
+
+    Shape: validation/rendering are shuffle-free projections; the
+    report is one partial agg; the dedup is one salted cap. Nothing
+    touches the driver."""
+    turns = F.col(turns_col)
+    flagged = df.withColumn("__reason",
+                            validate_chat(turns, template))
+    report = (flagged
+              .groupBy(F.coalesce("__reason", F.lit("kept"))
+                       .alias("reason"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    valid = flagged.filter(F.col("__reason").isNull()).drop("__reason")
+    prompt = render_chat(
+        F.slice(turns, 1, F.greatest(F.size(turns) - 1, F.lit(0))),
+        template)
+    deduped = sft_pair_dedup(valid.withColumn("__prompt", prompt),
+                             "__prompt", id_col, order_col=order_col)
+    samples = deduped.select(
+        F.col(id_col),
+        render_chat(turns, template).alias("text"),
+        assistant_spans(turns, template).alias("spans"),
+        F.size(turns).alias("n_turns"))
+    return samples, report

@@ -120,3 +120,34 @@ def test_spans_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_sft_prepare_end_to_end(spark):
+    """One-call recipe: invalid rows drop with attributed reasons, the
+    prompt (conversation minus final assistant turn) dedups keep-best,
+    survivors carry rendered text + spans."""
+    rows = [
+        # two answers to ONE prompt: keep the better (lower order) one
+        (1, [("user", "q1"), ("assistant", "long answer")], 0.9),
+        (2, [("user", "q1"), ("assistant", "better answer")], 0.2),
+        # distinct prompt survives
+        (3, [("system", "s"), ("user", "q2"), ("assistant", "a2")], 0.5),
+        # invalid: no final assistant
+        (4, [("user", "q3")], 0.1),
+        # invalid: repeated role
+        (5, [("user", "x"), ("user", "y"), ("assistant", "a")], 0.1),
+    ]
+    df = spark.createDataFrame(
+        rows, f"doc_id long, turns {C.TURNS_SCHEMA}, neg_reward double")
+    samples, report = C.sft_prepare(df, "turns", "doc_id",
+                                    order_col="neg_reward")
+    got = {r.doc_id: r for r in samples.collect()}
+    assert set(got) == {2, 3}
+    assert got[2].text == ("<|user|>\nq1\n"
+                           "<|assistant|>\nbetter answer<|end|>\n")
+    s, e = tuple(got[2].spans[0])
+    assert got[2].text[s:e] == "better answer"
+    assert got[3].n_turns == 3
+    rep = {r.reason: r.n for r in report.collect()}
+    assert rep == {"kept": 3, "no_final_assistant": 1,
+                   "repeated_role": 1}
