@@ -418,3 +418,58 @@ def stream_sketch_ingest(stream: DataFrame, state_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sft_ingest(stream: DataFrame, out_path: str, index_path: str,
+                      checkpoint_dir: str,
+                      turns_col: str = "turns", id_col: str = "doc_id",
+                      available_now: bool = True):
+    """Streaming SFT ingest — the conversation-feed twin of
+    ``stream_dedup_ingest`` (operators/chat.py assembled per
+    micro-batch): validate each arriving conversation (invalid rows
+    drop — structure only, no content judgment), then CROSS-BATCH
+    prompt dedup via ``incremental_exact_dedup`` on the md5 of the
+    rendered prompt (the conversation minus its final assistant turn):
+    a prompt redelivered — or re-scraped from a second source — in a
+    later batch is dropped against the persisted one-row-per-key
+    index for the price of one equi-join, and the operator's
+    replay idempotence means at-least-once delivery needs no extra
+    handling. Survivors land at ``out_path`` rendered (``text`` +
+    assistant loss-mask ``spans`` + ``n_turns``), partitioned by batch
+    id with write-scoped dynamic overwrite (replay rewrites, never
+    appends).
+
+    Cross-batch keep-choice is FIRST ARRIVAL (the index's min-id
+    tournament) — keep-best-by-reward needs the batch boundary to see
+    both candidates, so run ``sft_pair_dedup(order_col=...)`` in batch
+    over a landed window when reward-ranked dedup matters.
+
+    ``id_col`` must be globally increasing across the stream (the
+    append-log contract)."""
+    from ..operators import chat as chat_ops
+    from ..operators import dedup as dd
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        turns = F.col(turns_col)
+        valid = batch_df.filter(
+            chat_ops.validate_chat(turns).isNull())
+        prompt = chat_ops.render_chat(
+            F.slice(turns, 1, F.greatest(F.size(turns) - 1, F.lit(0))))
+        kept = dd.incremental_exact_dedup(
+            valid, index_path, F.md5(prompt), id_col)
+        (kept.select(
+            F.col(id_col),
+            chat_ops.render_chat(turns).alias("text"),
+            chat_ops.assistant_spans(turns).alias("spans"),
+            F.size(turns).alias("n_turns"))
+         .withColumn("__batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__batch")
+         .parquet(out_path))
+
+    writer = (stream.writeStream.foreachBatch(ingest)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

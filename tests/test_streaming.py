@@ -653,3 +653,57 @@ def test_stream_sketch_ingest_folds_and_fences(spark, tmp_path):
     est2 = hll.distinct_estimate(
         spark.read.parquet(f"{state}/hll")).head()["n_distinct"]
     assert est2 > est
+
+
+def test_stream_sft_ingest_cross_batch_prompt_dedup(spark, tmp_path):
+    """r8 SFT ingest: invalid conversations drop per batch; a prompt
+    redelivered in a LATER batch (different answer) is dropped against
+    the persisted key index; survivors land rendered with loss-mask
+    spans, batch-partitioned."""
+    import time
+
+    from australia_company_etl_pipeline_spark.operators.chat import (
+        TURNS_SCHEMA)
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        read_documents_stream, stream_sft_ingest)
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    def conv(i, prompt, answer, valid=True):
+        turns = [("user", prompt), ("assistant", answer)]
+        if not valid:
+            turns = [("user", prompt)]  # no final assistant
+        return (i, turns)
+
+    schema = f"doc_id long, turns {TURNS_SCHEMA}"
+    b1 = spark.createDataFrame(
+        [conv(1, "what is spark", "a JVM engine"),
+         conv(2, "what is duckdb", "an in-process OLAP db"),
+         conv(3, "broken", "", valid=False)], schema)
+    b2 = spark.createDataFrame(
+        [conv(10, "what is spark", "a different answer"),  # dup prompt
+         conv(11, "what is pandas", "a dataframe library")], schema)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_sft_ingest(stream, out, index, ck)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    kept = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert kept == [1, 2, 11]  # 3 invalid, 10 dup prompt
+    row = {r.doc_id: r for r in got.collect()}[1]
+    assert row.text == ("<|user|>\nwhat is spark\n"
+                        "<|assistant|>\na JVM engine<|end|>\n")
+    s, e = tuple(row.spans[0])
+    assert row.text[s:e] == "a JVM engine"
+    assert got.select("__batch").distinct().count() == 2
+    # the key index holds one row per distinct VALID prompt
+    keys = spark.read.parquet(f"{index}/keys")
+    assert keys.count() == 3
