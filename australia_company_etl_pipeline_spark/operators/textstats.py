@@ -574,6 +574,48 @@ def mixture_sample(df, stratum_col: str, weights: dict[str, float],
     return sampled, report
 
 
+def weighted_sample(df, weight_col: str, k: int, id_col: str,
+                    seed: int = 42, hash_fn: str = "murmur3"):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): keep the ``k`` rows with the largest
+    ``ln(u) / w`` where ``u ∈ (0, 1]`` derives from the seeded content
+    hash and ``w`` is the row's weight — each row's inclusion
+    probability scales with its weight (the quality-weighted
+    subsample: keep 1M docs, prefer the well-scored ones, still give
+    the tail a chance — where a hard top-k-by-score would take ONLY
+    the head and a uniform sample ignores quality entirely).
+
+    Deterministic by construction: ``u`` comes from
+    ``sample_bucket(id, seed)`` (``hash_fn='md5'`` for the
+    engine-portable form the driver oracle replays), so the selected
+    SET is a pure function of (data, seed, k) — reproducible across
+    runs, partitionings and engines, re-drawn by bumping ``seed``. The
+    key is rounded to 1e-6 with an ``id_col`` tie-break (the DSIR ln
+    discipline — cross-engine libm may differ in the last ulp; the
+    grid + tie-break make the kept set exact anyway).
+
+    Rows with NULL or non-positive weight are EXCLUDED (a weight of 0
+    means "never sample"; negative weights have no E-S meaning —
+    validate upstream if they indicate a bug).
+
+    Scale: pure projection + ``orderBy().limit(k)`` — Spark lowers it
+    to TakeOrderedAndProject (per-partition top-k, driver merge of k
+    rows per partition), no global sort shuffle. For k large enough
+    that k×partitions strains the driver, pre-thin with
+    ``deterministic_sample`` first or raise partition size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col)
+    u = (sample_bucket([F.col(id_col), F.lit(seed)], hash_fn)
+         + F.lit(1)) / F.lit(1_000_000.0)
+    key = F.round(F.log(u) / w, 6)
+    return (df.filter(w.isNotNull() & (w > 0))
+            .withColumn("__es_key", key)
+            .orderBy(F.desc("__es_key"), F.asc(id_col))
+            .limit(k)
+            .drop("__es_key"))
+
+
 def cap_per_key(df, key_cols: list[str], n: int,
                 order_col: str | None = None, seed: int = 42,
                 salt_buckets: int = 64):

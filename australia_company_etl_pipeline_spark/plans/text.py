@@ -884,6 +884,7 @@ url_f AS (
 
 _HTML_SAMPLE_MOD = 41  # kind='html*' extraction sample stride
 _CHAT_SAMPLE_MOD = 31  # kind='chat' rendered-sample stride
+_WSAMPLE_K = 50  # kind='wsample' Efraimidis-Spirakis selection size
 
 # HTML page fixture, as literal fragments shared byte-for-byte by the
 # Spark builder and the SQL oracle (doc_id / text spliced between them;
@@ -1069,7 +1070,12 @@ html_f AS (
         "prefix/suffix length arithmetic, never running the "
         "operator), and validate_chat verdicts over a planted-"
         "violation fixture whose expected reason is a pure CASE over "
-        "doc_id%10.",
+        "doc_id%10. "
+        "kind='wsample' (r8): Efraimidis-Spirakis weighted sampling "
+        "without replacement (textstats.weighted_sample) — k=50 under "
+        "a doc_id%7+1 weight and the md5-portable hash, per-lang "
+        "membership checksum; the oracle replays u, ln(u)/w on the "
+        "1e-6 grid and the (key DESC, doc_id) top-k.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
@@ -1176,6 +1182,20 @@ SELECT 'c4text' AS kind,
        CAST(3 AS BIGINT) AS n_docs, doc_id AS n_hits
 FROM c4_f WHERE reason = 'kept' AND doc_id % {_C4_SAMPLE_MOD} = 0
 UNION ALL
+SELECT 'wsample' AS kind, lang AS key, count(*) AS n_docs,
+       sum(doc_id) AS n_hits
+FROM (
+  SELECT doc_id, lang
+  FROM (
+    SELECT doc_id, lang,
+           round(ln((CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                       CAST(doc_id AS VARCHAR), '42')), 1, 8)) AS BIGINT)
+                     % 1000000 + 1) / 1000000.0)
+                 / (doc_id % 7 + 1), 6) AS es_key
+    FROM documents)
+  ORDER BY es_key DESC, doc_id ASC LIMIT 50
+) GROUP BY 2
+UNION ALL
 SELECT 'chat' AS kind,
        (CASE WHEN doc_id % 3 = 0
              THEN '<|system|>' || chr(10) || 'Answer briefly.' || chr(10)
@@ -1243,7 +1263,8 @@ FROM prof GROUP BY 2
 """,
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
               for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
-                        "html", "bloom", "c4", "datasheet", "chat")},
+                        "html", "bloom", "c4", "datasheet", "chat",
+                        "wsample")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -1438,6 +1459,24 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                     F.col("c4_text").alias("key"),
                     F.col("c4_lines_kept").cast("long").alias("n_docs"),
                     F.col("doc_id").alias("n_hits")))
+    if kind in (None, "wsample"):
+        # kind='wsample' (r8): Efraimidis-Spirakis weighted sampling
+        # without replacement — weight = doc_id%7+1 (deterministic,
+        # spans 1..7), k=_WSAMPLE_K under the md5-portable hash, rolled
+        # up per lang with a doc_id membership checksum so a wrong key
+        # or tie-break changes the hash, not just a count. The oracle
+        # replays u from the same md5 arithmetic, ln(u)/w on the same
+        # 1e-6 grid, the same (key DESC, doc_id) top-k.
+        w = ((F.col("doc_id") % 7) + 1).cast("double")
+        sel = ts.weighted_sample(d.withColumn("__w", w), "__w",
+                                 k=_WSAMPLE_K, id_col="doc_id",
+                                 hash_fn="md5")
+        parts.append(
+            sel.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("wsample").alias("kind"),
+                    F.col("lang").alias("key"), "n_docs", "n_hits"))
     if kind in (None, "chat"):
         # kind='chat'/'chatval' (r8, operators/chat.py): SFT assembly.
         # 'chat' renders a deterministic multi-turn fixture (system

@@ -781,3 +781,51 @@ def test_temperature_weights():
         temperature_weights({"a": 0}, 0.3)
     with _pt.raises(ValueError):
         temperature_weights({"a": 1}, -1)
+
+
+def test_weighted_sample_es_properties(spark):
+    """Efraimidis-Spirakis weighted sample (r8): heavier rows selected
+    at higher rate, deterministic across layouts, w<=0/NULL excluded,
+    k >= eligible keeps everything."""
+    rows = ([(i, "heavy", 10.0) for i in range(300)]
+            + [(1000 + i, "light", 1.0) for i in range(300)]
+            + [(5000, "zero", 0.0), (5001, "neg", -2.0),
+               (5002, "null", None)])
+    df = spark.createDataFrame(rows, "doc_id long, tag string, w double")
+    got = ts.weighted_sample(df, "w", k=100, id_col="doc_id")
+    tags = [r.tag for r in got.collect()]
+    assert len(tags) == 100
+    assert "zero" not in tags and "neg" not in tags and "null" not in tags
+    n_heavy = sum(1 for t in tags if t == "heavy")
+    # inclusion odds scale with weight: expect heavy to dominate
+    # (10:1 weights over equal-sized strata); 75 is far below the
+    # expectation (~95) but far above the uniform 50
+    assert n_heavy > 75, n_heavy
+    # deterministic across partition layouts
+    again = {r.doc_id for r in ts.weighted_sample(
+        df.repartition(13), "w", k=100, id_col="doc_id").collect()}
+    assert again == {r.doc_id for r in got.collect()}
+    # a different seed re-draws
+    other = {r.doc_id for r in ts.weighted_sample(
+        df, "w", k=100, id_col="doc_id", seed=7).collect()}
+    assert other != again
+    # k >= eligible keeps all eligible rows
+    assert ts.weighted_sample(df, "w", k=10_000,
+                              id_col="doc_id").count() == 600
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        ts.weighted_sample(df, "w", k=0, id_col="doc_id")
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)],
+                               "doc_id long, w double")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ts.weighted_sample(df, "w", k=5, id_col="doc_id") \
+            .explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
