@@ -83,20 +83,28 @@ def render_chat(turns: Column,
 
 def validate_chat(turns: Column,
                   template: dict[str, tuple[str, str]] | None = None,
-                  ) -> Column:
+                  start_roles: tuple[str, ...] = ("system", "user"),
+                  system_role: str = "system",
+                  train_role: str = "assistant") -> Column:
     """FIRST failing structural rule, NULL when valid (the
     ``corpus_filter`` drop-reason convention — a filter deleting 30%
     of an SFT set must be debuggable):
 
     - ``empty``: no turns (or NULL column);
-    - ``unknown_role``: a role outside the template;
-    - ``bad_start``: first role is neither ``system`` nor ``user``;
-    - ``misplaced_system``: ``system`` anywhere but turn 0;
+    - ``unknown_role``: a NULL role, or one outside the template
+      (NULL is flagged here, not silently skipped — a three-valued
+      ``isin`` would otherwise let NULL-role rows pass EVERY check);
+    - ``bad_start``: first role not in ``start_roles``;
+    - ``misplaced_system``: ``system_role`` anywhere but turn 0;
     - ``repeated_role``: two consecutive turns with one role (no
       alternation — double-user means a lost response);
     - ``empty_content``: any NULL/whitespace-only content;
-    - ``no_final_assistant``: the sample does not end on an assistant
-      turn (nothing to train on).
+    - ``no_final_assistant``: the sample does not end on a
+      ``train_role`` turn (nothing to train on).
+
+    Templates with renamed roles must pass matching ``start_roles`` /
+    ``system_role`` / ``train_role`` — the structural rules are about
+    role FUNCTION, which the template's key names alone can't convey.
     """
     tpl = template or DEFAULT_TEMPLATE
     roles = F.transform(turns, lambda t: t["role"])
@@ -109,24 +117,24 @@ def validate_chat(turns: Column,
                    lambda a, b: a == b), lambda x: x)
     return (
         F.when(turns.isNull() | (n == 0), F.lit("empty"))
-        .when(F.exists(roles, lambda r: ~r.isin(*known)),
+        .when(F.exists(roles, lambda r: r.isNull() | ~r.isin(*known)),
               F.lit("unknown_role"))
-        .when(~F.element_at(roles, 1).isin("system", "user"),
+        .when(~F.element_at(roles, 1).isin(*start_roles),
               F.lit("bad_start"))
-        .when(F.exists(tail, lambda r: r == "system"),
+        .when(F.exists(tail, lambda r: r == system_role),
               F.lit("misplaced_system"))
         .when(repeats, F.lit("repeated_role"))
         .when(F.exists(turns, lambda t: t["content"].isNull()
                        | (F.trim(t["content"]) == "")),
               F.lit("empty_content"))
-        .when(F.element_at(roles, -1) != "assistant",
+        .when(F.element_at(roles, -1) != train_role,
               F.lit("no_final_assistant"))
         .otherwise(F.lit(None).cast("string")))
 
 
 def assistant_spans(turns: Column,
                     template: dict[str, tuple[str, str]] | None = None,
-                    ) -> Column:
+                    train_role: str = "assistant") -> Column:
     """0-based character [start, end) offsets of each ASSISTANT turn's
     CONTENT inside ``render_chat(turns)`` — the loss mask (markers and
     non-assistant turns never train). One ``aggregate`` fold carrying
@@ -148,7 +156,7 @@ def assistant_spans(turns: Column,
                         (start + clen).alias("end"))
         return F.struct(
             (acc["pos"] + plen + clen + slen).alias("pos"),
-            F.when(t["role"] == "assistant",
+            F.when(t["role"] == train_role,
                    F.array_append(acc["spans"], span))
             .otherwise(acc["spans"]).alias("spans"))
 
@@ -167,17 +175,20 @@ def sft_pair_dedup(df: DataFrame, prompt_col: str, id_col: str,
     from overlapping sources, and a duplicated prompt over-weights its
     answer every epoch. Keep-best via ``order_col`` ascending (e.g. a
     negated reward/quality score), else the seeded content hash.
-    Shape: ``cap_per_key`` on ``md5(prompt)`` — two-level salted
-    top-n, skew-safe when one viral prompt floods the feed; NULL/''
-    prompts are quarantined (kept, never collapsed), mirroring
-    url_dedup's '' rule."""
+    Without ``order_col`` the default keep is FIRST ARRIVAL (min
+    ``id_col`` — consistent with ``url_dedup`` and the streaming
+    ingest's min-id index tournament). Shape: ``cap_per_key`` on
+    ``md5(prompt)`` — two-level salted top-n, skew-safe when one viral
+    prompt floods the feed; NULL/'' prompts are quarantined (kept,
+    never collapsed), mirroring url_dedup's '' rule."""
     from .textstats import cap_per_key
 
     tagged = df.withColumn(
         "__pk", F.md5(F.coalesce(F.col(prompt_col), F.lit(""))))
     good = tagged.filter(F.coalesce(F.col(prompt_col), F.lit("")) != "")
     bad = tagged.filter(F.coalesce(F.col(prompt_col), F.lit("")) == "")
-    kept = cap_per_key(good, ["__pk"], n, order_col=order_col,
+    kept = cap_per_key(good, ["__pk"], n,
+                       order_col=order_col or id_col,
                        salt_buckets=salt_buckets)
     return kept.unionByName(bad).drop("__pk")
 

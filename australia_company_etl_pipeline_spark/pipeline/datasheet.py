@@ -59,7 +59,13 @@ def corpus_datasheet(docs: DataFrame, text_col: str = "text",
         F.avg(ts.token_dup_ratio_t(F.col("__toks")))
         .alias("rep_tokens"),
         F.avg(ts.line_dup_ratio(t)).alias("rep_lines"),
-        F.approx_count_distinct(F.md5(t), 0.02).cast("double")
+        # numerator masked with the SAME null-or-blank predicate the
+        # n_null_text denominator correction uses — counting blank
+        # variants as distinct while excluding them from the
+        # denominator would understate (even zero out) a real dup rate
+        F.approx_count_distinct(
+            F.when(t.isNull() | (F.trim(t) == ""), None)
+            .otherwise(F.md5(t)), 0.02).cast("double")
         .alias("n_distinct"))
 
     metrics: list[tuple[str, str, "F.Column"]] = [

@@ -632,17 +632,9 @@ def _incremental_verdicts(spark: SparkSession, corpus: DataFrame,
 
     root, path = _verdicts_cache_path(sf_dir)
     if not hadoop_exists(spark, path):
-        # GC superseded sibling keys (stale testdata generations)
         import re
         import shutil
 
-        if os.path.isdir(root):
-            pat = re.compile(r"^incverdicts-[0-9a-f]{16}$")
-            keep = os.path.basename(path)
-            for name in os.listdir(root):
-                if pat.match(name) and name != keep:
-                    shutil.rmtree(os.path.join(root, name),
-                                  ignore_errors=True)
         snap = dd.shingle_cache_snapshot()
         idx = tempfile.mkdtemp(prefix="acep_incdedup_")
         kept = []
@@ -668,6 +660,31 @@ def _incremental_verdicts(spark: SparkSession, corpus: DataFrame,
         tmp = path + ".__build_tmp." + str(os.getpid())
         verdicts.coalesce(1).write.mode("overwrite").parquet(tmp)
         replace_dir(spark, tmp, path)
+        # GC only AFTER the new generation is durable: deleting the
+        # superseded sibling first would leave NO servable verdicts if
+        # this build crashed mid-replay (review r8). The sweep also
+        # removes crashed builds' __build_tmp leftovers — they never
+        # match the completed-key pattern, so they'd accumulate forever
+        keep = os.path.basename(path)
+        pat = re.compile(r"^incverdicts-[0-9a-f]{16}"
+                         r"(?:\.__build_tmp\.(\d+))?$")
+        if os.path.isdir(root):
+            for name in os.listdir(root):
+                m = pat.match(name)
+                if not m or name == keep:
+                    continue
+                if m.group(1):
+                    # a tmp dir: sweep only if its builder process is
+                    # gone (the cache root is a host-local tempdir, so
+                    # a pid probe is meaningful) — a CONCURRENT live
+                    # build must not lose its work mid-write
+                    try:
+                        os.kill(int(m.group(1)), 0)
+                        continue  # builder alive — leave it
+                    except (OSError, ProcessLookupError):
+                        pass
+                shutil.rmtree(os.path.join(root, name),
+                              ignore_errors=True)
         for f in dd.new_shingles_since(snap):
             f.unpersist()
         shutil.rmtree(idx, ignore_errors=True)

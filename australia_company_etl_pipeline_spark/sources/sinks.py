@@ -438,8 +438,12 @@ def write_curriculum_shards(df: DataFrame, path: str, id_col: str,
     qs = [i / blocks for i in range(1, blocks)]
     bounds = df.agg(F.percentile_approx(
         order_col, qs, 10_000).alias("b")).head()["b"]
+    # percentile_approx over zero rows (or an all-NULL score column)
+    # returns NULL — degrade to one block (pure hash order, the flat
+    # writer's behavior) instead of crashing a pipeline whose upstream
+    # filters emptied it
     blk = F.lit(0)
-    for b in bounds:
+    for b in (bounds or []):
         blk = blk + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
     order = F.xxhash64(F.lit(seed), F.col(id_col))
     w = (df.withColumn("__blk", blk)

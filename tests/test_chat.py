@@ -151,3 +151,41 @@ def test_sft_prepare_end_to_end(spark):
     rep = {r.reason: r.n for r in report.collect()}
     assert rep == {"kept": 3, "no_final_assistant": 1,
                    "repeated_role": 1}
+
+
+def test_validate_null_role_is_unknown(spark):
+    """Review regression (r8): a NULL role must flag unknown_role, not
+    slip through every three-valued-logic check as valid."""
+    got = _one(spark, C.validate_chat(F.col("turns")),
+               [("user", "hi"), (None, "injected"), ("assistant", "ok")])
+    assert got == "unknown_role"
+    # NULL role in the LAST slot must not pass no_final_assistant
+    got = _one(spark, C.validate_chat(F.col("turns")),
+               [("user", "hi"), (None, "x")])
+    assert got == "unknown_role"
+
+
+def test_validate_custom_role_names(spark):
+    """Review regression (r8): renamed-role templates validate when the
+    role-function params are passed."""
+    tpl = {"instruction": ("I:", "\n"), "response": ("R:", "\n")}
+    turns = [("instruction", "do x"), ("response", "done")]
+    got = _one(spark, C.validate_chat(
+        F.col("turns"), tpl, start_roles=("instruction",),
+        system_role="__none__", train_role="response"), turns)
+    assert got is None
+    spans = _one(spark, C.assistant_spans(F.col("turns"), tpl,
+                                          train_role="response"), turns)
+    rendered = _one(spark, C.render_chat(F.col("turns"), tpl), turns)
+    s, e = tuple(spans[0])
+    assert rendered[s:e] == "done"
+
+
+def test_sft_pair_dedup_default_keeps_first_arrival(spark):
+    """Review regression (r8): without order_col the keep is min-id
+    (first arrival), matching url_dedup and the streaming index."""
+    rows = [(7, "p"), (3, "p"), (5, "p"), (9, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, prompt string")
+    kept = {r.doc_id for r in C.sft_pair_dedup(
+        df, "prompt", "doc_id").collect()}
+    assert kept == {3, 9}

@@ -80,3 +80,19 @@ def test_dup_rate_all_null_corpus(spark):
     sheet = {(r.section, r.key): r.value
              for r in corpus_datasheet(docs, "text", "doc_id").collect()}
     assert sheet[("duplication", "dup_rate_est")] == 0.0
+
+
+def test_dup_rate_blank_variants_do_not_mask_real_dups(spark):
+    """Review regression (r8): distinct WHITESPACE variants must not
+    inflate the distinct count while the denominator excludes them —
+    that combination understated (even zeroed) a real dup rate."""
+    rows = ([(i, "the same exact duplicated body text here", "dup")
+             for i in range(5)]
+            + [(100, " ", "b1"), (101, "  ", "b2"), (102, "   ", "b3"),
+               (103, "    ", "b4"), (104, "     ", "b5")])
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, tag string")
+    sheet = {(r.section, r.key): r.value
+             for r in corpus_datasheet(docs, "text", "doc_id").collect()}
+    # 5 real texts, all identical -> ~80% dup among non-blank rows
+    assert sheet[("duplication", "dup_rate_est")] >= 0.7

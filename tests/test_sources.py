@@ -712,3 +712,26 @@ def test_write_curriculum_shards_annealing_order(spark, tmp_path):
     with _pt.raises(ValueError, match="blocks"):
         sinks.write_curriculum_shards(df, p1, "doc_id", "quality",
                                       shards=4, blocks=1)
+
+
+def test_write_curriculum_shards_empty_and_all_null_scores(spark,
+                                                           tmp_path):
+    """Review regression (r8): an emptied-upstream input or an all-NULL
+    score column must degrade to the flat writer's behavior (one
+    block), not crash on a NULL percentile result."""
+    from australia_company_etl_pipeline_spark.sources import sinks
+
+    schema = "doc_id long, quality double"
+    empty = spark.createDataFrame([], schema)
+    p = str(tmp_path / "empty")
+    sinks.write_curriculum_shards(empty, p, "doc_id", "quality",
+                                  shards=2, blocks=4)
+    assert spark.read.schema(schema).parquet(p).count() == 0
+
+    allnull = spark.createDataFrame([(i, None) for i in range(20)],
+                                    schema)
+    p2 = str(tmp_path / "allnull")
+    sinks.write_curriculum_shards(allnull, p2, "doc_id", "quality",
+                                  shards=2, blocks=4)
+    got = spark.read.parquet(p2)
+    assert sorted(r.doc_id for r in got.collect()) == list(range(20))
