@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "DEFAULT_TEMPLATE", "TURNS_SCHEMA", "render_chat", "validate_chat",
     "assistant_spans", "sft_pair_dedup", "sft_prepare",
+    "offset_spans",
 ]
 
 # role -> (prefix, suffix); rendering is prefix + content + suffix
@@ -236,3 +237,14 @@ def sft_prepare(df: DataFrame, turns_col: str, id_col: str,
         assistant_spans(turns, template).alias("spans"),
         F.size(turns).alias("n_turns"))
     return samples, report
+
+
+def offset_spans(spans: Column, offset: Column) -> Column:
+    """Shift loss-mask spans by a pack offset — the glue between
+    ``assistant_spans`` and ``textstats.pack_samples_whole``: when a
+    rendered sample lands at ``pack_offset`` inside its training
+    sequence, its spans move with it. Pure transform."""
+    return F.transform(
+        spans, lambda s: F.struct(
+            (s["start"] + offset).cast("int").alias("start"),
+            (s["end"] + offset).cast("int").alias("end")))

@@ -302,6 +302,65 @@ def pack_sequences(df, token_count_col: str, id_col: str,
         (offset + n > budget).alias("spans_packs"))
 
 
+def pack_samples_whole(df, length_col: str, id_col: str, budget: int,
+                       partition_col=None):
+    """WHOLE-sample packing → ``(id_col, [partition_col,] n_units,
+    pack_id, pack_offset)`` — the SFT twin of ``pack_sequences``:
+    a conversation split across two training sequences is broken data,
+    so samples are never split; sequences accept whole samples until
+    the budget would overflow.
+
+    Distributed-exact via LENGTH BUCKETING (the 2-approx bin packing
+    that parallelizes): each sample rounds up to its power-of-two
+    length class; a class-``b`` pack holds ``floor(budget / b)``
+    samples, so ``sum(actual) <= k*b <= budget`` holds by construction
+    — no pack ever overflows, nothing straddles. Within a class,
+    samples rank by ``id_col`` and fill packs in order; offsets are
+    cumulative ACTUAL lengths within the pack (a bounded <=k-row
+    window). Waste is the class round-up — <=50% worst case, ~25%
+    typical — the price of an embarrassingly parallel exact layout
+    (true first-fit-decreasing is inherently sequential AND
+    layout-unstable).
+
+    Samples LONGER than ``budget`` get ``pack_id`` NULL — flag, don't
+    silently truncate; the caller decides (drop, or truncate upstream
+    with its own span bookkeeping).
+
+    ``pack_id`` is ``'<class>:<seq>'`` (unique across classes; with
+    ``partition_col`` it is per-partition, same contract as
+    ``pack_sequences``). Scale: the class-rank window partitions by
+    [partition_col,] class — pass a shard/date ``partition_col`` at
+    corpus scale for the same reason ``pack_sequences`` documents."""
+    from pyspark.sql.window import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    n = F.greatest(F.col(length_col).cast("long"), F.lit(1))
+    cls = F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("long")
+    k = F.floor(F.lit(budget) / cls).cast("long")  # samples per pack
+    parts = ([F.col(partition_col)] if partition_col is not None
+             else [])
+    fits = F.col(length_col).cast("long") <= budget
+    rank_w = Window.partitionBy(*parts, cls).orderBy(
+        F.col(id_col).asc())
+    rn = F.row_number().over(rank_w) - 1
+    pack_seq = F.floor(rn / k)
+    pack_id = F.when(fits, F.concat_ws(
+        ":", cls.cast("string"), pack_seq.cast("string")))
+    staged = df.select(
+        *([F.col(partition_col)] if partition_col is not None else []),
+        F.col(id_col),
+        F.col(length_col).cast("long").alias("n_units"),
+        pack_id.alias("pack_id"))
+    off_w = (Window.partitionBy(*parts, "pack_id")
+             .orderBy(F.col(id_col).asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    return staged.withColumn(
+        "pack_offset",
+        F.when(F.col("pack_id").isNotNull(),
+               F.coalesce(F.sum("n_units").over(off_w), F.lit(0))))
+
+
 def sample_bucket(keys: list, hash_fn: str = "murmur3") -> Column:
     """Deterministic ``[0, 1e6)`` bucket for hash sampling.
 

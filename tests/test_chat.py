@@ -189,3 +189,37 @@ def test_sft_pair_dedup_default_keeps_first_arrival(spark):
     kept = {r.doc_id for r in C.sft_pair_dedup(
         df, "prompt", "doc_id").collect()}
     assert kept == {3, 9}
+
+
+def test_offset_spans_composes_with_whole_packing(spark):
+    """offset_spans + pack_samples_whole: after concatenating the
+    rendered samples of one pack in id order, every shifted span still
+    slices exactly its assistant content."""
+    from australia_company_etl_pipeline_spark.operators import (
+        textstats as ts,
+    )
+
+    rows = [(i, [("user", f"q{i}"), ("assistant", f"answer {i}")])
+            for i in range(12)]
+    df = spark.createDataFrame(rows,
+                               f"doc_id long, turns {C.TURNS_SCHEMA}")
+    rendered = df.select(
+        "doc_id", C.render_chat(F.col("turns")).alias("text"),
+        C.assistant_spans(F.col("turns")).alias("spans"),
+        F.length(C.render_chat(F.col("turns"))).alias("n_chars"))
+    plan = ts.pack_samples_whole(rendered, "n_chars", "doc_id",
+                                 budget=256)
+    packed = (rendered.join(plan.select("doc_id", "pack_id",
+                                        "pack_offset"), "doc_id")
+              .withColumn("spans_shifted",
+                          C.offset_spans(F.col("spans"),
+                                         F.col("pack_offset"))))
+    rowsby = {}
+    for r in packed.collect():
+        rowsby.setdefault(r.pack_id, []).append(r)
+    for pid, members in rowsby.items():
+        members.sort(key=lambda m: m.doc_id)
+        seq = "".join(m.text for m in members)
+        for m in members:
+            for s, e in [tuple(x) for x in m.spans_shifted]:
+                assert seq[s:e] == f"answer {m.doc_id}", (pid, m.doc_id)

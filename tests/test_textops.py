@@ -829,3 +829,38 @@ def test_weighted_sample_plan_is_takeordered(spark):
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_pack_samples_whole_never_splits_or_overflows(spark):
+    """Whole-sample packing (r8): every pack's actual length sum fits
+    the budget, no sample straddles, over-budget samples flag NULL,
+    offsets are within-pack cumulative actual lengths, deterministic
+    across layouts."""
+    rows = [(i, 60 + (i * 13) % 200) for i in range(200)]
+    rows += [(900, 3000)]  # longer than the budget -> NULL pack
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = ts.pack_samples_whole(df, "n", "doc_id", budget=1024)
+    got = out.collect()
+    over = [r for r in got if r.doc_id == 900][0]
+    assert over.pack_id is None and over.pack_offset is None
+    packs = {}
+    for r in got:
+        if r.pack_id is not None:
+            packs.setdefault(r.pack_id, []).append(r)
+    assert sum(len(v) for v in packs.values()) == 200
+    for pid, members in packs.items():
+        assert sum(m.n_units for m in members) <= 1024, pid
+        # offsets = cumulative actual lengths in id order
+        members.sort(key=lambda m: m.doc_id)
+        cum = 0
+        for m in members:
+            assert m.pack_offset == cum, (pid, m)
+            cum += m.n_units
+    # layout independence
+    again = {(r.doc_id, r.pack_id, r.pack_offset)
+             for r in ts.pack_samples_whole(
+                 df.repartition(7), "n", "doc_id", budget=1024).collect()}
+    assert again == {(r.doc_id, r.pack_id, r.pack_offset) for r in got}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="budget"):
+        ts.pack_samples_whole(df, "n", "doc_id", budget=0)
