@@ -335,30 +335,43 @@ def pack_samples_whole(df, length_col: str, id_col: str, budget: int,
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    n = F.greatest(F.col(length_col).cast("long"), F.lit(1))
-    cls = F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("long")
-    k = F.floor(F.lit(budget) / cls).cast("long")  # samples per pack
     parts = ([F.col(partition_col)] if partition_col is not None
              else [])
-    fits = F.col(length_col).cast("long") <= budget
+    keep = ([F.col(partition_col)] if partition_col is not None
+            else []) + [F.col(id_col),
+                        F.col(length_col).cast("long").alias("n_units")]
+    staged = df.select(*keep)
+    # over-budget (or NULL-length) samples must not consume rank
+    # positions inside the class windows — split them out first, flag
+    # with NULL pack ids, union back after
+    fits = staged.filter(F.col("n_units").isNotNull()
+                         & (F.col("n_units") <= budget))
+    misfits = (staged.filter(F.col("n_units").isNull()
+                             | (F.col("n_units") > budget))
+               .withColumn("pack_id", F.lit(None).cast("string"))
+               .withColumn("pack_offset", F.lit(None).cast("long")))
+    n = F.greatest(F.col("n_units"), F.lit(1))
+    # class = next power of two, CLAMPED to the budget: under a
+    # non-power-of-two budget a sample can have class > budget while
+    # still fitting (budget=1000, n=1000 -> class 1024) — the clamp
+    # packs it alone (k=1; member n <= budget = class, so the
+    # sum <= k*class <= budget invariant holds unchanged)
+    cls = F.least(F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("long"),
+                  F.lit(budget))
+    k = F.floor(F.lit(budget) / cls).cast("long")  # >= 1 by the clamp
     rank_w = Window.partitionBy(*parts, cls).orderBy(
         F.col(id_col).asc())
     rn = F.row_number().over(rank_w) - 1
-    pack_seq = F.floor(rn / k)
-    pack_id = F.when(fits, F.concat_ws(
-        ":", cls.cast("string"), pack_seq.cast("string")))
-    staged = df.select(
-        *([F.col(partition_col)] if partition_col is not None else []),
-        F.col(id_col),
-        F.col(length_col).cast("long").alias("n_units"),
-        pack_id.alias("pack_id"))
+    packed = fits.withColumn(
+        "pack_id", F.concat_ws(":", cls.cast("string"),
+                               F.floor(rn / k).cast("string")))
     off_w = (Window.partitionBy(*parts, "pack_id")
              .orderBy(F.col(id_col).asc())
              .rowsBetween(Window.unboundedPreceding, -1))
-    return staged.withColumn(
+    packed = packed.withColumn(
         "pack_offset",
-        F.when(F.col("pack_id").isNotNull(),
-               F.coalesce(F.sum("n_units").over(off_w), F.lit(0))))
+        F.coalesce(F.sum("n_units").over(off_w), F.lit(0)))
+    return packed.unionByName(misfits)
 
 
 def sample_bucket(keys: list, hash_fn: str = "murmur3") -> Column:

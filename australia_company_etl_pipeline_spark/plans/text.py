@@ -220,7 +220,13 @@ def _bpe_count_sql() -> str:
         "bpe.fertility_stats): per-lang tokenizer-fit sums — BPE "
         "tokens (n_tokens), whitespace words (pack_id), chars "
         "(pack_offset); tokens-per-word fertility and chars-per-token "
-        "compression derive from these, so the sums pin the operator.",
+        "compression derive from these, so the sums pin the operator. "
+        "kind='whole' (r8, textstats.pack_samples_whole): WHOLE-sample "
+        "packing — the SFT layout where nothing splits and no pack "
+        "overflows by the length-class construction; pack_id carries "
+        "the within-class sequence, chunk_idx the power-of-two class "
+        "exponent, over-budget samples surface as NULL; the oracle "
+        "replays class, rank, k and the within-pack offset cumsum.",
     tags=("text",),
     oracle=f"""
 WITH tl AS (
@@ -273,6 +279,32 @@ SELECT 'fertility' AS kind, CAST(NULL AS BIGINT) AS doc_id, lang,
        FALSE AS spans_packs,
        CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS VARCHAR) AS chunk_text
 FROM documents GROUP BY lang
+UNION ALL
+SELECT 'whole' AS kind, doc_id, lang, n_tokens,
+       CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS pack_offset,
+       FALSE AS spans_packs,
+       CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS VARCHAR) AS chunk_text
+FROM t WHERE n_tokens IS NULL OR n_tokens > 1024
+UNION ALL
+SELECT 'whole' AS kind, doc_id, lang, n_tokens,
+       CAST(floor((rn - 1) / k) AS BIGINT) AS pack_id,
+       COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang, ce, floor((rn - 1) / k)
+           ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS pack_offset,
+       FALSE AS spans_packs,
+       CAST(ce AS INT) AS chunk_idx, CAST(NULL AS VARCHAR) AS chunk_text
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(ceil(log2(greatest(n_tokens, 1))) AS BIGINT) AS ce,
+         CAST(floor(1024 / power(2, ceil(log2(greatest(n_tokens, 1)))))
+              AS BIGINT) AS k,
+         row_number() OVER (
+             PARTITION BY lang, ceil(log2(greatest(n_tokens, 1)))
+             ORDER BY doc_id ASC) AS rn
+  FROM t WHERE n_tokens IS NOT NULL AND n_tokens <= 1024
+)
 """,
 )
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,8 +356,27 @@ def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(False).alias("spans_packs"),
                          F.lit(None).cast("int").alias("chunk_idx"),
                          F.lit(None).cast("string").alias("chunk_text")))
+    # kind='whole' (r8): whole-sample packing (pack_samples_whole —
+    # the SFT layout: nothing splits, no pack overflows by the
+    # length-class construction). pack_id carries the within-class
+    # sequence number, chunk_idx the power-of-two class EXPONENT, so
+    # the (class, seq) identity is fully value-checked; over-budget
+    # samples surface as NULL pack ids.
+    wplan = ts.pack_samples_whole(counted, "__n_tok", "doc_id",
+                                  budget=1024, partition_col="lang")
+    wexp = F.ceil(F.log2(F.greatest(F.col("n_units"), F.lit(1)))) \
+        .cast("int")
+    whole = wplan.select(
+        F.lit("whole").alias("kind"), "doc_id", "lang",
+        F.col("n_units").alias("n_tokens"),
+        F.split(F.col("pack_id"), ":").getItem(1).cast("long")
+        .alias("pack_id"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+        F.lit(False).alias("spans_packs"),
+        F.when(F.col("pack_id").isNotNull(), wexp).alias("chunk_idx"),
+        F.lit(None).cast("string").alias("chunk_text"))
     return (pack.unionByName(chunk).unionByName(bpe_rows)
-            .unionByName(fert_rows))
+            .unionByName(fert_rows).unionByName(whole))
 
 
 _CMS_D, _CMS_W = 4, 512  # kind='cms' sketch (narrow → real collisions)

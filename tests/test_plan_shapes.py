@@ -138,12 +138,15 @@ def test_pack_docs_single_window_pass(spark, sf_dir):
     second Arrow crossing (the tokenizer encode) and exactly ONE
     partial-aggregated exchange (the per-lang fertility rollup —
     map-side combine, so the shuffle moves one row per (lang,
-    partition), never the corpus)."""
+    partition), never the corpus); the r8 whole-sample branch adds
+    two scans (the fits/misfits split) and two keyed windows with
+    their exchanges (class rank + within-pack offset — both
+    partitioned by (lang, class...), never a single global order)."""
     plan = _plan(plans.REGISTRY["pack_docs"].builder(spark, sf_dir))
     counts = _node_counts(plan)
-    assert counts["Window"] == 1, counts
-    assert counts["Exchange"] == 2, counts
-    assert counts["Scan"] == 4, counts
+    assert counts["Window"] == 3, counts
+    assert counts["Exchange"] == 4, counts
+    assert counts["Scan"] == 6, counts
     assert counts["ArrowEvalPython"] == 2, counts
     assert "SinglePartition" not in plan, "global-order funnel"
 

@@ -864,3 +864,20 @@ def test_pack_samples_whole_never_splits_or_overflows(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="budget"):
         ts.pack_samples_whole(df, "n", "doc_id", budget=0)
+
+
+def test_pack_samples_whole_nonpow2_budget_and_nulls(spark):
+    """Non-power-of-two budget: a sample whose length class exceeds the
+    budget but which itself fits must pack ALONE (clamped class), not
+    get a bogus k=0 pack; NULL lengths flag NULL without consuming
+    rank positions."""
+    rows = [(1, 1000), (2, 990), (3, 10), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {r.doc_id: r for r in ts.pack_samples_whole(
+        df, "n", "doc_id", budget=1000).collect()}
+    assert got[4].pack_id is None
+    # 1000 and 990 both clamp to class 1000, k=1 -> separate packs
+    assert got[1].pack_id != got[2].pack_id
+    assert got[1].pack_offset == 0 and got[2].pack_offset == 0
+    # NULL row must not have shifted class-16 ranking
+    assert got[3].pack_id is not None and got[3].pack_offset == 0
