@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "DEFAULT_TEMPLATE", "TURNS_SCHEMA", "render_chat", "validate_chat",
     "assistant_spans", "sft_pair_dedup", "sft_prepare",
-    "offset_spans",
+    "offset_spans", "preference_pairs",
 ]
 
 # role -> (prefix, suffix); rendering is prefix + content + suffix
@@ -237,6 +237,72 @@ def sft_prepare(df: DataFrame, turns_col: str, id_col: str,
         assistant_spans(turns, template).alias("spans"),
         F.size(turns).alias("n_turns"))
     return samples, report
+
+
+def preference_pairs(df: DataFrame, prompt_col: str, response_col: str,
+                     score_col: str, id_col: str,
+                     min_margin: float = 0.0) -> DataFrame:
+    """Preference-pair (DPO/RLHF reward-model) dataset assembly: given
+    scored candidate responses per prompt — a best-of-n sampling run, a
+    merged instruction set with reward scores, human ratings — emit one
+    (chosen, rejected) pair per prompt: the highest- vs lowest-scored
+    response. The standard reduction public DPO sets use (one maximal-
+    contrast pair per prompt beats all-pairs: quadratic blowup, and the
+    near-tie pairs carry noise, not signal).
+
+    Determinism contract: chosen = lexicographic max of
+    ``(score, id)`` (tie → larger id), rejected = min (tie → smaller
+    id), so with ≥2 candidates chosen ≠ rejected even under full score
+    ties, and a retry assembles the identical set. Prompts with fewer
+    than 2 candidates, a NULL/'' prompt, or ``margin < min_margin``
+    emit nothing — low-contrast pairs are the caller's knob, not a
+    silent default. NULL scores sort below every real score: they can
+    still be the rejected side (a failed generation IS a rejection
+    signal — such pairs carry a NULL margin and always pass the margin
+    gate, being maximal contrast), but a NULL-scored chosen side
+    (every candidate unscored) emits nothing.
+
+    Output: ``(prompt, chosen_id, rejected_id, chosen, rejected,
+    chosen_score, rejected_score, margin, n_candidates)`` with margin
+    rounded to the 1e-6 grid (DuckDB-replayable —
+    ``corpus_filter_stats`` kind='dpo').
+
+    Scale shape: ONE partial-aggregated groupBy on the prompt — the
+    min/max structs collapse map-side, so a viral prompt with 10^6
+    sampled responses costs map-side tournaments, never a window over
+    a skewed key or a per-prompt array."""
+    prompt = F.coalesce(F.col(prompt_col), F.lit(""))
+    # NULL scores → -inf so the struct tournament is total; the flag
+    # records NULLness so scores can be surfaced as NULL again
+    s = F.col(score_col).cast("double")
+    key = F.struct(
+        F.coalesce(s, F.lit(float("-inf"))).alias("s"),
+        F.col(id_col).alias("i"),
+        s.isNotNull().alias("ok"),
+        F.col(response_col).alias("r"))
+    agg = (df.filter(prompt != "")
+           .groupBy(prompt.alias("prompt"))
+           .agg(F.max(key).alias("__c"), F.min(key).alias("__r"),
+                F.count(F.lit(1)).cast("int").alias("n_candidates")))
+    margin = F.round(F.col("__c.s") - F.col("__r.s"), 6)
+    kept = (agg.filter(F.col("n_candidates") >= 2)
+            .filter(F.col("__c.ok") &
+                    F.when(F.col("__r.ok"),
+                           margin >= F.lit(float(min_margin)))
+                    .otherwise(F.lit(True))))
+    return (kept
+            .select("prompt",
+                    F.col("__c.i").alias("chosen_id"),
+                    F.col("__r.i").alias("rejected_id"),
+                    F.col("__c.r").alias("chosen"),
+                    F.col("__r.r").alias("rejected"),
+                    F.when(F.col("__c.ok"), F.col("__c.s"))
+                    .alias("chosen_score"),
+                    F.when(F.col("__r.ok"), F.col("__r.s"))
+                    .alias("rejected_score"),
+                    F.when(F.col("__c.ok") & F.col("__r.ok"), margin)
+                    .alias("margin"),
+                    "n_candidates"))
 
 
 def offset_spans(spans: Column, offset: Column) -> Column:

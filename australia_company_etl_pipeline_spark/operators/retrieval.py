@@ -216,6 +216,100 @@ def tfidf_keyterms(df: DataFrame, text_col: str, id_col: str,
         id_col, top_k)
 
 
+def retrieval_eval(run: DataFrame, qrels: DataFrame, id_col: str,
+                   k: int = 10, rel_col: str = "rel",
+                   rank_col: str = "rank") -> DataFrame:
+    """Standard ranked-retrieval quality metrics of one run against a
+    relevance-judgment frame (qrels) — the feedback loop every
+    retrieval stack needs before it feeds a RAG pipeline or a
+    targeted-subset extraction: did the index/fusion change actually
+    help?
+
+    ``run``: ``(id_col, rank_col)`` — a ranked candidate list (e.g.
+    ``bm25_search`` or ``rrf_fuse`` output; ranks are 1-based, lower =
+    better). ``qrels``: ``(id_col, rel_col)`` — graded relevance
+    (0 = not relevant; ids absent from qrels count as 0). Returns one
+    long frame ``(metric, k, value)`` with the four standard metrics
+    cut at ``k``:
+
+    - ``precision``: relevant hits in the top-k / k;
+    - ``recall``: relevant hits in the top-k / total relevant in qrels
+      (NULL when qrels has no relevant ids — undefined, not 0);
+    - ``mrr``: 1 / rank of the first relevant hit (0 when none);
+    - ``ndcg``: DCG@k / IDCG@k with the Burges gain ``(2^rel − 1) /
+      log2(rank + 1)``; IDCG ranks qrels by relevance descending
+      (0 when IDCG is 0, i.e. no positive relevance anywhere).
+
+    Scale shape: the run side is one broadcast-joinable top-k slice
+    (k rows), qrels one partial-aggregated scan plus a single
+    bounded-input window for the ideal ordering — an eval set is
+    thousands of rows, never the corpus. Per-rank DCG contributions
+    are pre-rounded to the 1e-6 grid and accumulated in exact decimal,
+    so every metric is order-independent and value-checked in DuckDB
+    (``doc_search_bm25`` kind='releval')."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rel = F.coalesce(F.col(rel_col), F.lit(0)).cast("double")
+    gain = F.pow(F.lit(2.0), rel) - F.lit(1.0)
+    topk = (run.filter(F.col(rank_col) <= k)
+            .join(qrels.select(F.col(id_col), F.col(rel_col)),
+                  id_col, "left"))
+    dcg_c = F.round(gain / F.log2(F.col(rank_col).cast("double")
+                                  + F.lit(1.0)), 6)
+    run_agg = topk.agg(
+        F.count(F.lit(1)).alias("__n_ret"),
+        F.sum(F.when(rel > 0, 1).otherwise(0)).alias("__hits"),
+        F.min(F.when(rel > 0, F.col(rank_col))).alias("__first"),
+        F.sum(dcg_c.cast("decimal(30,6)")).alias("__dcg"))
+    # ideal ordering: qrels by relevance desc (ties by id — equal rel,
+    # equal gain, so the tie order cannot change the IDCG value); the
+    # window input is the positive-relevance slice of the eval set
+    w = Window.orderBy(F.coalesce(F.col(rel_col), F.lit(0)).desc(),
+                       F.col(id_col).asc())
+    ideal = (qrels.filter(F.coalesce(F.col(rel_col), F.lit(0)) > 0)
+             .withColumn("__irank", F.row_number().over(w))
+             .filter(F.col("__irank") <= k))
+    igain = (F.pow(F.lit(2.0),
+                   F.coalesce(F.col(rel_col), F.lit(0)).cast("double"))
+             - F.lit(1.0))
+    q_agg = ideal.agg(
+        F.count(F.lit(1)).alias("__n_rel_k"),
+        F.sum(F.round(igain / F.log2(F.col("__irank").cast("double")
+                                     + F.lit(1.0)), 6)
+              .cast("decimal(30,6)")).alias("__idcg"))
+    n_rel = qrels.agg(
+        F.sum(F.when(F.coalesce(F.col(rel_col), F.lit(0)) > 0, 1)
+              .otherwise(0)).alias("__n_rel"))
+    joined = run_agg.crossJoin(F.broadcast(q_agg)) \
+                    .crossJoin(F.broadcast(n_rel))
+    hits = F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+    metrics = [
+        ("precision", F.round(hits / F.lit(float(k)), 6)),
+        ("recall", F.when(F.col("__n_rel") > 0,
+                          F.round(hits / F.col("__n_rel").cast("double"),
+                                  6))),
+        ("mrr", F.when(F.col("__first").isNotNull(),
+                       F.round(F.lit(1.0) /
+                               F.col("__first").cast("double"), 6))
+                .otherwise(F.lit(0.0))),
+        ("ndcg", F.when(
+            F.coalesce(F.col("__idcg"), F.lit(0).cast("decimal(30,6)"))
+            > 0,
+            F.round(F.coalesce(F.col("__dcg"),
+                               F.lit(0).cast("decimal(30,6)"))
+                    .cast("double") / F.col("__idcg").cast("double"), 6))
+         .otherwise(F.lit(0.0))),
+    ]
+    rows = [joined.select(F.lit(name).alias("metric"),
+                          F.lit(k).cast("int").alias("k"),
+                          expr.cast("double").alias("value"))
+            for name, expr in metrics]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def rrf_fuse(rankings: list[DataFrame], id_col: str,
              k: int = 60, rank_col: str = "rank") -> DataFrame:
     """Reciprocal-rank fusion (Cormack & Clarke 2009) — the standard

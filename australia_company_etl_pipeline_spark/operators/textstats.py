@@ -558,6 +558,56 @@ def ngram_counts(df, text_col: str, n: int = 2, min_count: int = 1,
             .orderBy(F.desc("n_occurrences"), F.asc("ngram")))
 
 
+def unigram_kl(df, text_col: str, stratum_col: str, alpha: float = 1.0):
+    """Per-stratum distribution shift: KL(stratum ‖ corpus) over the
+    smoothed unigram token distributions — the audit that tells a
+    mixture pipeline WHICH slice of a new crawl is most out of
+    distribution relative to the blend it feeds (the quantity DSIR's
+    importance ratios optimize per-document, here rolled up as one
+    scalar per stratum: 0 ≈ indistinguishable, growing as the slice
+    diverges). → ``(stratum, n_tokens, kl)``.
+
+    Both distributions are add-``alpha`` smoothed over the CORPUS
+    vocabulary V (every stratum's tokens are a subset, so support is
+    shared and the divergence is finite and ≥ 0):
+    ``p_t = (c_p + α)/(N_p + αV)``, ``q_t = (c_q + α)/(N_q + αV)``,
+    ``KL = Σ_V p_t · ln(p_t/q_t)``. NULL-stratum rows are excluded
+    (no distribution to attribute them to).
+
+    Scale shape: one exploded token scan feeds three partial-aggregated
+    frames (corpus term counts, per-stratum term counts, stratum
+    totals); the summation grid is vocabulary × strata — bounded by
+    VOCABULARY size, never corpus size — with the tiny strata/totals
+    frames broadcast. Per-term contributions are pre-rounded to the
+    1e-12 grid and accumulated in exact decimal, so the scalar is
+    order-independent and DuckDB-replayable (``vocab_ngram_counts``
+    kind='kl')."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    tok = (df.filter(F.col(stratum_col).isNotNull())
+           .select(F.col(stratum_col).alias("stratum"),
+                   F.explode(tokens(F.col(text_col))).alias("token")))
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_q"))
+    totals = corpus.agg(F.sum("c_q").alias("n_q"),
+                        F.count(F.lit(1)).alias("v"))
+    strata = tok.groupBy("stratum").agg(F.count(F.lit(1)).alias("n_p"))
+    sc = (tok.groupBy("stratum", "token")
+          .agg(F.count(F.lit(1)).alias("c_p")))
+    grid = (corpus.crossJoin(F.broadcast(strata))
+            .join(sc, ["stratum", "token"], "left")
+            .crossJoin(F.broadcast(totals)))
+    a = F.lit(float(alpha))
+    av = a * F.col("v").cast("double")
+    p = (F.coalesce(F.col("c_p"), F.lit(0)).cast("double") + a) \
+        / (F.col("n_p").cast("double") + av)
+    q = (F.col("c_q").cast("double") + a) \
+        / (F.col("n_q").cast("double") + av)
+    contrib = F.round(p * F.log(p / q), 12).cast("decimal(38,12)")
+    return (grid.groupBy("stratum", "n_p")
+            .agg(F.round(F.sum(contrib).cast("double"), 9).alias("kl"))
+            .select("stratum", F.col("n_p").alias("n_tokens"), "kl"))
+
+
 def mixture_sample(df, stratum_col: str, weights: dict[str, float],
                    id_col: str, budget: int,
                    token_count_col: str | None = None, seed: int = 42,

@@ -397,7 +397,15 @@ _CMS_PROBE = ["hash", "spark", "vector", "zzz_absent_term"]
         "and four point estimates (incl. an absent term, so the "
         "collision-overcount path is exercised) replayed via the same "
         "min-over-rows rule in DuckDB. The width is deliberately "
-        "narrow: collisions must OCCUR for the check to mean anything.",
+        "narrow: collisions must OCCUR for the check to mean anything. "
+        "kind='kl' (r8, textstats.unigram_kl): per-lang distribution "
+        "shift — KL(stratum ‖ corpus) over add-1-smoothed unigram "
+        "distributions on the shared corpus vocabulary (the mixture "
+        "audit: which slice is most out of distribution); per-term "
+        "contributions pre-rounded to the 1e-12 grid, decimal-"
+        "accumulated, the scalar surfaced on an exact 1e-9 integer "
+        "grid (n_docs = round(kl·1e9)) with n_occurrences = the "
+        "stratum token count.",
     tags=("text",),
     oracle=f"""
 WITH tl AS (
@@ -431,6 +439,36 @@ WITH tl AS (
         CROSS JOIN range({_CMS_D}) i) p
   LEFT JOIN cms_w w USING (row_idx, col_idx)
   GROUP BY term
+), klt AS (
+  SELECT d.lang AS stratum, t.gram AS token
+  FROM tok t JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+), klq AS (
+  SELECT token, count(*) AS c_q FROM klt GROUP BY 1
+), kltot AS (
+  SELECT sum(c_q) AS n_q, count(*) AS v FROM klq
+), kls AS (
+  SELECT stratum, count(*) AS n_p FROM klt GROUP BY 1
+), klsc AS (
+  SELECT stratum, token, count(*) AS c_p FROM klt GROUP BY 1, 2
+), klr AS (
+  SELECT s.stratum AS stratum, s.n_p AS n_p,
+         sum(CAST(round(
+             ((CAST(coalesce(p.c_p, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(s.n_p AS DOUBLE)
+                 + CAST(1.0 AS DOUBLE) * CAST(t.v AS DOUBLE)))
+             * ln(((CAST(coalesce(p.c_p, 0) AS DOUBLE)
+                    + CAST(1.0 AS DOUBLE))
+                   / (CAST(s.n_p AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE) * CAST(t.v AS DOUBLE)))
+                  / ((CAST(q.c_q AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                     / (CAST(t.n_q AS DOUBLE)
+                        + CAST(1.0 AS DOUBLE) * CAST(t.v AS DOUBLE)))),
+             12) AS DECIMAL(38,12))) AS klsum
+  FROM klq q CROSS JOIN kls s
+  LEFT JOIN klsc p ON p.stratum = s.stratum AND p.token = q.token
+  CROSS JOIN kltot t
+  GROUP BY 1, 2
 )
 SELECT 'token' AS kind, gram, count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs
@@ -448,6 +486,11 @@ UNION ALL
 SELECT 'cms_probe' AS kind, term AS gram, est AS n_occurrences,
        CAST(NULL AS BIGINT) AS n_docs
 FROM cms_e
+UNION ALL
+SELECT 'kl' AS kind, stratum AS gram, n_p AS n_occurrences,
+       CAST(round(round(CAST(klsum AS DOUBLE), 9) * 1000000000.0)
+            AS BIGINT) AS n_docs
+FROM klr
 """,
 )
 def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,8 +524,19 @@ def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("term").alias("gram"),
                           F.col("n_occurrences").cast("long"),
                           F.lit(None).cast("long").alias("n_docs")))
+    # kind='kl' (r8): per-lang KL(stratum ‖ corpus) unigram
+    # distribution shift (textstats.unigram_kl) — the scalar lands on
+    # an exact 1e-9 integer grid so the BIGINT fold column carries it
+    # losslessly (the operator's own kl is already 1e-9-rounded)
+    kl_rows = (ts.unigram_kl(d, "text", "lang")
+               .select(F.lit("kl").alias("kind"),
+                       F.col("stratum").alias("gram"),
+                       F.col("n_tokens").cast("long")
+                       .alias("n_occurrences"),
+                       F.round(F.col("kl") * 1e9).cast("long")
+                       .alias("n_docs")))
     return (vocab.unionByName(bigrams).unionByName(cms_rows)
-            .unionByName(probe_rows))
+            .unionByName(probe_rows).unionByName(kl_rows))
 
 
 _BM25_TERMS = ["hash", "quantum", "spark", "vector"]  # 'quantum' absent
@@ -595,6 +649,67 @@ ctf_rk AS (
 )"""
 
 
+# kind='releval' qrels: graded relevance derived from doc_id arithmetic
+# (never from the retrieval output), so the metric check is independent
+# of the run it grades
+_RELEVAL_SQL = """
+relq AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 2
+                      WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+  FROM documents
+), runr AS (
+  SELECT b.doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, b.doc_id ASC)
+              AS INT) AS rk,
+         coalesce(r.rel, 0) AS rel
+  FROM btop b LEFT JOIN relq r USING (doc_id)
+), ev_run AS (
+  SELECT count(*) FILTER (WHERE rel > 0) AS hits,
+         min(rk) FILTER (WHERE rel > 0) AS first_rel,
+         sum(CAST(round((pow(CAST(2 AS DOUBLE), CAST(rel AS DOUBLE))
+                         - CAST(1 AS DOUBLE))
+                        / log2(CAST(rk AS DOUBLE) + CAST(1 AS DOUBLE)), 6)
+                  AS DECIMAL(30,6))) AS dcg
+  FROM runr
+), ev_ideal AS (
+  SELECT sum(CAST(round((pow(CAST(2 AS DOUBLE), CAST(rel AS DOUBLE))
+                         - CAST(1 AS DOUBLE))
+                        / log2(CAST(irank AS DOUBLE) + CAST(1 AS DOUBLE)),
+                        6) AS DECIMAL(30,6))) AS idcg
+  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+               AS irank
+        FROM relq WHERE rel > 0)
+  WHERE irank <= 10
+), ev_nrel AS (
+  SELECT count(*) FILTER (WHERE rel > 0) AS n_rel FROM relq
+), ev AS (
+  SELECT * FROM ev_run CROSS JOIN ev_ideal CROSS JOIN ev_nrel
+), ev_rows AS (
+  SELECT 'precision' AS metric,
+         round(CAST(hits AS DOUBLE) / CAST(10 AS DOUBLE), 6) AS value
+  FROM ev
+  UNION ALL
+  SELECT 'recall',
+         CASE WHEN n_rel > 0
+              THEN round(CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE), 6)
+         END
+  FROM ev
+  UNION ALL
+  SELECT 'mrr',
+         CASE WHEN first_rel IS NOT NULL
+              THEN round(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE), 6)
+              ELSE CAST(0 AS DOUBLE) END
+  FROM ev
+  UNION ALL
+  SELECT 'ndcg',
+         CASE WHEN coalesce(idcg, 0) > 0
+              THEN round(CAST(coalesce(dcg, 0) AS DOUBLE)
+                         / CAST(idcg AS DOUBLE), 6)
+              ELSE CAST(0 AS DOUBLE) END
+  FROM ev
+)"""
+
+
 @register(
     "doc_search_bm25",
     doc="Term-based ranked retrieval (operators/retrieval.py) — the "
@@ -628,13 +743,22 @@ ctf_rk AS (
         "list by reciprocal-rank fusion (Cormack & Clarke 2009, k=60); "
         "rank position is all that crosses lists so incomparable score "
         "scales fuse without calibration, and the decimal contribution "
-        "sum makes the fused ranking order-independent. Per-doc "
+        "sum makes the fused ranking order-independent. "
+        "kind='releval' (r8, operators/retrieval.py retrieval_eval): "
+        "the retrieval-quality feedback loop — precision/recall/MRR/"
+        "nDCG@10 of the BM25 run against graded qrels derived from "
+        "doc_id arithmetic (%7→rel 2, %3→rel 1 — independent of the "
+        "run they grade); Burges-gain DCG contributions pre-rounded "
+        "to the 1e-6 grid and decimal-accumulated, IDCG from the "
+        "relevance-sorted ideal ordering, all four scalars replayed "
+        "in DuckDB. Per-doc "
         "score assembly across all kinds is order-independent decimal "
         "accumulation on the 1e-6 grid → fully value-checked against "
         "DuckDB.",
     tags=("text",),
     oracle=f"""
-WITH {_BM25_SQL_CTES}
+WITH {_BM25_SQL_CTES},
+{_RELEVAL_SQL.strip().rstrip()}
 SELECT 'search' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
        n_matched, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
@@ -695,10 +819,15 @@ FROM (
     ) WHERE rank <= 10
   ) GROUP BY doc_id
 )
+UNION ALL
+SELECT 'releval' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+       metric AS term, CAST(10 AS INT) AS n_matched, value AS score,
+       CAST(NULL AS INT) AS rank
+FROM ev_rows
 """,
     branches={k: (lambda s, d, _k=k: _doc_search_branches(s, d, _k))
               for k in ("search", "keyterm", "lm", "ccnet", "ctfidf",
-                        "rrf")},
+                        "rrf", "releval")},
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_search_branches(spark, sf_dir, None)
@@ -710,7 +839,7 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
 
     d = table(spark, sf_dir, "documents")
     parts = []
-    if kind in (None, "search", "keyterm", "rrf"):
+    if kind in (None, "search", "keyterm", "rrf", "releval"):
         # ONE persisted postings build feeds both retrieval branches and
         # the DF counts (four corpus tokenizations without it — see
         # postings_frame docs); released by bench via unpersist_postings()
@@ -758,6 +887,25 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                 .select(F.lit("keyterm").alias("kind"), "doc_id", "term",
                         F.lit(None).cast("int").alias("n_matched"),
                         "score", "rank"))
+        if kind in (None, "releval"):
+            # kind='releval' (r8): the retrieval-quality feedback loop
+            # (operators/retrieval.py retrieval_eval) — the BM25 run
+            # graded against qrels derived from doc_id arithmetic, so
+            # the judgment column is independent of the run it grades
+            qrels = d.select(
+                "doc_id",
+                F.when(F.col("doc_id") % 7 == 0, 2)
+                .when(F.col("doc_id") % 3 == 0, 1)
+                .otherwise(0).alias("rel"))
+            parts.append(
+                rt.retrieval_eval(bm_top.select("doc_id", "rank"),
+                                  qrels, "doc_id", k=10)
+                .select(F.lit("releval").alias("kind"),
+                        F.lit(None).cast("long").alias("doc_id"),
+                        F.col("metric").alias("term"),
+                        F.col("k").alias("n_matched"),
+                        F.col("value").alias("score"),
+                        F.lit(None).cast("int").alias("rank")))
     if kind in (None, "lm", "ccnet"):
         # LM scoring needs token ORDER, which the (id, term, tf) postings
         # aggregate has discarded — it pays its own tokenization scans,
@@ -1126,7 +1274,14 @@ html_f AS (
         "without replacement (textstats.weighted_sample) — k=50 under "
         "a doc_id%7+1 weight and the md5-portable hash, per-lang "
         "membership checksum; the oracle replays u, ln(u)/w on the "
-        "1e-6 grid and the (key DESC, doc_id) top-k.",
+        "1e-6 grid and the (key DESC, doc_id) top-k. "
+        "kind='dpo' (r8, operators/chat.py preference_pairs): DPO/"
+        "reward-model preference-pair assembly — one maximal-contrast "
+        "(chosen, rejected) pair per prompt from a scored best-of-n "
+        "fixture (groups doc_id%199, scores a multiplicative hash), "
+        "min_margin=0.05 and n>=2 gates live; n_hits = "
+        "chosen_id*100003+rejected_id, a pair-CHOICE checksum the "
+        "oracle replays via (score, id) rank windows.",
     tags=("text",),
     oracle=f"""
 WITH {_PROFILE_CTES},
@@ -1311,11 +1466,36 @@ UNION ALL
 SELECT 'datasheet', 'langs:' || lang_pred, CAST(NULL AS BIGINT),
        count(*)
 FROM prof GROUP BY 2
+UNION ALL
+SELECT 'dpo' AS kind, prompt AS key, CAST(n_cand AS BIGINT) AS n_docs,
+       chosen_id * 100003 + rejected_id AS n_hits
+FROM (
+  SELECT prompt,
+         max(doc_id) FILTER (WHERE rc = 1) AS chosen_id,
+         max(doc_id) FILTER (WHERE rr = 1) AS rejected_id,
+         max(cs) FILTER (WHERE rc = 1) AS cscore,
+         max(cs) FILTER (WHERE rr = 1) AS rscore,
+         count(*) AS n_cand
+  FROM (
+    SELECT prompt, doc_id, cs,
+           row_number() OVER (PARTITION BY prompt
+                              ORDER BY cs DESC, doc_id DESC) AS rc,
+           row_number() OVER (PARTITION BY prompt
+                              ORDER BY cs ASC, doc_id ASC) AS rr
+    FROM (
+      SELECT 'p' || CAST(doc_id % 199 AS VARCHAR) AS prompt, doc_id,
+             round(CAST((doc_id * 2654435761) % 997 AS DOUBLE)
+                   / CAST(997.0 AS DOUBLE), 6) AS cs
+      FROM documents)
+  ) GROUP BY prompt
+)
+WHERE n_cand >= 2
+  AND round(cscore - rscore, 6) >= CAST(0.05 AS DOUBLE)
 """,
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
               for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
                         "html", "bloom", "c4", "datasheet", "chat",
-                        "wsample")},
+                        "wsample", "dpo")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -1597,6 +1777,34 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                  F.sum("doc_id").alias("n_hits"))
             .select(F.lit("chatval").alias("kind"),
                     F.col("reason").alias("key"), "n_docs", "n_hits"))
+    if kind in (None, "dpo"):
+        # kind='dpo' (r8, operators/chat.py preference_pairs): DPO/
+        # reward-model pair assembly over a scored best-of-n fixture —
+        # prompt groups from doc_id%199 (some singletons at small sf,
+        # exercising the n>=2 gate), scores from a Weyl-style
+        # multiplicative hash on the 1e-6 grid. One pair per prompt:
+        # lexicographic (score, id) max vs min with min_margin=0.05,
+        # so the margin gate drops real low-contrast groups. n_hits =
+        # chosen_id*100003 + rejected_id — a CHOICE checksum: a wrong
+        # tournament or tie-break mismatches, not just a wrong count.
+        from ..operators import chat as chat_ops
+
+        resp = d.select(
+            F.concat(F.lit("p"), (F.col("doc_id") % 199).cast("string"))
+            .alias("prompt"),
+            F.col("text").alias("response"),
+            F.round(((F.col("doc_id") * F.lit(2654435761)) % 997)
+                    .cast("double") / F.lit(997.0), 6).alias("score"),
+            "doc_id")
+        pp = chat_ops.preference_pairs(resp, "prompt", "response",
+                                       "score", "doc_id",
+                                       min_margin=0.05)
+        parts.append(
+            pp.select(F.lit("dpo").alias("kind"),
+                      F.col("prompt").alias("key"),
+                      F.col("n_candidates").cast("long").alias("n_docs"),
+                      (F.col("chosen_id") * 100003
+                       + F.col("rejected_id")).alias("n_hits")))
     if kind in (None, "datasheet"):
         # kind='datasheet' (r8): the corpus datasheet's deterministic
         # sections value-checked end-to-end THROUGH

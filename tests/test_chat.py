@@ -223,3 +223,71 @@ def test_offset_spans_composes_with_whole_packing(spark):
         for m in members:
             for s, e in [tuple(x) for x in m.spans_shifted]:
                 assert seq[s:e] == f"answer {m.doc_id}", (pid, m.doc_id)
+
+
+# ------------------------------------------------------- preference pairs
+
+def _resp(spark, rows):
+    return spark.createDataFrame(
+        rows, "prompt string, response string, score double, rid long")
+
+
+def _pairs(spark, rows, **kw):
+    df = _resp(spark, rows)
+    return C.preference_pairs(df, "prompt", "response", "score",
+                                 "rid", **kw).collect()
+
+
+def test_preference_pairs_hand_golden(spark):
+    got = _pairs(spark, [("a", "r1", 0.9, 1), ("a", "r2", 0.1, 2),
+                         ("a", "r3", 0.5, 3)])
+    assert len(got) == 1
+    p = got[0]
+    assert (p.chosen_id, p.rejected_id) == (1, 2)
+    assert (p.chosen, p.rejected) == ("r1", "r2")
+    assert p.margin == pytest.approx(0.8)
+    assert p.n_candidates == 3
+
+
+def test_preference_pairs_tie_breaks_are_deterministic(spark):
+    # full score tie: chosen = larger id, rejected = smaller id —
+    # chosen != rejected whenever >= 2 candidates exist
+    got = _pairs(spark, [("a", "x", 0.5, 1), ("a", "y", 0.5, 2),
+                         ("a", "z", 0.5, 3)])
+    assert (got[0].chosen_id, got[0].rejected_id) == (3, 1)
+    assert got[0].margin == 0.0
+
+
+def test_preference_pairs_min_margin_gate(spark):
+    rows = [("lo", "a", 0.50, 1), ("lo", "b", 0.48, 2),
+            ("hi", "c", 0.90, 3), ("hi", "d", 0.10, 4)]
+    got = _pairs(spark, rows, min_margin=0.05)
+    assert [p.prompt for p in got] == ["hi"]
+
+
+def test_preference_pairs_drops_singletons_and_empty_prompts(spark):
+    rows = [("solo", "a", 0.9, 1),
+            ("", "b", 0.9, 2), ("", "c", 0.1, 3),
+            (None, "d", 0.9, 4), (None, "e", 0.1, 5)]
+    assert _pairs(spark, rows) == []
+
+
+def test_preference_pairs_null_score_rejected_never_chosen(spark):
+    # a failed generation loses to any scored response and passes the
+    # margin gate as maximal contrast (NULL margin)
+    got = _pairs(spark, [("a", "ok", 0.2, 1), ("a", "fail", None, 2)],
+                 min_margin=0.5)
+    assert (got[0].chosen_id, got[0].rejected_id) == (1, 2)
+    assert got[0].rejected_score is None and got[0].margin is None
+    # all-NULL prompt emits nothing
+    assert _pairs(spark, [("b", "x", None, 1), ("b", "y", None, 2)]) == []
+
+
+def test_preference_pairs_plan_has_no_window(spark):
+    df = _resp(spark, [("a", "x", 0.5, 1), ("a", "y", 0.4, 2)])
+    plan = C.preference_pairs(
+        df, "prompt", "response", "score", "rid") \
+        ._sc._jvm.PythonSQLUtils.explainString(
+            C.preference_pairs(df, "prompt", "response", "score",
+                                  "rid")._jdf.queryExecution(), "extended")
+    assert "Window" not in plan

@@ -301,6 +301,11 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
         "embedding_dup_pairs",     # method='exact' guarded baseline
         "dq_suite_report",         # 1×1 scalar cross join (match rate)
         "doc_search_bm25",         # broadcast 1-row (n_docs, avgdl) stats
+                                   # + releval's broadcast 1-row metric
+                                   # aggregates
+        "vocab_ngram_counts",      # kl: vocabulary × broadcast strata
+                                   # grid — bounded by VOCAB size × a
+                                   # handful of langs, never the corpus
         "events_window_counts",    # resample gap-fill: distinct-groups ×
                                    # generated time axis — both sides
                                    # bounded (span/interval), not data

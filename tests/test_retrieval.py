@@ -209,3 +209,100 @@ def test_rrf_fuse_hand_golden(spark):
         rrf_fuse([], "doc_id")
     with _pt.raises(ValueError, match="k must"):
         rrf_fuse([bm], "doc_id", k=0)
+
+
+# ---------------------------------------------------------------- releval
+
+def _eval_python(run: list[tuple[int, int]], qrels: dict[int, int],
+                 k: int) -> dict[str, float | None]:
+    """Independent pure-Python metric twin (same rounding grid)."""
+    top = [(i, r) for i, r in run if r <= k]
+    rels = {i: qrels.get(i, 0) for i, _ in top}
+    hits = sum(1 for i, _ in top if rels[i] > 0)
+    n_rel = sum(1 for v in qrels.values() if v > 0)
+    dcg = sum(round((2.0 ** rels[i] - 1) / math.log2(r + 1), 6)
+              for i, r in top)
+    ideal = sorted((v for v in qrels.values() if v > 0), reverse=True)[:k]
+    idcg = sum(round((2.0 ** v - 1) / math.log2(pos + 2), 6)
+               for pos, v in enumerate(ideal))
+    first = min((r for i, r in top if rels[i] > 0), default=None)
+    return {
+        "precision": round(hits / k, 6),
+        "recall": round(hits / n_rel, 6) if n_rel else None,
+        "mrr": round(1.0 / first, 6) if first else 0.0,
+        "ndcg": round(dcg / idcg, 6) if idcg else 0.0,
+    }
+
+
+def _eval_frames(spark, run, qrels):
+    run_df = spark.createDataFrame(run, "doc_id long, rank int")
+    q_df = spark.createDataFrame(list(qrels.items()),
+                                 "doc_id long, rel int")
+    return run_df, q_df
+
+
+def test_retrieval_eval_hand_golden(spark):
+    run = [(10, 1), (20, 2), (30, 3), (40, 4), (50, 5)]
+    qrels = {10: 2, 20: 0, 30: 1, 99: 3}
+    run_df, q_df = _eval_frames(spark, run, qrels)
+    got = {r.metric: r.value
+           for r in rt.retrieval_eval(run_df, q_df, "doc_id",
+                                      k=5).collect()}
+    want = _eval_python(run, qrels, 5)
+    assert got == want
+    # spot-check the arithmetic independently of the twin
+    assert got["precision"] == pytest.approx(0.4)
+    assert got["recall"] == pytest.approx(round(2 / 3, 6))
+    assert got["mrr"] == 1.0
+
+
+def test_retrieval_eval_k_cut_ignores_deeper_ranks(spark):
+    run = [(i, i) for i in range(1, 11)]          # ids 1..10 at ranks 1..10
+    qrels = {9: 1, 10: 1}                          # relevant only below k
+    run_df, q_df = _eval_frames(spark, run, qrels)
+    got = {r.metric: r.value
+           for r in rt.retrieval_eval(run_df, q_df, "doc_id",
+                                      k=3).collect()}
+    assert got == _eval_python(run, qrels, 3)
+    assert got["precision"] == 0.0 and got["mrr"] == 0.0
+    assert got["recall"] == 0.0                    # 0 of 2 relevant found
+    assert got["ndcg"] == 0.0                      # dcg 0, idcg > 0
+
+
+def test_retrieval_eval_no_relevant_anywhere(spark):
+    run = [(1, 1), (2, 2)]
+    run_df, q_df = _eval_frames(spark, run, {1: 0, 7: 0})
+    got = {r.metric: r.value
+           for r in rt.retrieval_eval(run_df, q_df, "doc_id",
+                                      k=2).collect()}
+    assert got["recall"] is None                   # undefined, not 0
+    assert got["mrr"] == 0.0 and got["ndcg"] == 0.0
+    assert got["precision"] == 0.0
+
+
+def test_retrieval_eval_absent_ids_count_as_irrelevant(spark):
+    run = [(1, 1), (2, 2)]
+    qrels = {2: 3}                                 # id 1 unjudged
+    run_df, q_df = _eval_frames(spark, run, qrels)
+    got = {r.metric: r.value
+           for r in rt.retrieval_eval(run_df, q_df, "doc_id",
+                                      k=2).collect()}
+    assert got == _eval_python(run, qrels, 2)
+    assert got["mrr"] == 0.5
+
+
+def test_retrieval_eval_perfect_run_scores_one(spark):
+    qrels = {1: 2, 2: 1}
+    run = [(1, 1), (2, 2)]
+    run_df, q_df = _eval_frames(spark, run, qrels)
+    got = {r.metric: r.value
+           for r in rt.retrieval_eval(run_df, q_df, "doc_id",
+                                      k=2).collect()}
+    assert got["ndcg"] == 1.0 and got["recall"] == 1.0
+    assert got["mrr"] == 1.0
+
+
+def test_retrieval_eval_rejects_bad_k(spark):
+    run_df, q_df = _eval_frames(spark, [(1, 1)], {1: 1})
+    with pytest.raises(ValueError, match="k must be"):
+        rt.retrieval_eval(run_df, q_df, "doc_id", k=0)

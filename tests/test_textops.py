@@ -881,3 +881,78 @@ def test_pack_samples_whole_nonpow2_budget_and_nulls(spark):
     assert got[1].pack_offset == 0 and got[2].pack_offset == 0
     # NULL row must not have shifted class-16 ranking
     assert got[3].pack_id is not None and got[3].pack_offset == 0
+
+
+# ------------------------------------------------------------ unigram KL
+
+def _kl_python(rows: list[tuple[str, str]], alpha=1.0) -> dict:
+    """Independent pure-Python twin of unigram_kl (same rounding grid,
+    decimal accumulation)."""
+    from decimal import Decimal
+
+    toks = [(s, t) for s, txt in rows if s is not None
+            for t in txt.split()]
+    cq: dict[str, int] = {}
+    for _, t in toks:
+        cq[t] = cq.get(t, 0) + 1
+    nq, v = len(toks), len(cq)
+    out = {}
+    strata = sorted({s for s, _ in toks})
+    for s in strata:
+        mine = [t for st, t in toks if st == s]
+        np_ = len(mine)
+        cp: dict[str, int] = {}
+        for t in mine:
+            cp[t] = cp.get(t, 0) + 1
+        acc = Decimal(0)
+        for t in cq:
+            p = (cp.get(t, 0) + alpha) / (np_ + alpha * v)
+            q = (cq[t] + alpha) / (nq + alpha * v)
+            import math
+            acc += Decimal(str(round(p * math.log(p / q), 12)))
+        out[s] = (np_, round(float(acc), 9))
+    return out
+
+
+def _kl_frame(spark, rows):
+    return spark.createDataFrame(rows, "lang string, text string")
+
+
+def test_unigram_kl_identical_strata_diverge_zero(spark):
+    # two strata with the SAME distribution as the corpus: smoothing
+    # cancels exactly and KL == 0
+    df = _kl_frame(spark, [("a", "x y"), ("b", "x y")])
+    got = {r.stratum: r.kl
+           for r in ts.unigram_kl(df, "text", "lang").collect()}
+    assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_unigram_kl_matches_python_twin(spark):
+    rows = [("en", "the cat sat on the mat"),
+            ("en", "the dog ran"),
+            ("de", "der hund lief schnell der der"),
+            ("fr", "le chat le chien"),
+            (None, "ignored text entirely")]
+    got = {r.stratum: (r.n_tokens, r.kl)
+           for r in ts.unigram_kl(_kl_frame(spark, rows),
+                                  "text", "lang").collect()}
+    assert got == _kl_python(rows)
+    assert None not in got                      # NULL stratum excluded
+
+
+def test_unigram_kl_skewed_stratum_diverges_more(spark):
+    # 'skew' concentrates on one token; 'flat' dominates the corpus, so
+    # the corpus shape is close to flat's and far from skew's
+    rows = [("flat", " ".join(["a b c d"] * 10)), ("skew", "a a a a")]
+    got = {r.stratum: r.kl
+           for r in ts.unigram_kl(_kl_frame(spark, rows),
+                                  "text", "lang").collect()}
+    assert got["skew"] > got["flat"] >= 0.0
+
+
+def test_unigram_kl_nonnegative_and_alpha_validated(spark):
+    df = _kl_frame(spark, [("a", "x x y"), ("b", "z")])
+    for r in ts.unigram_kl(df, "text", "lang", alpha=0.5).collect():
+        assert r.kl >= 0.0
+    with pytest.raises(ValueError, match="alpha"):
+        ts.unigram_kl(df, "text", "lang", alpha=0.0)
