@@ -96,6 +96,81 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def random_projection(df: DataFrame, vec_col: str = "embedding",
+                      dim: int = 64, out_dim: int = 16, seed: int = 42,
+                      out_col: str = "proj") -> DataFrame:
+    """Johnson–Lindenstrauss random projection: compress ``dim``-d
+    embeddings to ``out_dim`` dimensions with a fixed random matrix —
+    the cheap first-stage distance-preserving reduction (Achlioptas
+    2003 database-friendly projections: any mean-zero i.i.d. matrix
+    works; JL says pairwise geometry survives w.h.p.). The scan-cost
+    lever ADC/PQ shares: a brute-force or LSH pass over 16-d projected
+    vectors reads 4× fewer floats per row than over 64-d originals,
+    and the projection is a one-off shuffle-free codegen pass.
+
+    The matrix rows come from the same portable LCG as the LSH
+    hyperplanes (``_planes(dim, out_dim, seed)``), so an oracle can
+    inline them as literals and replay every projected component;
+    components are rounded to the 1e-6 grid for cross-engine
+    stability. The JL scaling constant (1/√out_dim) is omitted — it
+    cancels in cosine/relative comparisons, which is what the
+    projected space is for.
+
+    Same (planes, seed) MUST be used on both sides of any comparison
+    (query + corpus) — a projection is only meaningful within one
+    matrix. Sign-bucket LSH (``lsh_topk``) composes downstream of the
+    projected column exactly as it does over raw embeddings."""
+    if out_dim < 1 or dim < 1:
+        raise ValueError(f"dim/out_dim must be >= 1, "
+                         f"got {dim}/{out_dim}")
+    planes = _planes(dim, out_dim, seed)
+    v = _dbl(F.col(vec_col))
+    comps = [F.round(dot(v, F.array(*[F.lit(x) for x in p])), 6)
+             for p in planes]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def rp_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            dim: int = 64, out_dim: int = 16, seed: int = 42,
+            oversample: int = 10, id_col: str = "vec_id",
+            vec_col: str = "embedding", query_id_col: str = "query_id",
+            query_vec_col: str = "query_vec") -> DataFrame:
+    """Two-stage JL search: rank in the ``out_dim``-d PROJECTED space,
+    keep ``k·oversample`` candidates per query, exact-cosine rerank on
+    the ORIGINAL vectors — the faiss refine shape over a random
+    projection instead of PQ codes. The full-corpus scan touches
+    ``out_dim/dim`` as many floats per row; original floats are read
+    per CANDIDATE only (the k·oversample equi-join), never per corpus
+    row. Recall grows with ``oversample`` and ``out_dim`` — the knob
+    trade every two-stage ANN shares; exact rerank means any true
+    neighbor that survives stage 1 lands in the final top-k."""
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    pc = random_projection(corpus, vec_col, dim, out_dim, seed,
+                           out_col="__pv")
+    pq = random_projection(queries, query_vec_col, dim, out_dim, seed,
+                           out_col="__pq")
+    cand = brute_force_topk(
+        pc.select(F.col(id_col), F.col("__pv").alias(vec_col)),
+        pq.select(F.col(query_id_col), F.col("__pq").alias(query_vec_col)),
+        k=k * oversample, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    scored = (cand
+              .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+              .join(F.broadcast(queries.select(F.col(query_id_col),
+                                               F.col(query_vec_col))),
+                    query_id_col)
+              .select(F.col(query_id_col), F.col(id_col),
+                      F.round(cosine(F.col(vec_col),
+                                     F.col(query_vec_col)), 6)
+                      .alias("cosine_sim")))
+    win = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
+                                                   F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit sketch: bit i = 1 iff dot(vec, plane_i) > 0."""
     v = _dbl(vec)

@@ -738,6 +738,47 @@ def weighted_sample(df, weight_col: str, k: int, id_col: str,
             .drop("__es_key"))
 
 
+def weighted_sample_per_key(df, key_cols: list[str], weight_col: str,
+                            n: int, id_col: str, seed: int = 42,
+                            hash_fn: str = "murmur3",
+                            salt_buckets: int = 64):
+    """Per-key Efraimidis–Spirakis weighted sampling without
+    replacement: keep the ``n`` rows per key with the largest
+    ``ln(u)/w`` — the SOFT domain cap. ``cap_per_key`` keeps a hard
+    deterministic top-n (content-hash random or strict keep-best);
+    this keeps a quality-BIASED random ``n`` per domain/lang: a
+    domain's best docs are likelier to survive, its tail keeps
+    probability mass, and the kept set is still a pure function of
+    (data, seed, n) — reproducible, re-drawn by seed bump
+    (Efraimidis & Spirakis 2006, same key family as
+    ``weighted_sample``; ``hash_fn='md5'`` for the engine-portable
+    form the driver oracle replays).
+
+    NULL / non-positive weights are EXCLUDED (w=0 = "never sample"),
+    matching ``weighted_sample``. Ties on the 1e-6-rounded key break
+    by ``id_col`` ascending — fully replayable cross-engine.
+
+    Scale shape: rides ``cap_per_key``'s two-level salted top-n, so a
+    10⁹-row hot domain fans out over ``salt_buckets`` tasks — the same
+    skew-safety the hard cap has; the E-S order struct is unique per
+    row (id tie-break inside), so the content-hash fallback never
+    decides membership."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col)
+    u = (sample_bucket([F.col(id_col), F.lit(seed)], hash_fn)
+         + F.lit(1)) / F.lit(1_000_000.0)
+    es = F.round(F.log(u) / w, 6)
+    # ascending struct order == (es DESC, id ASC): E-S keeps LARGEST keys
+    ordered = (df.filter(w.isNotNull() & (w > 0))
+               .withColumn("__es_ord",
+                           F.struct((-es).alias("nk"),
+                                    F.col(id_col).alias("i"))))
+    return cap_per_key(ordered, key_cols, n, order_col="__es_ord",
+                       seed=seed,
+                       salt_buckets=salt_buckets).drop("__es_ord")
+
+
 def cap_per_key(df, key_cols: list[str], n: int,
                 order_col: str | None = None, seed: int = 42,
                 salt_buckets: int = 64):

@@ -34,6 +34,12 @@ K = 10
 #: hamming<=2 multiprobe) — shared by the Spark branch and its oracle
 LSH_PLANES, LSH_DIM, LSH_SEED, LSH_MULTIPROBE = 4, 64, 42, 2
 
+#: the registered random-projection preset (64-d → 16-d, its own seed
+#: so the matrix doesn't alias the LSH planes; 10× candidate
+#: oversample before the exact rerank) — shared by the Spark branch
+#: and its oracle
+RP_DIM, RP_OUT, RP_SEED, RP_OVERSAMPLE = 64, 16, 7, 10
+
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings corpus, spread when the scan arrives under-split (one
@@ -147,6 +153,17 @@ def _lsh_bucket_sql(col: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _rp_proj_sql(col: str) -> str:
+    """DuckDB twin of ``ann.random_projection`` under the registered
+    preset: the same portable-LCG matrix rows inlined as literals, each
+    projected component rounded to the same 1e-6 grid."""
+    comps = []
+    for p in ann._planes(RP_DIM, RP_OUT, seed=RP_SEED):
+        lits = ", ".join(repr(x) for x in p)
+        comps.append(f"round(list_dot_product({col}, [{lits}]), 6)")
+    return "[" + ", ".join(comps) + "]"
+
+
 @register(
     "ann_bruteforce_topk",
     doc="Cosine top-10 per query (queries = 5 lowest-id vectors, "
@@ -165,7 +182,16 @@ def _lsh_bucket_sql(col: str) -> str:
         "DuckDB reproduces buckets, probe set (bit_count(xor)<=2), "
         "rerank and ranking exactly — the deterministic-arithmetic "
         "sketch paths are all value-checked, leaving only iterative "
-        "k-means and engine-hash fast paths rows-only.",
+        "k-means and engine-hash fast paths rows-only. method='rp' "
+        "(r8, operators/ann.py random_projection/rp_topk): Johnson-"
+        "Lindenstrauss two-stage search — candidates ranked by cosine "
+        "in the 16-d PROJECTED space (64-d originals x a portable-LCG "
+        "matrix, components on the 1e-6 grid; the 4x-fewer-floats "
+        "first-stage scan cut), 10x oversample, then exact-cosine "
+        "rerank touching original floats per CANDIDATE only — the "
+        "faiss refine shape over a projection instead of PQ codes; "
+        "the oracle inlines the matrix and replays every projected "
+        "component, the candidate cut, the rerank and the ranking.",
     tags=("ann",),
     oracle=f"""
 WITH q AS (
@@ -196,15 +222,40 @@ WITH q AS (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
   FROM lsh_scored
+), rp_c AS (
+  SELECT vec_id, {{RP_PROJ_C}} AS pv FROM c
+), rp_q AS (
+  SELECT query_id, {{RP_PROJ_Q}} AS pv FROM q
+), rp_cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT rp_q.query_id, rp_c.vec_id,
+           row_number() OVER (
+               PARTITION BY rp_q.query_id
+               ORDER BY round(list_cosine_similarity(rp_c.pv, rp_q.pv),
+                              6) DESC,
+                        rp_c.vec_id ASC) AS prank
+    FROM rp_c CROSS JOIN rp_q)
+  WHERE prank <= {K * RP_OVERSAMPLE}
+), rp_ranked AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim,
+         row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      vec_id ASC) AS rank
+  FROM rp_cand JOIN c USING (vec_id) JOIN q USING (query_id)
 )
 SELECT 'brute' AS method, query_id, vec_id, cosine_sim, rank
 FROM ranked WHERE rank <= {K}
 UNION ALL
 SELECT 'lsh' AS method, query_id, vec_id, cosine_sim, rank
 FROM lsh_ranked WHERE rank <= {K}
+UNION ALL
+SELECT 'rp' AS method, query_id, vec_id, cosine_sim, rank
+FROM rp_ranked WHERE rank <= {K}
 """,
     branches={m: (lambda s, d, _m=m: _ann_topk_branches(s, d, _m))
-              for m in ("brute", "lsh")},
+              for m in ("brute", "lsh", "rp")},
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_topk_branches(spark, sf_dir, None)
@@ -231,6 +282,18 @@ def _ann_topk_branches(spark: SparkSession, sf_dir: str,
                                multiprobe=LSH_MULTIPROBE)
             .select(F.lit("lsh").alias("method"), "query_id", "vec_id",
                     "cosine_sim", "rank"))
+    if method in (None, "rp"):
+        # method='rp' (r8): JL two-stage search — candidates from the
+        # 16-d projected space (4x fewer floats scanned), 10x
+        # oversample, exact-cosine rerank per candidate only. Both
+        # sides project through the SAME matrix — a projection is only
+        # meaningful within one matrix.
+        parts.append(
+            ann.rp_topk(_corpus(spark, sf_dir), q, k=K, dim=RP_DIM,
+                        out_dim=RP_OUT, seed=RP_SEED,
+                        oversample=RP_OVERSAMPLE)
+            .select(F.lit("rp").alias("method"), "query_id", "vec_id",
+                    "cosine_sim", "rank"))
     if not parts:
         raise ValueError(f"unknown ann topk method {method!r}")
     out = parts[0]
@@ -246,7 +309,9 @@ from .registry import REGISTRY as _REG  # noqa: E402
 _REG["ann_bruteforce_topk"].oracle = (
     _REG["ann_bruteforce_topk"].oracle
     .replace("{LSH_BUCKET_C}", _lsh_bucket_sql("v"))
-    .replace("{LSH_BUCKET_Q}", _lsh_bucket_sql("qv")))
+    .replace("{LSH_BUCKET_Q}", _lsh_bucket_sql("qv"))
+    .replace("{RP_PROJ_C}", _rp_proj_sql("v"))
+    .replace("{RP_PROJ_Q}", _rp_proj_sql("qv")))
 
 
 @register(

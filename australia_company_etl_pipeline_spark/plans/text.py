@@ -1275,6 +1275,11 @@ html_f AS (
         "a doc_id%7+1 weight and the md5-portable hash, per-lang "
         "membership checksum; the oracle replays u, ln(u)/w on the "
         "1e-6 grid and the (key DESC, doc_id) top-k. "
+        "kind='wsamplekey' (r8, textstats.weighted_sample_per_key): "
+        "the SOFT domain cap — per-lang E-S weighted top-10 riding "
+        "cap_per_key's two-level salted ranking (same weight/hash "
+        "family as kind='wsample', per-lang membership checksum; a "
+        "wrong salt-level prune or tie-break mismatches the checksum). "
         "kind='dpo' (r8, operators/chat.py preference_pairs): DPO/"
         "reward-model preference-pair assembly — one maximal-contrast "
         "(chosen, rejected) pair per prompt from a scored best-of-n "
@@ -1402,6 +1407,21 @@ FROM (
   ORDER BY es_key DESC, doc_id ASC LIMIT 50
 ) GROUP BY 2
 UNION ALL
+SELECT 'wsamplekey' AS kind, lang AS key, count(*) AS n_docs,
+       sum(doc_id) AS n_hits
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY es_key DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT doc_id, lang,
+           round(ln((CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                       CAST(doc_id AS VARCHAR), '42')), 1, 8)) AS BIGINT)
+                     % 1000000 + 1) / 1000000.0)
+                 / (doc_id % 7 + 1), 6) AS es_key
+    FROM documents)
+) WHERE rn <= 10 GROUP BY 2
+UNION ALL
 SELECT 'chat' AS kind,
        (CASE WHEN doc_id % 3 = 0
              THEN '<|system|>' || chr(10) || 'Answer briefly.' || chr(10)
@@ -1495,7 +1515,7 @@ WHERE n_cand >= 2
     branches={k: (lambda s, d, _k=k: _corpus_filter_branches(s, d, _k))
               for k in ("filter", "pii", "mixture", "cap", "dsir", "url",
                         "html", "bloom", "c4", "datasheet", "chat",
-                        "wsample", "dpo")},
+                        "wsample", "wsamplekey", "dpo")},
 )
 def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_filter_branches(spark, sf_dir, None)
@@ -1707,6 +1727,22 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").alias("n_hits"))
             .select(F.lit("wsample").alias("kind"),
+                    F.col("lang").alias("key"), "n_docs", "n_hits"))
+    if kind in (None, "wsamplekey"):
+        # kind='wsamplekey' (r8): the SOFT domain cap — per-lang E-S
+        # weighted top-10 (weighted_sample_per_key riding the salted
+        # cap), same weight/hash family as kind='wsample'; membership
+        # checksum per lang so a wrong salt-level prune or tie-break
+        # (not just a wrong count) mismatches
+        w = ((F.col("doc_id") % 7) + 1).cast("double")
+        selk = ts.weighted_sample_per_key(
+            d.withColumn("__w", w), ["lang"], "__w", n=10,
+            id_col="doc_id", hash_fn="md5")
+        parts.append(
+            selk.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("n_hits"))
+            .select(F.lit("wsamplekey").alias("kind"),
                     F.col("lang").alias("key"), "n_docs", "n_hits"))
     if kind in (None, "chat"):
         # kind='chat'/'chatval' (r8, operators/chat.py): SFT assembly.

@@ -956,3 +956,63 @@ def test_unigram_kl_nonnegative_and_alpha_validated(spark):
         assert r.kl >= 0.0
     with pytest.raises(ValueError, match="alpha"):
         ts.unigram_kl(df, "text", "lang", alpha=0.0)
+
+
+# ------------------------------------------------- per-key E-S sampling
+
+def _wspk_frame(spark):
+    rows = [(i, "k" + str(i % 3), float(i % 5 + 1)) for i in range(90)]
+    return spark.createDataFrame(rows, "id long, key string, w double")
+
+
+def test_weighted_sample_per_key_caps_and_matches_global_ranking(spark):
+    df = _wspk_frame(spark)
+    got = ts.weighted_sample_per_key(df, ["key"], "w", n=4, id_col="id",
+                                     hash_fn="md5").collect()
+    by_key: dict[str, list[int]] = {}
+    for r in got:
+        by_key.setdefault(r.key, []).append(r.id)
+    assert all(len(v) == 4 for v in by_key.values())
+    # python twin: per-key top-4 by (round(ln(u)/w, 6) DESC, id ASC)
+    import math
+    want: dict[str, list[int]] = {}
+    for r in df.collect():
+        want.setdefault(r.key, []).append(r)
+    for k, rows in want.items():
+        def es(row):
+            u = (_md5_bucket(row.id, 42) + 1) / 1_000_000.0
+            return round(math.log(u) / row.w, 6)
+        top = sorted(rows, key=lambda r: (-es(r), r.id))[:4]
+        assert sorted(by_key[k]) == sorted(r.id for r in top), k
+
+
+def _md5_bucket(id_, seed):
+    """Python twin of sample_bucket(hash_fn='md5')."""
+    import hashlib
+    s = f"{id_}\x1f{seed}".encode()
+    return int(hashlib.md5(s).hexdigest()[:8], 16) % 1_000_000
+
+
+def test_weighted_sample_per_key_salt_level_is_exact(spark):
+    # salted (default 64 buckets) and unsalted rankings keep the SAME set
+    df = _wspk_frame(spark)
+    a = {(r.key, r.id) for r in ts.weighted_sample_per_key(
+        df, ["key"], "w", n=3, id_col="id", hash_fn="md5").collect()}
+    b = {(r.key, r.id) for r in ts.weighted_sample_per_key(
+        df, ["key"], "w", n=3, id_col="id", hash_fn="md5",
+        salt_buckets=1).collect()}
+    assert a == b
+
+
+def test_weighted_sample_per_key_excludes_bad_weights_and_reseeds(spark):
+    rows = [(1, "k", 2.0), (2, "k", None), (3, "k", 0.0), (4, "k", -1.0),
+            (5, "k", 1.0), (6, "k", 3.0)]
+    df = spark.createDataFrame(rows, "id long, key string, w double")
+    kept = {r.id for r in ts.weighted_sample_per_key(
+        df, ["key"], "w", n=2, id_col="id").collect()}
+    assert kept <= {1, 5, 6} and len(kept) == 2
+    other = {r.id for r in ts.weighted_sample_per_key(
+        df, ["key"], "w", n=2, id_col="id", seed=7).collect()}
+    assert other <= {1, 5, 6} and len(other) == 2
+    with pytest.raises(ValueError, match="n must be"):
+        ts.weighted_sample_per_key(df, ["key"], "w", n=0, id_col="id")
