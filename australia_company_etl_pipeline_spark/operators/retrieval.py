@@ -310,6 +310,92 @@ def retrieval_eval(run: DataFrame, qrels: DataFrame, id_col: str,
     return out
 
 
+def retrieval_eval_grouped(run: DataFrame, qrels: DataFrame, id_col: str,
+                           query_col: str, k: int = 10,
+                           rel_col: str = "rel",
+                           rank_col: str = "rank") -> DataFrame:
+    """Multi-query form of ``retrieval_eval``: both frames carry a
+    ``query_col``; metrics compute per query, plus MACRO averages
+    (query = NULL rows) — the standard eval-set headline (each query
+    weighs equally regardless of how many documents it retrieves).
+    Undefined per-query values (recall with no relevant docs) stay
+    NULL and drop out of the macro mean, the TREC convention.
+
+    Returns ``(query, metric, k, value)``. Scale shape: everything is
+    partial-aggregated groupBys keyed on the query plus one
+    bounded-input window over the positive-qrels slice — an eval set
+    is thousands of queries × tens of judgments, never corpus-sized;
+    no window ever touches the run×corpus join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.col(query_col)
+    rel = F.coalesce(F.col(rel_col), F.lit(0)).cast("double")
+    gain = F.pow(F.lit(2.0), rel) - F.lit(1.0)
+    qr = qrels.select(q.alias("__q"), F.col(id_col).alias("__i"),
+                      F.col(rel_col))
+    topk = (run.filter(F.col(rank_col) <= k)
+            .join(qr, (F.col(query_col) == F.col("__q"))
+                  & (F.col(id_col) == F.col("__i")), "left")
+            .select(F.col(query_col).alias("query"), F.col(rank_col),
+                    F.col(rel_col)))
+    dcg_c = F.round(gain / F.log2(F.col(rank_col).cast("double")
+                                  + F.lit(1.0)), 6)
+    run_agg = topk.groupBy("query").agg(
+        F.sum(F.when(rel > 0, 1).otherwise(0)).alias("__hits"),
+        F.min(F.when(rel > 0, F.col(rank_col))).alias("__first"),
+        F.sum(dcg_c.cast("decimal(30,6)")).alias("__dcg"))
+    w = (Window.partitionBy(query_col)
+         .orderBy(F.coalesce(F.col(rel_col), F.lit(0)).desc(),
+                  F.col(id_col).asc()))
+    ideal = (qrels.filter(F.coalesce(F.col(rel_col), F.lit(0)) > 0)
+             .withColumn("__irank", F.row_number().over(w))
+             .filter(F.col("__irank") <= k))
+    igain = (F.pow(F.lit(2.0),
+                   F.coalesce(F.col(rel_col), F.lit(0)).cast("double"))
+             - F.lit(1.0))
+    q_agg = (ideal.groupBy(F.col(query_col).alias("query"))
+             .agg(F.sum(F.round(igain /
+                                F.log2(F.col("__irank").cast("double")
+                                       + F.lit(1.0)), 6)
+                        .cast("decimal(30,6)")).alias("__idcg")))
+    n_rel = (qrels.groupBy(F.col(query_col).alias("query"))
+             .agg(F.sum(F.when(F.coalesce(F.col(rel_col), F.lit(0)) > 0,
+                               1).otherwise(0)).alias("__n_rel")))
+    joined = (run_agg.join(q_agg, "query", "left")
+              .join(n_rel, "query", "left"))
+    hits = F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+    zero_dec = F.lit(0).cast("decimal(30,6)")
+    metrics = [
+        ("precision", F.round(hits / F.lit(float(k)), 6)),
+        ("recall", F.when(F.col("__n_rel") > 0,
+                          F.round(hits / F.col("__n_rel").cast("double"),
+                                  6))),
+        ("mrr", F.when(F.col("__first").isNotNull(),
+                       F.round(F.lit(1.0) /
+                               F.col("__first").cast("double"), 6))
+                .otherwise(F.lit(0.0))),
+        ("ndcg", F.when(
+            F.coalesce(F.col("__idcg"), zero_dec) > 0,
+            F.round(F.coalesce(F.col("__dcg"), zero_dec).cast("double")
+                    / F.col("__idcg").cast("double"), 6))
+         .otherwise(F.lit(0.0))),
+    ]
+    rows = [joined.select(F.col("query"),
+                          F.lit(name).alias("metric"),
+                          F.lit(k).cast("int").alias("k"),
+                          expr.cast("double").alias("value"))
+            for name, expr in metrics]
+    per_query = rows[0]
+    for r in rows[1:]:
+        per_query = per_query.unionByName(r)
+    macro = (per_query.groupBy("metric")
+             .agg(F.round(F.avg("value"), 6).alias("value"))
+             .select(F.lit(None).cast(run.schema[query_col].dataType)
+                     .alias("query"), "metric",
+                     F.lit(k).cast("int").alias("k"), "value"))
+    return per_query.unionByName(macro)
+
+
 def rrf_fuse(rankings: list[DataFrame], id_col: str,
              k: int = 60, rank_col: str = "rank") -> DataFrame:
     """Reciprocal-rank fusion (Cormack & Clarke 2009) — the standard

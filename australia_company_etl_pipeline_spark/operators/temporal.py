@@ -505,3 +505,39 @@ def funnel(events: DataFrame, steps: list[str],
             "n_users")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      order_cols: Sequence[str] = ("event_id",),
+                      ) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream: ``(prev_type, next_type, n_transitions, n_users)`` — the
+    journey-mining rollup behind "what do users do after X" (next-step
+    prediction baselines, funnel discovery, anomaly screens for
+    impossible orderings).
+
+    Each user's events order by ``(ts, *order_cols)`` — pass a unique
+    id in ``order_cols`` so equal-timestamp events have a pinned,
+    engine-replayable order (the determinism every oracle fold here
+    depends on). The first event of a user opens no transition.
+
+    Scale shape: ONE window over the ``user_col`` partition (lag of
+    the type column only — no arrays, no payload) feeding one
+    partial-aggregated groupBy on (prev, next). A per-user window is
+    the standard sessionization shape; a bot user with 10⁶ events
+    serializes its own partition, so pre-cap pathological users
+    (``textstats.cap_per_key`` on the user key) before journey mining
+    at crawl scale — same guidance as the sessionizers."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols])
+    lagged = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("next_type"),
+        F.lag(F.col(type_col)).over(w).alias("prev_type"))
+    return (lagged.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions"),
+                 F.countDistinct("__u").alias("n_users"))
+            .orderBy(F.desc("n_transitions"), F.asc("prev_type"),
+                     F.asc("next_type")))

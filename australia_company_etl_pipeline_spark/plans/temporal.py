@@ -118,10 +118,25 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ANCHOR-GREEDY/first-touch, not exists-any-chain (documented "
         "on the operator, hand-golden-pinned in tests); the oracle "
         "replays the identical anchored chain with the same interval "
-        "predicate.",
+        "predicate. "
+        "r8 folds kind='transition'/'transition_users' (operators/"
+        "temporal.py event_transitions): the first-order Markov "
+        "journey rollup — per-user lag over (ts, event_id) so equal "
+        "timestamps have a pinned order, transitions partial-agg "
+        "counted per (prev>next); step_name = 'prev>next', n_users "
+        "carries the transition count for kind='transition' and the "
+        "distinct-user count for kind='transition_users'.",
     tags=("temporal", "agg"),
     oracle="""
-WITH s1 AS (
+WITH tr AS (
+  SELECT prev_type || '>' || event_type AS nm, count(*) AS n_tr,
+         count(DISTINCT user_id) AS n_u
+  FROM (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+  WHERE prev_type IS NOT NULL GROUP BY 1
+), s1 AS (
   SELECT user_id, min(ts) AS t FROM events
   WHERE event_type = 'view' GROUP BY 1
 ), s2 AS (
@@ -150,10 +165,12 @@ UNION ALL SELECT 'all', 3, 'purchase', count(*) FROM s3
 UNION ALL SELECT 'within_1d', 1, 'view', count(*) FROM s1
 UNION ALL SELECT 'within_1d', 2, 'click', count(*) FROM g2
 UNION ALL SELECT 'within_1d', 3, 'purchase', count(*) FROM g3
+UNION ALL SELECT 'transition', CAST(NULL AS INT), nm, n_tr FROM tr
+UNION ALL SELECT 'transition_users', CAST(NULL AS INT), nm, n_u FROM tr
 """,
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal import funnel
+    from ..operators.temporal import event_transitions, funnel
 
     e = table(spark, sf_dir, "events")
     steps = ["view", "click", "purchase"]
@@ -161,4 +178,14 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("all").alias("kind"), "step", "step_name", "n_users")
     bounded = funnel(e, steps, max_gap=86400).select(
         F.lit("within_1d").alias("kind"), "step", "step_name", "n_users")
-    return unbounded.unionByName(bounded)
+    # kind='transition'/'transition_users' (r8): one transition
+    # aggregate feeds both rollup rows
+    tr = event_transitions(e)
+    nm = F.concat_ws(">", "prev_type", "next_type").alias("step_name")
+    step0 = F.lit(None).cast("int").alias("step")
+    t1 = tr.select(F.lit("transition").alias("kind"), step0, nm,
+                   F.col("n_transitions").alias("n_users"))
+    t2 = tr.select(F.lit("transition_users").alias("kind"), step0, nm,
+                   "n_users")
+    return (unbounded.unionByName(bounded).unionByName(t1)
+            .unionByName(t2))

@@ -306,3 +306,46 @@ def test_retrieval_eval_rejects_bad_k(spark):
     run_df, q_df = _eval_frames(spark, [(1, 1)], {1: 1})
     with pytest.raises(ValueError, match="k must be"):
         rt.retrieval_eval(run_df, q_df, "doc_id", k=0)
+
+
+def test_retrieval_eval_grouped_matches_per_query_twin(spark):
+    runs = {
+        "q1": [(10, 1), (20, 2), (30, 3)],
+        "q2": [(10, 1), (40, 2)],
+        "q3": [(50, 1)],                      # no judged docs at all
+    }
+    qrels = {
+        "q1": {10: 2, 30: 1, 99: 1},
+        "q2": {40: 3},
+        "q3": {},                             # recall undefined
+    }
+    run_df = spark.createDataFrame(
+        [(q, i, r) for q, rows in runs.items() for i, r in rows],
+        "qid string, doc_id long, rank int")
+    q_df = spark.createDataFrame(
+        [(q, i, rel) for q, m in qrels.items() for i, rel in m.items()],
+        "qid string, doc_id long, rel int")
+    got = rt.retrieval_eval_grouped(run_df, q_df, "doc_id", "qid",
+                                    k=3).collect()
+    per_q = {(r.query, r.metric): r.value for r in got
+             if r.query is not None}
+    macro = {r.metric: r.value for r in got if r.query is None}
+    want_macro: dict[str, list[float]] = {}
+    for q in runs:
+        want = _eval_python(runs[q], qrels[q], 3)
+        for m, v in want.items():
+            assert per_q[(q, m)] == v, (q, m)
+            if v is not None:
+                want_macro.setdefault(m, []).append(v)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for m, vals in want_macro.items():
+        # Spark's round() is HALF_UP over the decimal string repr —
+        # round() (banker's on the binary value) diverges at .5 grids
+        want_v = float(Decimal(str(sum(vals) / len(vals)))
+                       .quantize(Decimal("1e-6"),
+                                 rounding=ROUND_HALF_UP))
+        assert macro[m] == want_v, m
+    # q3's recall is undefined -> NULL per-query, excluded from macro
+    assert per_q[("q3", "recall")] is None
+    assert len(want_macro["recall"]) == 2

@@ -680,3 +680,53 @@ def test_funnel_max_gap_hand_golden(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_gap"):
         funnel(df, ["view", "click"], max_gap=0)
+
+
+# ------------------------------------------------------ event transitions
+
+def _trans_events(spark):
+    rows = [
+        # user 1: view -> click -> view -> purchase
+        (1, 1, datetime(2024, 1, 1, 0, 0), "view"),
+        (2, 1, datetime(2024, 1, 1, 0, 1), "click"),
+        (3, 1, datetime(2024, 1, 1, 0, 2), "view"),
+        (4, 1, datetime(2024, 1, 1, 0, 3), "purchase"),
+        # user 2: equal timestamps — order pinned by event_id
+        (5, 2, datetime(2024, 1, 1, 1, 0), "view"),
+        (6, 2, datetime(2024, 1, 1, 1, 0), "click"),
+        # user 3: a single event opens no transition
+        (7, 3, datetime(2024, 1, 1, 2, 0), "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+
+
+def test_event_transitions_hand_golden(spark):
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        event_transitions,
+    )
+
+    got = {(r.prev_type, r.next_type): (r.n_transitions, r.n_users)
+           for r in event_transitions(_trans_events(spark)).collect()}
+    assert got == {
+        ("view", "click"): (2, 2),       # users 1 and 2
+        ("click", "view"): (1, 1),
+        ("view", "purchase"): (1, 1),
+    }
+
+
+def test_event_transitions_equal_ts_order_pinned_by_id(spark):
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        event_transitions,
+    )
+
+    # reversing ids at an equal timestamp flips the transition
+    rows = [(6, 2, datetime(2024, 1, 1), "view"),
+            (5, 2, datetime(2024, 1, 1), "click")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    got = {(r.prev_type, r.next_type)
+           for r in event_transitions(df).collect()}
+    assert got == {("click", "view")}
