@@ -492,20 +492,49 @@ SELECT 'kl' AS kind, stratum AS gram, n_p AS n_occurrences,
             AS BIGINT) AS n_docs
 FROM klr
 """,
+    branches={k: (lambda s, d, _k=k: _vocab_branches(s, d, _k))
+              for k in ("token", "bigram", "cms", "kl")},
 )
 def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab_branches(spark, sf_dir, None)
+
+
+def _vocab_branches(spark: SparkSession, sf_dir: str,
+                    kind: str | None) -> DataFrame:
     from ..operators import cms as cms_ops
 
     d = table(spark, sf_dir, "documents")
-    vocab = (ts.vocab_counts(d, "text", min_count=3)
-             .select(F.lit("token").alias("kind"),
-                     F.col("token").alias("gram"),
-                     "n_occurrences", "n_docs"))
-    bigrams = (ts.ngram_counts(d, "text", n=2, min_count=3,
-                               id_col="doc_id")
-               .select(F.lit("bigram").alias("kind"),
-                       F.col("ngram").alias("gram"),
-                       "n_occurrences", "n_docs"))
+    parts: list[DataFrame] = []
+    if kind in (None, "token"):
+        parts.append(ts.vocab_counts(d, "text", min_count=3)
+                     .select(F.lit("token").alias("kind"),
+                             F.col("token").alias("gram"),
+                             "n_occurrences", "n_docs"))
+    if kind in (None, "bigram"):
+        parts.append(ts.ngram_counts(d, "text", n=2, min_count=3,
+                                     id_col="doc_id")
+                     .select(F.lit("bigram").alias("kind"),
+                             F.col("ngram").alias("gram"),
+                             "n_occurrences", "n_docs"))
+    if kind in (None, "kl"):
+        # kind='kl' (r8): per-lang KL(stratum ‖ corpus) unigram
+        # distribution shift (textstats.unigram_kl) — the scalar lands
+        # on an exact 1e-9 integer grid so the BIGINT fold column
+        # carries it losslessly (the operator's kl is 1e-9-rounded)
+        parts.append(ts.unigram_kl(d, "text", "lang")
+                     .select(F.lit("kl").alias("kind"),
+                             F.col("stratum").alias("gram"),
+                             F.col("n_tokens").cast("long")
+                             .alias("n_occurrences"),
+                             F.round(F.col("kl") * 1e9).cast("long")
+                             .alias("n_docs")))
+    if kind not in (None, "cms"):
+        if not parts:
+            raise ValueError(f"unknown vocab_ngram_counts kind {kind!r}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     tokdf = d.select(F.explode(ts.tokens(F.col("text"))).alias("gram"))
     sketch = cms_ops.build_cms(tokdf, F.col("gram"), _CMS_D, _CMS_W,
                                hash_fn="md5")
@@ -524,19 +553,11 @@ def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("term").alias("gram"),
                           F.col("n_occurrences").cast("long"),
                           F.lit(None).cast("long").alias("n_docs")))
-    # kind='kl' (r8): per-lang KL(stratum ‖ corpus) unigram
-    # distribution shift (textstats.unigram_kl) — the scalar lands on
-    # an exact 1e-9 integer grid so the BIGINT fold column carries it
-    # losslessly (the operator's own kl is already 1e-9-rounded)
-    kl_rows = (ts.unigram_kl(d, "text", "lang")
-               .select(F.lit("kl").alias("kind"),
-                       F.col("stratum").alias("gram"),
-                       F.col("n_tokens").cast("long")
-                       .alias("n_occurrences"),
-                       F.round(F.col("kl") * 1e9).cast("long")
-                       .alias("n_docs")))
-    return (vocab.unionByName(bigrams).unionByName(cms_rows)
-            .unionByName(probe_rows).unionByName(kl_rows))
+    parts.append(cms_rows.unionByName(probe_rows))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 _BM25_TERMS = ["hash", "quantum", "spark", "vector"]  # 'quantum' absent
