@@ -233,6 +233,70 @@ def sessionize_stateful(events: DataFrame, gap: str = "30 minutes",
         fn, _SESSION_OUT, _SESSION_STATE, "append", timeout))
 
 
+_TRANS_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("prev_type", StringType()),
+    StructField("next_type", StringType()),
+    StructField("n", LongType()),
+])
+
+# Last-seen event per user: (last_us, last_type, last_id).
+_TRANS_STATE = StructType([
+    StructField("last_us", LongType()),
+    StructField("last_type", StringType()),
+    StructField("last_id", LongType()),
+])
+
+
+def transitions_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/temporal.event_transitions``:
+    per-trigger (user, prev_type, next_type) transition increments via
+    ``applyInPandasWithState`` — state is ONE row per user (the
+    last-seen event), so the journey table maintains incrementally
+    without ever rescanning history; O(users) state, O(batch) work per
+    trigger. Sum the emitted ``n`` per (prev, next) downstream (counts
+    are a monoid — the same fold discipline as the CMS/HLL
+    maintenance).
+
+    Matches the batch operator EXACTLY when per-user arrival is
+    event-time-ordered across triggers (what a watermarked ingest
+    guarantees; ``stage_event_batches`` simulates it) — within a
+    trigger any arrival order is fine, the group sorts on
+    ``(ts, event_id)`` before folding, the same tie pin as the batch
+    window."""
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last = list(state.get) if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0]) \
+                .sort_values(["ts", "event_id"])
+            ts_us = ((pdf["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(microseconds=1)).tolist()
+            types = pdf["event_type"].tolist()
+            ids = pdf["event_id"].tolist()
+            for t, ty, i in zip(ts_us, types, ids):
+                if last is not None:
+                    k = (last[1], ty)
+                    counts[k] = counts.get(k, 0) + 1
+                last = [int(t), ty, int(i)]
+        if last is not None:
+            state.update(tuple(last))
+        if counts:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(counts),
+                "prev_type": [k[0] for k in counts],
+                "next_type": [k[1] for k in counts],
+                "n": list(counts.values()),
+            })
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn, _TRANS_OUT, _TRANS_STATE, "append",
+        GroupStateTimeout.NoTimeout))
+
+
 def dedup_stream(events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
                  watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
     """Streaming exact dedup — the at-least-once ingest guard a

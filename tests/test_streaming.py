@@ -707,3 +707,32 @@ def test_stream_sft_ingest_cross_batch_prompt_dedup(spark, tmp_path):
     # the key index holds one row per distinct VALID prompt
     keys = spark.read.parquet(f"{index}/keys")
     assert keys.count() == 3
+
+
+def test_stateful_transitions_match_batch_twin(spark, sf_dir,
+                                               landing_dir, tmp_path):
+    """Cross-batch Markov maintenance: the stateful stream's summed
+    (prev, next) increments equal the batch event_transitions EXACTLY —
+    the one-row-per-user state carries the boundary event, so a
+    transition split across two triggers is still counted once."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        event_transitions,
+    )
+    from australia_company_etl_pipeline_spark.streaming.events_stream import (
+        transitions_stateful,
+    )
+
+    stream = read_events_stream(spark, landing_dir)
+    q = run_to_memory(transitions_stateful(stream), "trans_t", "append",
+                      checkpoint_dir=str(tmp_path / "ckpt_tr"))
+    q.awaitTermination(180)
+    got = {(r.prev_type, r.next_type): (r.n, r.u)
+           for r in (spark.table("trans_t")
+                     .groupBy("prev_type", "next_type")
+                     .agg(F.sum("n").alias("n"),
+                          F.countDistinct("user_id").alias("u"))
+                     .collect())}
+    want = {(r.prev_type, r.next_type): (r.n_transitions, r.n_users)
+            for r in event_transitions(
+                table(spark, sf_dir, "events")).collect()}
+    assert got == want
