@@ -473,3 +473,87 @@ def stream_sft_ingest(stream: DataFrame, out_path: str, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_postings_batch(batch_df: DataFrame, batch_id: int,
+                        index_path: str, text_col: str = "text",
+                        id_col: str = "doc_id") -> None:
+    """Fold one micro-batch into the persisted BM25 postings index
+    (public so replay behavior is directly testable). Layout under
+    ``index_path``, both tables partitioned by ``__batch`` with
+    write-scoped dynamic overwrite — a replayed trigger rewrites ITS
+    OWN partition, so at-least-once delivery needs no meta fence (the
+    sketch fold needs one because its state is a single merged
+    generation; postings are per-batch additive):
+
+    - ``postings/`` — ``(id, term, tf, dl, __batch)`` — the
+      ``retrieval.term_postings`` rows of each batch's documents;
+    - ``stats/``    — one ``(n_docs, sum_dl, __batch)`` row per batch:
+      corpus constants fold as integer SUMS at query time, so the
+      derived (N, avgdl) is bit-identical to a batch build over the
+      union.
+
+    Per-trigger cost is O(batch) — one explode + one partial-agg
+    shuffle over the arriving documents; history is never rescanned.
+    Documents must arrive once (or be pre-deduped by
+    ``stream_dedup_ingest``) — a doc re-delivered under a NEW batch id
+    is a new document to this index, exactly as it would be to a batch
+    rebuild over the duplicated corpus."""
+    from ..operators import retrieval as rt
+    from ..operators.textstats import tokens
+
+    if batch_df.isEmpty():
+        return
+    post = (rt.term_postings(batch_df, text_col, id_col)
+            .withColumn("__batch", F.lit(batch_id)))
+    (post.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("__batch").parquet(f"{index_path}/postings"))
+    stats = (batch_df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
+        .alias("sum_dl"))
+        .withColumn("__batch", F.lit(batch_id)))
+    (stats.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("__batch").parquet(f"{index_path}/stats"))
+
+
+def stream_postings_ingest(stream: DataFrame, index_path: str,
+                           checkpoint_dir: str, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           available_now: bool = True):
+    """Continuously maintained term index — the streaming-RAG piece:
+    documents stream in, the BM25 postings list stays current, and
+    ``bm25_search_indexed`` answers from the persisted index at any
+    moment without re-tokenizing history. O(batch) per trigger,
+    replay-idempotent via per-batch partition overwrite."""
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        fold_postings_batch(batch_df, batch_id, index_path, text_col,
+                            id_col)
+
+    writer = (stream.writeStream.foreachBatch(ingest)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_search_indexed(spark, index_path: str, query_terms: list[str],
+                        id_col: str = "doc_id", k1: float = 1.2,
+                        b: float = 0.75, top_n: int = 10) -> DataFrame:
+    """Okapi BM25 top-``top_n`` over a ``stream_postings_ingest``
+    index: per-batch corpus constants fold as integer sums (exact —
+    the derived (N, avgdl) matches a batch build over the union
+    bit-for-bit), postings read with the query-term IN-filter pushed
+    to the scan. Per-query cost scales with the matching postings, not
+    the corpus."""
+    from ..operators import retrieval as rt
+
+    post = spark.read.parquet(f"{index_path}/postings").drop("__batch")
+    stats = (spark.read.parquet(f"{index_path}/stats")
+             .agg(F.sum("n_docs").alias("n_docs"),
+                  (F.sum("sum_dl").cast("double")
+                   / F.sum("n_docs")).alias("avgdl")))
+    return rt.bm25_search_from_postings(post, stats, id_col,
+                                        query_terms, k1, b, top_n)

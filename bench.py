@@ -108,6 +108,19 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def gc_barrier(spark) -> None:
+    """Full JVM GC before a timed run — the JMH discipline. Everything
+    shares one local[] JVM here, so garbage from the PREVIOUS query
+    (expired broadcasts, shuffle buffers, 10⁶ codegen array allocations)
+    otherwise collects in the MIDDLE of the next timed window: measured
+    on an idle host, the identical cascade plan swung 2.0s → 15s → 63s
+    run-to-run, and stabilized at ~2s with this barrier. The barrier
+    charges each query its own steady-state cost, not its neighbors'
+    allocation debt (a real cluster spreads that debt across executors).
+    """
+    spark._jvm.System.gc()
+
+
 def _release_operator_caches() -> None:
     """Release per-query operator caches (MinHash shingles, BM25
     postings, LM tables) so repetitions don't accumulate executor
@@ -127,6 +140,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Everything shares one local[] JVM: the 2M-pair scoring queries
+    # allocate faster than a 16g old gen turns over, so mid-window GCs
+    # dominate their variance (see gc_barrier). A third of this box's
+    # RAM buys steady-state headroom; an explicit env still wins, and a
+    # real cluster sizes executors per --executor-memory as usual.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark("ace-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -142,12 +161,14 @@ def main() -> None:
     sentinel_times: list[float] = []
     sentinel_builder = plans.REGISTRY[SENTINEL].builder
     for rep in range(REPS):
+        gc_barrier(spark)
         t0 = time.perf_counter()
         force(sentinel_builder(spark, sf_dir))
         sentinel_times.append(time.perf_counter() - t0)
         for name in names:
             if rep >= REPS_OVERRIDE.get(name, REPS):
                 continue
+            gc_barrier(spark)
             t0 = time.perf_counter()
             force(plans.REGISTRY[name].builder(spark, sf_dir))
             times[name].append(time.perf_counter() - t0)
@@ -169,6 +190,7 @@ def main() -> None:
         for name, branch in branch_names:
             if rep >= BRANCH_REPS_OVERRIDE.get(name, BRANCH_REPS):
                 continue
+            gc_barrier(spark)
             t0 = time.perf_counter()
             force(plans.REGISTRY[name].branches[branch](spark, sf_dir))
             btimes[(name, branch)].append(time.perf_counter() - t0)

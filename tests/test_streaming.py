@@ -736,3 +736,53 @@ def test_stateful_transitions_match_batch_twin(spark, sf_dir,
             for r in event_transitions(
                 table(spark, sf_dir, "events")).collect()}
     assert got == want
+
+
+def test_stream_postings_index_matches_batch_bm25(spark, tmp_path):
+    """Continuously maintained BM25 index: after two triggers, a search
+    from the persisted postings equals a batch bm25_search over the
+    union — scores bit-for-bit (per-batch corpus constants fold as
+    integer sums). Replaying a batch id rewrites its own partition, so
+    results are unchanged."""
+    import time
+
+    from australia_company_etl_pipeline_spark.operators import (
+        retrieval as rt,
+    )
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        bm25_search_indexed, fold_postings_batch, read_documents_stream,
+        stream_postings_ingest)
+
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "spark shuffle spark join"),
+         (2, "join join join filter"),
+         (3, None)], schema)                    # NULL text counts as 0
+    b2 = spark.createDataFrame(
+        [(4, "quantum spark"),
+         (5, "filter scan scan scan scan scan")], schema)
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_postings_ingest(stream, index, ck)
+    q.awaitTermination(180)
+
+    terms = ["spark", "join", "zzz_missing"]
+    got = {(r.doc_id): (r.n_terms_matched, r.score, r.rank)
+           for r in bm25_search_indexed(spark, index, terms).collect()}
+    want = {(r.doc_id): (r.n_terms_matched, r.score, r.rank)
+            for r in rt.bm25_search(b1.unionByName(b2), "text",
+                                    "doc_id", terms).collect()}
+    assert got == want and got
+    # replay: re-folding batch 0 with the same rows changes nothing
+    fold_postings_batch(b1, 0, index)
+    again = {(r.doc_id): (r.n_terms_matched, r.score, r.rank)
+             for r in bm25_search_indexed(spark, index,
+                                          terms).collect()}
+    assert again == want
