@@ -2095,3 +2095,51 @@ def _hadoop_rename(spark, src: str, dst: str) -> None:
     fs = d.getFileSystem(conf)
     if not fs.rename(s, d):
         raise IOError(f"rename {src} -> {dst} failed")
+
+
+def dedup_eval(pred_pairs, truth_pairs, id_a: str = "id_a",
+               id_b: str = "id_b"):
+    """Precision/recall/F1 of a candidate duplicate-pair set against a
+    truth pair set — the tuning loop every approximate dedup needs:
+    before committing a threshold/band/plane count at corpus scale,
+    score the method's pairs on a slice where exact truth is affordable
+    (a guarded all-pairs run, or labeled pairs). One row:
+    ``(n_truth, n_pred, n_hit, precision, recall, f1)``.
+
+    Pairs are unordered: both inputs canonicalize to
+    ``(least, greatest)`` and DISTINCT, so orientation and duplicate
+    emissions don't skew counts. Zero guards: empty predictions →
+    precision NULL (undefined, not 0); empty truth → recall NULL; f1
+    NULL when either side is undefined, 0 when both are 0. f1 derives
+    from the 1e-6-ROUNDED p and r (documented composition, so an
+    engine replay is exact).
+
+    Scale shape: two distinct partial-agg passes + one equi-join on the
+    canonical pair key — pair sets, never the corpus."""
+    def canon(df):
+        return (df.select(F.least(F.col(id_a), F.col(id_b)).alias("__a"),
+                          F.greatest(F.col(id_a), F.col(id_b))
+                          .alias("__b"))
+                .distinct())
+
+    p, t = canon(pred_pairs), canon(truth_pairs)
+    n_p = p.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_t = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_h = (p.join(t, ["__a", "__b"])
+           .agg(F.count(F.lit(1)).alias("n_hit")))
+    j = n_t.crossJoin(F.broadcast(n_p)).crossJoin(F.broadcast(n_h))
+    hit = F.col("n_hit").cast("double")
+    prec = F.when(F.col("n_pred") > 0,
+                  F.round(hit / F.col("n_pred").cast("double"), 6))
+    rec = F.when(F.col("n_truth") > 0,
+                 F.round(hit / F.col("n_truth").cast("double"), 6))
+    staged = j.select("n_truth", "n_pred", "n_hit",
+                      prec.alias("precision"), rec.alias("recall"))
+    pr = F.col("precision") + F.col("recall")
+    f1 = (F.when(F.col("precision").isNull()
+                 | F.col("recall").isNull(),
+                 F.lit(None).cast("double"))
+          .when(pr > 0, F.round(2.0 * F.col("precision")
+                                * F.col("recall") / pr, 6))
+          .otherwise(F.lit(0.0)))
+    return staged.withColumn("f1", f1)

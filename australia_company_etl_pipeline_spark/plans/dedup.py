@@ -948,17 +948,54 @@ def _lsh_bucket_sql() -> str:
 WITH corpus AS ({_EMB_DUPS_SQL}),
 dup_docs AS ({_DOCS_DUPS_SQL}),
 sk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM corpus),
+exact_p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+),
+lsh_p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+  FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+  WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
+    AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+),
+ev AS (
+  SELECT (SELECT count(*) FROM exact_p) AS n_t,
+         (SELECT count(*) FROM lsh_p) AS n_p,
+         (SELECT count(*) FROM lsh_p JOIN exact_p USING (id_a, id_b))
+           AS n_h
+),
+ev_pr AS (
+  SELECT n_t, n_p,
+         CASE WHEN n_p > 0
+              THEN round(CAST(n_h AS DOUBLE) / CAST(n_p AS DOUBLE), 6)
+         END AS p,
+         CASE WHEN n_t > 0
+              THEN round(CAST(n_h AS DOUBLE) / CAST(n_t AS DOUBLE), 6)
+         END AS r
+  FROM ev
+),
 {_hashed_embed_pairs_sql().lstrip()}
-SELECT 'exact' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
-FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+SELECT 'exact' AS method, id_a, id_b, cosine_sim FROM exact_p
 UNION ALL
-SELECT 'lsh' AS method, a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
-FROM sk a JOIN sk b ON a.vec_id < b.vec_id
-WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
-  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+SELECT 'lsh' AS method, id_a, id_b, cosine_sim FROM lsh_p
+UNION ALL
+SELECT 'eval_precision' AS method, n_t AS id_a, n_p AS id_b,
+       p AS cosine_sim
+FROM ev_pr
+UNION ALL
+SELECT 'eval_recall' AS method, n_t AS id_a, n_p AS id_b,
+       r AS cosine_sim
+FROM ev_pr
+UNION ALL
+SELECT 'eval_f1' AS method, n_t AS id_a, n_p AS id_b,
+       CASE WHEN p IS NULL OR r IS NULL THEN CAST(NULL AS DOUBLE)
+            WHEN p + r > 0
+              THEN round(CAST(2.0 AS DOUBLE) * p * r / (p + r), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS cosine_sim
+FROM ev_pr
 UNION ALL
 SELECT 'hashed' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
        round(CASE WHEN (sqrt(list_dot_product(a.hv, a.hv))
@@ -1006,4 +1043,19 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.col("b.embedding")), 6)
                       .alias("cosine_sim"))
               .filter(F.col("cosine_sim") >= _EMBED_TH))
-    return exact.unionByName(lsh).unionByName(hashed)
+    # method='eval_*' (r8, operators/dedup.py dedup_eval): the dedup
+    # tuning loop value-checked — LSH's verified pairs scored against
+    # the exact truth set (precision pins the verify step at 1.0,
+    # recall measures what the 8-plane/1-bit bucketing misses);
+    # id_a = n_truth, id_b = n_pred, cosine_sim = the metric
+    ev = dd.dedup_eval(lsh.select("id_a", "id_b"),
+                       exact.select("id_a", "id_b"))
+    ev_rows = None
+    for m in ("precision", "recall", "f1"):
+        row = ev.select(F.lit(f"eval_{m}").alias("method"),
+                        F.col("n_truth").cast("long").alias("id_a"),
+                        F.col("n_pred").cast("long").alias("id_b"),
+                        F.col(m).alias("cosine_sim"))
+        ev_rows = row if ev_rows is None else ev_rows.unionByName(row)
+    return (exact.unionByName(lsh).unionByName(hashed)
+            .unionByName(ev_rows))

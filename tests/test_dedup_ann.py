@@ -2060,3 +2060,39 @@ def test_sq8_topk_near_exact_with_small_oversample(spark, sf_dir):
             assert r.cosine_sim == truth[r.query_id][r.vec_id]
     with pytest.raises(ValueError, match="oversample"):
         ann.sq8_topk(emb, q, oversample=0)
+
+
+# ----------------------------------------------------------- dedup eval
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_dedup_eval_hand_golden(spark):
+    pred = _pairs_df(spark, [(1, 2), (1, 3)])
+    truth = _pairs_df(spark, [(1, 2), (1, 4)])
+    r = dd.dedup_eval(pred, truth).collect()[0]
+    assert (r.n_truth, r.n_pred, r.n_hit) == (2, 2, 1)
+    assert (r.precision, r.recall, r.f1) == (0.5, 0.5, 0.5)
+
+
+def test_dedup_eval_canonicalizes_orientation_and_dupes(spark):
+    # reversed orientation + duplicate emissions collapse to one pair
+    pred = _pairs_df(spark, [(2, 1), (1, 2), (3, 1), (3, 1)])
+    truth = _pairs_df(spark, [(1, 2), (1, 3)])
+    r = dd.dedup_eval(pred, truth).collect()[0]
+    assert (r.n_truth, r.n_pred, r.n_hit) == (2, 2, 2)
+    assert r.f1 == 1.0
+
+
+def test_dedup_eval_zero_guards(spark):
+    empty = _pairs_df(spark, []).filter("id_a IS NOT NULL")
+    truth = _pairs_df(spark, [(1, 2)])
+    r = dd.dedup_eval(empty, truth).collect()[0]
+    assert r.precision is None and r.recall == 0.0 and r.f1 is None
+    r2 = dd.dedup_eval(truth, empty).collect()[0]
+    assert r2.recall is None and r2.precision == 0.0 and r2.f1 is None
+    # both defined but zero overlap -> f1 0
+    r3 = dd.dedup_eval(_pairs_df(spark, [(1, 2)]),
+                       _pairs_df(spark, [(3, 4)])).collect()[0]
+    assert (r3.precision, r3.recall, r3.f1) == (0.0, 0.0, 0.0)
