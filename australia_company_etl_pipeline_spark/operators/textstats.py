@@ -558,6 +558,59 @@ def ngram_counts(df, text_col: str, n: int = 2, min_count: int = 1,
             .orderBy(F.desc("n_occurrences"), F.asc("ngram")))
 
 
+def zipf_fit(vocab, count_col: str = "n_occurrences",
+             token_col: str = "token", top_n: int = 200):
+    """Zipf-law fit over a vocabulary frame (``vocab_counts`` output):
+    least-squares slope of ln(frequency) against ln(rank) over the top
+    ``top_n`` tokens → one row ``(n_ranks, alpha, r2)`` with
+    ``alpha = −slope`` (natural language sits near 1; a distribution
+    drifting toward 0 means the head is flattening — templated/spam
+    text, a broken tokenizer, or synthetic filler — so this is the
+    one-scalar corpus-health probe to watch per ingest batch).
+
+    Deterministic: ranking is (count DESC, token ASC) — the
+    ``vocab_counts`` tie rule — cut with orderBy().limit (TakeOrdered)
+    BEFORE the rank window, so the window input is ``top_n`` rows,
+    never the vocabulary. All five regression sums accumulate in exact
+    decimal over 1e-12-grid terms; the closed-form slope/r² then
+    compute in doubles from those sums (engine-replayable —
+    ``vocab_ngram_counts`` kind='zipf'). alpha/r² are NULL when
+    degenerate (fewer than 2 ranks — zero x-variance); a flat count
+    distribution fits alpha 0 with r² ≈ 0 (FP residue keeps the
+    y-variance from an exact zero, and 0 — "no relationship" — is the
+    honest answer there anyway)."""
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    from pyspark.sql.window import Window
+
+    top = (vocab.orderBy(F.desc(count_col), F.asc(token_col))
+           .limit(top_n))
+    w = Window.orderBy(F.desc(count_col), F.asc(token_col))
+    ranked = top.withColumn("__r", F.row_number().over(w))
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col(count_col).cast("double"))
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 12).cast("decimal(38,12)"))
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        dsum(x).alias("sx"), dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"), dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"))
+    n = F.col("n_ranks").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    dx = n * F.col("sxx").cast("double") - sx * sx
+    dy = n * F.col("syy").cast("double") - sy * sy
+    return agg.select(
+        "n_ranks",
+        F.when(dx > 0, F.round(-(num / dx), 6)).alias("alpha"),
+        F.when((dx > 0) & (dy > 0),
+               F.round(num * num / (dx * dy), 6)).alias("r2"))
+
+
 def unigram_kl(df, text_col: str, stratum_col: str, alpha: float = 1.0):
     """Per-stratum distribution shift: KL(stratum ‖ corpus) over the
     smoothed unigram token distributions — the audit that tells a

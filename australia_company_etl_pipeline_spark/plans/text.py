@@ -405,7 +405,13 @@ _CMS_PROBE = ["hash", "spark", "vector", "zzz_absent_term"]
         "contributions pre-rounded to the 1e-12 grid, decimal-"
         "accumulated, the scalar surfaced on an exact 1e-9 integer "
         "grid (n_docs = round(kl·1e9)) with n_occurrences = the "
-        "stratum token count.",
+        "stratum token count. "
+        "kind='zipf' (r8, textstats.zipf_fit): the Zipf-law corpus-"
+        "health probe — least-squares ln(freq)~ln(rank) over the top-"
+        "200 tokens under the vocab tie rule (count DESC, token ASC); "
+        "five regression sums decimal-accumulated on the 1e-12 grid, "
+        "alpha = −slope and r² surfaced on the 1e-6 integer grid "
+        "(gram = 'alpha'/'r2'/'n_ranks').",
     tags=("text",),
     oracle=f"""
 WITH tl AS (
@@ -469,6 +475,32 @@ WITH tl AS (
   LEFT JOIN klsc p ON p.stratum = s.stratum AND p.token = q.token
   CROSS JOIN kltot t
   GROUP BY 1, 2
+), ztop AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, gram ASC) AS r
+  FROM (SELECT gram, count(*) AS n FROM tok GROUP BY 1
+        HAVING count(*) >= 3
+        ORDER BY n DESC, gram ASC LIMIT 200)
+), zres AS (
+  SELECT n_ranks,
+         CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+         CAST(n_ranks AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+  FROM (
+    SELECT count(*) AS n_ranks,
+           sum(CAST(round(ln(CAST(r AS DOUBLE)), 12)
+                    AS DECIMAL(38,12))) AS sx,
+           sum(CAST(round(ln(CAST(n AS DOUBLE)), 12)
+                    AS DECIMAL(38,12))) AS sy,
+           sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE)),
+                          12) AS DECIMAL(38,12))) AS sxy,
+           sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)),
+                          12) AS DECIMAL(38,12))) AS sxx,
+           sum(CAST(round(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)),
+                          12) AS DECIMAL(38,12))) AS syy
+    FROM ztop)
 )
 SELECT 'token' AS kind, gram, count(*) AS n_occurrences,
        count(DISTINCT doc_id) AS n_docs
@@ -491,9 +523,28 @@ SELECT 'kl' AS kind, stratum AS gram, n_p AS n_occurrences,
        CAST(round(round(CAST(klsum AS DOUBLE), 9) * 1000000000.0)
             AS BIGINT) AS n_docs
 FROM klr
+UNION ALL
+SELECT 'zipf' AS kind, 'n_ranks' AS gram,
+       CAST(n_ranks AS BIGINT) AS n_occurrences,
+       CAST(NULL AS BIGINT) AS n_docs
+FROM zres
+UNION ALL
+SELECT 'zipf', 'alpha',
+       CASE WHEN dx > 0
+            THEN CAST(round(round(-(num / dx), 6) * 1000000.0)
+                      AS BIGINT) END,
+       CAST(NULL AS BIGINT)
+FROM zres
+UNION ALL
+SELECT 'zipf', 'r2',
+       CASE WHEN dx > 0 AND dy > 0
+            THEN CAST(round(round(num * num / (dx * dy), 6)
+                            * 1000000.0) AS BIGINT) END,
+       CAST(NULL AS BIGINT)
+FROM zres
 """,
     branches={k: (lambda s, d, _k=k: _vocab_branches(s, d, _k))
-              for k in ("token", "bigram", "cms", "kl")},
+              for k in ("token", "bigram", "cms", "kl", "zipf")},
 )
 def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vocab_branches(spark, sf_dir, None)
@@ -528,6 +579,22 @@ def _vocab_branches(spark: SparkSession, sf_dir: str,
                              .alias("n_occurrences"),
                              F.round(F.col("kl") * 1e9).cast("long")
                              .alias("n_docs")))
+    if kind in (None, "zipf"):
+        # kind='zipf' (r8): the Zipf-law corpus-health scalar — alpha
+        # and r² surfaced on the 1e-6 integer grid, n_ranks raw
+        zf = ts.zipf_fit(ts.vocab_counts(d, "text", min_count=3),
+                         top_n=200)
+        grid = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+        zr = None
+        for g, expr in (("n_ranks", F.col("n_ranks").cast("long")),
+                        ("alpha", grid(F.col("alpha"))),
+                        ("r2", grid(F.col("r2")))):
+            row = zf.select(F.lit("zipf").alias("kind"),
+                            F.lit(g).alias("gram"),
+                            expr.alias("n_occurrences"),
+                            F.lit(None).cast("long").alias("n_docs"))
+            zr = row if zr is None else zr.unionByName(row)
+        parts.append(zr)
     if kind not in (None, "cms"):
         if not parts:
             raise ValueError(f"unknown vocab_ngram_counts kind {kind!r}")

@@ -1016,3 +1016,57 @@ def test_weighted_sample_per_key_excludes_bad_weights_and_reseeds(spark):
     assert other <= {1, 5, 6} and len(other) == 2
     with pytest.raises(ValueError, match="n must be"):
         ts.weighted_sample_per_key(df, ["key"], "w", n=0, id_col="id")
+
+
+# --------------------------------------------------------------- zipf fit
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    # plant counts = round(C / rank^0.8): the fit must recover ~0.8
+    # with r2 ~ 1 (tiny rounding-to-integer noise only)
+    rows = [(f"t{i:03d}", int(round(100000 / (i ** 0.8))))
+            for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "token string, n_occurrences long")
+    r = ts.zipf_fit(df, top_n=100).collect()[0]
+    assert r.n_ranks == 100
+    assert abs(r.alpha - 0.8) < 0.01, r.alpha
+    assert r.r2 > 0.999
+
+
+def test_zipf_fit_matches_python_twin_and_tie_rule(spark):
+    from decimal import Decimal
+    import math
+
+    rows = [("b", 30), ("a", 30), ("c", 10), ("d", 5), ("e", 5)]
+    df = spark.createDataFrame(rows, "token string, n_occurrences long")
+    got = ts.zipf_fit(df, top_n=4).collect()[0]
+    # ranking: count DESC, token ASC -> a(1) b(2) c(3) d(4)
+    ranked = [30, 30, 10, 5]
+    sx = sum(Decimal(str(round(math.log(r + 1), 12)))
+             for r in range(4))
+    sy = sum(Decimal(str(round(math.log(c), 12))) for c in ranked)
+    sxy = sum(Decimal(str(round(math.log(i + 1) * math.log(c), 12)))
+              for i, c in enumerate(ranked))
+    sxx = sum(Decimal(str(round(math.log(i + 1) ** 2, 12)))
+              for i in range(4))
+    n = 4.0
+    num = n * float(sxy) - float(sx) * float(sy)
+    dx = n * float(sxx) - float(sx) * float(sx)
+    assert got.n_ranks == 4
+    assert got.alpha == round(-(num / dx), 6)
+
+
+def test_zipf_fit_degenerate_is_null_not_zero(spark):
+    # uniform counts: zero variance on y is FINE (alpha 0); a single
+    # rank is degenerate on x -> NULLs
+    one = spark.createDataFrame([("a", 5)],
+                                "token string, n_occurrences long")
+    r = ts.zipf_fit(one, top_n=2).collect()[0]
+    assert r.n_ranks == 1 and r.alpha is None and r.r2 is None
+    with pytest.raises(ValueError, match="top_n"):
+        ts.zipf_fit(one, top_n=1)
+    flat = spark.createDataFrame([(f"t{i}", 7) for i in range(10)],
+                                 "token string, n_occurrences long")
+    # flat counts: slope 0; r2 lands at 0.0 ("no relationship") — FP
+    # residue keeps the y-variance guard from seeing an exact zero
+    rf = ts.zipf_fit(flat, top_n=10).collect()[0]
+    assert rf.alpha == 0.0 and rf.r2 in (0.0, None)
