@@ -357,3 +357,114 @@ def ccnet_buckets(scored: DataFrame, nll_col: str = "avg_nll",
     expr = (F.lit(labels[-1]) if expr is None
             else expr.otherwise(F.lit(labels[-1])))
     return scored.withColumn("ppl_bucket", expr)
+
+
+def position_frame(tok: DataFrame, id_col: str) -> DataFrame:
+    """Per-token scoring positions with their (up to) two-word left
+    context: ``(id_col, w, prev, prev2)`` — prev/prev2 NULL at the
+    document start. One shuffle-free transform + explode over the
+    token array; empty/NULL docs emit nothing."""
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.size(toks))
+    pos = F.transform(idx, lambda i: F.struct(
+        F.element_at(toks, i).alias("w"),
+        F.when(i >= 2, F.element_at(toks, i - 1)).alias("prev"),
+        F.when(i >= 3, F.element_at(toks, i - 2)).alias("prev2")))
+    return (tok.filter(F.size(toks) >= 1)
+            .select(F.col(id_col), F.explode(pos).alias("__p"))
+            .select(id_col, "__p.w", "__p.prev", "__p.prev2"))
+
+
+def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
+                         alpha: float = 0.4,
+                         min_count: int = 1) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007 — THE
+    distributed n-gram LM: relative frequencies with a fixed backoff
+    penalty instead of normalized discounting, chosen precisely
+    because it needs only count tables that build as parallel
+    aggregations). Trains on ``df`` and scores every document
+    position with the LONGEST available matched context:
+
+    - trigram seen:            c(w₋₂w₋₁w) / c(w₋₂w₋₁)
+    - else bigram seen:    α · c(w₋₁w) / c(w₋₁)
+    - else:               α² · c(w)/N   (fewer backoffs at the first
+      two positions, which never had the longer context; an entirely
+      unseen word floors at 1/(N+1) — only reachable when replaying a
+      frozen table over new text)
+
+    Scores are NOT probabilities (they don't normalize — the paper's
+    point: at web scale the ranking power survives, the normalization
+    cost doesn't), so the output is ``(id_col, n_scored, avg_nls)``:
+    mean per-position negative log SCORE, 1e-6 grid, decimal
+    accumulated — lower = more fluent, same gate shape as
+    ``bigram_lm_score`` (calibrate thresholds from a scored reference
+    percentile, never from the floor).
+
+    Scale: three partial-agg count tables (uni/bi/tri — the bi and tri
+    groupBys ride the position explode), a scalar N, then scoring =
+    five equi-joins keyed on vocabulary-sized tables + one per-doc
+    aggregate. ``min_count`` prunes the bi/tri tables (the paper ships
+    count cutoffs for exactly this reason); pruned entries back off."""
+    if not (0 < alpha <= 1):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    tok = df.select(F.col(id_col), tokens(F.col(text_col))
+                    .alias("__toks"))
+    p = position_frame(tok, id_col)
+    uni = p.groupBy(F.col("w").alias("u_w")) \
+        .agg(F.count(F.lit(1)).alias("cu"))
+    n_tot = uni.agg(F.sum("cu").alias("n_tok"))
+    bi = (p.filter(F.col("prev").isNotNull())
+          .groupBy(F.col("prev").alias("b_p"), F.col("w").alias("b_w"))
+          .agg(F.count(F.lit(1)).alias("cbi"))
+          .filter(F.col("cbi") >= min_count))
+    tri = (p.filter(F.col("prev2").isNotNull())
+           .groupBy(F.col("prev2").alias("t_p2"),
+                    F.col("prev").alias("t_p1"),
+                    F.col("w").alias("t_w"))
+           .agg(F.count(F.lit(1)).alias("ctri"))
+           .filter(F.col("ctri") >= min_count))
+    joined = (p
+              .join(tri, (F.col("prev2") == F.col("t_p2"))
+                    & (F.col("prev") == F.col("t_p1"))
+                    & (F.col("w") == F.col("t_w")), "left")
+              .join(bi.select(F.col("b_p"), F.col("b_w"),
+                              F.col("cbi")),
+                    (F.col("prev") == F.col("b_p"))
+                    & (F.col("w") == F.col("b_w")), "left")
+              .join(bi.select(F.col("b_p").alias("c_p"),
+                              F.col("b_w").alias("c_w"),
+                              F.col("cbi").alias("cbctx")),
+                    (F.col("prev2") == F.col("c_p"))
+                    & (F.col("prev") == F.col("c_w")), "left")
+              .join(uni.select(F.col("u_w"), F.col("cu")),
+                    F.col("w") == F.col("u_w"), "left")
+              .join(uni.select(F.col("u_w").alias("u_p"),
+                               F.col("cu").alias("cuprev")),
+                    F.col("prev") == F.col("u_p"), "left")
+              .crossJoin(F.broadcast(n_tot)))
+    a = F.lit(float(alpha))
+    nd = F.col("n_tok").cast("double")
+    base = (F.when(F.col("cu").isNotNull(),
+                   F.col("cu").cast("double") / nd)
+            .otherwise(F.lit(1.0) / (nd + F.lit(1.0))))
+    bi_s = F.col("cbi").cast("double") / F.col("cuprev").cast("double")
+    tri_s = (F.col("ctri").cast("double")
+             / F.col("cbctx").cast("double"))
+    s = (F.when(F.col("prev2").isNotNull(),
+                F.when(F.col("ctri").isNotNull()
+                       & F.col("cbctx").isNotNull(), tri_s)
+                .when(F.col("cbi").isNotNull()
+                      & F.col("cuprev").isNotNull(), a * bi_s)
+                .otherwise(a * a * base))
+         .when(F.col("prev").isNotNull(),
+               F.when(F.col("cbi").isNotNull()
+                      & F.col("cuprev").isNotNull(), bi_s)
+               .otherwise(a * base))
+         .otherwise(base))
+    nls = F.round(-F.log(s), 6).cast("decimal(30,6)")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_scored"),
+                 F.sum(nls).alias("__s"))
+            .select(id_col, "n_scored",
+                    F.round(F.col("__s").cast("double")
+                            / F.col("n_scored"), 6).alias("avg_nls")))

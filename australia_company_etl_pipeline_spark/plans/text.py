@@ -737,6 +737,80 @@ ctf_rk AS (
 )"""
 
 
+# kind='sbo' (Stupid Backoff trigram LM, Brants 2007): position frame,
+# three count tables, the backoff CASE chain — every operand
+# double-cast in the operator's exact tree shape
+_SBO_SQL = """
+sbi AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM tl WHERE len(toks) >= 1
+), sbp AS (
+  SELECT doc_id, toks[i] AS w,
+         CASE WHEN i >= 2 THEN toks[i - 1] END AS prev,
+         CASE WHEN i >= 3 THEN toks[i - 2] END AS prev2
+  FROM sbi
+), sbu AS (
+  SELECT w AS u_w, count(*) AS cu FROM sbp GROUP BY 1
+), sbn AS (
+  SELECT sum(cu) AS n_tok FROM sbu
+), sbb AS (
+  SELECT prev AS b_p, w AS b_w, count(*) AS cbi
+  FROM sbp WHERE prev IS NOT NULL GROUP BY 1, 2
+), sbt AS (
+  SELECT prev2 AS t_p2, prev AS t_p1, w AS t_w, count(*) AS ctri
+  FROM sbp WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3
+), sbs AS (
+  SELECT p.doc_id,
+         round(-ln(
+           CASE WHEN p.prev2 IS NOT NULL THEN
+             CASE WHEN t.ctri IS NOT NULL AND b2.cbctx IS NOT NULL
+                    THEN CAST(t.ctri AS DOUBLE) / CAST(b2.cbctx AS DOUBLE)
+                  WHEN b1.cbi IS NOT NULL AND u2.cuprev IS NOT NULL
+                    THEN CAST(0.4 AS DOUBLE)
+                         * (CAST(b1.cbi AS DOUBLE)
+                            / CAST(u2.cuprev AS DOUBLE))
+                  ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                       * (CASE WHEN u1.cu IS NOT NULL
+                               THEN CAST(u1.cu AS DOUBLE)
+                                    / CAST(n.n_tok AS DOUBLE)
+                               ELSE CAST(1.0 AS DOUBLE)
+                                    / (CAST(n.n_tok AS DOUBLE)
+                                       + CAST(1.0 AS DOUBLE)) END) END
+           WHEN p.prev IS NOT NULL THEN
+             CASE WHEN b1.cbi IS NOT NULL AND u2.cuprev IS NOT NULL
+                    THEN CAST(b1.cbi AS DOUBLE)
+                         / CAST(u2.cuprev AS DOUBLE)
+                  ELSE CAST(0.4 AS DOUBLE)
+                       * (CASE WHEN u1.cu IS NOT NULL
+                               THEN CAST(u1.cu AS DOUBLE)
+                                    / CAST(n.n_tok AS DOUBLE)
+                               ELSE CAST(1.0 AS DOUBLE)
+                                    / (CAST(n.n_tok AS DOUBLE)
+                                       + CAST(1.0 AS DOUBLE)) END) END
+           ELSE CASE WHEN u1.cu IS NOT NULL
+                     THEN CAST(u1.cu AS DOUBLE) / CAST(n.n_tok AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE)
+                          / (CAST(n.n_tok AS DOUBLE)
+                             + CAST(1.0 AS DOUBLE)) END
+           END), 6) AS nls
+  FROM sbp p
+  LEFT JOIN sbt t ON p.prev2 = t.t_p2 AND p.prev = t.t_p1
+                 AND p.w = t.t_w
+  LEFT JOIN sbb b1 ON p.prev = b1.b_p AND p.w = b1.b_w
+  LEFT JOIN (SELECT b_p AS c_p, b_w AS c_w, cbi AS cbctx FROM sbb) b2
+         ON p.prev2 = b2.c_p AND p.prev = b2.c_w
+  LEFT JOIN sbu u1 ON p.w = u1.u_w
+  LEFT JOIN (SELECT u_w AS u_p, cu AS cuprev FROM sbu) u2
+         ON p.prev = u2.u_p
+  CROSS JOIN sbn n
+), sbo AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_scored,
+         round(CAST(sum(CAST(nls AS DECIMAL(30,6))) AS DOUBLE)
+               / count(*), 6) AS avg_nls
+  FROM sbs GROUP BY 1
+)"""
+
 # kind='releval' qrels: graded relevance derived from doc_id arithmetic
 # (never from the retrieval output), so the metric check is independent
 # of the run it grades
@@ -839,13 +913,21 @@ relq AS (
         "run they grade); Burges-gain DCG contributions pre-rounded "
         "to the 1e-6 grid and decimal-accumulated, IDCG from the "
         "relevance-sorted ideal ordering, all four scalars replayed "
-        "in DuckDB. Per-doc "
+        "in DuckDB. kind='sbo' (r8, operators/lm.py "
+        "stupid_backoff_score): Stupid Backoff trigram scoring "
+        "(Brants 2007 — THE distributed n-gram LM: relative "
+        "frequencies + a fixed 0.4 backoff penalty, no normalization) "
+        "— every position scored with the longest matched context, "
+        "three partial-agg count tables + five equi-joins; the whole "
+        "backoff CASE chain, count tables and per-doc decimal NLS "
+        "accumulation replayed in DuckDB. Per-doc "
         "score assembly across all kinds is order-independent decimal "
         "accumulation on the 1e-6 grid → fully value-checked against "
         "DuckDB.",
     tags=("text",),
     oracle=f"""
 WITH {_BM25_SQL_CTES},
+{_SBO_SQL.strip()},
 {_RELEVAL_SQL.strip().rstrip()}
 SELECT 'search' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
        n_matched, score,
@@ -912,10 +994,15 @@ SELECT 'releval' AS kind, CAST(NULL AS BIGINT) AS doc_id,
        metric AS term, CAST(10 AS INT) AS n_matched, value AS score,
        CAST(NULL AS INT) AS rank
 FROM ev_rows
+UNION ALL
+SELECT 'sbo' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+       n_scored AS n_matched, avg_nls AS score,
+       CAST(NULL AS INT) AS rank
+FROM sbo
 """,
     branches={k: (lambda s, d, _k=k: _doc_search_branches(s, d, _k))
               for k in ("search", "keyterm", "lm", "ccnet", "ctfidf",
-                        "rrf", "releval")},
+                        "rrf", "releval", "sbo")},
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_search_branches(spark, sf_dir, None)
@@ -1020,6 +1107,17 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                         F.lit(None).cast("int").alias("n_matched"),
                         F.col("avg_nll").alias("score"),
                         F.lit(None).cast("int").alias("rank")))
+    if kind in (None, "sbo"):
+        # kind='sbo' (r8): Stupid Backoff trigram self-scoring — like
+        # the lm branch it needs token ORDER, so it pays its own
+        # tokenization scan
+        parts.append(
+            lm_ops.stupid_backoff_score(d, "text", "doc_id")
+            .select(F.lit("sbo").alias("kind"), "doc_id",
+                    F.lit(None).cast("string").alias("term"),
+                    F.col("n_scored").alias("n_matched"),
+                    F.col("avg_nls").alias("score"),
+                    F.lit(None).cast("int").alias("rank")))
     if kind in (None, "ctfidf"):
         # kind='ctfidf' (r7, operators/cluster.py): class-based TF-IDF
         # topic terms over the lang classes — the deterministic class

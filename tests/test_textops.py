@@ -1070,3 +1070,67 @@ def test_zipf_fit_degenerate_is_null_not_zero(spark):
     # residue keeps the y-variance guard from seeing an exact zero
     rf = ts.zipf_fit(flat, top_n=10).collect()[0]
     assert rf.alpha == 0.0 and rf.r2 in (0.0, None)
+
+
+# -------------------------------------------------------- stupid backoff
+
+def test_stupid_backoff_hand_golden(spark):
+    """Closed-form golden: corpus a-b-c / a-b-d / a-b-c, self-scored.
+    doc1 pos scores: uni a=3/9, bi (a,b)/c(a)=1, tri (a,b,c)/c(a,b)=2/3;
+    doc2's trigram path scores 1/3."""
+    import math
+
+    from australia_company_etl_pipeline_spark.operators.lm import (
+        stupid_backoff_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b c")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_scored, r.avg_nls)
+           for r in stupid_backoff_score(df, "text", "doc_id").collect()}
+
+    def avg(*ss):
+        return round(sum(round(-math.log(s), 6) for s in ss) / len(ss), 6)
+
+    assert got[1] == (3, avg(3 / 9, 1.0, 2 / 3))
+    assert got[2] == (3, avg(3 / 9, 1.0, 1 / 3))
+    assert got[3] == got[1]
+
+
+def test_stupid_backoff_min_count_backs_off_with_penalty(spark):
+    """min_count=2 prunes the singleton trigram (a,b,d) AND bigram
+    (b,d): doc2's last position backs off twice -> alpha^2 * c(d)/N."""
+    import math
+
+    from australia_company_etl_pipeline_spark.operators.lm import (
+        stupid_backoff_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b c")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.avg_nls
+           for r in stupid_backoff_score(df, "text", "doc_id",
+                                         min_count=2).collect()}
+    want = round((round(-math.log(3 / 9), 6) + 0.0
+                  + round(-math.log(0.4 * 0.4 * (1 / 9)), 6)) / 3, 6)
+    assert got[2] == want
+    with pytest.raises(ValueError, match="alpha"):
+        stupid_backoff_score(df, "text", "doc_id", alpha=0.0)
+
+
+def test_stupid_backoff_ranks_fluent_above_salad(spark):
+    """Repeated fluent phrasing scores lower avg_nls than a shuffled
+    token salad over the same vocabulary — the gate property."""
+    from australia_company_etl_pipeline_spark.operators.lm import (
+        stupid_backoff_score,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(8)]
+    rows.append((100, "dog the over quick lazy jumps fox brown the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_nls
+           for r in stupid_backoff_score(df, "text", "doc_id").collect()}
+    assert got[0] < got[100]
