@@ -191,3 +191,50 @@ def cond_out_of_range(col: str, lo, hi) -> Column:
     """Violation condition twin of ``assert_accepted_range``."""
     c = F.col(col)
     return c.isNotNull() & ((c < lo) | (c > hi))
+
+
+def suppress_small_groups(report: DataFrame, group_cols: list[str],
+                          k: int, count_col: str | None = None,
+                          mode: str = "drop"):
+    """k-anonymity suppression for published aggregates: a report row
+    describing fewer than ``k`` underlying subjects re-identifies them
+    (the classic small-cell disclosure every stats office redacts), so
+    rows below the threshold either DROP (``mode='drop'``) or survive
+    with every non-group column NULLed and a ``suppressed`` flag
+    (``mode='redact'`` — the shape-preserving form downstream joins
+    prefer).
+
+    ``count_col`` names the report's existing per-group subject count;
+    without it the rows themselves are counted per group (one
+    partial-agg pass + a broadcastable semi/join back). Group columns
+    are never redacted — they are the published dimension; if the
+    DIMENSION itself is identifying, generalize it upstream (bucketing,
+    truncation), which is a modeling decision this operator cannot
+    make for you.
+
+    Scale: with ``count_col`` this is a pure filter/projection; without
+    it, one partial-aggregated groupBy on the report's own keys."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if mode not in ("drop", "redact"):
+        raise ValueError(f"mode must be 'drop' or 'redact', got {mode!r}")
+    if not group_cols:
+        raise ValueError("need at least one group column")
+    if count_col is None:
+        counts = (report.groupBy(*group_cols)
+                  .agg(F.count(F.lit(1)).alias("__n")))
+        joined = report.join(counts, group_cols)
+        n = F.col("__n")
+    else:
+        joined = report
+        n = F.coalesce(F.col(count_col), F.lit(0))
+    small = n < k
+    if mode == "drop":
+        out = joined.filter(~small)
+        return out.drop("__n") if count_col is None else out
+    keep = set(group_cols)
+    cols = [F.col(c) if c in keep
+            else F.when(~small, F.col(c)).alias(c)
+            for c in report.columns]
+    out = joined.select(*cols, small.alias("suppressed"))
+    return out

@@ -587,3 +587,44 @@ def test_profile_drift_old_frame_keeps_intersection_cols(spark):
     c_rows = [r for r in d.collect() if ".c." in r.metric_name
               or r.metric_name.startswith("c.")]
     assert c_rows and all(r.old_value is None for r in c_rows)
+
+
+# --------------------------------------------------- k-anonymity redact
+
+def test_suppress_small_groups_modes(spark):
+    from australia_company_etl_pipeline_spark.operators.quality import (
+        suppress_small_groups,
+    )
+
+    report = spark.createDataFrame(
+        [("NSW", "a", 10.0), ("NSW", "b", 20.0), ("NSW", "c", 30.0),
+         ("NT", "d", 40.0)],
+        "state string, who string, amount double")
+    # row-counted mode: NT has 1 row < k=2 -> dropped
+    kept = suppress_small_groups(report, ["state"], k=2).collect()
+    assert {r.state for r in kept} == {"NSW"} and len(kept) == 3
+    assert "__n" not in kept[0].asDict()
+    # redact mode: shape preserved, non-group cells NULLed + flagged
+    red = {(r.state, r.who, r.amount, r.suppressed)
+           for r in suppress_small_groups(report, ["state"], k=2,
+                                          mode="redact").collect()}
+    assert ("NT", None, None, True) in red
+    assert ("NSW", "a", 10.0, False) in red
+
+
+def test_suppress_small_groups_precomputed_count_and_validation(spark):
+    from australia_company_etl_pipeline_spark.operators.quality import (
+        suppress_small_groups,
+    )
+
+    agg = spark.createDataFrame(
+        [("en", 100, 5.0), ("tlh", 2, 9.0), ("und", None, 1.0)],
+        "lang string, n_subjects int, metric double")
+    kept = {r.lang for r in suppress_small_groups(
+        agg, ["lang"], k=5, count_col="n_subjects").collect()}
+    assert kept == {"en"}                     # NULL count -> suppressed
+    with pytest.raises(ValueError, match="mode"):
+        suppress_small_groups(agg, ["lang"], k=5, count_col="n_subjects",
+                              mode="hide")
+    with pytest.raises(ValueError, match="k must"):
+        suppress_small_groups(agg, ["lang"], k=0)
