@@ -287,6 +287,55 @@ def main() -> None:
         print(f"cap_per_key mult={mult} rows={rows} M=512 n=10000 "
               f"raw_window_sec={raw:.2f} salted_sec={salted:.2f}")
 
+    # --- sq8_topk (r8b): two-stage shape overhead vs brute force -------
+    # Regime stated honestly (like cap_per_key's): at sf0.1-scale row
+    # counts both scans are OVERHEAD-dominated — the 4x byte cut is an
+    # IO property a CPU-bound local probe cannot surface. What this
+    # probe pins is that the two-stage shape adds only bounded constant
+    # overhead over brute force at every mult (measured ~1.0-1.6x,
+    # flat), i.e. the refine joins stay k·oversample-sized and nothing
+    # grows super-linearly; the scan-cut benefit itself is the
+    # bytes-per-row arithmetic (16 vs 64 four-byte floats), realized
+    # where scans are IO-bound.
+    for mult in (1, 2, 4):
+        corpus = emb
+        m, off = mult, 10_000_000
+        while m > 1:
+            corpus = corpus.unionByName(
+                emb.select((F.col("vec_id") + off).alias("vec_id"),
+                           "embedding"))
+            off += 10_000_000
+            m -= 1
+        corpus = corpus.persist()
+        rows = corpus.count()         # outside the timers
+        t = time.time()
+        force(ann.brute_force_topk(corpus, queries, k=10))
+        brute = time.time() - t
+        t = time.time()
+        force(ann.sq8_topk(corpus, queries, k=10, oversample=3))
+        sq = time.time() - t
+        corpus.unpersist()
+        print(f"sq8_topk mult={mult} rows={rows} "
+              f"brute_sec={brute:.2f} sq8_sec={sq:.2f}")
+
+    # --- stream postings fold (r8b): O(batch) per trigger --------------
+    # Each fold tokenizes ONLY the arriving batch and overwrites its own
+    # partition; per-batch cost must stay flat while the accumulated
+    # postings index grows 4x.
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (  # noqa: E501,E402
+        fold_postings_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as pidx:
+        for k in range(4):
+            batch = docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                "text")
+            t = time.time()
+            fold_postings_batch(batch, k, pidx)
+            sec = time.time() - t
+            print(f"postings_fold batch={k} sec={sec:.2f}")
+
 
 if __name__ == "__main__":
     main()
