@@ -27,9 +27,23 @@ from pyspark.sql.window import Window
 from . import ann
 from .textstats import tokens
 
+# persisted (class, term) aggregates awaiting release — the
+# dedup._SHINGLE_CACHE / retrieval._POSTINGS_CACHE contract.
+_CLUSTER_CACHE: list[DataFrame] = []
+
+
+def unpersist_cluster() -> int:
+    """Release frames persisted by ``ctfidf_terms(persist=True)`` in
+    this process; returns how many were released."""
+    n = len(_CLUSTER_CACHE)
+    while _CLUSTER_CACHE:
+        _CLUSTER_CACHE.pop().unpersist()
+    return n
+
 
 def ctfidf_terms(docs: DataFrame, class_col: str, text_col: str = "text",
-                 top_k: int = 5, min_count: int = 2) -> DataFrame:
+                 top_k: int = 5, min_count: int = 2,
+                 persist: bool = False) -> DataFrame:
     """c-TF-IDF top terms per class:
 
         score(t, c) = (tf_{t,c} / words_c) · ln(1 + A / f_t)
@@ -41,14 +55,25 @@ def ctfidf_terms(docs: DataFrame, class_col: str, text_col: str = "text",
     tf, score, rank), rank 1..top_k per class, score rounded to 6
     places, ties broken by term ascending (deterministic). NULL-class
     rows are excluded (no class, no topic).
+
+    With ``persist=False`` the (class, term) aggregate is lineage-only:
+    its three consumers (class totals, corpus term totals, scoring)
+    each REPLAN the corpus explode under it — four scans for one
+    logical pass. Pass ``persist=True`` when the corpus scan isn't
+    free (always, at scale) and release with ``unpersist_cluster()``.
     """
     toks = (docs.filter(F.col(class_col).isNotNull())
             .select(class_col, F.explode(tokens(F.col(text_col)))
                     .alias("term")))
     tf = (toks.groupBy(class_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
+    if persist:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        _CLUSTER_CACHE.append(tf)
     # everything below derives from the (class, term) aggregate —
-    # no second pass over the corpus
+    # one pass over the corpus when persisted
     class_tot = tf.groupBy(class_col).agg(F.sum("tf").alias("__wc"))
     term_tot = tf.groupBy("term").agg(F.sum("tf").alias("__ft"))
     avg_row = class_tot.agg(F.avg("__wc").alias("__A"))

@@ -64,12 +64,37 @@ _LM_CACHE: list[DataFrame] = []
 
 
 def unpersist_lm() -> int:
-    """Release token frames persisted by ``bigram_lm_score`` in this
-    process; returns how many were released."""
+    """Release token frames persisted by ``bigram_lm_score`` /
+    ``token_frame(persist=True)`` in this process; returns how many
+    were released."""
     n = len(_LM_CACHE)
     while _LM_CACHE:
         _LM_CACHE.pop().unpersist()
     return n
+
+
+def token_frame(df: DataFrame, text_col: str, id_col: str,
+                persist: bool = False) -> DataFrame:
+    """The ``(id_col, __toks)`` tokenized projection every LM scorer in
+    this module derives from. With ``persist=True`` the frame is cached
+    (MEMORY_AND_DISK) and registered for ``unpersist_lm()`` — stage it
+    ONCE when several scorers (or one scorer's many self-join
+    consumers: ``stupid_backoff_score`` references its position frame
+    six times) run over the same corpus in one plan, so the corpus is
+    scanned once instead of once per consumer. At 100 TB that is the
+    difference between one I/O pass and seven (the r8
+    ``doc_search_bm25`` fold planned 35 distinct corpus scans before
+    this staging landed). For a SINGLE consumer on a cheap local scan,
+    recompute still wins — the module-note recompute-vs-cache rule
+    tracks scan cost × consumer count, not corpus size."""
+    tok = df.select(F.col(id_col), tokens(F.col(text_col))
+                    .alias("__toks"))
+    if persist:
+        from pyspark import StorageLevel
+
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        _LM_CACHE.append(tok)
+    return tok
 
 
 def transition_frame(tok: DataFrame, id_col: str) -> DataFrame:
@@ -87,7 +112,8 @@ def transition_frame(tok: DataFrame, id_col: str) -> DataFrame:
 def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
                     add_k: float = 1.0,
                     min_count: int = 1,
-                    persist_tokens: bool = False) -> DataFrame:
+                    persist_tokens: bool = False,
+                    tok: DataFrame | None = None) -> DataFrame:
     """Train a bigram LM on ``df`` and score every document against it
     (the CCNet self-scoring shape — rank a crawl slice by its own
     statistics). Returns ``(id_col, n_transitions, avg_nll)`` — one row
@@ -112,14 +138,13 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     score side touches only those three tables plus the batch.
 
     With ``persist_tokens=True`` call ``unpersist_lm()`` after the
-    terminal action (see the module note for when that wins)."""
-    tok = df.select(F.col(id_col), tokens(F.col(text_col))
-                    .alias("__toks"))
-    if persist_tokens:
-        from pyspark import StorageLevel
-
-        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
-        _LM_CACHE.append(tok)
+    terminal action (see the module note for when that wins). Pass a
+    pre-staged ``tok`` (from ``token_frame``) to share ONE tokenized
+    projection with other scorers in the same plan — ``text_col`` and
+    ``persist_tokens`` are then ignored."""
+    if tok is None:
+        tok = token_frame(df, text_col, id_col,
+                          persist=persist_tokens)
 
     tr = transition_frame(tok, id_col)
     # ctx derives from the bigram AGGREGATE, not the raw transitions:
@@ -377,7 +402,8 @@ def position_frame(tok: DataFrame, id_col: str) -> DataFrame:
 
 def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
                          alpha: float = 0.4,
-                         min_count: int = 1) -> DataFrame:
+                         min_count: int = 1,
+                         tok: DataFrame | None = None) -> DataFrame:
     """Stupid Backoff trigram scoring (Brants et al. 2007 — THE
     distributed n-gram LM: relative frequencies with a fixed backoff
     penalty instead of normalized discounting, chosen precisely
@@ -404,11 +430,18 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
     groupBys ride the position explode), a scalar N, then scoring =
     five equi-joins keyed on vocabulary-sized tables + one per-doc
     aggregate. ``min_count`` prunes the bi/tri tables (the paper ships
-    count cutoffs for exactly this reason); pruned entries back off."""
+    count cutoffs for exactly this reason); pruned entries back off.
+
+    The position frame is referenced six times in the scoring joins
+    (main + tri + bi×2 + uni×2) — each reference replans the
+    tokenization unless ``tok`` is a staged/persisted frame from
+    ``token_frame(persist=True)``. ALWAYS stage ``tok`` for corpora
+    where the scan is not free; the raw-``df`` path exists for small
+    one-shot scoring only."""
     if not (0 < alpha <= 1):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    tok = df.select(F.col(id_col), tokens(F.col(text_col))
-                    .alias("__toks"))
+    if tok is None:
+        tok = token_frame(df, text_col, id_col)
     p = position_frame(tok, id_col)
     uni = p.groupBy(F.col("w").alias("u_w")) \
         .agg(F.count(F.lit(1)).alias("cu"))

@@ -63,6 +63,18 @@ def unpersist_postings() -> int:
     return n
 
 
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist an auxiliary frame (a query-derived qrels projection, a
+    shared run slice) and track it for ``unpersist_postings()`` — the
+    postings build's release contract, for callers staging their own
+    multi-consumer frames inside a retrieval plan."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _POSTINGS_CACHE.append(out)
+    return out
+
+
 def term_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Postings list ``(id_col, term, tf, dl)``: per-document term
     frequency plus the document's whitespace-token length.
@@ -106,6 +118,23 @@ def corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum(F.size(tokens(F.col(text_col)))) /
          F.count(F.lit(1))).alias("avgdl"))
+
+
+def corpus_stats_frame(df: DataFrame, text_col: str,
+                       persist: bool = True) -> DataFrame:
+    """``corpus_stats`` persisted and tracked for
+    ``unpersist_postings()``. The aggregate is one row, but every
+    UNcached reference replans a full corpus scan under it — a query
+    that crosses (N, avgdl) into several branches (the
+    ``doc_search_bm25`` fold references it through bm25 + keyterms +
+    each bm25 consumer) should pay that scan once."""
+    from pyspark import StorageLevel
+
+    stats = corpus_stats(df, text_col)
+    if persist:
+        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+        _POSTINGS_CACHE.append(stats)
+    return stats
 
 
 def _bm25_term_score(tf: Column, df_t: Column, n_docs: Column, dl: Column,
@@ -300,14 +329,19 @@ def retrieval_eval(run: DataFrame, qrels: DataFrame, id_col: str,
                     .cast("double") / F.col("__idcg").cast("double"), 6))
          .otherwise(F.lit(0.0))),
     ]
-    rows = [joined.select(F.lit(name).alias("metric"),
-                          F.lit(k).cast("int").alias("k"),
-                          expr.cast("double").alias("value"))
-            for name, expr in metrics]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # ONE explode over a metric-struct array, not four unioned selects:
+    # a union of N selects over `joined` replans the whole run/qrels
+    # subtree N times (the r8 fold planned 17 corpus scans through this
+    # function); the explode keeps the long (metric, k, value) shape
+    # while the aggregates compute exactly once
+    entries = F.array(*[
+        F.struct(F.lit(name).alias("metric"),
+                 expr.cast("double").alias("value"))
+        for name, expr in metrics])
+    return (joined.select(F.explode(entries).alias("__m"))
+            .select(F.col("__m.metric").alias("metric"),
+                    F.lit(k).cast("int").alias("k"),
+                    F.col("__m.value").alias("value")))
 
 
 def retrieval_eval_grouped(run: DataFrame, qrels: DataFrame, id_col: str,
@@ -318,8 +352,12 @@ def retrieval_eval_grouped(run: DataFrame, qrels: DataFrame, id_col: str,
     ``query_col``; metrics compute per query, plus MACRO averages
     (query = NULL rows) — the standard eval-set headline (each query
     weighs equally regardless of how many documents it retrieves).
-    Undefined per-query values (recall with no relevant docs) stay
-    NULL and drop out of the macro mean, the TREC convention.
+    The per-query universe is the UNION of queries in the run and in
+    qrels: a judged query the run retrieved nothing for still emits
+    precision/mrr/ndcg = 0 rows (and weighs into the macro — omitting
+    it would inflate the headline). Undefined per-query values (recall
+    with no relevant docs) stay NULL and drop out of the macro mean,
+    the TREC convention.
 
     Returns ``(query, metric, k, value)``. Scale shape: everything is
     partial-aggregated groupBys keyed on the query plus one
@@ -361,7 +399,14 @@ def retrieval_eval_grouped(run: DataFrame, qrels: DataFrame, id_col: str,
     n_rel = (qrels.groupBy(F.col(query_col).alias("query"))
              .agg(F.sum(F.when(F.coalesce(F.col(rel_col), F.lit(0)) > 0,
                                1).otherwise(0)).alias("__n_rel")))
-    joined = (run_agg.join(q_agg, "query", "left")
+    # full outer universe: a query present only in qrels (judged but
+    # retrieved nothing at rank<=k) must still emit rows; a query
+    # present only in the run scores against zero judgments
+    universe = (run.select(q.alias("query"))
+                .unionByName(qrels.select(q.alias("query")))
+                .distinct())
+    joined = (universe.join(run_agg, "query", "left")
+              .join(q_agg, "query", "left")
               .join(n_rel, "query", "left"))
     hits = F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
     zero_dec = F.lit(0).cast("decimal(30,6)")
@@ -380,14 +425,16 @@ def retrieval_eval_grouped(run: DataFrame, qrels: DataFrame, id_col: str,
                     / F.col("__idcg").cast("double"), 6))
          .otherwise(F.lit(0.0))),
     ]
-    rows = [joined.select(F.col("query"),
-                          F.lit(name).alias("metric"),
-                          F.lit(k).cast("int").alias("k"),
-                          expr.cast("double").alias("value"))
-            for name, expr in metrics]
-    per_query = rows[0]
-    for r in rows[1:]:
-        per_query = per_query.unionByName(r)
+    # single-plan explode — see the retrieval_eval note on why unions
+    # over `joined` fan out scans
+    entries = F.array(*[
+        F.struct(F.lit(name).alias("metric"),
+                 expr.cast("double").alias("value"))
+        for name, expr in metrics])
+    per_query = (joined.select("query", F.explode(entries).alias("__m"))
+                 .select("query", F.col("__m.metric").alias("metric"),
+                         F.lit(k).cast("int").alias("k"),
+                         F.col("__m.value").alias("value")))
     macro = (per_query.groupBy("metric")
              .agg(F.round(F.avg("value"), 6).alias("value"))
              .select(F.lit(None).cast(run.schema[query_col].dataType)

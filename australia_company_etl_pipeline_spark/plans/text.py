@@ -1019,7 +1019,10 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
         # the DF counts (four corpus tokenizations without it — see
         # postings_frame docs); released by bench via unpersist_postings()
         post = rt.postings_frame(d, "text", "doc_id")
-        stats = rt.corpus_stats(d, "text")
+        # persisted: (N, avgdl) is one row, but every uncached reference
+        # replans a corpus scan under it — bm25 + keyterms + the three
+        # bm_top consumers would each pay one
+        stats = rt.corpus_stats_frame(d, "text")
         # ONE BM25 build feeds both the search branch and the rrf
         # fusion's term list
         bm_top = rt.bm25_search_from_postings(post, stats, "doc_id",
@@ -1067,11 +1070,14 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
             # (operators/retrieval.py retrieval_eval) — the BM25 run
             # graded against qrels derived from doc_id arithmetic, so
             # the judgment column is independent of the run it grades
-            qrels = d.select(
+            # persisted: retrieval_eval references qrels three times
+            # (run join, ideal ordering, total-relevant count) — staged
+            # once, released with the postings build
+            qrels = rt.persist_tracked(d.select(
                 "doc_id",
                 F.when(F.col("doc_id") % 7 == 0, 2)
                 .when(F.col("doc_id") % 3 == 0, 1)
-                .otherwise(0).alias("rel"))
+                .otherwise(0).alias("rel")))
             parts.append(
                 rt.retrieval_eval(bm_top.select("doc_id", "rank"),
                                   qrels, "doc_id", k=10)
@@ -1081,13 +1087,21 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                         F.col("k").alias("n_matched"),
                         F.col("value").alias("score"),
                         F.lit(None).cast("int").alias("rank")))
-    if kind in (None, "lm", "ccnet"):
+    tok = None
+    if kind in (None, "lm", "ccnet", "sbo"):
         # LM scoring needs token ORDER, which the (id, term, tf) postings
-        # aggregate has discarded — it pays its own tokenization scans,
-        # deliberately UNcached (persist_tokens=False default:
-        # serializing token arrays measured slower than re-splitting a
-        # cheap local scan; see the lm module note)
-        scored = lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0)
+        # aggregate has discarded — so the lm/ccnet/sbo subtree stages
+        # ONE persisted token frame (released via unpersist_lm()) that
+        # both scorers derive from. r8 shipped this subtree UNcached on
+        # a single-consumer measurement; with sbo's six position-frame
+        # references plus bigram's three consumers the fold planned 35
+        # distinct corpus scans — the staged frame collapses that to
+        # one tokenization scan for the whole subtree (r9 re-measure:
+        # fold wall-time flat at sf0.1, scan count 37→~9).
+        tok = lm_ops.token_frame(d, "text", "doc_id", persist=True)
+    if kind in (None, "lm", "ccnet"):
+        scored = lm_ops.bigram_lm_score(d, "text", "doc_id", add_k=1.0,
+                                        tok=tok)
         if kind in (None, "lm"):
             parts.append(
                 scored
@@ -1108,11 +1122,10 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                         F.col("avg_nll").alias("score"),
                         F.lit(None).cast("int").alias("rank")))
     if kind in (None, "sbo"):
-        # kind='sbo' (r8): Stupid Backoff trigram self-scoring — like
-        # the lm branch it needs token ORDER, so it pays its own
-        # tokenization scan
+        # kind='sbo' (r8): Stupid Backoff trigram self-scoring — reads
+        # the staged token frame shared with the lm/ccnet arms
         parts.append(
-            lm_ops.stupid_backoff_score(d, "text", "doc_id")
+            lm_ops.stupid_backoff_score(d, "text", "doc_id", tok=tok)
             .select(F.lit("sbo").alias("kind"), "doc_id",
                     F.lit(None).cast("string").alias("term"),
                     F.col("n_scored").alias("n_matched"),
@@ -1125,7 +1138,8 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
         # clustering path reuses the pinned IVF kernel in pytest)
         from ..operators import cluster as cl_ops
 
-        t = cl_ops.ctfidf_terms(d, "lang", "text", top_k=5, min_count=2)
+        t = cl_ops.ctfidf_terms(d, "lang", "text", top_k=5, min_count=2,
+                                persist=True)
         parts.append(
             t.select(F.lit("ctfidf").alias("kind"),
                      F.lit(None).cast("long").alias("doc_id"),

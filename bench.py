@@ -125,6 +125,9 @@ def _release_operator_caches() -> None:
     """Release per-query operator caches (MinHash shingles, BM25
     postings, LM tables) so repetitions don't accumulate executor
     storage."""
+    from australia_company_etl_pipeline_spark.operators import (
+        cluster as cl_ops,
+    )
     from australia_company_etl_pipeline_spark.operators import dedup as dd
     from australia_company_etl_pipeline_spark.operators import lm as lm_ops
     from australia_company_etl_pipeline_spark.operators import (
@@ -134,6 +137,7 @@ def _release_operator_caches() -> None:
     dd.unpersist_shingles()
     rt.unpersist_postings()
     lm_ops.unpersist_lm()
+    cl_ops.unpersist_cluster()
 
 
 def main() -> None:
@@ -200,8 +204,15 @@ def main() -> None:
         branches.setdefault(name, {})[branch] = \
             round(statistics.median(ts), 3)
 
-    print(json.dumps({
-        "metric": "headline_queries_total",
+    # OUTPUT CONTRACT (r9, after the r8 parse failure): the driver
+    # captures only a bounded tail of stdout and parses the LAST line
+    # as the bench JSON. The full detail blob (per-query medians,
+    # branches, sentinel ladder) therefore prints FIRST, and the FINAL
+    # line is a compact summary guaranteed to fit the tail window —
+    # the r8 single fat line (~2.6 KB) overflowed the capture and the
+    # round recorded no machine-readable headline.
+    detail = {
+        "metric": "headline_queries_detail",
         "value": total,
         "unit": "sec",
         "reps": REPS,
@@ -216,7 +227,21 @@ def main() -> None:
         "branches": branches,
         "branch_reps": BRANCH_REPS,
         "sf": sf,
-    }))
+    }
+    print(json.dumps(detail))
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "value_normalized": round(total / sentinel_median, 2),
+        "sentinel_median": round(sentinel_median, 3),
+        "n_queries": len(per_query),
+        "queries": {},  # per-query detail on the preceding line
+        "sf": sf,
+    }
+    line = json.dumps(summary)
+    assert len(line) <= 500, f"summary line grew to {len(line)} chars"
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

@@ -139,19 +139,24 @@ def test_oneshot_bm25_plan_prefilters_below_postings_aggregate(spark,
 
 
 def test_registered_query_shares_one_postings_build(spark, sf_dir):
-    """doc_search_bm25 persists the postings frame, so its term branches
-    (search + keyterms) and their DF counts all read ONE cached build —
-    the plan must reference the in-memory relation, not four separate
-    parquet scans of documents. The kind='lm' branch pays ONE extra
-    tokenization scan by design (transitions need token order, which
-    the postings aggregate has discarded); its consumers deliberately
-    RECOMPUTE the cheap scan+split instead of caching token arrays —
-    both the shared-token-frame variant and persist_tokens=True
-    measured slower at sf0.1 (serializing token arrays costs more than
-    re-splitting a cheap local scan; the dedup.token_frame
-    recompute-vs-cache note), so extra scan nodes in the lm subtree are
-    the MEASURED design, not an accident."""
+    """doc_search_bm25 stages every multi-consumer frame exactly once:
+    the persisted postings build, the persisted (N, avgdl) stats row,
+    the lm/ccnet/sbo subtree's shared token frame, the releval qrels
+    projection, and the ctfidf (class, term) aggregate. The r8 fold
+    regressed to 35 distinct corpus scans because the sbo/releval
+    branches replanned their uncached inputs per consumer (sbo's
+    position frame alone is referenced six times in its scoring joins;
+    retrieval_eval's four-metric union replanned the whole run/qrels
+    subtree per metric before the r9 explode rewrite). The r9 plan is
+    exactly 7 distinct parquet scans — one build scan per staged frame
+    (postings, stats, tok, qrels, ctfidf) + the rrf branch's
+    embeddings corpus + query-vector scans — measured flat vs r8 at
+    sf0.1 (~12s) while collapsing 37→7 scheduled corpus passes, the
+    shape that survives 100 TB."""
     from australia_company_etl_pipeline_spark import plans
+    from australia_company_etl_pipeline_spark.operators import (
+        cluster as cl_ops,
+    )
     from australia_company_etl_pipeline_spark.operators import lm as lmo
 
     try:
@@ -160,25 +165,16 @@ def test_registered_query_shares_one_postings_build(spark, sf_dir):
         # postings consumers (2 term branches × score side + DF side)
         # all read the one cached postings build
         assert plan.count("InMemoryTableScan") >= 4, plan
-        # distinct parquet-scan NODES (formatted explain reprints the
-        # cached build subtree — same node id — under every consumer):
-        # one for the shared postings build + one per corpus_stats copy
-        # + the lm branch's per-consumer scans (bigram, context, probe,
-        # vocabulary) + the r7 ccnet branch's order-stat probe and
-        # score scans and the r7 ctfidf branch's clustering scan —
-        # each new FOLD may add scans; each fold's own plan discipline
-        # is pinned in its module tests, this guard only catches a
-        # single branch regressing into uncached scan fan-out
+        # distinct parquet-scan NODES (formatted explain reprints a
+        # cached build subtree — same node id — under every consumer)
         import re
 
-        # (r8: +3 for the rrf hybrid branch — the embeddings corpus +
-        # query-vector scans and its own corpus_stats copy; its BM25
-        # list reads the cached postings build)
         scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
-        assert len(scan_ids) <= 14, sorted(scan_ids)
+        assert len(scan_ids) <= 7, sorted(scan_ids)
     finally:
         rt.unpersist_postings()
         lmo.unpersist_lm()
+        cl_ops.unpersist_cluster()
 
 
 def test_rrf_fuse_hand_golden(spark):
@@ -306,6 +302,41 @@ def test_retrieval_eval_rejects_bad_k(spark):
     run_df, q_df = _eval_frames(spark, [(1, 1)], {1: 1})
     with pytest.raises(ValueError, match="k must be"):
         rt.retrieval_eval(run_df, q_df, "doc_id", k=0)
+
+
+def test_retrieval_eval_grouped_judged_but_unretrieved_query_scores_zero(
+        spark):
+    """A judged query the run retrieved NOTHING for (or nothing at
+    rank<=k) must still emit per-query rows with precision/mrr/ndcg = 0
+    and weigh into the macro average — dropping it silently inflates
+    the headline (the TREC-macro convention the docstring promises).
+    Recall stays NULL only when the query has no relevant judgments."""
+    run_df = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 2)],
+        "qid string, doc_id long, rank int")
+    q_df = spark.createDataFrame(
+        # q2 judged (one relevant doc) but absent from the run entirely;
+        # q3 judged with only rel=0 rows and also unretrieved
+        [("q1", 10, 1), ("q2", 30, 2), ("q3", 40, 0)],
+        "qid string, doc_id long, rel int")
+    got = rt.retrieval_eval_grouped(run_df, q_df, "doc_id", "qid",
+                                    k=2).collect()
+    per_q = {(r.query, r.metric): r.value for r in got
+             if r.query is not None}
+    macro = {r.metric: r.value for r in got if r.query is None}
+    # q2: judged, unretrieved -> all-zero metrics, recall 0 (1 relevant)
+    assert per_q[("q2", "precision")] == 0.0
+    assert per_q[("q2", "recall")] == 0.0
+    assert per_q[("q2", "mrr")] == 0.0
+    assert per_q[("q2", "ndcg")] == 0.0
+    # q3: judged with no positive relevance -> recall undefined (NULL)
+    assert per_q[("q3", "recall")] is None
+    assert per_q[("q3", "precision")] == 0.0
+    # macro: q1 perfect (p=0.5 at k=2... 1 hit of 2 slots), q2 zero,
+    # q3 zero -> precision macro = (0.5 + 0 + 0) / 3
+    assert macro["precision"] == pytest.approx(round(0.5 / 3, 6))
+    # recall macro over the two defined queries only: (1.0 + 0.0) / 2
+    assert macro["recall"] == pytest.approx(0.5)
 
 
 def test_retrieval_eval_grouped_matches_per_query_twin(spark):
