@@ -47,6 +47,20 @@ def unpersist_shingles() -> int:
     return n
 
 
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist an auxiliary multi-consumer frame (a derived corpus, a
+    bounded candidate-pair set an eval references again) and track it
+    for ``unpersist_shingles()`` — the shingle build's release
+    contract, for plans staging their own shared frames. An UNcached
+    frame referenced twice replans its whole subtree twice; for an
+    all-pairs baseline that is two quadratic joins."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE.append(out)
+    return out
+
+
 def shingle_cache_snapshot() -> set[int]:
     """Mark the current cache contents; pair with ``new_shingles_since``
     to scope cleanup to ONE operator call (a global

@@ -48,6 +48,19 @@ _TIE = "__asof_tie"
 _PAYLOAD = "__asof_payload"
 _BUCKET = "__range_bucket"
 
+# persisted funnel frontiers awaiting release — the
+# dedup._SHINGLE_CACHE / retrieval._POSTINGS_CACHE contract.
+_TEMPORAL_CACHE: list[DataFrame] = []
+
+
+def unpersist_temporal() -> int:
+    """Release frames persisted by ``funnel(persist_frontiers=True)``
+    in this process; returns how many were released."""
+    n = len(_TEMPORAL_CACHE)
+    while _TEMPORAL_CACHE:
+        _TEMPORAL_CACHE.pop().unpersist()
+    return n
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
@@ -450,7 +463,8 @@ def bucket_zscores(resampled: DataFrame, value_col: str,
 def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
            type_col: str = "event_type",
-           max_gap: int | None = None) -> DataFrame:
+           max_gap: int | None = None,
+           persist_frontiers: bool = False) -> DataFrame:
     """Sequential-funnel counts → ``(step, step_name, n_users)``: how
     many users performed step 1, then step 2 strictly AFTER their
     first step-1 event, and so on (the product-analytics staple:
@@ -479,24 +493,42 @@ def funnel(events: DataFrame, steps: list[str],
     no windows, no per-user event arrays (a bot with millions of
     events costs map-side-combined minimums, not a collect_list blob),
     no broadcast dependence. N steps = N keyed shuffles, each smaller
-    than the last; the gap bound only adds a predicate to the join."""
+    than the last; the gap bound only adds a predicate to the join.
+
+    Each frontier is consumed twice (the next step's join AND its own
+    count row), so lineage-only frontiers replan the whole prefix
+    chain per consumer — 2N scheduled scans of the event log instead
+    of N. ``persist_frontiers=True`` caches each per-user frontier
+    (one row per surviving user — the bounded frame this chain exists
+    to produce) so the log is scanned exactly once per step; release
+    with ``unpersist_temporal()`` after the terminal action."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if max_gap is not None and max_gap <= 0:
         raise ValueError(f"max_gap must be > 0 seconds, got {max_gap}")
+
+    def stage(fr: DataFrame) -> DataFrame:
+        if persist_frontiers:
+            from pyspark import StorageLevel
+
+            fr = fr.persist(StorageLevel.MEMORY_AND_DISK)
+            _TEMPORAL_CACHE.append(fr)
+        return fr
+
     t, u = F.col(ts_col), F.col(user_col)
-    cur = (events.filter(F.col(type_col) == steps[0])
-           .groupBy(user_col).agg(F.min(t).alias("__t")))
+    cur = stage(events.filter(F.col(type_col) == steps[0])
+                .groupBy(user_col).agg(F.min(t).alias("__t")))
     frontiers = [cur]
     for s in steps[1:]:
         cond = t > F.col("__prev")
         if max_gap is not None:
             cond = cond & (t <= F.col("__prev")
                            + F.expr(f"INTERVAL {int(max_gap)} SECOND"))
-        cur = (events.filter(F.col(type_col) == s)
-               .join(cur.withColumnRenamed("__t", "__prev"), user_col)
-               .filter(cond)
-               .groupBy(user_col).agg(F.min(t).alias("__t")))
+        cur = stage(events.filter(F.col(type_col) == s)
+                    .join(cur.withColumnRenamed("__t", "__prev"),
+                          user_col)
+                    .filter(cond)
+                    .groupBy(user_col).agg(F.min(t).alias("__t")))
         frontiers.append(cur)
     out = None
     for i, (name, fr) in enumerate(zip(steps, frontiers)):
@@ -510,6 +542,7 @@ def funnel(events: DataFrame, steps: list[str],
 def event_transitions(events: DataFrame, user_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       order_cols: Sequence[str] = ("event_id",),
+                      max_events_per_user: int | None = None,
                       ) -> DataFrame:
     """First-order Markov transition counts over each user's event
     stream: ``(prev_type, next_type, n_transitions, n_users)`` — the
@@ -526,9 +559,28 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
     the type column only — no arrays, no payload) feeding one
     partial-aggregated groupBy on (prev, next). A per-user window is
     the standard sessionization shape; a bot user with 10⁶ events
-    serializes its own partition, so pre-cap pathological users
-    (``textstats.cap_per_key`` on the user key) before journey mining
-    at crawl scale — same guidance as the sessionizers."""
+    serializes its own partition — set ``max_events_per_user`` to
+    pre-cap pathological users with the skew-safe two-level salted
+    ``textstats.cap_per_key`` BEFORE the per-user window (the hot key
+    fans out over salt buckets; the raw-key window then sees at most
+    ``max_events_per_user`` rows per user). The kept slice is each
+    user's EARLIEST ``max_events_per_user`` events by (ts, *order_cols)
+    — deterministic, so capped transition counts are replayable; users
+    under the cap are bit-identical to the uncapped result. Default
+    off: capping truncates bot journeys, a sampling decision the
+    caller owns."""
+    if max_events_per_user is not None:
+        from .textstats import cap_per_key
+
+        if max_events_per_user < 2:
+            raise ValueError("max_events_per_user must be >= 2 "
+                             "(one transition needs two events), got "
+                             f"{max_events_per_user}")
+        order = F.struct(F.col(ts_col),
+                         *[F.col(c) for c in order_cols])
+        events = cap_per_key(events.withColumn("__ord", order),
+                             [user_col], max_events_per_user,
+                             order_col="__ord").drop("__ord")
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols])
     lagged = events.select(

@@ -1017,23 +1017,35 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import cosine, embedding_dup_pairs_lsh
     from ..operators.embed import embed_documents
 
-    corpus = _embeddings_with_dups(spark, sf_dir)
+    # staged once: the derived corpus feeds the exact self-join (both
+    # sides), the LSH bucketing, and through them the eval arm — left
+    # lineage-only, the r8 fold planned 56 distinct embeddings scans
+    corpus = dd.persist_tracked(_embeddings_with_dups(spark, sf_dir))
     a, b = corpus.alias("a"), corpus.alias("b")
-    exact = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"), "inner")
-             .select(F.lit("exact").alias("method"),
-                     F.col("a.vec_id").alias("id_a"),
-                     F.col("b.vec_id").alias("id_b"),
-                     F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-                     .alias("cosine_sim"))
-             .filter(F.col("cosine_sim") >= 0.99))
-    lsh = (embedding_dup_pairs_lsh(corpus, threshold=0.99, n_planes=8,
-                                   dim=64, seed=42, multiprobe=1,
-                                   vec_col="v")
-           .select(F.lit("lsh").alias("method"), "id_a", "id_b",
-                   "cosine_sim"))
-    hc = embed_documents(_docs_with_dups(spark, sf_dir), "text",
-                         dim=_EMBED_DIM, seed=_EMBED_SEED,
-                         hash_fn="portable").select("doc_id", "embedding")
+    # the exact and lsh PAIR SETS are persisted too: each is consumed
+    # twice (the union output + the eval arm) and exact is the O(n²)
+    # all-pairs baseline — without staging, the quadratic join runs
+    # once per consumer
+    exact = dd.persist_tracked(
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"), "inner")
+        .select(F.lit("exact").alias("method"),
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                .alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.99))
+    lsh = dd.persist_tracked(
+        embedding_dup_pairs_lsh(corpus, threshold=0.99, n_planes=8,
+                                dim=64, seed=42, multiprobe=1,
+                                vec_col="v")
+        .select(F.lit("lsh").alias("method"), "id_a", "id_b",
+                "cosine_sim"))
+    # staged: both sides of the hashed all-pairs self-join read one
+    # materialized feature-hash embedding build
+    hc = dd.persist_tracked(
+        embed_documents(_docs_with_dups(spark, sf_dir), "text",
+                        dim=_EMBED_DIM, seed=_EMBED_SEED,
+                        hash_fn="portable").select("doc_id", "embedding"))
     ha, hb = hc.alias("a"), hc.alias("b")
     hashed = (ha.join(hb, F.col("a.doc_id") < F.col("b.doc_id"), "inner")
               .select(F.lit("hashed").alias("method"),
@@ -1050,12 +1062,17 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id_a = n_truth, id_b = n_pred, cosine_sim = the metric
     ev = dd.dedup_eval(lsh.select("id_a", "id_b"),
                        exact.select("id_a", "id_b"))
-    ev_rows = None
-    for m in ("precision", "recall", "f1"):
-        row = ev.select(F.lit(f"eval_{m}").alias("method"),
-                        F.col("n_truth").cast("long").alias("id_a"),
-                        F.col("n_pred").cast("long").alias("id_b"),
-                        F.col(m).alias("cosine_sim"))
-        ev_rows = row if ev_rows is None else ev_rows.unionByName(row)
+    # one explode over the three metric structs, not three unioned
+    # selects — a union of N selects over `ev` replans its whole
+    # pred/truth subtree N times (the retrieval_eval r9 lesson)
+    ev_rows = (ev.select(F.explode(F.array(*[
+                   F.struct(F.lit(f"eval_{m}").alias("method"),
+                            F.col("n_truth").cast("long").alias("id_a"),
+                            F.col("n_pred").cast("long").alias("id_b"),
+                            F.col(m).alias("cosine_sim"))
+                   for m in ("precision", "recall", "f1")]))
+               .alias("__m"))
+               .select("__m.method", "__m.id_a", "__m.id_b",
+                       "__m.cosine_sim"))
     return (exact.unionByName(lsh).unionByName(hashed)
             .unionByName(ev_rows))

@@ -174,18 +174,30 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     steps = ["view", "click", "purchase"]
-    unbounded = funnel(e, steps).select(
+    # persisted frontiers: each frontier feeds the next step's join AND
+    # its own count row — lineage-only funnels replanned the prefix
+    # chain per consumer (the fold scheduled 14 event-log scans; staged
+    # it is one filtered scan per step). Released by the caller via
+    # unpersist_temporal().
+    unbounded = funnel(e, steps, persist_frontiers=True).select(
         F.lit("all").alias("kind"), "step", "step_name", "n_users")
-    bounded = funnel(e, steps, max_gap=86400).select(
+    bounded = funnel(e, steps, max_gap=86400,
+                     persist_frontiers=True).select(
         F.lit("within_1d").alias("kind"), "step", "step_name", "n_users")
     # kind='transition'/'transition_users' (r8): one transition
-    # aggregate feeds both rollup rows
+    # aggregate feeds both rollup rows — via ONE explode, so the
+    # window+groupBy subtree plans once, not once per rollup
     tr = event_transitions(e)
-    nm = F.concat_ws(">", "prev_type", "next_type").alias("step_name")
-    step0 = F.lit(None).cast("int").alias("step")
-    t1 = tr.select(F.lit("transition").alias("kind"), step0, nm,
-                   F.col("n_transitions").alias("n_users"))
-    t2 = tr.select(F.lit("transition_users").alias("kind"), step0, nm,
-                   "n_users")
-    return (unbounded.unionByName(bounded).unionByName(t1)
-            .unionByName(t2))
+    step0 = F.lit(None).cast("int")
+    nm = F.concat_ws(">", "prev_type", "next_type")
+    t12 = (tr.select(F.explode(F.array(
+               F.struct(F.lit("transition").alias("kind"),
+                        step0.alias("step"), nm.alias("step_name"),
+                        F.col("n_transitions").alias("n_users")),
+               F.struct(F.lit("transition_users").alias("kind"),
+                        step0.alias("step"), nm.alias("step_name"),
+                        F.col("n_users").alias("n_users"))))
+           .alias("__m"))
+           .select("__m.kind", "__m.step", "__m.step_name",
+                   "__m.n_users"))
+    return unbounded.unionByName(bounded).unionByName(t12)

@@ -133,11 +133,15 @@ def _release_operator_caches() -> None:
     from australia_company_etl_pipeline_spark.operators import (
         retrieval as rt,
     )
+    from australia_company_etl_pipeline_spark.operators import (
+        temporal as tmp_ops,
+    )
 
     dd.unpersist_shingles()
     rt.unpersist_postings()
     lm_ops.unpersist_lm()
     cl_ops.unpersist_cluster()
+    tmp_ops.unpersist_temporal()
 
 
 def main() -> None:

@@ -327,10 +327,127 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
     finally:
         # some builders persist operator frames (dedup shingles, BM25
         # postings); don't leak them into the rest of the pytest session
+        from australia_company_etl_pipeline_spark.operators import (
+            cluster as cl_ops,
+        )
+        from australia_company_etl_pipeline_spark.operators import (
+            temporal as tmp_ops,
+        )
+
         dd.unpersist_shingles()
         rt.unpersist_postings()
         lm_ops.unpersist_lm()
+        cl_ops.unpersist_cluster()
+        tmp_ops.unpersist_temporal()
     assert not offenders, offenders
+
+
+# Per-query budget of DISTINCT parquet-scan nodes (r9, after the r8
+# doc_search_bm25 fold silently accreted 14 -> 37 scans): the number of
+# scheduled base-table passes each registered plan may make. Formatted
+# explain reprints a CACHED subtree under every consumer with the SAME
+# node id, so this counts real scheduled scans, not plan-tree mentions.
+# Raising a number is a REVIEWED decision: a new fold branch may add
+# its one scan here, but an uncached multi-consumer frame fanning out
+# (the r8 failure mode) must show up as a loud diff in this table.
+_SCAN_BUDGET = {
+    "abn_validate_format": 1,
+    "abr_xml_shred": 1,
+    "ann_approx_topk": 11,
+    "ann_bruteforce_topk": 13,
+    "best_order_per_customer": 1,
+    "best_supplier_match": 2,
+    "cohort_retention": 2,
+    "completeness_score": 1,
+    "corpus_filter_stats": 29,  # 14 independent one-pass gate branches
+    "customer_order_activity": 4,
+    "date_parse_multi": 1,
+    "dedup_clusters": 0,        # answers from its materialized pair set
+    "dedup_events": 4,
+    "doc_profile": 1,
+    "doc_search_bm25": 7,       # one build scan per staged frame (r9)
+    "dq_metrics_long": 7,
+    "dq_status_violations": 1,
+    "dq_suite_report": 11,      # six tables, one scan per DQ check
+    "duplicate_keys_having": 1,
+    "embedding_dup_pairs": 5,   # was 62 before the r9 staging fix
+    "entity_match_blocking": 2,
+    "event_funnel": 6,          # was 14 before persisted frontiers
+    "events_by_type_ordered": 1,
+    "events_session_windows": 1,
+    "events_window_counts": 5,
+    "exact_dedup_docs": 3,
+    "global_stats_cross_join": 4,
+    "golden_record_merge": 4,
+    "hashed_dup_pairs": 10,
+    "match_cascade_best": 2,
+    "match_cascade_stats": 2,
+    "match_feature_vector": 1,
+    "media_report": 4,
+    "monthly_order_stats": 1,
+    "name_truncation": 1,
+    "ngram_jaccard_dup_pairs": 13,
+    "order_enrichment_left": 2,
+    "order_rank_and_lag": 2,
+    "pack_docs": 6,
+    "pipeline_run_summary": 4,
+    "pricing_summary": 1,
+    "promo_revenue_by_brand": 2,
+    "purchase_attribution": 4,
+    "run_audit_log": 3,
+    "segment_dedup_docs": 11,
+    "stats_rollup": 1,
+    "union_score_bands": 2,
+    "user_sessions_pandas": 1,
+    "vocab_ngram_counts": 11,
+    "wet_scan_shred": 1,
+}
+
+
+def test_registry_wide_scan_count_budgets(spark, sf_dir):
+    """Every registered query's distinct parquet-scan count must stay
+    within _SCAN_BUDGET, and every query must HAVE a budget — a new
+    registration or a fold that grows its scan count fails loudly here
+    instead of silently scheduling extra corpus passes (at 100 TB each
+    extra scan is a full I/O pass over the table)."""
+    import re
+
+    from australia_company_etl_pipeline_spark.operators import (
+        cluster as cl_ops,
+    )
+    from australia_company_etl_pipeline_spark.operators import dedup as dd
+    from australia_company_etl_pipeline_spark.operators import lm as lm_ops
+    from australia_company_etl_pipeline_spark.operators import (
+        retrieval as rt,
+    )
+    from australia_company_etl_pipeline_spark.operators import (
+        temporal as tmp_ops,
+    )
+
+    assert set(_SCAN_BUDGET) == set(plans.REGISTRY), (
+        "budget table out of sync with the registry — add/remove the "
+        "diff: " f"{set(_SCAN_BUDGET) ^ set(plans.REGISTRY)}")
+    over = {}
+    try:
+        for name, q in plans.REGISTRY.items():
+            plan = _plan(q.builder(spark, sf_dir))
+            n = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+            if n > _SCAN_BUDGET[name]:
+                over[name] = (n, _SCAN_BUDGET[name])
+            # release per-query staged frames so later queries in this
+            # sweep plan against a clean cache
+            dd.unpersist_shingles()
+            rt.unpersist_postings()
+            lm_ops.unpersist_lm()
+            cl_ops.unpersist_cluster()
+            tmp_ops.unpersist_temporal()
+    finally:
+        dd.unpersist_shingles()
+        rt.unpersist_postings()
+        lm_ops.unpersist_lm()
+        cl_ops.unpersist_cluster()
+        tmp_ops.unpersist_temporal()
+    assert not over, f"scan budget exceeded (got, budget): {over}"
 
 
 def test_dsir_scoring_single_shuffle_broadcast_model(spark, sf_dir):

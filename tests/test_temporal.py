@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -714,6 +714,82 @@ def test_event_transitions_hand_golden(spark):
         ("click", "view"): (1, 1),
         ("view", "purchase"): (1, 1),
     }
+
+
+def test_event_transitions_bot_user_cap(spark):
+    """max_events_per_user pre-caps a pathological user with the
+    skew-safe salted cap BEFORE the per-user window: the bot keeps its
+    EARLIEST cap-sized slice (deterministic by (ts, event_id)), normal
+    users are bit-identical to the uncapped result, and the physical
+    plan shows the two-level WindowGroupLimit cap ahead of the lag
+    window."""
+    from australia_company_etl_pipeline_spark.operators.temporal import (
+        event_transitions,
+    )
+
+    # bot user 99: 100 alternating view/click events; normal user 1:
+    # view -> click -> purchase
+    rows = [(i, 99, datetime(2024, 1, 1, 0, 0, 0) + timedelta(seconds=i),
+             "view" if i % 2 == 0 else "click") for i in range(100)]
+    rows += [(1000, 1, datetime(2024, 1, 2), "view"),
+             (1001, 1, datetime(2024, 1, 2, 0, 1), "click"),
+             (1002, 1, datetime(2024, 1, 2, 0, 2), "purchase")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    capped = event_transitions(df, max_events_per_user=10)
+    got = {(r.prev_type, r.next_type): (r.n_transitions, r.n_users)
+           for r in capped.collect()}
+    # bot contributes only its earliest 10 events: v c v c v c v c v c
+    # -> 5 view>click + 4 click>view; user 1 untouched
+    assert got == {
+        ("view", "click"): (5 + 1, 2),
+        ("click", "view"): (4, 1),
+        ("click", "purchase"): (1, 1),
+    }
+    # uncapped twin unchanged for the normal user
+    full = {(r.prev_type, r.next_type): (r.n_transitions, r.n_users)
+            for r in event_transitions(df).collect()}
+    assert full[("view", "click")] == (50 + 1, 2)
+    # plan: the salted cap's two window-group-limit levels sit below
+    # the per-user lag window
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        capped.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        event_transitions(df, max_events_per_user=1)
+
+
+def test_funnel_persist_frontiers_matches_and_stages(spark):
+    """persist_frontiers=True returns identical counts while staging
+    each per-user frontier once (released via unpersist_temporal) —
+    the event_funnel fold's 14-scans-of-the-log fix."""
+    from australia_company_etl_pipeline_spark.operators import (
+        temporal as tmp,
+    )
+
+    rows = [(1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+            (2, "view", 1), (2, "click", 5),
+            (3, "click", 1)]
+    df = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in rows],
+        "user_id long, event_type string, secs double").select(
+        "user_id", "event_type",
+        F.timestamp_seconds(F.col("secs")).alias("ts"))
+    steps = ["view", "click", "purchase"]
+    try:
+        staged = {r.step_name: r.n_users
+                  for r in tmp.funnel(df, steps,
+                                      persist_frontiers=True).collect()}
+        plain = {r.step_name: r.n_users
+                 for r in tmp.funnel(df, steps).collect()}
+        assert staged == plain == {"view": 2, "click": 2, "purchase": 1}
+    finally:
+        assert tmp.unpersist_temporal() == 3     # one per step
+    assert tmp.unpersist_temporal() == 0
 
 
 def test_event_transitions_equal_ts_order_pinned_by_id(spark):
