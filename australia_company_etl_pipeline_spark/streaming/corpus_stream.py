@@ -498,17 +498,20 @@ def fold_postings_batch(batch_df: DataFrame, batch_id: int,
     Documents must arrive once (or be pre-deduped by
     ``stream_dedup_ingest``) — a doc re-delivered under a NEW batch id
     is a new document to this index, exactly as it would be to a batch
-    rebuild over the duplicated corpus."""
+    rebuild over the duplicated corpus.
+
+    Write order: stats land BEFORE postings. The two writes are not
+    atomic together; a crash (or a concurrent ``bm25_search_indexed``
+    read) between them must never see postings whose documents are
+    missing from the summed N/avgdl — that would inflate every score.
+    Stats-first means the only inconsistent window UNDER-claims:
+    N briefly includes documents whose postings haven't landed, which
+    can only deflate idf slightly until the batch replays/completes."""
     from ..operators import retrieval as rt
     from ..operators.textstats import tokens
 
     if batch_df.isEmpty():
         return
-    post = (rt.term_postings(batch_df, text_col, id_col)
-            .withColumn("__batch", F.lit(batch_id)))
-    (post.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("__batch").parquet(f"{index_path}/postings"))
     stats = (batch_df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
@@ -517,6 +520,11 @@ def fold_postings_batch(batch_df: DataFrame, batch_id: int,
     (stats.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("__batch").parquet(f"{index_path}/stats"))
+    post = (rt.term_postings(batch_df, text_col, id_col)
+            .withColumn("__batch", F.lit(batch_id)))
+    (post.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("__batch").parquet(f"{index_path}/postings"))
 
 
 def stream_postings_ingest(stream: DataFrame, index_path: str,
@@ -537,6 +545,75 @@ def stream_postings_ingest(stream: DataFrame, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_BASE_GEN = -1  # reserved __batch id for the compacted base generation
+#                 (Structured Streaming batch ids are always >= 0)
+
+
+def compact_postings(spark, index_path: str,
+                     keep_last: int = 8) -> dict[str, int]:
+    """Fold old per-trigger partitions of a ``stream_postings_ingest``
+    index into one base generation, keeping the newest ``keep_last``
+    batch partitions live — the offline maintenance step the per-batch
+    layout needs: every trigger adds one ``__batch`` partition, so
+    after 10⁵ triggers the read path lists 10⁵ directories and the
+    scan schedules 10⁵ tiny files (listing cost grows linearly with
+    stream age; query cost should not).
+
+    Content is UNCHANGED — postings rows are relabeled into the base
+    partition (``__batch = -1``, unreachable by real batch ids) and
+    stats rows integer-sum into one base row, so ``bm25_search_indexed``
+    results are bit-identical before and after. Each table is written
+    to a pid-suffixed tmp tree and swapped with ``replace_dir``
+    (atomic renames — the ``compact_dedup_index`` discipline: every
+    crash window leaves a complete table on disk). Stats swaps first,
+    mirroring the fold's stats-before-postings ordering.
+
+    ``keep_last`` must cover the stream's replay horizon: a replayed
+    trigger rewrites its OWN ``__batch`` partition, which only stays
+    idempotent while that partition exists — folding a batch that
+    later replays would re-add its rows beside the base copy. After a
+    clean ``availableNow`` drain (or a checkpoint commit) only the
+    newest trigger can ever replay, so the default is comfortably
+    conservative. Returns ``{'batches_folded': n, 'partitions': m}``
+    (m = live batch partitions after, base included when present)."""
+    from ..session import replace_dir
+
+    import os as _os
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    post = spark.read.parquet(f"{index_path}/postings")
+    batches = sorted(r["__batch"] for r in
+                     post.select("__batch").distinct().collect())
+    real = [b for b in batches if b != _BASE_GEN]
+    fold = set(real[:-keep_last])
+    if not fold:
+        return {"batches_folded": 0, "partitions": len(batches)}
+    folded_label = (F.when(F.col("__batch").isin([_BASE_GEN, *fold]),
+                           F.lit(_BASE_GEN))
+                    .otherwise(F.col("__batch")).alias("__batch"))
+
+    stats = spark.read.parquet(f"{index_path}/stats")
+    new_stats = (stats.select("n_docs", "sum_dl", folded_label)
+                 .groupBy("__batch")
+                 .agg(F.sum("n_docs").alias("n_docs"),
+                      F.sum("sum_dl").alias("sum_dl")))
+    tmp = f"{index_path}/stats.__compact_tmp.{_os.getpid()}"
+    (new_stats.write.mode("overwrite").partitionBy("__batch")
+     .parquet(tmp))
+    replace_dir(spark, tmp, f"{index_path}/stats")
+
+    new_post = post.select(
+        *[c for c in post.columns if c != "__batch"], folded_label)
+    tmp = f"{index_path}/postings.__compact_tmp.{_os.getpid()}"
+    (new_post.write.mode("overwrite").partitionBy("__batch")
+     .parquet(tmp))
+    replace_dir(spark, tmp, f"{index_path}/postings")
+    return {"batches_folded": len(fold),
+            "partitions": len(batches) - len(fold)
+            + (0 if _BASE_GEN in batches else 1)}
 
 
 def bm25_search_indexed(spark, index_path: str, query_terms: list[str],

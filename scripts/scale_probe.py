@@ -336,6 +336,42 @@ def main() -> None:
             sec = time.time() - t
             print(f"postings_fold batch={k} sec={sec:.2f}")
 
+    # --- postings compaction (r9): flat search latency vs trigger count
+    # An uncompacted index lists one partition per trigger, so the
+    # search's listing/scheduling cost grows with stream AGE, not
+    # corpus size. Fold the same corpus as 1×/16×/64× many-small
+    # triggers of equal total size, time bm25_search_indexed on each,
+    # then compact the worst case and re-time: searched-corpus size is
+    # IDENTICAL at every point, so any growth is pure partition-count
+    # overhead and compaction must restore the 1-trigger latency.
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (  # noqa: E501,E402
+        bm25_search_indexed, compact_postings)
+
+    for n_triggers in (1, 16, 64):
+        with tempfile.TemporaryDirectory() as pidx:
+            for k in range(n_triggers):
+                fold_postings_batch(
+                    docs.filter(F.col("doc_id") % n_triggers == k),
+                    k, pidx)
+            t = time.time()
+            force(bm25_search_indexed(spark, pidx,
+                                      ["spark", "data", "company"]))
+            search = time.time() - t
+            line = (f"postings_search triggers={n_triggers} "
+                    f"search_sec={search:.2f}")
+            if n_triggers == 64:
+                t = time.time()
+                res = compact_postings(spark, pidx, keep_last=4)
+                compact = time.time() - t
+                t = time.time()
+                force(bm25_search_indexed(spark, pidx,
+                                          ["spark", "data", "company"]))
+                after = time.time() - t
+                line += (f" compact_sec={compact:.2f} "
+                         f"folded={res['batches_folded']} "
+                         f"search_after_sec={after:.2f}")
+            print(line)
+
 
 if __name__ == "__main__":
     main()

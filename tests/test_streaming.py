@@ -786,3 +786,61 @@ def test_stream_postings_index_matches_batch_bm25(spark, tmp_path):
              for r in bm25_search_indexed(spark, index,
                                           terms).collect()}
     assert again == want
+
+
+def test_compact_postings_preserves_search_and_bounds_partitions(
+        spark, tmp_path):
+    """compact_postings folds old per-trigger partitions into the base
+    generation: search results stay bit-identical, the partition count
+    drops to keep_last (+1 base), a replay of a KEPT batch is still
+    idempotent, and re-compacting is a no-op. This is what keeps the
+    read path's listing cost flat as trigger count grows — after 10^5
+    triggers an uncompacted index lists 10^5 directories per query."""
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        bm25_search_indexed, compact_postings, fold_postings_batch)
+
+    index = str(tmp_path / "idx")
+    # 12 triggers, one doc each; terms overlap so idf/avgdl shift
+    # with every batch folded in
+    batches = [
+        spark.createDataFrame(
+            [(i, f"spark term{i % 3} join " + "pad " * (i % 5))],
+            "doc_id long, text string")
+        for i in range(12)]
+    for i, b in enumerate(batches):
+        fold_postings_batch(b, i, index)
+
+    terms = ["spark", "term1", "join"]
+    def search():
+        return {r.doc_id: (r.n_terms_matched, r.score, r.rank)
+                for r in bm25_search_indexed(spark, index,
+                                             terms).collect()}
+
+    def live_batches():
+        return {r["__batch"] for r in
+                spark.read.parquet(f"{index}/postings")
+                .select("__batch").distinct().collect()}
+
+    want = search()
+    res = compact_postings(spark, index, keep_last=3)
+    assert res == {"batches_folded": 9, "partitions": 4}
+    assert search() == want
+    assert live_batches() == {-1, 9, 10, 11}
+    # stats folded to one base row + one per kept batch
+    assert (spark.read.parquet(f"{index}/stats")
+            .select("__batch").distinct().count() == 4)
+    # replay of a KEPT batch rewrites its own partition: idempotent
+    fold_postings_batch(batches[11], 11, index)
+    assert search() == want
+    # second compaction folds nothing further at the same horizon
+    assert compact_postings(spark, index, keep_last=3) == {
+        "batches_folded": 0, "partitions": 4}
+    # a later horizon folds kept batches INTO the existing base
+    assert compact_postings(spark, index, keep_last=1) == {
+        "batches_folded": 2, "partitions": 2}
+    assert search() == want
+    assert live_batches() == {-1, 11}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep_last"):
+        compact_postings(spark, index, keep_last=0)
