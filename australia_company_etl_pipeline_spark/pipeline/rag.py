@@ -25,16 +25,23 @@ Index root layout (all swaps atomic via ``session.replace_dir``):
   n_chunk_tokens)`` parquet: the answer-time payload store;
 - ``<root>/ivf``     — the ``build_ivf_index`` layout (centroids +
   centroid-partitioned inverted lists);
+- ``<root>/postings``/``<root>/stats`` — the chunk store's BM25 term
+  postings (``retrieval.term_postings``) and one-row (N, avgdl): the
+  LEXICAL index artifact (r9), so the hybrid path never re-tokenizes
+  the chunk store at query time;
 - ``<root>/meta``    — one row pinning (dim, seed, hash_fn,
   chunk_tokens, overlap): a query embedded under different hashing
   than the index is garbage-in, so ``rag_search`` reads the stored
-  params instead of trusting the caller to repeat them.
+  params instead of trusting the caller to repeat them. Written LAST —
+  the build-if-missing pattern keys on it, so a crashed build (no
+  meta) rebuilds rather than serving a partial root.
 
 Scale shape: chunking and embedding are shuffle-free projections; the
 index build is one k-means + one assignment shuffle + one partitioned
-write; a search is a partition-pruned probe over ``n_probe`` inverted
-lists plus one broadcast join back to the chunk store (candidate ids
-only — never a chunk-store scan).
+write + one postings aggregate; a search is a partition-pruned probe
+over ``n_probe`` inverted lists plus a term-filtered postings read,
+plus one join back to the chunk store (candidate ids only — never a
+chunk-store scan).
 """
 
 from __future__ import annotations
@@ -83,6 +90,19 @@ def rag_prepare(docs: DataFrame, text_col: str, id_col: str, path: str,
     ann.build_ivf_index(emb, f"{path}/ivf", n_centroids=n_centroids,
                         kmeans_iter=kmeans_iter, seed=seed)
 
+    # lexical artifact: postings + stats over the LANDED chunk store
+    # (read back, so the persisted lexical index is derived from
+    # exactly the bytes the payload joins will serve)
+    landed = spark.read.parquet(f"{path}/chunks")
+    ptmp = f"{path}/postings.__build_tmp.{os.getpid()}"
+    (rt.term_postings(landed, "chunk_text", "chunk_uid")
+     .write.mode("overwrite").parquet(ptmp))
+    replace_dir(spark, ptmp, f"{path}/postings")
+    stmp = f"{path}/stats.__build_tmp.{os.getpid()}"
+    (rt.corpus_stats(landed, "chunk_text")
+     .coalesce(1).write.mode("overwrite").parquet(stmp))
+    replace_dir(spark, stmp, f"{path}/stats")
+
     meta = spark.createDataFrame(
         [(dim, seed, hash_fn, chunk_tokens, overlap)],
         "dim int, seed int, hash_fn string, chunk_tokens int, "
@@ -102,15 +122,18 @@ def rag_search(spark: SparkSession, path: str, query: str, k: int = 5,
     ``<root>/meta`` (never caller-supplied — a mismatched hasher is
     silent garbage), probes the IVF index partition-pruned, and joins
     the k candidate ids back to the chunk store. ``hybrid=True``
-    additionally ranks the chunk store by BM25 on the query's terms
-    and fuses both lists with reciprocal rank (``rrf_fuse``) — rank
-    position is all that crosses, so the cosine and BM25 scales never
-    need calibration; ``score`` is then the RRF score.
+    additionally ranks the query's terms against the PERSISTED
+    ``<root>/postings``/``<root>/stats`` lexical index and fuses both
+    lists with reciprocal rank (``rrf_fuse``) — rank position is all
+    that crosses, so the cosine and BM25 scales never need
+    calibration; ``score`` is then the RRF score.
 
-    The BM25 half scans the chunk store once per call — for a
-    many-query workload build ``retrieval.postings_frame`` over the
-    store and keep it; this convenience form optimizes for the
-    one-shot case."""
+    Both halves answer from persisted artifacts ONLY (r9 — the
+    pre-r9 form re-tokenized the chunk store per call, an accidental
+    corpus scan per query): the dense list from the partition-pruned
+    IVF layout, the lexical list from the postings table with the
+    query-term IN-filter pushed to the scan. Per-query cost scales
+    with the probed lists + matching postings, never the store."""
     if not query or not query.strip():
         raise ValueError("rag_search needs a non-empty query string")
     m = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -126,8 +149,10 @@ def rag_search(spark: SparkSession, path: str, query: str, k: int = 5,
         hits = dense.select(F.col("vec_id").alias("chunk_uid"),
                             F.col("cosine_sim").alias("score"), "rank")
     else:
-        bm = rt.bm25_search(chunks, "chunk_text", "chunk_uid",
-                            query.split(), top_n=max(k, 10))
+        bm = rt.bm25_search_from_postings(
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/stats"),
+            "chunk_uid", query.split(), top_n=max(k, 10))
         fused = rt.rrf_fuse(
             [dense.select(F.col("vec_id").alias("chunk_uid"), "rank"),
              bm.select("chunk_uid", "rank")],

@@ -628,6 +628,35 @@ def _vocab_branches(spark: SparkSession, sf_dir: str,
 
 
 _BM25_TERMS = ["hash", "quantum", "spark", "vector"]  # 'quantum' absent
+
+# kind='rag' (r9): the end-to-end hybrid-RAG query over PERSISTED
+# artifacts — fixed params keyed into the cache path; n_probe covers
+# every centroid so the probe is the exact top-k regardless of where
+# k-means converged (the one non-oracle-able piece is thereby removed
+# from the value path while the plan still reads the real IVF layout).
+_RAG_QUERY = "spark hash vector"
+_RAG_CHUNK, _RAG_OVERLAP = 16, 4
+_RAG_DIM, _RAG_SEED, _RAG_CENTROIDS = 32, 42, 4
+
+
+def _rag_cache_root(sf_dir: str) -> str:
+    """Keyed persisted-RAG-root path (the plans/ann.py keyed-cache
+    discipline): folds documents.parquet's size+mtime plus every build
+    param, so a testdata regen or param change cold-rebuilds instead of
+    serving a stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    slug = hashlib.md5(src.encode()).hexdigest()[:12]
+    params = (f"c{_RAG_CHUNK}o{_RAG_OVERLAP}d{_RAG_DIM}s{_RAG_SEED}"
+              f"k{_RAG_CENTROIDS}portable")
+    key = hashlib.md5(
+        f"{st.st_size}|{st.st_mtime_ns}|{params}".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "acep_rag_cache", slug,
+                        f"rag-{key}")
                                                       # from the corpus —
                                                       # missing-term path
 _BM25_SQL_CTES = f"""
@@ -872,6 +901,125 @@ relq AS (
 )"""
 
 
+def _rag_sql() -> str:
+    """DuckDB twin of the kind='rag' hybrid search end-to-end: the
+    16/4 sliding-window chunking (the pack_docs kind='chunk' oracle's
+    shape), FNV-1a-32 feature-hash embeddings of every chunk AND the
+    query string (the embedding_dup_pairs method='hashed' twin, dim 32
+    / seed 42), exact cosine top-10 (what the all-lists IVF probe
+    computes), BM25 top-10 over the chunk postings (the kind='search'
+    formula on chunk granularity), and the RRF decimal fusion. Every
+    arithmetic pattern here is copied from an oracle that already
+    hash-matches; this block only re-targets them at the chunk store."""
+    basis = (2166136261 ^ _RAG_SEED) % (1 << 32)
+    fnv = (f"list_reduce(list_prepend(CAST({basis} AS BIGINT), "
+           f"list_transform(string_split(t, ''), "
+           f"c -> CAST(unicode(c) AS BIGINT))), "
+           f"(hh, cc) -> ((xor(hh, cc)) * 16777619) % 4294967296)")
+    step = _RAG_CHUNK - _RAG_OVERLAP
+    qterms = ", ".join(repr(t) for t in _RAG_QUERY.split())
+    qsorted = ", ".join(repr(t)
+                        for t in sorted({t.lower()
+                                         for t in _RAG_QUERY.split()}))
+    sign = ("CASE WHEN ((hv >> 16) & 1) = 0 THEN 1.0 ELSE -1.0 END")
+    unitize = ("CASE WHEN sqrt(list_sum(list_transform(r, x -> x*x))) > 0"
+               " THEN list_transform(r,"
+               " x -> x / sqrt(list_sum(list_transform(r, y -> y*y))))"
+               " ELSE r END")
+    return f"""
+rag_c AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         doc_id || ':' || ci AS chunk_uid,
+         list_slice(toks, ci * {step} + 1,
+                    ci * {step} + {_RAG_CHUNK}) AS ctoks
+  FROM (SELECT doc_id, toks,
+               unnest(range(0,
+                 CASE WHEN toks IS NULL OR len(toks) <= 0 THEN 0
+                      ELSE greatest(CAST(ceil((len(toks) - {_RAG_OVERLAP})
+                                              / {step}.0) AS BIGINT),
+                                    1) END)) AS ci
+        FROM tl)
+), rag_post AS (
+  SELECT chunk_uid, term, count(*) AS tf, min(dl) AS dl
+  FROM (SELECT chunk_uid, len(ctoks) AS dl, unnest(ctoks) AS term
+        FROM rag_c)
+  GROUP BY 1, 2
+), rag_stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(len(ctoks)) AS DOUBLE) / count(*) AS avgdl
+  FROM rag_c
+), rag_fpost AS (
+  SELECT p.* FROM rag_post p
+  JOIN (SELECT unnest([{qsorted}]) AS term) q USING (term)
+), rag_dft AS (
+  SELECT term, count(*) AS df_t FROM rag_fpost GROUP BY 1
+), rag_bm AS (
+  SELECT chunk_uid,
+         round(ln(CAST(1 AS DOUBLE)
+                  + (CAST(n_docs AS DOUBLE) - df_t + CAST(0.5 AS DOUBLE))
+                    / (df_t + CAST(0.5 AS DOUBLE)))
+               * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                  / (CAST(tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS s
+  FROM rag_fpost JOIN rag_dft USING (term) CROSS JOIN rag_stats
+), rag_bmrank AS (
+  SELECT chunk_uid,
+         CAST(row_number() OVER (ORDER BY score DESC, chunk_uid ASC)
+              AS INT) AS rank
+  FROM (SELECT chunk_uid,
+               CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE) AS score
+        FROM rag_bm GROUP BY 1
+        ORDER BY score DESC, chunk_uid ASC LIMIT 10)
+), rag_hemb AS (
+  SELECT chunk_uid, {unitize} AS hv
+  FROM (SELECT chunk_uid,
+          list_transform(range(0, {_RAG_DIM}), i ->
+            coalesce(list_sum(list_transform(hl, hv ->
+              CASE WHEN hv % {_RAG_DIM} = i THEN ({sign})
+              ELSE 0.0 END)), 0.0)) AS r
+        FROM (SELECT chunk_uid, list_transform(ctoks, t -> {fnv}) AS hl
+              FROM rag_c))
+), rag_qv AS (
+  SELECT {unitize} AS qv
+  FROM (SELECT
+          list_transform(range(0, {_RAG_DIM}), i ->
+            coalesce(list_sum(list_transform(
+              list_transform([{qterms}], t -> {fnv}), hv ->
+              CASE WHEN hv % {_RAG_DIM} = i THEN ({sign})
+              ELSE 0.0 END)), 0.0)) AS r)
+), rag_dense AS (
+  SELECT chunk_uid, rank FROM (
+    SELECT chunk_uid,
+           CAST(row_number() OVER (ORDER BY cs DESC, chunk_uid ASC)
+                AS INT) AS rank
+    FROM (SELECT c.chunk_uid,
+                 round(CASE WHEN (sqrt(list_dot_product(c.hv, c.hv))
+                                  * sqrt(list_dot_product(q.qv, q.qv)))
+                              > 0
+                       THEN list_dot_product(c.hv, q.qv)
+                            / (sqrt(list_dot_product(c.hv, c.hv))
+                               * sqrt(list_dot_product(q.qv, q.qv)))
+                       ELSE 0.0 END, 6) AS cs
+          FROM rag_hemb c CROSS JOIN rag_qv q))
+  WHERE rank <= 10
+), rag_hits AS (
+  SELECT chunk_uid, score,
+         CAST(row_number() OVER (ORDER BY score DESC, chunk_uid ASC)
+              AS INT) AS rank
+  FROM (SELECT chunk_uid,
+               round(CAST(sum(CAST(1.0 / (60 + rank) AS DECIMAL(28,12)))
+                          AS DOUBLE), 6) AS score
+        FROM (SELECT chunk_uid, rank FROM rag_bmrank
+              UNION ALL SELECT chunk_uid, rank FROM rag_dense)
+        GROUP BY 1)
+)"""
+
+
+_RAG_SQL = _rag_sql()
+
+
 @register(
     "doc_search_bm25",
     doc="Term-based ranked retrieval (operators/retrieval.py) — the "
@@ -920,7 +1068,17 @@ relq AS (
         "— every position scored with the longest matched context, "
         "three partial-agg count tables + five equi-joins; the whole "
         "backoff CASE chain, count tables and per-doc decimal NLS "
-        "accumulation replayed in DuckDB. Per-doc "
+        "accumulation replayed in DuckDB. kind='rag' (r9, "
+        "pipeline/rag.py): hybrid RAG END-TO-END on persisted "
+        "artifacts — rag_prepare builds 16/4 chunks, portable-hash "
+        "embeddings (dim 32), an IVF index and the chunk store's BM25 "
+        "postings under one keyed cache root; rag_search answers from "
+        "the persisted root only (dense probe over all 4 lists = "
+        "exact cosine top-10, persisted-postings BM25 top-10, RRF "
+        "k=60 fusion); term carries the chunk_uid, n_matched the "
+        "chunk_idx. The oracle replays chunking, FNV feature-hashing "
+        "of chunks AND query, cosine, BM25 and the decimal RRF sum "
+        "end-to-end in DuckDB. Per-doc "
         "score assembly across all kinds is order-independent decimal "
         "accumulation on the 1e-6 grid → fully value-checked against "
         "DuckDB.",
@@ -928,7 +1086,8 @@ relq AS (
     oracle=f"""
 WITH {_BM25_SQL_CTES},
 {_SBO_SQL.strip()},
-{_RELEVAL_SQL.strip().rstrip()}
+{_RELEVAL_SQL.strip().rstrip()},
+{_RAG_SQL.strip()}
 SELECT 'search' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
        n_matched, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
@@ -999,10 +1158,15 @@ SELECT 'sbo' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
        n_scored AS n_matched, avg_nls AS score,
        CAST(NULL AS INT) AS rank
 FROM sbo
+UNION ALL
+SELECT 'rag' AS kind, c.doc_id, h.chunk_uid AS term,
+       c.chunk_idx AS n_matched, h.score, h.rank
+FROM rag_hits h JOIN rag_c c USING (chunk_uid)
+WHERE h.rank <= 10
 """,
     branches={k: (lambda s, d, _k=k: _doc_search_branches(s, d, _k))
               for k in ("search", "keyterm", "lm", "ccnet", "ctfidf",
-                        "rrf", "releval", "sbo")},
+                        "rrf", "releval", "sbo", "rag")},
 )
 def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_search_branches(spark, sf_dir, None)
@@ -1131,6 +1295,37 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                     F.col("n_scored").alias("n_matched"),
                     F.col("avg_nls").alias("score"),
                     F.lit(None).cast("int").alias("rank")))
+    if kind in (None, "rag"):
+        # kind='rag' (r9): hybrid RAG end-to-end on PERSISTED artifacts
+        # — 16/4 sliding-window chunks, portable-hash embeddings
+        # (dim 32), an IVF index, and the chunk store's BM25 postings,
+        # built ONCE per (documents size+mtime, params) key by
+        # pipeline/rag.rag_prepare, then rag_search fuses the dense and
+        # lexical lists by RRF reading only the persisted root
+        # (plan-pinned in tests/test_rag.py). n_probe = n_centroids
+        # makes the dense list the exact cosine top-10, so every score
+        # is DuckDB-replayable even though k-means placed the lists.
+        from ..pipeline.rag import rag_prepare, rag_search
+        from ..session import hadoop_exists
+
+        root = _rag_cache_root(sf_dir)
+        if not hadoop_exists(spark, f"{root}/meta"):
+            rag_prepare(d, "text", "doc_id", root,
+                        chunk_tokens=_RAG_CHUNK, overlap=_RAG_OVERLAP,
+                        dim=_RAG_DIM, seed=_RAG_SEED,
+                        hash_fn="portable",
+                        n_centroids=_RAG_CENTROIDS, kmeans_iter=2)
+        hits = rag_search(spark, root, _RAG_QUERY, k=10,
+                          n_probe=_RAG_CENTROIDS, hybrid=True)
+        parts.append(
+            hits.select(
+                F.lit("rag").alias("kind"),
+                F.split(F.col("chunk_uid"), ":").getItem(0)
+                .cast("long").alias("doc_id"),
+                F.col("chunk_uid").alias("term"),
+                F.col("chunk_idx").cast("int").alias("n_matched"),
+                "score",
+                F.col("rank").cast("int").alias("rank")))
     if kind in (None, "ctfidf"):
         # kind='ctfidf' (r7, operators/cluster.py): class-based TF-IDF
         # topic terms over the lang classes — the deterministic class

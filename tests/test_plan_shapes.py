@@ -365,7 +365,12 @@ _SCAN_BUDGET = {
     "dedup_clusters": 0,        # answers from its materialized pair set
     "dedup_events": 4,
     "doc_profile": 1,
-    "doc_search_bm25": 7,       # one build scan per staged frame (r9)
+    "doc_search_bm25": 14,      # 5 corpus + 2 embeddings build scans
+    #                             (one per staged frame, r9) + 7 reads
+    #                             of the kind='rag' persisted index
+    #                             root — artifact reads, not corpus
+    #                             passes (split pinned in
+    #                             test_retrieval's scan-sharing test)
     "dq_metrics_long": 7,
     "dq_status_violations": 1,
     "dq_suite_report": 11,      # six tables, one scan per DQ check

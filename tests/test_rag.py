@@ -86,3 +86,56 @@ def test_rag_prepare_rebuild_swaps_atomically(spark, tmp_path):
     assert "3:0" in first and "3:0" not in second
     got = rag.rag_search(spark, path, "xylophone", k=2, n_probe=2)
     assert got.collect()[0].chunk_uid == "2:1"
+
+
+def test_rag_hybrid_plan_reads_persisted_artifacts_only(spark, rag_root):
+    """The hybrid search plan must answer from the persisted root
+    ONLY: the lexical list from <root>/postings + <root>/stats, the
+    dense list from the IVF layout, payloads from <root>/chunks — and
+    it must never re-tokenize the chunk store (the pre-r9 form paid a
+    postings rebuild per query: a full store scan at 100 TB)."""
+    import contextlib
+    import io
+    import re
+
+    df = rag.rag_search(spark, rag_root, "xylophone", k=2,
+                        n_probe=2, hybrid=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    locs = re.findall(
+        r"\(\d+\) Scan parquet\s*\n(?:.*\n)*?Location.*?\[file:([^\]]*)",
+        plan)
+    assert locs, plan
+    subs = {loc.rstrip("/").rsplit("/", 1)[-1] for loc in locs}
+    # every scan points into the index root...
+    assert all("/postings" in loc or "/stats" in loc or "/chunks" in loc
+               or "/ivf/" in loc for loc in locs), locs
+    # ...and the lexical artifact is actually consumed
+    assert "postings" in subs and "stats" in subs, subs
+
+
+def test_registered_rag_kind_answers_from_cache_root(spark, sf_dir):
+    """The doc_search_bm25 kind='rag' branch, once its keyed cache is
+    warm, plans ZERO scans of documents.parquet — every scan reads the
+    persisted acep_rag_cache root (the production RAG shape: prepare
+    once, answer many)."""
+    import contextlib
+    import io
+    import re
+
+    from australia_company_etl_pipeline_spark import plans
+
+    reg = plans.REGISTRY["doc_search_bm25"]
+    # first build warms (or finds) the keyed cache
+    assert reg.branches["rag"](spark, sf_dir).count() > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        reg.branches["rag"](spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    locs = re.findall(
+        r"\(\d+\) Scan parquet\s*\n(?:.*\n)*?Location.*?\[file:([^\]]*)",
+        plan)
+    assert locs
+    assert all("acep_rag_cache" in loc for loc in locs), locs
