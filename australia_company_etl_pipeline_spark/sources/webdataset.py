@@ -49,8 +49,12 @@ def write_webdataset_shards(df: DataFrame, out_dir: str, key_col: str,
     determinism). NULL member values are SKIPPED (a sample may lack a
     modality; loaders treat missing members as absent fields).
 
-    Keys must be unique (sample identity); they are stringified and
-    must be tar-member-safe (no '/' — enforced)."""
+    Keys must be unique (sample identity) and tar-member-safe (no
+    '/') — BOTH enforced: keys are stringified, equal keys range-
+    partition together and sort adjacent, so a duplicate raises from
+    the writer before any colliding member stems land in a tar (a
+    silent duplicate would last-wins-overwrite samples at read time,
+    the loud-failure discipline the other release sinks follow)."""
     import io
     import os
     import tarfile
@@ -87,11 +91,19 @@ def write_webdataset_shards(df: DataFrame, out_dir: str, key_col: str,
             info.uname = info.gname = ""
             tf.addfile(info, io.BytesIO(data))
 
+        prev_key = None
         with tarfile.open(tmp, "w") as tf:
             for row in it:
                 key = row["__key"]
                 if key is None or "/" in key:
                     raise ValueError(f"bad webdataset key: {key!r}")
+                # keys arrive sorted within the range partition, so a
+                # duplicate is always adjacent — O(1) uniqueness guard
+                if key == prev_key:
+                    raise ValueError(
+                        f"duplicate webdataset key {key!r}: keys are "
+                        "sample identity; dedupe before writing")
+                prev_key = key
                 for e in exts:
                     v = row[f"__m_{e}"]
                     if v is None:

@@ -86,3 +86,14 @@ def test_webdataset_validates_inputs(spark, tmp_path):
     with pytest.raises(ValueError, match="member"):
         write_webdataset_shards(df, str(tmp_path / "w5"), "k", {},
                                 shards=1)
+
+
+def test_webdataset_duplicate_keys_fail_loudly(spark, tmp_path):
+    """Keys are sample identity: a duplicate must raise from the
+    writer (sorted-adjacent check), never silently emit colliding
+    member stems that read_webdataset_shard would last-wins overwrite."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "c")], "k long, txt string")
+    with pytest.raises(Exception, match="duplicate webdataset key"):
+        write_webdataset_shards(df, str(tmp_path / "wdup"), "k",
+                                {"txt": "txt"}, shards=1)
