@@ -138,9 +138,38 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
 
 
 def session_windows(events: DataFrame, gap: str = "30 minutes",
-                    watermark: str = "2 hours") -> DataFrame:
+                    watermark: str = "2 hours",
+                    max_events_per_user: int | None = None) -> DataFrame:
     """Native session windows per user (``F.session_window``): a session
-    closes after ``gap`` of inactivity; end = last event + gap."""
+    closes after ``gap`` of inactivity; end = last event + gap.
+
+    ``max_events_per_user`` (batch only) pre-caps pathological users
+    with the skew-safe two-level salted ``textstats.cap_per_key``
+    BEFORE the per-user session merge — a bot with 10⁶ events
+    otherwise serializes its own partition. The kept slice is each
+    user's EARLIEST events by (ts, event_id when present): sub-cap
+    users are bit-identical to the uncapped result; a capped bot's
+    later sessions are truncated — a sampling decision the caller
+    owns, default off. Raises on a streaming frame (the cap is a
+    window; the streaming guard is the sessionizer's own state-size
+    bound plus upstream dedup)."""
+    if max_events_per_user is not None:
+        if events.isStreaming:
+            raise ValueError(
+                "max_events_per_user is batch-only: the salted cap is "
+                "a window, which a streaming plan cannot host — bound "
+                "state via the stateful sessionizer's timeout instead")
+        if max_events_per_user < 1:
+            raise ValueError("max_events_per_user must be >= 1, got "
+                             f"{max_events_per_user}")
+        from ..operators.textstats import cap_per_key
+
+        order_cols = [F.col("ts")] + (
+            [F.col("event_id")] if "event_id" in events.columns else [])
+        events = cap_per_key(
+            events.withColumn("__ord", F.struct(*order_cols)),
+            ["user_id"], max_events_per_user,
+            order_col="__ord").drop("__ord")
     sw = F.session_window("ts", gap)
     return (_with_watermark(events, watermark)
             .groupBy(sw.alias("sw"), "user_id")

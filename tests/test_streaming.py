@@ -844,3 +844,40 @@ def test_compact_postings_preserves_search_and_bounds_partitions(
     import pytest as _pt
     with _pt.raises(ValueError, match="keep_last"):
         compact_postings(spark, index, keep_last=0)
+
+
+def test_session_windows_bot_user_cap(spark):
+    """max_events_per_user pre-caps a bot BEFORE the session merge with
+    the skew-safe salted cap: normal users are bit-identical to the
+    uncapped result, the bot keeps only its earliest slice (later
+    sessions truncated — the documented sampling trade), streaming
+    frames reject the knob."""
+    from datetime import datetime, timedelta
+
+    from australia_company_etl_pipeline_spark.streaming.events_stream import (
+        session_windows,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, 99, base + timedelta(hours=i), 1.0)
+            for i in range(6)]                       # bot: 6 sessions
+    rows += [(100, 1, base, 2.0),
+             (101, 1, base + timedelta(minutes=5), 3.0)]  # one session
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    capped = session_windows(df, gap="30 minutes",
+                             max_events_per_user=2).collect()
+    by_user = {}
+    for r in capped:
+        by_user.setdefault(r.user_id, []).append(r)
+    # bot truncated to its earliest 2 events -> 2 sessions, not 6
+    assert len(by_user[99]) == 2
+    # normal user unchanged vs the uncapped twin
+    full = [r for r in session_windows(df, gap="30 minutes").collect()
+            if r.user_id == 1]
+    assert sorted(map(tuple, by_user[1])) == sorted(map(tuple, full))
+    assert full[0].n_events == 2 and full[0].sum_value == 5.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_events_per_user"):
+        session_windows(df, max_events_per_user=0)
