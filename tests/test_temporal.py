@@ -780,6 +780,9 @@ def test_funnel_persist_frontiers_matches_and_stages(spark):
         "user_id", "event_type",
         F.timestamp_seconds(F.col("secs")).alias("ts"))
     steps = ["view", "click", "purchase"]
+    # drain frames other tests' builders may have staged in this
+    # process (the oracle sweep runs event_funnel without releasing)
+    tmp.unpersist_temporal()
     try:
         staged = {r.step_name: r.n_users
                   for r in tmp.funnel(df, steps,
