@@ -47,16 +47,21 @@ def unpersist_shingles() -> int:
     return n
 
 
-def persist_tracked(df: DataFrame) -> DataFrame:
+def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist an auxiliary multi-consumer frame (a derived corpus, a
     bounded candidate-pair set an eval references again) and track it
     for ``unpersist_shingles()`` — the shingle build's release
     contract, for plans staging their own shared frames. An UNcached
     frame referenced twice replans its whole subtree twice; for an
-    all-pairs baseline that is two quadratic joins."""
-    from pyspark import StorageLevel
+    all-pairs baseline that is two quadratic joins.
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ``storage_level``: StorageLevel or name; default MEMORY_AND_DISK —
+    at 100 TB a corpus-sized staged frame wants ``"DISK_ONLY"`` (see
+    ``operators/staging.py`` for the policy and the process-wide
+    override)."""
+    from .staging import resolve_level
+
+    out = df.persist(resolve_level(storage_level))
     _SHINGLE_CACHE.append(out)
     return out
 
@@ -488,7 +493,7 @@ def _minhash_buckets(sh: DataFrame, id_col: str, extra_cols: list[str],
 
 
 def token_frame(df: DataFrame, text_col: str, id_col: str,
-                persist: bool = True) -> DataFrame:
+                persist: bool = True, storage_level=None) -> DataFrame:
     """``(id_col, __toks)`` token projection — the SPLIT is the shared
     prefix of every text sketch family (minhash shingles, simhash
     votes, n-gram verify), so callers running several families over one
@@ -503,27 +508,34 @@ def token_frame(df: DataFrame, text_col: str, id_col: str,
     cache can LOSE — measured at sf0.1, serializing the token arrays
     cost more than the nearly-free codegen re-split it saved (the
     registered ``hashed_dup_pairs`` keeps per-family splits for exactly
-    this reason). Measure on your storage before adopting."""
-    from pyspark import StorageLevel
+    this reason). Measure on your storage before adopting.
+
+    ``storage_level``: default MEMORY_AND_DISK; a token frame is the
+    same order as the corpus itself, so at 100 TB pass ``"DISK_ONLY"``
+    (policy in ``operators/staging.py``)."""
+    from .staging import resolve_level
 
     tf = df.select(F.col(id_col),
                    tokens(F.col(text_col)).alias("__toks"))
     if persist:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        tf = tf.persist(resolve_level(storage_level))
         _SHINGLE_CACHE.append(tf)
     return tf
 
 
 def shingle_frame(df: DataFrame, text_col: str, id_col: str,
                   shingle: int = 3, persist: bool = True,
-                  tokens_df: DataFrame | None = None) -> DataFrame:
+                  tokens_df: DataFrame | None = None,
+                  storage_level=None) -> DataFrame:
     """``(id_col, __sh)`` shingle projection — tokenize+shingle is the
     second-biggest near-dup cost, so callers running several sketch
     families over one corpus build this ONCE and pass it to each
     operator. Derives from a staged ``token_frame`` when ``tokens_df``
-    is given (no re-scan, no re-split). Persisted (memory-and-disk) and
-    tracked for ``unpersist_shingles()`` unless ``persist=False``."""
-    from pyspark import StorageLevel
+    is given (no re-scan, no re-split). Persisted and tracked for
+    ``unpersist_shingles()`` unless ``persist=False``; ``storage_level``
+    defaults to MEMORY_AND_DISK — corpus-sized at any scale, so at
+    100 TB pass ``"DISK_ONLY"`` (``operators/staging.py``)."""
+    from .staging import resolve_level
 
     if tokens_df is not None:
         sh = tokens_df.select(
@@ -533,7 +545,7 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str,
         sh = df.select(F.col(id_col),
                        word_ngrams(F.col(text_col), shingle).alias("__sh"))
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = sh.persist(resolve_level(storage_level))
         _SHINGLE_CACHE.append(sh)
     return sh
 
@@ -878,7 +890,8 @@ def fingerprint_band_buckets(fp: DataFrame, id_col: str,
 def banded_hamming_pairs(fp: DataFrame, id_col: str,
                          fp_col: str = "__sh",
                          max_hamming: int = 8,
-                         n_bands: int = 4) -> DataFrame:
+                         n_bands: int = 4,
+                         persist: bool = True) -> DataFrame:
     """Generic banded-hamming near-dup join over 64-bit fingerprints
     ``(id_col, fp_col)`` → ``(id_a, id_b, hamming ≤ max_hamming)``.
 
@@ -891,7 +904,21 @@ def banded_hamming_pairs(fp: DataFrame, id_col: str,
     pile into hot buckets; more, narrower bands buy guaranteed recall
     at higher candidate volume. One bucketed equi-join either way —
     never all-pairs. Serves SimHash text pairs and perceptual-hash
-    media pairs alike."""
+    media pairs alike.
+
+    ``persist`` (default on) caches the fingerprint table before the
+    band self-join: both join sides otherwise re-schedule the WHOLE
+    upstream fingerprint build (for SimHash, a full tokenize + 64-way
+    vote aggregate over the corpus — measured 2× the branch cost at
+    sf0.1: the registered ngram simhash branch dropped 10.4s → 4.9s
+    when the fp table stopped computing twice). The cached frame is one
+    (id, int64) row per document — tiny at any corpus scale — and is
+    tracked for ``unpersist_shingles()``. At 100 TB the same persist is
+    still right: recomputing the corpus-wide vote aggregate per join
+    side is a second full I/O+shuffle pass, while the fp cache is
+    ~16 bytes/doc."""
+    if persist:
+        fp = persist_tracked(fp)
     buckets = fingerprint_band_buckets(fp, id_col, fp_col,
                                        n_bands=n_bands)
     a, b = buckets.alias("a"), buckets.alias("b")

@@ -74,7 +74,7 @@ def unpersist_lm() -> int:
 
 
 def token_frame(df: DataFrame, text_col: str, id_col: str,
-                persist: bool = False) -> DataFrame:
+                persist: bool = False, storage_level=None) -> DataFrame:
     """The ``(id_col, __toks)`` tokenized projection every LM scorer in
     this module derives from. With ``persist=True`` the frame is cached
     (MEMORY_AND_DISK) and registered for ``unpersist_lm()`` — stage it
@@ -86,13 +86,18 @@ def token_frame(df: DataFrame, text_col: str, id_col: str,
     ``doc_search_bm25`` fold planned 35 distinct corpus scans before
     this staging landed). For a SINGLE consumer on a cheap local scan,
     recompute still wins — the module-note recompute-vs-cache rule
-    tracks scan cost × consumer count, not corpus size."""
+    tracks scan cost × consumer count, not corpus size.
+
+    ``storage_level``: default MEMORY_AND_DISK; the token frame is the
+    same order as the corpus, so at 100 TB pass ``"DISK_ONLY"`` (or
+    flip the process default — ``operators/staging.py``) rather than
+    let it evict the executors' working set."""
     tok = df.select(F.col(id_col), tokens(F.col(text_col))
                     .alias("__toks"))
     if persist:
-        from pyspark import StorageLevel
+        from .staging import resolve_level
 
-        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        tok = tok.persist(resolve_level(storage_level))
         _LM_CACHE.append(tok)
     return tok
 

@@ -63,14 +63,16 @@ def unpersist_postings() -> int:
     return n
 
 
-def persist_tracked(df: DataFrame) -> DataFrame:
+def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist an auxiliary frame (a query-derived qrels projection, a
     shared run slice) and track it for ``unpersist_postings()`` — the
     postings build's release contract, for callers staging their own
-    multi-consumer frames inside a retrieval plan."""
-    from pyspark import StorageLevel
+    multi-consumer frames inside a retrieval plan. ``storage_level``:
+    default MEMORY_AND_DISK; corpus-sized staged frames at 100 TB want
+    ``"DISK_ONLY"`` (policy in ``operators/staging.py``)."""
+    from .staging import resolve_level
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(resolve_level(storage_level))
     _POSTINGS_CACHE.append(out)
     return out
 
@@ -94,15 +96,18 @@ def term_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def postings_frame(df: DataFrame, text_col: str, id_col: str,
-                   persist: bool = True) -> DataFrame:
-    """``term_postings`` persisted (memory-and-disk) and tracked for
+                   persist: bool = True, storage_level=None) -> DataFrame:
+    """``term_postings`` persisted and tracked for
     ``unpersist_postings()`` — build ONCE per corpus and share across
-    searches / keyterm profiling, exactly like ``dedup.shingle_frame``."""
-    from pyspark import StorageLevel
+    searches / keyterm profiling, exactly like ``dedup.shingle_frame``.
+    ``storage_level`` defaults to MEMORY_AND_DISK; a postings frame is
+    corpus-sized, so at 100 TB pass ``"DISK_ONLY"``
+    (``operators/staging.py``)."""
+    from .staging import resolve_level
 
     post = term_postings(df, text_col, id_col)
     if persist:
-        post = post.persist(StorageLevel.MEMORY_AND_DISK)
+        post = post.persist(resolve_level(storage_level))
         _POSTINGS_CACHE.append(post)
     return post
 
@@ -127,7 +132,8 @@ def corpus_stats_frame(df: DataFrame, text_col: str,
     UNcached reference replans a full corpus scan under it — a query
     that crosses (N, avgdl) into several branches (the
     ``doc_search_bm25`` fold references it through bm25 + keyterms +
-    each bm25 consumer) should pay that scan once."""
+    each bm25 consumer) should pay that scan once. (One row — the
+    storage-level knob is irrelevant here; MEMORY_AND_DISK always.)"""
     from pyspark import StorageLevel
 
     stats = corpus_stats(df, text_col)

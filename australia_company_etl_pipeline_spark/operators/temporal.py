@@ -464,7 +464,8 @@ def funnel(events: DataFrame, steps: list[str],
            user_col: str = "user_id", ts_col: str = "ts",
            type_col: str = "event_type",
            max_gap: int | None = None,
-           persist_frontiers: bool = False) -> DataFrame:
+           persist_frontiers: bool = False,
+           storage_level=None) -> DataFrame:
     """Sequential-funnel counts → ``(step, step_name, n_users)``: how
     many users performed step 1, then step 2 strictly AFTER their
     first step-1 event, and so on (the product-analytics staple:
@@ -501,7 +502,11 @@ def funnel(events: DataFrame, steps: list[str],
     of N. ``persist_frontiers=True`` caches each per-user frontier
     (one row per surviving user — the bounded frame this chain exists
     to produce) so the log is scanned exactly once per step; release
-    with ``unpersist_temporal()`` after the terminal action."""
+    with ``unpersist_temporal()`` after the terminal action.
+    ``storage_level`` defaults to MEMORY_AND_DISK — frontiers are
+    per-user rows, far smaller than the log, so the default is right
+    even at 100 TB; ``"DISK_ONLY"`` remains available for funnels over
+    billions of users (``operators/staging.py``)."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if max_gap is not None and max_gap <= 0:
@@ -509,9 +514,9 @@ def funnel(events: DataFrame, steps: list[str],
 
     def stage(fr: DataFrame) -> DataFrame:
         if persist_frontiers:
-            from pyspark import StorageLevel
+            from .staging import resolve_level
 
-            fr = fr.persist(StorageLevel.MEMORY_AND_DISK)
+            fr = fr.persist(resolve_level(storage_level))
             _TEMPORAL_CACHE.append(fr)
         return fr
 

@@ -67,12 +67,25 @@ def rag_prepare(docs: DataFrame, text_col: str, id_col: str, path: str,
     (or nothing) readable, never a chunk store paired with a stale
     index whose ids it doesn't cover... the reverse pairing (new
     chunks, old index briefly) cannot serve wrong text because probes
-    join candidates back to the store by chunk_uid."""
+    join candidates back to the store by chunk_uid.
+
+    Rebuild over an EXISTING root deletes ``meta`` FIRST (r10): the
+    build-if-missing pattern keys on meta's presence, so a crash
+    mid-rebuild must read as "missing" on restart — old meta presiding
+    over mixed-generation tables (new chunks + old ivf/postings) would
+    otherwise never self-heal. meta is rewritten LAST, closing the
+    window from both ends."""
     import os
 
     from ..session import replace_dir
 
     spark = docs.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    mpath = hpath(f"{path}/meta")
+    if fs.exists(mpath):
+        fs.delete(mpath, True)
     chunks = chunk_documents(docs, text_col, id_col,
                              chunk_tokens=chunk_tokens, overlap=overlap)
     # chunk_uid: string key '<doc id>:<chunk_idx>' — collision-free for
@@ -149,10 +162,16 @@ def rag_search(spark: SparkSession, path: str, query: str, k: int = 5,
         hits = dense.select(F.col("vec_id").alias("chunk_uid"),
                             F.col("cosine_sim").alias("score"), "rank")
     else:
+        # normalize query terms with the SAME tokenizer the postings
+        # were built with (textstats.tokens: lowercase + whitespace
+        # split), deduped — raw query.split() would silently zero-match
+        # any uppercase/punctuated query against the lowercased index
+        # while the dense half normalizes inside embed_documents
+        q_terms = sorted(set(query.lower().split()))
         bm = rt.bm25_search_from_postings(
             spark.read.parquet(f"{path}/postings"),
             spark.read.parquet(f"{path}/stats"),
-            "chunk_uid", query.split(), top_n=max(k, 10))
+            "chunk_uid", q_terms, top_n=max(k, 10))
         fused = rt.rrf_fuse(
             [dense.select(F.col("vec_id").alias("chunk_uid"), "rank"),
              bm.select("chunk_uid", "rank")],

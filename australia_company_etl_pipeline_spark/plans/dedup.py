@@ -525,11 +525,12 @@ def _ngram_jaccard_branches(spark: SparkSession, sf_dir: str,
     corpus = _docs_with_dups(spark, sf_dir)
     parts = []
     shingles = None
-    if method in (None, "exact", "minhash", "containment"):
-        # ONE persisted shingle pass shared by the exact, minhash and
-        # containment branches (the simhash path keeps its own split —
-        # the measured recompute-vs-cache choice documented on
-        # hashed_dup_pairs); a standalone branch builds its own
+    if method in (None, "exact", "minhash", "containment", "simhash"):
+        # ONE persisted shingle pass shared by ALL four sketch branches
+        # (r10: the simhash verify-join's ngram frame was a rebuild of
+        # EXACTLY this projection — word_ngrams(text, 3) == shingle=3 —
+        # scheduled twice more per run; it now reads the shared cache);
+        # a standalone branch builds its own
         shingles = dd.shingle_frame(corpus, "text", "doc_id", shingle=3)
     if method in (None, "exact"):
         # r6: the exact branch IS the prefix-filtered exact similarity
@@ -549,15 +550,13 @@ def _ngram_jaccard_branches(spark: SparkSession, sf_dir: str,
             .select(F.lit("minhash").alias("method"),
                     "id_a", "id_b", "jaccard"))
     if method in (None, "simhash"):
-        ng = corpus.select(F.col("doc_id"),
-                           dd.word_ngrams(F.col("text"), 3).alias("__ng"))
         parts.append(
             dd.simhash_dup_pairs(corpus, "text", "doc_id", max_hamming=8,
                                  hash_fn="portable")
-            .join(ng.select(F.col("doc_id").alias("id_a"),
-                            F.col("__ng").alias("__na")), "id_a")
-            .join(ng.select(F.col("doc_id").alias("id_b"),
-                            F.col("__ng").alias("__nb")), "id_b")
+            .join(shingles.select(F.col("doc_id").alias("id_a"),
+                                  F.col("__sh").alias("__na")), "id_a")
+            .join(shingles.select(F.col("doc_id").alias("id_b"),
+                                  F.col("__sh").alias("__nb")), "id_b")
             .select(F.lit("simhash").alias("method"), "id_a", "id_b",
                     F.round(dd.jaccard_arrays(F.col("__na"),
                                               F.col("__nb")), 6)

@@ -1310,11 +1310,33 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
 
         root = _rag_cache_root(sf_dir)
         if not hadoop_exists(spark, f"{root}/meta"):
-            rag_prepare(d, "text", "doc_id", root,
+            # cross-process safety (r10): concurrent bench+pytest runs
+            # can both see a missing meta, and building IN PLACE would
+            # interleave their replace_dir delete-then-rename swaps
+            # mid-build. Build the whole generation under a pid-unique
+            # sibling and atomically rename it into the keyed path; the
+            # loser of the rename race discards its build and reads the
+            # winner's (content is deterministic either way). A stale
+            # meta-less root from a crashed pre-r10 in-place build is
+            # cleared and the rename retried once.
+            import os
+            import shutil
+
+            build = f"{root}.__build.{os.getpid()}"
+            rag_prepare(d, "text", "doc_id", build,
                         chunk_tokens=_RAG_CHUNK, overlap=_RAG_OVERLAP,
                         dim=_RAG_DIM, seed=_RAG_SEED,
                         hash_fn="portable",
                         n_centroids=_RAG_CENTROIDS, kmeans_iter=2)
+            os.makedirs(os.path.dirname(root), exist_ok=True)
+            try:
+                os.rename(build, root)
+            except OSError:
+                if not hadoop_exists(spark, f"{root}/meta"):
+                    shutil.rmtree(root, ignore_errors=True)
+                    os.rename(build, root)
+                else:
+                    shutil.rmtree(build, ignore_errors=True)
         hits = rag_search(spark, root, _RAG_QUERY, k=10,
                           n_probe=_RAG_CENTROIDS, hybrid=True)
         parts.append(

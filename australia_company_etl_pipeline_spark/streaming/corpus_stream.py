@@ -501,12 +501,14 @@ def fold_postings_batch(batch_df: DataFrame, batch_id: int,
     rebuild over the duplicated corpus.
 
     Write order: stats land BEFORE postings. The two writes are not
-    atomic together; a crash (or a concurrent ``bm25_search_indexed``
-    read) between them must never see postings whose documents are
-    missing from the summed N/avgdl — that would inflate every score.
-    Stats-first means the only inconsistent window UNDER-claims:
-    N briefly includes documents whose postings haven't landed, which
-    can only deflate idf slightly until the batch replays/completes."""
+    atomic together; postings-first would allow a reader between them
+    to see postings whose documents are missing from the summed
+    N/avgdl — df can then exceed N and idf = ln(1+(N-df+0.5)/(df+0.5))
+    goes NEGATIVE, flipping score signs. Stats-first means the only
+    inconsistent window OVER-counts N (it briefly includes documents
+    whose postings haven't landed); idf is increasing in N, so scores
+    transiently inflate slightly — bounded, sign-preserving, and gone
+    once the batch replays/completes."""
     from ..operators import retrieval as rt
     from ..operators.textstats import tokens
 

@@ -30,10 +30,38 @@ the JSON carries the sentinel's per-round times + median and
 NORMALIZED ratios round-over-round: a query that doubled while the
 sentinel also doubled is host noise; a query that doubled against a
 flat sentinel is a regression.
+
+PYTHON-BOUNDARY SENTINEL + PER-REP TIMES (r10): the JVM sentinel is
+blind to Python-WORKER contention — in r9 the one headline query with
+an ArrowEvalPython stage recorded 31.98 normalized (a 5-rep median!)
+in the driver's window against 7.31 in the builder's, on an identical
+golden-pinned plan, and nothing in the artifact could adjudicate. Two
+fixes: (a) every query's PER-REP raw times are recorded (detail line +
+bench_detail_last.json), not just medians; (b) a second sentinel — a
+fixed identity pandas_udf over a deterministic in-memory frame — is
+timed each round, and pandas_udf-bearing queries (detected from their
+physical plans) get a second normalization column
+"queries_normalized_py" = median / py_sentinel median. A py-query that
+spikes against a flat py-sentinel is a regression; one that spikes WITH
+the py-sentinel is Python-side host noise, now visible in the record.
+The summary (last) line carries both sentinels' per-rep ladders and the
+py-queries' per-rep raw times so the driver's bounded 2000-char stdout
+tail always captures them.
+
+PLAN GUARD (r10): before timing, every headline query's physical-plan
+skeleton at the bench sf_dir is compared against the committed
+bench-scale goldens (tests/golden_plans_sf01/, regenerated via
+SPARK_GRAFT_SF01_GOLDENS=1 UPDATE_GOLDEN_PLANS=1 pytest sweep) — the
+sf0.001 goldens can't see broadcast-threshold flips that only occur at
+bench scale. A divergence aborts the bench (exit 2) instead of
+recording a window whose numbers measure a different plan; set
+SPARK_GRAFT_SKIP_PLAN_GUARD=1 to record anyway (e.g. on a host whose
+testdata differs).
 """
 
 from __future__ import annotations
 
+import difflib
 import json
 import os
 import re
@@ -42,6 +70,11 @@ import sys
 import time
 
 from australia_company_etl_pipeline_spark import plans
+from australia_company_etl_pipeline_spark.plancheck import (
+    crosses_python_boundary,
+    formatted_plan,
+    plan_skeleton,
+)
 from australia_company_etl_pipeline_spark.session import get_spark
 
 HEADLINE = [
@@ -93,6 +126,13 @@ REPS_OVERRIDE = {"ngram_jaccard_dup_pairs": 3}
 # unchanged since r2, ~0.3s at sf0.1 — a pure host-speed probe.
 SENTINEL = "stats_rollup"
 
+# Python-boundary sentinel frame size: 1M rows of one double column
+# through an identity pandas_udf — big enough that Arrow serialization
+# and the Python worker's compute window dominate the measurement
+# (worker fork is absorbed by the warm-up; local[] reuses workers),
+# small enough to stay well under a second on an idle host.
+PY_SENTINEL_ROWS = 1_000_000
+
 BRANCH_REPS = 2  # per-branch repetitions for folded queries — branch
 #                  rows are for ATTRIBUTION (which branch moved), not
 #                  the headline number; 2 samples bound the wall clock
@@ -102,6 +142,9 @@ BRANCH_REPS = 2  # per-branch repetitions for folded queries — branch
 # pipelines standalone); one attribution sample keeps the whole bench
 # inside the driver's window while still splitting the fold's cost.
 BRANCH_REPS_OVERRIDE = {"ngram_jaccard_dup_pairs": 1}
+
+SF01_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden_plans_sf01")
 
 
 def force(df) -> None:
@@ -144,6 +187,67 @@ def _release_operator_caches() -> None:
     tmp_ops.unpersist_temporal()
 
 
+def py_sentinel_df(spark):
+    """The Python-boundary probe: ship PY_SENTINEL_ROWS doubles across
+    the Arrow boundary through an identity pandas_udf and fold them to
+    one row. Pure in-memory (no scan), fixed plan (Range → Project →
+    ArrowEvalPython → partial agg) — its ONLY variable cost is the
+    host's JVM↔Python transfer + Python worker execution, i.e. exactly
+    the contention surface the JVM sentinel cannot see."""
+    import pandas as pd  # noqa: F401  (pandas_udf requires it)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ident(s):
+        return s * 1.0
+
+    df = spark.range(PY_SENTINEL_ROWS).select(
+        (F.col("id") % 9973).cast("double").alias("x"))
+    return df.select(F.sum(_ident(F.col("x"))).alias("s"))
+
+
+def _plan_guard(spark, sf_dir: str, names: list[str]) -> dict[str, bool]:
+    """Capture each headline query's plan ONCE: (a) detect Python-
+    boundary stages (for the py-sentinel normalization column), and
+    (b) when bench-scale goldens exist for this sf_dir, refuse to
+    record a window whose plans diverge from them. Returns
+    {name: crosses_python_boundary}."""
+    py_flags: dict[str, bool] = {}
+    enforce = (os.path.isdir(SF01_GOLDEN_DIR)
+               and "sf0.1" in sf_dir
+               and not os.environ.get("SPARK_GRAFT_SKIP_PLAN_GUARD"))
+    diverged = []
+    for name in names:
+        df = plans.REGISTRY[name].builder(spark, sf_dir)
+        plan = formatted_plan(df)
+        py_flags[name] = crosses_python_boundary(plan)
+        if enforce:
+            path = os.path.join(SF01_GOLDEN_DIR, f"{name}.txt")
+            if os.path.exists(path):
+                with open(path) as f:
+                    want = f.read()
+                skel = plan_skeleton(df)
+                if skel != want:
+                    diff = "\n".join(difflib.unified_diff(
+                        want.splitlines(), skel.splitlines(),
+                        fromfile=f"golden_plans_sf01/{name}.txt",
+                        tofile="current", lineterm=""))
+                    diverged.append(f"--- {name} ---\n{diff}")
+        _release_operator_caches()
+    if diverged:
+        print("PLAN GUARD: bench-scale plan skeletons diverged from "
+              "tests/golden_plans_sf01/ — refusing to record a window "
+              "that measures a different plan. Regenerate goldens "
+              "(SPARK_GRAFT_SF01_GOLDENS=1 UPDATE_GOLDEN_PLANS=1 pytest "
+              "tests/test_golden_plans.py) if the change is intentional, "
+              "or set SPARK_GRAFT_SKIP_PLAN_GUARD=1.\n"
+              + "\n".join(diverged), file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
+    return py_flags
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -158,8 +262,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in plans.REGISTRY]
-    # warm-up: JVM, codegen, parquet footer caches
+    py_flags = _plan_guard(spark, sf_dir, names)
+    # warm-up: JVM, codegen, parquet footer caches, Python workers
     force(plans.REGISTRY[names[0]].builder(spark, sf_dir))
+    force(py_sentinel_df(spark))
 
     # REPS interleaved rounds (round-robin, not back-to-back, so a load
     # spike on the shared bench machine hits different queries each
@@ -167,12 +273,17 @@ def main() -> None:
     # longer masks or fakes a regression (±40% external noise observed).
     times: dict[str, list[float]] = {n: [] for n in names}
     sentinel_times: list[float] = []
+    py_sentinel_times: list[float] = []
     sentinel_builder = plans.REGISTRY[SENTINEL].builder
     for rep in range(REPS):
         gc_barrier(spark)
         t0 = time.perf_counter()
         force(sentinel_builder(spark, sf_dir))
         sentinel_times.append(time.perf_counter() - t0)
+        gc_barrier(spark)
+        t0 = time.perf_counter()
+        force(py_sentinel_df(spark))
+        py_sentinel_times.append(time.perf_counter() - t0)
         for name in names:
             if rep >= REPS_OVERRIDE.get(name, REPS):
                 continue
@@ -185,8 +296,11 @@ def main() -> None:
                  for n, ts in times.items()}
     total = round(sum(per_query.values()), 3)
     sentinel_median = statistics.median(sentinel_times)
+    py_sentinel_median = statistics.median(py_sentinel_times)
     normalized = {n: round(v / sentinel_median, 2)
                   for n, v in per_query.items()}
+    normalized_py = {n: round(per_query[n] / py_sentinel_median, 2)
+                     for n in names if py_flags.get(n)}
 
     # per-branch attribution for folded queries (same interleaving +
     # median discipline; standalone costs — see module docstring)
@@ -204,17 +318,24 @@ def main() -> None:
             btimes[(name, branch)].append(time.perf_counter() - t0)
             _release_operator_caches()
     branches: dict[str, dict[str, float]] = {}
+    branches_reps: dict[str, dict[str, list[float]]] = {}
     for (name, branch), ts in btimes.items():
         branches.setdefault(name, {})[branch] = \
             round(statistics.median(ts), 3)
+        branches_reps.setdefault(name, {})[branch] = \
+            [round(t, 3) for t in ts]
 
-    # OUTPUT CONTRACT (r9, after the r8 parse failure): the driver
-    # captures only a bounded tail of stdout and parses the LAST line
-    # as the bench JSON. The full detail blob (per-query medians,
-    # branches, sentinel ladder) therefore prints FIRST, and the FINAL
-    # line is a compact summary guaranteed to fit the tail window —
-    # the r8 single fat line (~2.6 KB) overflowed the capture and the
-    # round recorded no machine-readable headline.
+    # OUTPUT CONTRACT (r9/r10): the driver captures a bounded ~2000-char
+    # TAIL of stdout and parses the LAST line as the bench JSON. Three
+    # artifacts, least-critical first so tail clipping eats from the
+    # front: (1) bench_detail_last.json on disk — EVERYTHING, including
+    # per-rep times for every query and branch; (2) a detail stdout
+    # line (same content minus branch reps); (3) the compact final
+    # summary line, sized to survive the tail window, carrying the
+    # falsifiability essentials: both sentinels' per-rep ladders and
+    # the py-boundary queries' per-rep raw times.
+    queries_reps = {n: [round(t, 3) for t in ts]
+                    for n, ts in times.items()}
     detail = {
         "metric": "headline_queries_detail",
         "value": total,
@@ -222,16 +343,26 @@ def main() -> None:
         "reps": REPS,
         "reps_override": REPS_OVERRIDE,
         "aggregate": "median",
+        "branches": branches,
+        "branch_reps": BRANCH_REPS,
         "queries": per_query,
+        "queries_reps": queries_reps,
         "sentinel": {"name": SENTINEL,
                      "times": [round(t, 3) for t in sentinel_times],
                      "median": round(sentinel_median, 3)},
+        "py_sentinel": {"rows": PY_SENTINEL_ROWS,
+                        "times": [round(t, 3)
+                                  for t in py_sentinel_times],
+                        "median": round(py_sentinel_median, 3)},
         "queries_normalized": normalized,
+        "queries_normalized_py": normalized_py,
         "value_normalized": round(total / sentinel_median, 2),
-        "branches": branches,
-        "branch_reps": BRANCH_REPS,
         "sf": sf,
     }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail_last.json"), "w") as f:
+        json.dump({**detail, "branches_reps": branches_reps}, f,
+                  indent=1)
     print(json.dumps(detail))
     summary = {
         "metric": "headline_queries_total",
@@ -239,13 +370,28 @@ def main() -> None:
         "unit": "sec",
         "value_normalized": round(total / sentinel_median, 2),
         "sentinel_median": round(sentinel_median, 3),
+        "sentinel_times": [round(t, 3) for t in sentinel_times],
+        "py_sentinel_median": round(py_sentinel_median, 3),
+        "py_sentinel_times": [round(t, 3) for t in py_sentinel_times],
+        "py_queries_reps": {n: queries_reps[n]
+                            for n in sorted(normalized_py)},
+        "queries_normalized_py": normalized_py,
         "n_queries": len(per_query),
         "queries": {},  # per-query detail on the preceding line
         "sf": sf,
     }
-    line = json.dumps(summary)
-    assert len(line) <= 500, f"summary line grew to {len(line)} chars"
-    print(line)
+    # The final line must survive the driver's ~2000-char stdout tail
+    # INTACT (r8 regression: a fat last line overflowed the capture and
+    # the round recorded no machine-readable headline). Never die after
+    # printing (the r9 assert recreated the failure it guarded against,
+    # and asserts strip under -O): drop optional fields until it fits.
+    for drop in ("queries_normalized_py", "py_queries_reps",
+                 "py_sentinel_times", "sentinel_times"):
+        line = json.dumps(summary)
+        if len(line) <= 1500:
+            break
+        summary.pop(drop, None)
+    print(json.dumps(summary))
     sys.stdout.flush()
     spark.stop()
 

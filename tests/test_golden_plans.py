@@ -18,34 +18,19 @@ when the testdata regenerates — and then the whole suite reruns)."""
 
 from __future__ import annotations
 
-import contextlib
 import difflib
-import io
 import os
-import re
 
 import pytest
 
 from australia_company_etl_pipeline_spark import plans
+from australia_company_etl_pipeline_spark.plancheck import (
+    plan_skeleton as _skeleton,
+)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_plans")
-
-
-def _skeleton(df) -> str:
-    """Operator-tree skeleton of a formatted plan: keep the tree
-    section's structure and node names, strip node ids (they shift
-    with any upstream edit), the detail blocks, and everything after
-    the first blank line."""
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    lines = []
-    for ln in buf.getvalue().splitlines():
-        if not ln.strip():
-            break
-        # "   +- * HashAggregate (12)" -> "   +- * HashAggregate"
-        lines.append(re.sub(r"\s*\(\d+\)\s*$", "", ln.rstrip()))
-    return "\n".join(lines) + "\n"
+GOLDEN_SF01_DIR = os.path.join(os.path.dirname(__file__),
+                               "golden_plans_sf01")
 
 
 def _release_caches():
@@ -93,3 +78,58 @@ def test_plan_skeleton_matches_golden(spark, sf_dir, name):
         raise AssertionError(
             f"plan skeleton changed for {name!r} — if intentional, "
             f"regenerate with UPDATE_GOLDEN_PLANS=1 and review:\n{diff}")
+
+
+def _headline_names():
+    """The bench harness's HEADLINE list (bench.py sits at the repo
+    root, which `python -m pytest` puts on sys.path)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    return sorted(set(bench.HEADLINE))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF01_GOLDENS"),
+    reason="bench-scale golden sweep is opt-in: the sf0.001 skeletons "
+           "cannot see broadcast-threshold flips that only occur at "
+           "bench scale; run with SPARK_GRAFT_SF01_GOLDENS=1 (and "
+           "UPDATE_GOLDEN_PLANS=1 to regenerate) at the bench sf_dir")
+@pytest.mark.parametrize("name", _headline_names()
+                         if os.environ.get("SPARK_GRAFT_SF01_GOLDENS")
+                         else [])
+def test_sf01_plan_skeleton_matches_golden(spark, name):
+    """r10 (VERDICT task 4): snapshot the HEADLINE queries' skeletons at
+    BENCH scale ($SPARK_GRAFT_SF_DIR, default sf0.1) — file-size-driven
+    broadcast decisions can differ from sf0.001, so a plan regression
+    that only manifests at bench scale would slip the sf0.001 golden.
+    bench.py refuses to record a window whose plans diverge from these
+    (see its plan-guard)."""
+    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if name not in plans.REGISTRY:
+        pytest.skip(f"{name} not registered")
+    try:
+        skel = _skeleton(plans.REGISTRY[name].builder(spark, sf01_dir))
+    finally:
+        _release_caches()
+    path = os.path.join(GOLDEN_SF01_DIR, f"{name}.txt")
+    if os.environ.get("UPDATE_GOLDEN_PLANS"):
+        os.makedirs(GOLDEN_SF01_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(skel)
+        return
+    assert os.path.exists(path), (
+        f"no sf0.1 golden plan for {name!r} — run with "
+        "SPARK_GRAFT_SF01_GOLDENS=1 UPDATE_GOLDEN_PLANS=1 and review")
+    with open(path) as f:
+        want = f.read()
+    if skel != want:
+        diff = "\n".join(difflib.unified_diff(
+            want.splitlines(), skel.splitlines(),
+            fromfile=f"golden_plans_sf01/{name}.txt", tofile="current",
+            lineterm=""))
+        raise AssertionError(
+            f"bench-scale plan skeleton changed for {name!r} — if "
+            f"intentional, regenerate and review:\n{diff}")

@@ -384,14 +384,15 @@ _SCAN_BUDGET = {
     "exact_dedup_docs": 3,
     "global_stats_cross_join": 4,
     "golden_record_merge": 4,
-    "hashed_dup_pairs": 10,
+    "hashed_dup_pairs": 7,   # r10: fp persisted in banded_hamming_pairs
     "match_cascade_best": 2,
     "match_cascade_stats": 2,
     "match_feature_vector": 1,
     "media_report": 4,
     "monthly_order_stats": 1,
     "name_truncation": 1,
-    "ngram_jaccard_dup_pairs": 13,
+    "ngram_jaccard_dup_pairs": 10,  # r10: simhash verify reads the
+    #                                 shared shingle cache; fp persisted
     "order_enrichment_left": 2,
     "order_rank_and_lag": 2,
     "pack_docs": 6,
@@ -433,10 +434,12 @@ def test_registry_wide_scan_count_budgets(spark, sf_dir):
         "budget table out of sync with the registry — add/remove the "
         "diff: " f"{set(_SCAN_BUDGET) ^ set(plans.REGISTRY)}")
     over = {}
+    actual = {}
     try:
         for name, q in plans.REGISTRY.items():
             plan = _plan(q.builder(spark, sf_dir))
             n = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+            actual[name] = n
             if n > _SCAN_BUDGET[name]:
                 over[name] = (n, _SCAN_BUDGET[name])
             # release per-query staged frames so later queries in this
@@ -452,6 +455,20 @@ def test_registry_wide_scan_count_budgets(spark, sf_dir):
         lm_ops.unpersist_lm()
         cl_ops.unpersist_cluster()
         tmp_ops.unpersist_temporal()
+    # Budget ratchet report (r10): slack between the pinned budget and
+    # the measured count invites silent creep UP TO the pin — write the
+    # per-query budget−actual table so tightening opportunities are a
+    # reviewable artifact each round (report, not assert: a one-scan
+    # slack can be deliberate headroom for a known upcoming branch).
+    import os
+
+    report = os.path.join(os.path.dirname(__file__),
+                          "scan_budget_report.txt")
+    with open(report, "w") as f:
+        f.write("query\tactual\tbudget\tslack\n")
+        for name in sorted(actual):
+            f.write(f"{name}\t{actual[name]}\t{_SCAN_BUDGET[name]}\t"
+                    f"{_SCAN_BUDGET[name] - actual[name]}\n")
     assert not over, f"scan budget exceeded (got, budget): {over}"
 
 
