@@ -293,7 +293,11 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sessionization in an Arrow-batched applyInPandas sharing the "
         "merge loop with the streaming applyInPandasWithState sessionizer. "
         "Same oracle as events_session_windows — the custom operator is "
-        "held to the same SQL-checkable semantics as the built-in.",
+        "held to the same SQL-checkable semantics as the built-in. "
+        "PARITY EXHIBIT ONLY (SURVEY U-3): the native session_windows "
+        "is the form every other operator composes with; nothing else "
+        "in the registry may plan a FlatMapGroupsInPandas node "
+        "(pinned in tests/test_plan_shapes.py).",
     tags=("streaming", "pandas-udf"),
     oracle=_SESSION_ORACLE,
 )

@@ -1940,7 +1940,22 @@ def corpus_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                             kind: str | None) -> DataFrame:
+    from ..operators import dedup as dd
+
     d = table(spark, sf_dir, "documents")
+    # ONE persisted (doc_id, lang, text) projection feeds every branch
+    # (r10, the same fold-staging class as r9's bm25 fix): the fourteen
+    # gate analyses are semantically independent but all per-doc
+    # predicates/derivations over the same three columns, and several
+    # reference the corpus twice (pii's planted∪base union, cap's and
+    # dsir's count-vs-kept joins, html/c4's multi-output projections) —
+    # unstaged, the fold scheduled 29 distinct parquet scans; staged,
+    # one scan + cached reads (InMemoryTableScan prunes columns, so a
+    # doc_id-only branch doesn't deserialize text). Released by bench/
+    # tests via unpersist_shingles(); at 100 TB this is a corpus-sized
+    # cache — pass storage_level='DISK_ONLY' via the staging policy
+    # (operators/staging.py) rather than evict the working set.
+    d = dd.persist_tracked(d.select("doc_id", "lang", "text"))
     parts: list[DataFrame] = []
     if kind in (None, "filter"):
         filtered = ts.corpus_filter(d, "text",

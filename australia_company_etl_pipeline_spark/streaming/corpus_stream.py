@@ -532,15 +532,44 @@ def fold_postings_batch(batch_df: DataFrame, batch_id: int,
 def stream_postings_ingest(stream: DataFrame, index_path: str,
                            checkpoint_dir: str, text_col: str = "text",
                            id_col: str = "doc_id",
-                           available_now: bool = True):
+                           available_now: bool = True,
+                           compact_every: int | None = None,
+                           keep_last: int = 8):
     """Continuously maintained term index — the streaming-RAG piece:
     documents stream in, the BM25 postings list stays current, and
     ``bm25_search_indexed`` answers from the persisted index at any
     moment without re-tokenizing history. O(batch) per trigger,
-    replay-idempotent via per-batch partition overwrite."""
+    replay-idempotent via per-batch partition overwrite.
+
+    ``compact_every=N`` (r10) runs ``compact_postings(keep_last=)``
+    in-stream after every Nth trigger (``batch_id % N == 0``), so a
+    long-running stream's partition count stays bounded without an
+    operator remembering the offline step — after any trigger the
+    index holds at most ``keep_last + N`` live batch partitions.
+    Compaction keys on batch_id, so a REPLAYED trigger re-runs its
+    compaction too — harmless, since folding the same horizon twice is
+    a no-op (the already-folded batches are in the base generation)
+    and search results are bit-identical across compaction either way.
+    Replay-safety caveat as on ``compact_postings``: ``keep_last``
+    must cover the stream's replay horizon; the in-stream call
+    compacts only batches strictly OLDER than the one that triggered
+    it, which a committed checkpoint can no longer replay."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         fold_postings_batch(batch_df, batch_id, index_path, text_col,
                             id_col)
+        if compact_every and batch_id % compact_every == 0:
+            from ..session import hadoop_exists
+
+            # an all-empty prefix of triggers writes nothing — there
+            # is no index to compact yet
+            if hadoop_exists(batch_df.sparkSession,
+                             f"{index_path}/postings"):
+                compact_postings(batch_df.sparkSession, index_path,
+                                 keep_last=keep_last)
 
     writer = (stream.writeStream.foreachBatch(ingest)
               .option("checkpointLocation", checkpoint_dir))

@@ -359,7 +359,8 @@ _SCAN_BUDGET = {
     "best_supplier_match": 2,
     "cohort_retention": 2,
     "completeness_score": 1,
-    "corpus_filter_stats": 29,  # 14 independent one-pass gate branches
+    "corpus_filter_stats": 1,   # r10: all 14 gate branches read ONE
+    #                             staged (doc_id, lang, text) projection
     "customer_order_activity": 4,
     "date_parse_multi": 1,
     "dedup_clusters": 0,        # answers from its materialized pair set
@@ -409,6 +410,18 @@ _SCAN_BUDGET = {
     "wet_scan_shred": 1,
 }
 
+# Where grouped/arrow Python map stages are ALLOWED to appear (r10):
+# the pandas sessionizer is the SURVEY U-3 parity exhibit of the
+# native session_windows (its registration doc says so), and the
+# multimodal featurizer is the documented decode-plumbing crossing.
+# Everything else must stay JVM-side (plain pandas_udf projections —
+# ArrowEvalPython — are governed separately by the cascade plan pins).
+_PY_MAP_ALLOWED = {
+    "FlatMapGroupsInPandas": {"user_sessions_pandas"},
+    "MapInPandas": {"media_report"},
+    "PythonMapInArrow": set(),
+}
+
 
 def test_registry_wide_scan_count_budgets(spark, sf_dir):
     """Every registered query's distinct parquet-scan count must stay
@@ -435,6 +448,7 @@ def test_registry_wide_scan_count_budgets(spark, sf_dir):
         "diff: " f"{set(_SCAN_BUDGET) ^ set(plans.REGISTRY)}")
     over = {}
     actual = {}
+    py_offenders = []
     try:
         for name, q in plans.REGISTRY.items():
             plan = _plan(q.builder(spark, sf_dir))
@@ -442,6 +456,14 @@ def test_registry_wide_scan_count_budgets(spark, sf_dir):
             actual[name] = n
             if n > _SCAN_BUDGET[name]:
                 over[name] = (n, _SCAN_BUDGET[name])
+            # Python-group-map confinement (r10, VERDICT task 7): the
+            # pandas sessionizer twin is a PARITY EXHIBIT, not a
+            # composition path — nothing else may silently grow a
+            # grouped/arrow Python map stage (row-shipping Python in a
+            # hot path is the classic 10-100x scale regression).
+            for node, ok_names in _PY_MAP_ALLOWED.items():
+                if node in plan and name not in ok_names:
+                    py_offenders.append((name, node))
             # release per-query staged frames so later queries in this
             # sweep plan against a clean cache
             dd.unpersist_shingles()
@@ -470,6 +492,9 @@ def test_registry_wide_scan_count_budgets(spark, sf_dir):
             f.write(f"{name}\t{actual[name]}\t{_SCAN_BUDGET[name]}\t"
                     f"{_SCAN_BUDGET[name] - actual[name]}\n")
     assert not over, f"scan budget exceeded (got, budget): {over}"
+    assert not py_offenders, (
+        "grouped/arrow Python map stage outside the allowed exhibits "
+        f"(see _PY_MAP_ALLOWED): {py_offenders}")
 
 
 def test_dsir_scoring_single_shuffle_broadcast_model(spark, sf_dir):

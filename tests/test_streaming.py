@@ -881,3 +881,73 @@ def test_session_windows_bot_user_cap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_events_per_user"):
         session_windows(df, max_events_per_user=0)
+
+
+def test_stream_postings_ingest_auto_compaction(spark, tmp_path):
+    """compact_every=N runs the compactor in-stream (r10): across 3×N
+    triggers the live partition count stays bounded by keep_last + N,
+    search results are bit-identical to a batch build over the union,
+    and a replayed trigger (which re-runs its compaction) changes
+    nothing."""
+    import time
+
+    from australia_company_etl_pipeline_spark.operators import (
+        retrieval as rt,
+    )
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        bm25_search_indexed, fold_postings_batch, read_documents_stream,
+        stream_postings_ingest)
+
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    N = 2  # compact_every
+    batches = [
+        spark.createDataFrame(
+            [(i, f"spark term{i % 3} join " + "pad " * (i % 4))], schema)
+        for i in range(6)]  # 3×N triggers (one file per trigger)
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(landing)
+        time.sleep(1.05)  # distinct mtimes -> stable trigger order
+
+    stream = read_documents_stream(spark, landing, schema,
+                                   max_files_per_trigger=1)
+    q = stream_postings_ingest(stream, index, ck,
+                               compact_every=N, keep_last=2)
+    q.awaitTermination(300)
+
+    live = {r["__batch"] for r in
+            spark.read.parquet(f"{index}/postings")
+            .select("__batch").distinct().collect()}
+    # bounded: base generation + at most keep_last + N live batches
+    assert len(live) <= 1 + 2 + N, live
+    assert -1 in live, live
+
+    terms = ["spark", "term1", "join"]
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    got = {r.doc_id: (r.n_terms_matched, r.score, r.rank)
+           for r in bm25_search_indexed(spark, index, terms).collect()}
+    want = {r.doc_id: (r.n_terms_matched, r.score, r.rank)
+            for r in rt.bm25_search(union, "text", "doc_id",
+                                    terms).collect()}
+    assert got == want and got
+
+    # a replayed KEPT trigger rewrites its own partition and re-runs
+    # its compaction: results unchanged
+    kept = sorted(b for b in live if b != -1)
+    fold_postings_batch(batches[kept[-1]], kept[-1], index)
+    from australia_company_etl_pipeline_spark.streaming.corpus_stream import (
+        compact_postings,
+    )
+    compact_postings(spark, index, keep_last=2)
+    again = {r.doc_id: (r.n_terms_matched, r.score, r.rank)
+             for r in bm25_search_indexed(spark, index,
+                                          terms).collect()}
+    assert again == want
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="compact_every"):
+        stream_postings_ingest(stream, index, ck, compact_every=0)
