@@ -41,8 +41,16 @@ def plan_skeleton(df) -> str:
     for ln in formatted_plan(df).splitlines():
         if not ln.strip():
             break
+        ln = ln.rstrip()
+        # AQE reuses stages a builder already materialized (e.g. an
+        # index build executed inside the builder), and those tree
+        # lines carry run-varying size estimates:
+        # "+- BroadcastQueryStage (186), Statistics(sizeInBytes=4.0
+        # MiB, rowCount=931)" — strip the Statistics payload, keep the
+        # node kind.
+        ln = re.sub(r",\s*Statistics\(.*\)\s*$", "", ln)
         # "   +- * HashAggregate (12)" -> "   +- * HashAggregate"
-        lines.append(re.sub(r"\s*\(\d+\)\s*$", "", ln.rstrip()))
+        lines.append(re.sub(r"\s*\(\d+\)\s*$", "", ln))
     return "\n".join(lines) + "\n"
 
 
