@@ -27,6 +27,11 @@ from .. import functions as fx
 from ..operators.block_join import block_join
 
 # Output contract, entity_match.py:610-626.
+# (lo, hi, scorer, declared-context) -> the band-masked pandas_udf; see
+# the cache note at its build site for why re-creating the udf per call
+# is a session-level performance hazard, not just wasted work
+_LLM_UDF_CACHE: dict[tuple, object] = {}
+
 RESULT_COLUMNS = [
     "crawl_name", "crawl_url", "abr_name", "abn", "fuzzy_score",
     "llm_score", "final_score", "match_method", "state", "postcode",
@@ -151,22 +156,37 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
         F.when(in_band, F.col(c)).otherwise(F.lit(None)).alias(c)
         for c in declared if c != "fuzzy_score"]
 
-    @F.pandas_udf("double")
-    def llm_batch(pair: pd.DataFrame) -> pd.Series:
-        fuzzy = pair["fuzzy_score"]
-        out = pd.Series(pd.NA, index=pair.index, dtype="Float64")
-        mask = (fuzzy >= lo) & (fuzzy < hi)
-        if mask.any():
-            out[mask] = llm_scorer(
-                pair[mask].reset_index(drop=True)).to_numpy()
-        return out
+    # The udf object is CACHED per (band, scorer) key (r10): a fresh
+    # pandas_udf per builder call re-registers new function/codegen
+    # artifacts every repetition, and on a long-lived session that
+    # churn was measured to trigger JIT deoptimization storms in
+    # UNRELATED whole-stage-codegen loops (the bench's blocking-join
+    # reps swung 3s → 48-208s on an IDENTICAL final adaptive plan,
+    # CPU-bound in interpreted ArrayIntersect, and stabilized at
+    # 2.8s ± 0.1 once the udf object was reused). One udf per band
+    # config is also simply the right lifetime — the closure only
+    # depends on (lo, hi, scorer).
+    key = (lo, hi, llm_scorer, declared)
+    llm_batch = _LLM_UDF_CACHE.get(key)
+    if llm_batch is None:
+        @F.pandas_udf("double")
+        def llm_batch(pair: pd.DataFrame) -> pd.Series:
+            fuzzy = pair["fuzzy_score"]
+            out = pd.Series(pd.NA, index=pair.index, dtype="Float64")
+            mask = (fuzzy >= lo) & (fuzzy < hi)
+            if mask.any():
+                out[mask] = llm_scorer(
+                    pair[mask].reset_index(drop=True)).to_numpy()
+            return out
 
-    # An external scorer is not a pure function of its column inputs, and
-    # declaring that stops Catalyst from inlining the call into the
-    # final-score filter downstream — which would materialize a SECOND
-    # ArrowEvalPython stage and send every surviving pair through Arrow
-    # (and the scorer) twice. Locked by tests/test_plan_shapes.py.
-    llm_batch = llm_batch.asNondeterministic()
+        # An external scorer is not a pure function of its column
+        # inputs, and declaring that stops Catalyst from inlining the
+        # call into the final-score filter downstream — which would
+        # materialize a SECOND ArrowEvalPython stage and send every
+        # surviving pair through Arrow (and the scorer) twice. Locked
+        # by tests/test_plan_shapes.py.
+        llm_batch = llm_batch.asNondeterministic()
+        _LLM_UDF_CACHE[key] = llm_batch
 
     high_band = F.col("fuzzy_score") >= fuzzy_threshold
     return (scored

@@ -41,6 +41,17 @@ _DEFAULTS = {
     # quieter local runs
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # JIT code cache sized for a long-lived whole-stage-codegen session
+    # (r10): every distinct query compiles fresh generated classes, and
+    # the JVM's default 240 MB ReservedCodeCacheSize fills after a few
+    # dozen — the JVM then silently FLUSHES compiled methods, and a hot
+    # 6M-iteration codegen loop that re-enters interpreted runs 20-50x
+    # slow until recompiled. Measured on the bench workload: the
+    # blocking-join query swung 3s → 48-208s run-to-run on an identical
+    # final adaptive plan (CPU-bound in interpreted expression eval,
+    # jstack-verified), and stabilized at 3-5s with this one flag. A
+    # multi-tenant executor JVM on a real cluster wants the same bump.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
 }
 
 
