@@ -52,6 +52,17 @@ _DEFAULTS = {
     # jstack-verified), and stabilized at 3-5s with this one flag. A
     # multi-tenant executor JVM on a real cluster wants the same bump.
     "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    # The second half of the same pathology: Spark's compiled-class
+    # cache (source → loaded class) holds only 100 entries by default,
+    # and a session rotating through the 22-query bench (~200+ distinct
+    # codegen stages) evicts EVERY class every cycle — each repetition
+    # then loads a fresh class and runs interpreted until the C2 queue
+    # reaches it. With 100 entries an 8-query rotation was stable and
+    # the 22-query rotation swung 4s → 110s on identical plans; at 3000
+    # the full rotation holds 3-5s (whole-round total 138s → 83s). The
+    # memory cost is class metadata only — compiled-code size is
+    # already bounded by ReservedCodeCacheSize above.
+    "spark.sql.codegen.cache.maxEntries": "3000",
 }
 
 

@@ -278,15 +278,16 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in plans.REGISTRY]
     py_flags = _plan_guard(spark, sf_dir, names)
-    # warm-up: JVM, codegen, parquet footer caches, Python workers —
-    # TWO cycles of (flagship + py sentinel): the first flagship reps
-    # after new udf classes load run while the JIT re-profiles the
-    # shared expression-eval paths (measured: 48s, 47s, then 2.8s ± 0.1
-    # — see py_sentinel_df), so one warm-up pass under-warms
-    for _ in range(2):
-        force(plans.REGISTRY[names[0]].builder(spark, sf_dir))
+    # warm-up: ONE full untimed round over every query + both sentinels
+    # (the JMH discipline) — a query's first execution compiles and
+    # JIT-profiles its generated classes (measured 2-6x its steady
+    # state), and with the session's enlarged codegen class cache those
+    # classes STAY warm across the timed rounds, so round 1 measures
+    # steady-state cost rather than compile+profile debt
+    force(py_sentinel_df(spark))
+    for name in names:
+        force(plans.REGISTRY[name].builder(spark, sf_dir))
         _release_operator_caches()
-        force(py_sentinel_df(spark))
 
     # REPS interleaved rounds (round-robin, not back-to-back, so a load
     # spike on the shared bench machine hits different queries each
