@@ -248,7 +248,15 @@ def media_dup_pairs(media: DataFrame, max_hamming: int = 6,
     never all-pairs. ``same_kind`` (default) refuses cross-kind pairs
     (an image should not "duplicate" an audio clip just because byte
     statistics collide). At 100 TB, tune ``n_bands`` per the recall/
-    collision trade documented on ``banded_hamming_pairs``."""
+    collision trade documented on ``banded_hamming_pairs``.
+
+    Release contract: ``banded_hamming_pairs`` persists the fingerprint
+    table into the dedup module's tracked cache (both join sides would
+    otherwise recompute the ``perceptual_hash`` mapInPandas pass); a
+    long-lived caller must release it afterwards via
+    ``operators.dedup.unpersist_shingles()`` (or bracket the call with
+    ``shingle_cache_snapshot``/``new_shingles_since`` to release only
+    this operator's frames)."""
     from ..operators.dedup import banded_hamming_pairs
 
     fp = perceptual_hash(media, codec=codec)

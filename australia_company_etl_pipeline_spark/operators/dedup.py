@@ -916,8 +916,17 @@ def banded_hamming_pairs(fp: DataFrame, id_col: str,
     tracked for ``unpersist_shingles()``. At 100 TB the same persist is
     still right: recomputing the corpus-wide vote aggregate per join
     side is a second full I/O+shuffle pass, while the fp cache is
-    ~16 bytes/doc."""
-    if persist:
+    ~16 bytes/doc.
+
+    The persist is SKIPPED when the caller already staged ``fp`` (its
+    storage level has memory or disk set) — a second persist attempt on
+    an already-cached frame is redundant and would double-register it
+    in the release tracker. Non-dedup callers (e.g. the multimodal
+    perceptual-hash path) inherit the same release contract: the cached
+    fp lingers in the module tracker until ``unpersist_shingles()``
+    (or a snapshot-scoped release) runs."""
+    lvl = fp.storageLevel
+    if persist and not (lvl.useMemory or lvl.useDisk):
         fp = persist_tracked(fp)
     buckets = fingerprint_band_buckets(fp, id_col, fp_col,
                                        n_bands=n_bands)

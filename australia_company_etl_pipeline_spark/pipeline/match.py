@@ -29,8 +29,19 @@ from ..operators.block_join import block_join
 # Output contract, entity_match.py:610-626.
 # (lo, hi, scorer, declared-context) -> the band-masked pandas_udf; see
 # the cache note at its build site for why re-creating the udf per call
-# is a session-level performance hazard, not just wasted work
-_LLM_UDF_CACHE: dict[tuple, object] = {}
+# is a session-level performance hazard, not just wasted work.
+# BOUNDED (r11): keyed on scorer *identity*, so a long-lived service
+# constructing a scorer closure/partial per request would otherwise
+# accumulate one pandas_udf entry per call forever — an OrderedDict LRU
+# capped at _LLM_UDF_CACHE_MAX keeps the steady-state set (module-level
+# scorer singletons × band configs) hot while evicting per-request
+# churn. Unhashable scorers (e.g. a dataclass with eq=True) skip the
+# cache entirely and get a fresh (uncached) udf — correct, just without
+# the reuse win.
+from collections import OrderedDict as _OrderedDict
+
+_LLM_UDF_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
+_LLM_UDF_CACHE_MAX = 32
 
 RESULT_COLUMNS = [
     "crawl_name", "crawl_url", "abr_name", "abn", "fuzzy_score",
@@ -167,7 +178,14 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
     # config is also simply the right lifetime — the closure only
     # depends on (lo, hi, scorer).
     key = (lo, hi, llm_scorer, declared)
-    llm_batch = _LLM_UDF_CACHE.get(key)
+    try:
+        llm_batch = _LLM_UDF_CACHE.get(key)
+        if llm_batch is not None:
+            _LLM_UDF_CACHE.move_to_end(key)
+    except TypeError:
+        # unhashable scorer: build an uncached udf below (pre-r10
+        # behavior) — correctness over reuse
+        key, llm_batch = None, None
     if llm_batch is None:
         @F.pandas_udf("double")
         def llm_batch(pair: pd.DataFrame) -> pd.Series:
@@ -186,7 +204,10 @@ def match_companies(crawl_df: DataFrame, abr_df: DataFrame,
         # surviving pair through Arrow (and the scorer) twice. Locked
         # by tests/test_plan_shapes.py.
         llm_batch = llm_batch.asNondeterministic()
-        _LLM_UDF_CACHE[key] = llm_batch
+        if key is not None:
+            _LLM_UDF_CACHE[key] = llm_batch
+            while len(_LLM_UDF_CACHE) > _LLM_UDF_CACHE_MAX:
+                _LLM_UDF_CACHE.popitem(last=False)
 
     high_band = F.col("fuzzy_score") >= fuzzy_threshold
     return (scored

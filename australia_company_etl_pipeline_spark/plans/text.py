@@ -1318,7 +1318,10 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
             # loser of the rename race discards its build and reads the
             # winner's (content is deterministic either way). A stale
             # meta-less root from a crashed pre-r10 in-place build is
-            # cleared and the rename retried once.
+            # cleared and the rename retried once. os.rename here is
+            # deliberate: _rag_cache_root lives under the local temp
+            # dir by construction, so POSIX rename IS the atomic swap;
+            # a non-local root would need session.replace_dir instead.
             import os
             import shutil
 
@@ -1333,8 +1336,19 @@ def _doc_search_branches(spark: SparkSession, sf_dir: str,
                 os.rename(build, root)
             except OSError:
                 if not hadoop_exists(spark, f"{root}/meta"):
+                    # stale meta-less root from a crashed pre-r10
+                    # in-place build: clear it and retry the swap —
+                    # but GUARDED (r11): another process can rename
+                    # ITS build into root between the rmtree and this
+                    # retry; if the retry then fails, re-check meta —
+                    # a valid index landing is success, not a crash
                     shutil.rmtree(root, ignore_errors=True)
-                    os.rename(build, root)
+                    try:
+                        os.rename(build, root)
+                    except OSError:
+                        if not hadoop_exists(spark, f"{root}/meta"):
+                            raise
+                        shutil.rmtree(build, ignore_errors=True)
                 else:
                     shutil.rmtree(build, ignore_errors=True)
         hits = rag_search(spark, root, _RAG_QUERY, k=10,

@@ -49,9 +49,13 @@ _DEFAULTS = {
     # slow until recompiled. Measured on the bench workload: the
     # blocking-join query swung 3s → 48-208s run-to-run on an identical
     # final adaptive plan (CPU-bound in interpreted expression eval,
-    # jstack-verified), and stabilized at 3-5s with this one flag. A
-    # multi-tenant executor JVM on a real cluster wants the same bump.
+    # jstack-verified), and stabilized at 3-5s with this one flag.
+    # Set on BOTH JVMs (r11): local mode's driver==executor masks the
+    # gap, but on a real cluster whole-stage-codegen loops run in
+    # EXECUTOR JVMs — leaving executors at the 240 MB default would
+    # reintroduce the flush pathology exactly where the hot loops live.
     "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    "spark.executor.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
     # The second half of the same pathology: Spark's compiled-class
     # cache (source → loaded class) holds only 100 entries by default,
     # and a session rotating through the 22-query bench (~200+ distinct

@@ -57,6 +57,24 @@ bench scale. A divergence aborts the bench (exit 2) instead of
 recording a window whose numbers measure a different plan; set
 SPARK_GRAFT_SKIP_PLAN_GUARD=1 to record anyway (e.g. on a host whose
 testdata differs).
+
+JVM ATTRIBUTION COUNTERS + TIMESTAMPS (r11): the r10 window recorded a
+274s rep of a JVM-only query (median ~5s) against flat sentinels, and
+nothing in the artifact said WHY. Now every timed rep captures, via
+ManagementFactory through the py4j gateway, the DELTAS of: total JIT
+compilation time, classes loaded/unloaded, and the code-cache pools'
+used bytes (plus the absolute post-rep occupancy), together with epoch
+start/end timestamps. A slow rep is then adjudicable post-hoc: a spike
+with a matching compile-time/class-churn delta is the JIT pathology
+(tune the code cache); a spike with flat counters is NOT — look at the
+timestamps against system logs instead. Stored per-rep under
+"queries_jvm" in bench_detail_last.json; the stdout summary carries
+only the worst offender to stay inside the tail budget.
+
+MIN + INSTABILITY (r11): with a heavy right tail, the per-query MIN is
+the contention-free estimator and median/min is a per-query
+instability score; both are recorded ("queries_min", "instability")
+so window health is visible without re-deriving it from queries_reps.
 """
 
 from __future__ import annotations
@@ -138,10 +156,12 @@ BRANCH_REPS = 2  # per-branch repetitions for folded queries — branch
 #                  the headline number; 2 samples bound the wall clock
 #                  (the branch pass re-runs every fold piecewise)
 
-# ngram's branch sweep alone costs ~45s at sf0.1 (it re-runs all five
-# pipelines standalone); one attribution sample keeps the whole bench
-# inside the driver's window while still splitting the fold's cost.
-BRANCH_REPS_OVERRIDE = {"ngram_jaccard_dup_pairs": 1}
+# ngram's branch sweep is the most expensive attribution pass (it
+# re-runs all five pipelines standalone); r11 raises it 1 → 2 reps so
+# the simhash-fp-persist claim (10.4s → ~5s, operators/dedup.py) is
+# confirmed by a 2-sample attribution instead of one noisy rep — the
+# r10 window's single rep read 9.7s against a 4.9s standalone measure.
+BRANCH_REPS_OVERRIDE = {"ngram_jaccard_dup_pairs": 2}
 
 SF01_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "golden_plans_sf01")
@@ -185,6 +205,51 @@ def _release_operator_caches() -> None:
     lm_ops.unpersist_lm()
     cl_ops.unpersist_cluster()
     tmp_ops.unpersist_temporal()
+
+
+def jvm_counters(spark) -> dict:
+    """Snapshot the JVM's JIT/classloading/code-cache state through the
+    py4j gateway (ManagementFactory). Costs a few gateway round-trips
+    (~1 ms total) — negligible against multi-second reps, and taken
+    OUTSIDE the timed window anyway.
+
+    Fields: ``compile_ms`` cumulative JIT compilation time;
+    ``loaded``/``unloaded`` cumulative class counts; ``cc_used`` the
+    summed used bytes of every CodeHeap pool (Java 17 segments the code
+    cache into non-nmethods / profiled / non-profiled heaps — summed
+    here; an unsegmented JVM exposes one 'Code Cache' pool, matched
+    too). Unloaded classes + rising compile time across a slow rep =
+    the flush/recompile pathology; flat counters = look elsewhere."""
+    mf = spark._jvm.java.lang.management.ManagementFactory
+    comp = mf.getCompilationMXBean()
+    cl = mf.getClassLoadingMXBean()
+    cc_used = 0
+    for pool in mf.getMemoryPoolMXBeans():
+        name = pool.getName()
+        if "CodeHeap" in name or "Code Cache" in name:
+            u = pool.getUsage()
+            if u is not None:
+                cc_used += u.getUsed()
+    return {
+        "compile_ms": int(comp.getTotalCompilationTime()),
+        "loaded": int(cl.getTotalLoadedClassCount()),
+        "unloaded": int(cl.getUnloadedClassCount()),
+        "cc_used": int(cc_used),
+    }
+
+
+def _jvm_delta(before: dict, after: dict, t0: float, t1: float) -> dict:
+    """Per-rep attribution record: counter deltas + epoch timestamps
+    (so a stall can be correlated with the sentinel ladder and system
+    logs post-hoc) + absolute post-rep code-cache occupancy in MB."""
+    return {
+        "t0": round(t0, 2),
+        "t1": round(t1, 2),
+        "compile_ms": after["compile_ms"] - before["compile_ms"],
+        "loaded": after["loaded"] - before["loaded"],
+        "unloaded": after["unloaded"] - before["unloaded"],
+        "cc_mb": round(after["cc_used"] / 1048576, 1),
+    }
 
 
 _PY_SENTINEL_DF = None
@@ -285,8 +350,14 @@ def main() -> None:
     # classes STAY warm across the timed rounds, so round 1 measures
     # steady-state cost rather than compile+profile debt
     force(py_sentinel_df(spark))
+    warmup_jvm: dict[str, dict] = {}
     for name in names:
+        c0, w0 = jvm_counters(spark), time.time()
         force(plans.REGISTRY[name].builder(spark, sf_dir))
+        warmup_jvm[name] = _jvm_delta(c0, jvm_counters(spark),
+                                      w0, time.time())
+        warmup_jvm[name]["sec"] = round(
+            warmup_jvm[name]["t1"] - warmup_jvm[name]["t0"], 3)
         _release_operator_caches()
 
     # REPS interleaved rounds (round-robin, not back-to-back, so a load
@@ -294,28 +365,43 @@ def main() -> None:
     # round); per-query MEDIAN is reported — one slow outlier round no
     # longer masks or fakes a regression (±40% external noise observed).
     times: dict[str, list[float]] = {n: [] for n in names}
+    jvm_reps: dict[str, list[dict]] = {n: [] for n in names}
     sentinel_times: list[float] = []
+    sentinel_stamps: list[list[float]] = []
     py_sentinel_times: list[float] = []
+    py_sentinel_stamps: list[list[float]] = []
     sentinel_builder = plans.REGISTRY[SENTINEL].builder
     for rep in range(REPS):
         gc_barrier(spark)
+        w0 = time.time()
         t0 = time.perf_counter()
         force(sentinel_builder(spark, sf_dir))
         sentinel_times.append(time.perf_counter() - t0)
+        sentinel_stamps.append([round(w0, 2), round(time.time(), 2)])
         gc_barrier(spark)
+        w0 = time.time()
         t0 = time.perf_counter()
         force(py_sentinel_df(spark))
         py_sentinel_times.append(time.perf_counter() - t0)
+        py_sentinel_stamps.append([round(w0, 2), round(time.time(), 2)])
         for name in names:
             if rep >= REPS_OVERRIDE.get(name, REPS):
                 continue
             gc_barrier(spark)
+            c0, w0 = jvm_counters(spark), time.time()
             t0 = time.perf_counter()
             force(plans.REGISTRY[name].builder(spark, sf_dir))
             times[name].append(time.perf_counter() - t0)
+            jvm_reps[name].append(
+                _jvm_delta(c0, jvm_counters(spark), w0, time.time()))
             _release_operator_caches()
     per_query = {n: round(statistics.median(ts), 3)
                  for n, ts in times.items()}
+    per_query_min = {n: round(min(ts), 3) for n, ts in times.items()}
+    # median/min: 1.0 = perfectly quiet window; >2 = the median itself
+    # is contention-inflated and min is the better steady-state read
+    instability = {n: round(per_query[n] / per_query_min[n], 2)
+                   for n in per_query if per_query_min[n] > 0}
     total = round(sum(per_query.values()), 3)
     sentinel_median = statistics.median(sentinel_times)
     py_sentinel_median = statistics.median(py_sentinel_times)
@@ -368,14 +454,20 @@ def main() -> None:
         "branches": branches,
         "branch_reps": BRANCH_REPS,
         "queries": per_query,
+        "queries_min": per_query_min,
+        "instability": instability,
         "queries_reps": queries_reps,
+        "queries_jvm": jvm_reps,
+        "warmup_jvm": warmup_jvm,
         "sentinel": {"name": SENTINEL,
                      "times": [round(t, 3) for t in sentinel_times],
-                     "median": round(sentinel_median, 3)},
+                     "median": round(sentinel_median, 3),
+                     "stamps": sentinel_stamps},
         "py_sentinel": {"rows": PY_SENTINEL_ROWS,
                         "times": [round(t, 3)
                                   for t in py_sentinel_times],
-                        "median": round(py_sentinel_median, 3)},
+                        "median": round(py_sentinel_median, 3),
+                        "stamps": py_sentinel_stamps},
         "queries_normalized": normalized,
         "queries_normalized_py": normalized_py,
         "value_normalized": round(total / sentinel_median, 2),
@@ -386,6 +478,21 @@ def main() -> None:
         json.dump({**detail, "branches_reps": branches_reps}, f,
                   indent=1)
     print(json.dumps(detail))
+    # worst-offender health record for the bounded stdout tail: the
+    # query with the highest median/min ratio, with the JVM counter
+    # record of its SLOWEST rep — one glance says whether the window's
+    # worst rep was JIT churn (compile/unload deltas) or not
+    worst = max(instability, key=instability.get) if instability else None
+    instability_top = None
+    if worst is not None:
+        slow_i = max(range(len(times[worst])),
+                     key=lambda i: times[worst][i])
+        instability_top = {
+            "query": worst, "ratio": instability[worst],
+            "median": per_query[worst], "min": per_query_min[worst],
+            "slow_rep": queries_reps[worst][slow_i],
+            "jvm": jvm_reps[worst][slow_i] if jvm_reps[worst] else None,
+        }
     summary = {
         "metric": "headline_queries_total",
         "value": total,
@@ -398,6 +505,7 @@ def main() -> None:
         "py_queries_reps": {n: queries_reps[n]
                             for n in sorted(normalized_py)},
         "queries_normalized_py": normalized_py,
+        "instability_top": instability_top,
         "n_queries": len(per_query),
         "queries": {},  # per-query detail on the preceding line
         "sf": sf,
@@ -408,11 +516,19 @@ def main() -> None:
     # printing (the r9 assert recreated the failure it guarded against,
     # and asserts strip under -O): drop optional fields until it fits.
     for drop in ("queries_normalized_py", "py_queries_reps",
-                 "py_sentinel_times", "sentinel_times"):
+                 "py_sentinel_times", "sentinel_times",
+                 "instability_top"):
         line = json.dumps(summary)
         if len(line) <= 1500:
             break
         summary.pop(drop, None)
+    # final guard (r11, ADVICE): the loop pops its last field without
+    # re-checking — if the BASE summary alone still exceeds the tail
+    # budget, fall back to a minimal headline rather than silently
+    # recreating the r8 no-machine-readable-headline failure
+    if len(json.dumps(summary)) > 1500:
+        summary = {"metric": "headline_queries_total", "value": total,
+                   "unit": "sec", "sf": sf}
     print(json.dumps(summary))
     sys.stdout.flush()
     spark.stop()

@@ -246,3 +246,43 @@ def test_feature_vector_and_probability_bounds(spark):
     assert lo["name_fuzzy_ratio"] == 0.0
     assert lo["state_mentioned"] == 0.0      # null raw_text
     assert lo["p"] <= 0.2
+
+
+def test_llm_udf_cache_bounded_and_unhashable_scorer(spark):
+    """r11 (ADVICE): the band-masked-udf cache keys on scorer identity,
+    so (a) an UNHASHABLE scorer must fall back to an uncached udf
+    instead of raising TypeError, and (b) per-call scorer construction
+    must not grow the cache without bound (LRU cap)."""
+    import pandas as pd
+
+    from australia_company_etl_pipeline_spark.pipeline import match as m
+
+    cc = spark.createDataFrame(
+        [("https://sunx.com.au", "Sunrise Bakery Holdings", None, "x")],
+        "url string, company_name string, industry string, raw_text string")
+    abr = spark.createDataFrame(
+        [("51824753556", "Sunrise Bakery Group Pty Ltd", "PRV", "Active",
+          "NSW", "2000", "2020-01-01")],
+        "abn string, entity_name string, entity_type string, entity_status "
+        "string, state string, postcode string, start_date string")
+    ccc, cabr = pl.clean_web_companies(cc), pl.clean_abr_entities(abr)
+
+    class UnhashableScorer(dict):  # dict subclass: __hash__ is None
+        def __call__(self, batch: "pd.DataFrame") -> "pd.Series":
+            return m.stub_llm_scorer(batch)
+
+    before = dict(m._LLM_UDF_CACHE)
+    out = pl.match_companies(ccc, cabr, fuzzy_threshold=0.76,
+                             use_llm=True, llm_threshold_min=0.9,
+                             llm_scorer=UnhashableScorer())
+    assert out.count() == 1                       # works, just uncached
+    assert dict(m._LLM_UDF_CACHE) == before       # nothing leaked in
+
+    # per-call closures (distinct identities) stay bounded by the LRU cap
+    for i in range(m._LLM_UDF_CACHE_MAX + 5):
+        def scorer(batch, _i=i):
+            return m.stub_llm_scorer(batch)
+        pl.match_companies(ccc, cabr, fuzzy_threshold=0.76,
+                           use_llm=True, llm_threshold_min=0.9,
+                           llm_scorer=scorer)
+    assert len(m._LLM_UDF_CACHE) <= m._LLM_UDF_CACHE_MAX

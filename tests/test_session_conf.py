@@ -1,0 +1,32 @@
+"""Session-level configuration contracts.
+
+The r10 JIT-code-cache finding (session.py: ReservedCodeCacheSize +
+codegen class cache) is an OPERATIONAL fix, so these tests pin it in
+conf, not just in a comment: local mode's driver==executor masks a
+missing executor-side flag today, but on a real cluster the hot
+whole-stage-codegen loops run in executor JVMs — the flag must ship on
+both sides or the flush pathology returns exactly where it matters.
+"""
+
+from australia_company_etl_pipeline_spark.session import _DEFAULTS
+
+
+def test_code_cache_flag_on_both_jvms():
+    for side in ("driver", "executor"):
+        opts = _DEFAULTS[f"spark.{side}.extraJavaOptions"]
+        assert "-XX:ReservedCodeCacheSize=512m" in opts, side
+
+
+def test_codegen_class_cache_enlarged():
+    # 100-entry default evicts every class across a 22-query rotation
+    # (~200+ distinct codegen stages); see session.py for the measured
+    # 4s -> 110s swing the default caused.
+    assert int(_DEFAULTS["spark.sql.codegen.cache.maxEntries"]) >= 3000
+
+
+def test_live_session_carries_code_cache_conf(spark):
+    # the conftest session is built through get_spark, so the conf must
+    # be visible on the live session for both JVM sides
+    for side in ("driver", "executor"):
+        v = spark.conf.get(f"spark.{side}.extraJavaOptions")
+        assert "-XX:ReservedCodeCacheSize=512m" in v, side
