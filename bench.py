@@ -230,24 +230,47 @@ def jvm_counters(spark) -> dict:
             u = pool.getUsage()
             if u is not None:
                 cc_used += u.getUsed()
+    gc_ms = 0
+    for gc in mf.getGarbageCollectorMXBeans():
+        t = gc.getCollectionTime()
+        if t > 0:
+            gc_ms += t
     return {
         "compile_ms": int(comp.getTotalCompilationTime()),
         "loaded": int(cl.getTotalLoadedClassCount()),
         "unloaded": int(cl.getUnloadedClassCount()),
         "cc_used": int(cc_used),
+        "gc_ms": int(gc_ms),
     }
+
+
+def _loadavg() -> float:
+    """1-min host load at rep end — the external-contention signal the
+    JVM counters cannot see (r9 precedent: a rep spiked 18s → 259s with
+    the GC barrier in place, load 7.5, NO local process above 1.3% CPU
+    — hypervisor/neighbor steal). A slow rep with flat JVM counters and
+    high load is the host; flat counters AND low load means the probe
+    set is still missing the cause."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
 
 
 def _jvm_delta(before: dict, after: dict, t0: float, t1: float) -> dict:
     """Per-rep attribution record: counter deltas + epoch timestamps
     (so a stall can be correlated with the sentinel ladder and system
-    logs post-hoc) + absolute post-rep code-cache occupancy in MB."""
+    logs post-hoc) + absolute post-rep code-cache occupancy in MB +
+    1-min host load at rep end."""
     return {
         "t0": round(t0, 2),
         "t1": round(t1, 2),
+        "load": _loadavg(),
         "compile_ms": after["compile_ms"] - before["compile_ms"],
         "loaded": after["loaded"] - before["loaded"],
         "unloaded": after["unloaded"] - before["unloaded"],
+        "gc_ms": after["gc_ms"] - before["gc_ms"],
         "cc_mb": round(after["cc_used"] / 1048576, 1),
     }
 
