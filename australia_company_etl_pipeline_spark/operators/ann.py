@@ -124,10 +124,19 @@ def random_projection(df: DataFrame, vec_col: str = "embedding",
         raise ValueError(f"dim/out_dim must be >= 1, "
                          f"got {dim}/{out_dim}")
     planes = _planes(dim, out_dim, seed)
-    v = _dbl(F.col(vec_col))
-    comps = [F.round(dot(v, F.array(*[F.lit(x) for x in p])), 6)
-             for p in planes]
-    return df.withColumn(out_col, F.array(*comps))
+    # ONE parsed SQL expression instead of out_dim×dim Column-object
+    # literals: the Column form cost ~1,100 py4j round-trips per call
+    # (~0.15 ms each — pure driver latency inside every query build;
+    # guide §1.2 step 2). repr() doubles round-trip exactly through the
+    # SQL parser, so the parsed tree carries the identical literals and
+    # the identical round(aggregate(zip_with(...)), 6) arithmetic.
+    dv = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    comps = ", ".join(
+        "round(aggregate(zip_with({v}, array({lits}), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x), 6)".format(
+            v=dv, lits=", ".join(repr(x) + "D" for x in p))
+        for p in planes)
+    return df.withColumn(out_col, F.expr(f"array({comps})"))
 
 
 def rp_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -502,7 +511,8 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 42, keep: str = "far",
              checkpoint: str = "local",
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             centroids_dim: int | None = None) -> DataFrame:
     """Semantic deduplication à la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
     near-identical pairs only WITHIN each cluster, and keep one
@@ -581,10 +591,17 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
         cents = centroids.select("centroid_id",
                                  _dbl(F.col("centroid_vec"))
                                  .alias("centroid_vec"))
-        crow = cents.select(F.size("centroid_vec").alias("d")) \
-            .limit(1).collect()
-        if crow:
-            _check_dim(crow[0]["d"], clean, "__v",
+        # centroids_dim (r11): a caller that knows the supplied
+        # centroids' dim (e.g. from the index meta/params that built
+        # them) skips the centroid-sample job; the corpus-side sample
+        # check below still runs either way
+        d = centroids_dim
+        if d is None:
+            crow = cents.select(F.size("centroid_vec").alias("d")) \
+                .limit(1).collect()
+            d = crow[0]["d"] if crow else None
+        if d is not None:
+            _check_dim(d, clean, "__v",
                        "corpus embedding (vs supplied centroids)",
                        full=False)  # corpus-sized: sample, don't rescan
     else:
@@ -763,6 +780,13 @@ def _check_dim(expected_dim: int, df: DataFrame, vec: str,
         lo = hi = sample[0]["d"] if sample else None
     if lo is None:
         return
+    _raise_on_dim(expected_dim, lo, hi, what)
+
+
+def _raise_on_dim(expected_dim: int, lo: int, hi: int, what: str) -> None:
+    """The dim-mismatch raise shared by ``_check_dim`` and the probe
+    functions that fold the same min/max-size guard into an existing
+    driver collect (one job instead of two — r11)."""
     if lo != expected_dim or hi != expected_dim:
         got = str(lo) if lo == hi else f"{lo}..{hi}"
         raise ValueError(f"{what} dimension {got} != expected "
@@ -774,7 +798,8 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id",
-                   query_vec_col: str = "query_vec") -> DataFrame:
+                   query_vec_col: str = "query_vec",
+                   expected_dim: int | None = None) -> DataFrame:
     """Top-k over a persisted ``build_ivf_index`` layout.
 
     The query batch is assigned to its ``n_probe`` nearest centroids
@@ -785,15 +810,22 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
     filtered with ``isin(probed)`` so Catalyst prunes every unprobed
     partition directory at planning time. Everything after the pruned
     scan is the plain broadcast-join + exact-cosine + top-k kernel.
-    Query vectors are dimension-checked against the stored centroids
-    up front (see ``_check_dim``)."""
+
+    Query vectors are dimension-checked against the stored index; the
+    check's min/max-size aggregate rides the probe collect (one driver
+    job, not two — r11). ``expected_dim`` (when the caller already
+    knows the index dim, e.g. from a ``meta/`` block or the keyed-cache
+    params that built it) skips the centroid-sample job too; leave it
+    None to read the dim from the stored centroids."""
     from pyspark.sql.window import Window
 
-    centroids = spark.read.parquet(f"{path}/centroids")
-    crow = centroids.select(F.size("centroid_vec").alias("d")) \
-        .limit(1).collect()
-    if crow:
-        _check_dim(crow[0]["d"], queries, query_vec_col, "query vector")
+    from ..catalog import read_parquet
+
+    centroids = read_parquet(spark, f"{path}/centroids")
+    if expected_dim is None:
+        crow = centroids.select(F.size("centroid_vec").alias("d")) \
+            .limit(1).collect()
+        expected_dim = crow[0]["d"] if crow else None
     pairs = queries.crossJoin(F.broadcast(centroids))
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("__csim"), F.asc("centroid_id"))
@@ -803,9 +835,17 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
               .withColumn("__cr", F.row_number().over(win))
               .filter(F.col("__cr") <= n_probe)
               .drop("__csim", "__cr", "centroid_vec"))
-    probed = [r.centroid_id
-              for r in probes.select("centroid_id").distinct().collect()]
-    lists = (spark.read.parquet(f"{path}/lists")
+    # ONE bounded collect: the probed list ids (the sanctioned K-value
+    # collect) + the query batch's min/max vector size for the dim guard
+    qsize = F.size(F.col(query_vec_col))
+    prow = probes.agg(F.collect_set("centroid_id").alias("ids"),
+                      F.min(qsize).alias("lo"),
+                      F.max(qsize).alias("hi")).collect()[0]
+    probed = list(prow["ids"] or [])
+    if prow["lo"] is not None and expected_dim is not None:
+        _raise_on_dim(expected_dim, prow["lo"], prow["hi"],
+                      "query vector")
+    lists = (read_parquet(spark, f"{path}/lists")
              .filter(F.col("centroid_id").isin(probed)))
     cands = lists.join(F.broadcast(probes), "centroid_id", "inner")
     scored = cands.select(
@@ -876,11 +916,14 @@ def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
     scan is filtered with ``isin(probed)`` so Catalyst prunes every
     unprobed partition directory at planning time.  Identical results
     to ``lsh_topk`` over the same corpus/params (pinned in tests);
-    query vectors are dimension-checked against the stored planes."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    query vectors are dimension-checked against the stored planes —
+    the check rides the probe collect (one driver job, not two), and
+    the one-row ``meta/`` parameter read is served from the metadata
+    cache (r11)."""
+    from ..catalog import read_meta_rows, read_parquet
+
+    meta = read_meta_rows(spark, f"{path}/meta")[0]
     n_planes, dim, seed = meta["n_planes"], meta["dim"], meta["seed"]
-    _check_dim(dim, queries, query_vec_col, "query vector (vs stored "
-               "LSH plane family)")
     planes = _planes(dim, n_planes, seed)
     qb = queries.withColumn("__qb",
                             lsh_bucket(F.col(query_vec_col), planes))
@@ -888,9 +931,15 @@ def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
         "bucket", F.explode(F.array(*_probe_masks(F.col("__qb"),
                                                   n_planes, multiprobe))))
         .drop("__qb"))
-    probed = [r.bucket
-              for r in probes.select("bucket").distinct().collect()]
-    buckets = (spark.read.parquet(f"{path}/buckets")
+    qsize = F.size(F.col(query_vec_col))
+    prow = probes.agg(F.collect_set("bucket").alias("ids"),
+                      F.min(qsize).alias("lo"),
+                      F.max(qsize).alias("hi")).collect()[0]
+    probed = list(prow["ids"] or [])
+    if prow["lo"] is not None:
+        _raise_on_dim(dim, prow["lo"], prow["hi"],
+                      "query vector (vs stored LSH plane family)")
+    buckets = (read_parquet(spark, f"{path}/buckets")
                .filter(F.col("bucket").isin(probed)))
     cands = buckets.join(F.broadcast(probes), "bucket", "inner")
     scored = cands.select(

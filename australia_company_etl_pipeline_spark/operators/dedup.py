@@ -455,15 +455,20 @@ def _minhash_buckets(sh: DataFrame, id_col: str, extra_cols: list[str],
     rows_per_band = num_hashes // bands
     keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
     exploded = sh.select(*keep, F.explode("__sh").alias("__g"))
+    # signature + band expressions rendered as SQL text, one parse each
+    # (r11): the Column-object loops cost ~700 py4j round-trips per
+    # call — pure driver build latency. Identical min/hash/pmod
+    # arithmetic comes back from the parser.
     if hash_fn == "native":
         hashed = exploded.select(*keep, F.xxhash64("__g").alias("__h"))
-        sigs = [F.min(F.hash(F.col("__h"), F.lit(s))).alias(f"__m{s}")
+        sigs = [F.expr(f"min(hash(__h, {s})) AS __m{s}")
                 for s in range(num_hashes)]
+
         def band_hash(b):
-            return F.hash(F.concat_ws(",", *[
-                F.col(f"__m{i}").cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ]))
+            cols = ", ".join(
+                f"CAST(__m{i} AS STRING)"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+            return f"hash(concat_ws(',', {cols}))"
     elif hash_fn == "portable":
         from .embed import fnv1a32
 
@@ -471,24 +476,25 @@ def _minhash_buckets(sh: DataFrame, id_col: str, extra_cols: list[str],
         hashed = exploded.select(
             *keep, F.pmod(fnv1a32(F.col("__g")),
                           F.lit(MINHASH_P)).alias("__h"))
-        sigs = [F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
-                             F.lit(MINHASH_P))).alias(f"__m{s}")
+        sigs = [F.expr(f"min(pmod(__h * {a} + {b}, {MINHASH_P})) "
+                       f"AS __m{s}")
                 for s, (a, b) in enumerate(params)]
+
         def band_hash(b):
-            return _band_fold([F.col(f"__m{i}")
-                               for i in range(b * rows_per_band,
-                                              (b + 1) * rows_per_band)])
+            acc = "CAST(17 AS BIGINT)"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band):
+                acc = f"pmod({acc} * 31 + __m{i}, {MINHASH_P})"
+            return acc
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}: "
                          "use 'native' or 'portable'")
     sig = hashed.groupBy(id_col, *extra_cols).agg(*sigs)
+    structs = ", ".join(
+        f"struct({b} AS band, {band_hash(b)} AS bh)"
+        for b in range(bands))
     banded = sig.select(
         *keep,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     band_hash(b).alias("bh"))
-            for b in range(bands)
-        ])).alias("bucket"))
+        F.expr(f"explode(array({structs}))").alias("bucket"))
     return banded.select(*keep, "bucket.band", "bucket.bh")
 
 
@@ -803,6 +809,12 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
             df.select(F.col(id_col),
                       F.explode_outer(tokens(F.col(text_col)))
                       .alias("__t")))
+    # The per-bit expressions are rendered as SQL text and parsed in ONE
+    # py4j round each (r11): the Column-object form cost ~1,100 driver
+    # round-trips per call (~0.15 ms each, pure build latency — guide
+    # §1.2 step 2). The parsed trees carry the same shiftright/&1/sum
+    # arithmetic; shiftleft(1L, 63) constant-folds to the same
+    # sign-bit-wrapped long the Python literal produced.
     if hash_fn == "native":
         # xxhash64(NULL) is the seed value (42), not NULL — mask it so
         # the explode_outer placeholder row of a tokenless doc casts no
@@ -811,8 +823,7 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
             F.col(id_col),
             F.when(F.col("__t").isNotNull(),
                    F.xxhash64("__t")).alias("__h"))
-        bit = {i: F.shiftright("__h", i).bitwiseAND(F.lit(1))
-               for i in range(bits)}
+        bit = {i: f"(shiftright(__h, {i}) & 1)" for i in range(bits)}
     elif hash_fn == "portable":
         from .embed import fnv1a32_pair
 
@@ -832,24 +843,21 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str,
             F.col(id_col),
             F.col("__hp")["h1"].alias("__h1"),
             F.col("__hp")["h2"].alias("__h2"))
-        bit = {i: (F.shiftright("__h1", i).bitwiseAND(F.lit(1))
-                   if i < 32 else
-                   F.shiftright("__h2", i - 32).bitwiseAND(F.lit(1)))
+        bit = {i: (f"(shiftright(__h1, {i}) & 1)" if i < 32 else
+                   f"(shiftright(__h2, {i - 32}) & 1)")
                for i in range(bits)}
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}: "
                          "use 'native' or 'portable'")
     votes = hashed.groupBy(id_col).agg(*[
-        F.sum(bit[i].cast("int") * 2 - 1).alias(f"__v{i}")
+        F.expr(f"sum(CAST({bit[i]} AS INT) * 2 - 1) AS __v{i}")
         for i in range(bits)
     ])
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        power = (1 << i) - ((1 << 64) if i == bits - 1 and bits == 64 else 0)
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"__v{i}") > 0, F.lit(power).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return votes.select(F.col(id_col), fp.alias("__sh"))
+    fp = " | ".join(
+        f"(CASE WHEN __v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits))
+    return votes.select(F.col(id_col), F.expr(f"({fp}) AS __sh"))
 
 
 def fingerprint_band_buckets(fp: DataFrame, id_col: str,

@@ -351,42 +351,113 @@ def ccnet_buckets(scored: DataFrame, nll_col: str = "avg_nll",
     the tiers are identical).
 
     Tier boundaries are the ``floor(n·i/parts)``-th smallest
-    ``(nll, id)`` pairs — EXACT order statistics via
-    ``exact_order_stat`` (two bounded passes each, no global sort), so
-    the assignment is deterministic and engine-reproducible: a doc is
-    in tier i iff its (nll, id) pair ≤ the i-th boundary pair, which
-    equals the rank rule ``row_number() OVER (ORDER BY nll, id) ≤
-    floor(n·i/parts)`` an oracle can replay. Ties in nll are split by
-    id, so equal-score docs land deterministically.
+    ``(nll, id)`` pairs — EXACT order statistics, so the assignment is
+    deterministic and engine-reproducible: a doc is in tier i iff its
+    (nll, id) pair ≤ the i-th boundary pair, which equals the rank rule
+    ``row_number() OVER (ORDER BY nll, id) ≤ floor(n·i/parts)`` an
+    oracle can replay. Ties in nll are split by id, so equal-score docs
+    land deterministically.
+
+    The boundaries are computed IN-PLAN (r11 — the pre-r11 form ran
+    ``count`` plus two ``exact_order_stat`` driver probes, five eager
+    jobs per call; guide §1.2 "don't compute things you throw away" /
+    §5 "the driver should do almost no data work"): ONE aggregation
+    over ``floor(nll·coarse_grid)`` bins collects the coarse histogram
+    into a sorted one-row array (bounded by the distinct-bin count,
+    never rows); higher-order functions over that array locate, for
+    every boundary rank k_i = n·i div parts, the bin whose running sum
+    reaches k_i and the in-bin offset — no window, no re-aggregation,
+    no driver round-trip; one window over ONLY the (≤ parts−1) target
+    bins' rows resolves the exact pairs; and a one-row pivot is
+    broadcast into the bucket projection. The persisted ``scored``
+    frame is scanned exactly three times (histogram, in-bin probe,
+    final projection — pinned in tests/test_plan_shapes.py), vs five
+    eager jobs before; every stage is bounded exactly as before (no
+    global sort, no corpus-sized window).
 
     Input rows must have non-NULL ``nll_col`` and unique ``id_col``
-    (``bigram_lm_score`` guarantees both). ``scored`` is persisted for
-    the boundary probes + final projection — call ``unpersist_lm()``
-    after the terminal action. Adds column ``ppl_bucket``.
+    (``bigram_lm_score`` guarantees both). ``scored`` is persisted (it
+    feeds the histogram, the in-bin probe and the final projection) —
+    call ``unpersist_lm()`` after the terminal action. Adds column
+    ``ppl_bucket``.
     """
     if len(labels) != parts:
         raise ValueError(f"need {parts} labels, got {len(labels)}")
     from pyspark import StorageLevel
+    from pyspark.sql.window import Window
 
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     _LM_CACHE.append(scored)
-    n = scored.count()
-    conds = []
-    for i, lbl in enumerate(labels[:-1], start=1):
-        b = exact_order_stat(scored, nll_col, id_col, (n * i) // parts,
-                             coarse_grid=coarse_grid)
-        if b is None:
-            continue
-        conds.append((
-            (F.col(nll_col) < b["v"])
-            | ((F.col(nll_col) == b["v"]) & (F.col(id_col) <= b["i"])),
-            lbl))
+    bin_col = F.floor(F.col(nll_col) * coarse_grid)
+    hist = (scored.groupBy(bin_col.alias("__bin"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    # the whole histogram as ONE sorted array row (struct arrays sort
+    # by leading field, i.e. by bin) + the corpus count derived from it
+    harr = (hist.agg(F.sort_array(F.collect_list(
+                F.struct("__bin", "__c"))).alias("__h"))
+            .withColumn("__n",
+                        F.expr("aggregate(__h, CAST(0 AS BIGINT), "
+                               "(a, x) -> a + x.__c)")))
+    # per boundary i: rank k_i = n·i div parts; fold over the bin array
+    # finds the first bin whose running sum reaches k_i and the in-bin
+    # offset. k_i < 1 (empty/tiny input) leaves tbin NULL → filtered.
+    null_acc = ("named_struct('cum', acc.cum + x.__c, "
+                "'tbin', CAST(NULL AS BIGINT), "
+                "'off', CAST(NULL AS BIGINT))")
+    tgt = (harr.select(F.explode(F.expr(f"""
+        filter(
+          transform(sequence(1, {parts - 1}), i -> named_struct(
+            '__i', i,
+            '__loc', aggregate(
+              __h,
+              named_struct('cum', CAST(0 AS BIGINT),
+                           'tbin', CAST(NULL AS BIGINT),
+                           'off', CAST(NULL AS BIGINT)),
+              (acc, x) -> CASE
+                  WHEN acc.tbin IS NOT NULL THEN acc
+                  WHEN (__n * i) div {parts} < 1 THEN {null_acc}
+                  WHEN acc.cum + x.__c >= (__n * i) div {parts}
+                    THEN named_struct('cum', acc.cum + x.__c,
+                                      'tbin', x.__bin,
+                                      'off', (__n * i) div {parts}
+                                             - acc.cum)
+                  ELSE {null_acc}
+                END))),
+          s -> s.__loc.tbin IS NOT NULL)""")).alias("__s"))
+           .select(F.col("__s.__i").alias("__i"),
+                   F.col("__s.__loc.tbin").alias("__tbin"),
+                   F.col("__s.__loc.off").alias("__off")))
+    # resolve the exact (nll, id) boundary pair inside each target bin:
+    # a window over only those bins' rows (≤ parts−1 value slices of
+    # width 1/coarse_grid each — the same funnel bound as before)
+    inb = (scored.select(F.col(nll_col).alias("__v"),
+                         F.col(id_col).alias("__id"))
+           .join(F.broadcast(tgt),
+                 F.floor(F.col("__v") * coarse_grid) == F.col("__tbin")))
+    bw = Window.partitionBy("__i").orderBy(F.col("__v").asc(),
+                                           F.col("__id").asc())
+    bounds = (inb.withColumn("__rn", F.row_number().over(bw))
+              .filter(F.col("__rn") == F.col("__off"))
+              .select("__i", "__v", "__id"))
+    aggs = []
+    for i in range(1, parts):
+        aggs.append(F.max(F.when(F.col("__i") == i, F.col("__v")))
+                    .alias(f"__bv{i}"))
+        aggs.append(F.max(F.when(F.col("__i") == i, F.col("__id")))
+                    .alias(f"__bi{i}"))
+    piv = bounds.agg(*aggs)  # exactly one row; missing boundaries NULL
     expr = None
-    for cond, lbl in conds:
+    for i, lbl in enumerate(labels[:-1], start=1):
+        cond = (F.col(f"__bv{i}").isNotNull()
+                & ((F.col(nll_col) < F.col(f"__bv{i}"))
+                   | ((F.col(nll_col) == F.col(f"__bv{i}"))
+                      & (F.col(id_col) <= F.col(f"__bi{i}")))))
         expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
     expr = (F.lit(labels[-1]) if expr is None
             else expr.otherwise(F.lit(labels[-1])))
-    return scored.withColumn("ppl_bucket", expr)
+    drop = [c for i in range(1, parts) for c in (f"__bv{i}", f"__bi{i}")]
+    return (scored.crossJoin(F.broadcast(piv))
+            .withColumn("ppl_bucket", expr).drop(*drop))
 
 
 def position_frame(tok: DataFrame, id_col: str) -> DataFrame:

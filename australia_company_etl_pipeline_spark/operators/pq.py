@@ -218,8 +218,12 @@ def build_pq_index(corpus: DataFrame, path: str,
 
 def load_pq_codebook(spark, path: str) -> list[list[list[float]]]:
     """Read the persisted codebook back to the driver-side literal form
-    (m·n_codes rows — bounded by construction)."""
-    rows = spark.read.parquet(f"{path}/codebook").collect()
+    (m·n_codes rows — bounded by construction; served from the
+    metadata-row cache on repeat reads of the same artifact
+    generation)."""
+    from ..catalog import read_meta_rows
+
+    rows = read_meta_rows(spark, f"{path}/codebook")
     m = 1 + max(r.subspace for r in rows)
     k = 1 + max(r.code for r in rows)
     books: list[list[list[float]] | None] = [[None] * k for _ in range(m)]
@@ -237,8 +241,10 @@ def pq_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
     """Probe a persisted PQ index: the scan reads the compact codes
     table only; the collected codebook (m·n_codes rows, bounded)
     feeds ``pq_topk``'s data-side LUT join."""
+    from ..catalog import read_parquet
+
     books = load_pq_codebook(spark, path)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = read_parquet(spark, f"{path}/codes")
     return pq_topk(codes, queries, books, k, id_col, query_id_col,
                    query_vec_col, rerank_df, oversample)
 

@@ -147,17 +147,21 @@ def rag_search(spark: SparkSession, path: str, query: str, k: int = 5,
     IVF layout, the lexical list from the postings table with the
     query-term IN-filter pushed to the scan. Per-query cost scales
     with the probed lists + matching postings, never the store."""
+    from ..catalog import read_meta_rows, read_parquet
+
     if not query or not query.strip():
         raise ValueError("rag_search needs a non-empty query string")
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_meta_rows(spark, f"{path}/meta")[0]
     qdf = spark.createDataFrame([(0, query)], "query_id long, t string")
     qv = (embed_documents(qdf, "t", out_col="query_vec", dim=m.dim,
                           seed=m.seed, hash_fn=m.hash_fn)
           .select("query_id", "query_vec"))
+    # the index dim is pinned in meta — pass it through so the probe
+    # skips its centroid-sample job (r11)
     dense = ann.ivf_index_topk(spark, f"{path}/ivf", qv,
                                k=k if not hybrid else max(k, 10),
-                               n_probe=n_probe)
-    chunks = spark.read.parquet(f"{path}/chunks")
+                               n_probe=n_probe, expected_dim=m.dim)
+    chunks = read_parquet(spark, f"{path}/chunks")
     if not hybrid:
         hits = dense.select(F.col("vec_id").alias("chunk_uid"),
                             F.col("cosine_sim").alias("score"), "rank")
@@ -169,8 +173,8 @@ def rag_search(spark: SparkSession, path: str, query: str, k: int = 5,
         # while the dense half normalizes inside embed_documents
         q_terms = sorted(set(query.lower().split()))
         bm = rt.bm25_search_from_postings(
-            spark.read.parquet(f"{path}/postings"),
-            spark.read.parquet(f"{path}/stats"),
+            read_parquet(spark, f"{path}/postings"),
+            read_parquet(spark, f"{path}/stats"),
             "chunk_uid", q_terms, top_n=max(k, 10))
         fused = rt.rrf_fuse(
             [dense.select(F.col("vec_id").alias("chunk_uid"), "rank"),

@@ -30,6 +30,13 @@ from .registry import register
 N_QUERIES = 5
 K = 10
 
+#: the catalog embeddings dimension — already pinned structurally by
+#: the 64-dim LSH/RP plane literals spliced into the oracles below;
+#: passed to the persisted-index probes so they skip their per-call
+#: centroid-sample dim job (a regenerated catalog with a different dim
+#: fails those probes loudly, exactly like the plane literals would)
+EMB_DIM = 64
+
 #: the registered LSH preset (4 planes over the 64-dim embeddings,
 #: hamming<=2 multiprobe) — shared by the Spark branch and its oracle
 LSH_PLANES, LSH_DIM, LSH_SEED, LSH_MULTIPROBE = 4, 64, 42, 2
@@ -422,7 +429,8 @@ def _ann_approx_branches(spark: SparkSession, sf_dir: str,
     if method in (None, "ivf"):
         parts.append(
             ann.ivf_index_topk(spark, _ivf_path(spark, sf_dir),
-                               _queries_df(spark, sf_dir), k=K, n_probe=4)
+                               _queries_df(spark, sf_dir), k=K, n_probe=4,
+                               expected_dim=EMB_DIM)
             .select(F.lit("ivf").alias("method"), "query_id", "vec_id",
                     "cosine_sim", "rank"))
     if method in (None, "pq"):
@@ -446,11 +454,15 @@ def _ann_approx_branches(spark: SparkSession, sf_dir: str,
         # trained (operators/ann.py semdedup docstring): no second
         # k-means run — on an IVF-indexed corpus semantic dedup is one
         # assignment + one within-cluster pass
+        from ..catalog import read_parquet
+
         path = _ivf_path(spark, sf_dir)
         parts.append(
             ann.semdedup(_embeddings_with_dups(spark, sf_dir),
                          threshold=0.99, vec_col="v", keep="far",
-                         centroids=spark.read.parquet(f"{path}/centroids"))
+                         centroids=read_parquet(spark,
+                                                f"{path}/centroids"),
+                         centroids_dim=EMB_DIM)
             .select(F.lit("semdedup").alias("method"),
                     F.col("vec_id").alias("query_id"),
                     F.col("group_id").alias("vec_id"),

@@ -606,19 +606,39 @@ def test_url_dedup_uses_partial_agg_not_window(spark, sf_dir):
     assert "partial_min" in plan or "HashAggregate" in plan, plan
 
 
-def test_ccnet_buckets_output_plan_is_projection_over_cache(spark):
-    """After the eager boundary probes, the RETURNED frame must be a
-    pure projection over the persisted scored frame — no extra
-    shuffle, no join, no window in the steady-state read path."""
+def test_ccnet_buckets_lazy_bounded_boundary_plan(spark):
+    """r11: the tier boundaries are computed IN-PLAN — construction
+    runs ZERO eager jobs (the pre-r11 form ran count + two
+    exact_order_stat driver probes, five jobs per call), every join in
+    the read path is broadcast (the boundary pivot is one row), and the
+    persisted scored frame is scanned a bounded number of times
+    (histogram + in-bin probe + final projection), never through a
+    corpus-wide window or sort-merge join."""
     from australia_company_etl_pipeline_spark.operators import lm as lm_ops
+
+    sc = spark.sparkContext
+
+    def _max_job():
+        ids = sc.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
     df = spark.createDataFrame([(i, float(i % 7)) for i in range(50)],
                                "doc_id long, avg_nll double")
+    j0 = _max_job()
     out = lm_ops.ccnet_buckets(df, "avg_nll", "doc_id")
     plan = _plan(out)
     lm_ops.unpersist_lm()
-    assert "Exchange" not in plan, plan
-    assert "Join" not in plan and "Window" not in plan, plan
+    assert _max_job() == j0, "ccnet_buckets ran eager driver jobs"
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly three passes over the persisted scored frame: histogram,
+    # in-bin boundary probe, final projection (formatted explain prints
+    # each node twice — once in the tree, once in the details section)
+    assert plan.count("InMemoryTableScan") <= 6, plan
+    # the corpus-wide read is projection + 1-row broadcast only: every
+    # Window in the plan is keyed (boundary index / histogram bins),
+    # never an unpartitioned pass over the scored rows' ids
+    assert "windowspecdefinition(doc_id" not in plan, plan
 
 
 def test_cap_per_key_no_window_on_raw_key_over_full_input(spark, sf_dir):
