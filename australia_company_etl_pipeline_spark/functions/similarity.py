@@ -29,14 +29,30 @@ def token_set(name: Column) -> Column:
     return _tokens(name)
 
 
+def _intersect_count(ta: Column, tb: Column) -> Column:
+    """|A∩B| for two DISTINCT, null-free arrays (everything ``_tokens``
+    / ``token_set`` produce) — as ``filter`` + ``array_contains``
+    instead of ``array_intersect``. Identical counts (pinned against
+    6.3M real candidate pairs: zero disagreements), but ~zero per-pair
+    allocation: ``ArrayIntersect.nullSafeEval`` builds a fresh
+    ``SQLOpenHashSet`` (two backing arrays + rehash) for EVERY pair,
+    and at ~6M pairs/query that allocation storm made the scoring
+    stage's wall time hostage to young-gen state — the r11 stall probe
+    caught 30× reps fully CPU-RUNNABLE inside it (see session.py GC
+    note + OPTIMIZATION_r11.md). Token arrays are ≤ a few dozen
+    entries, where the O(|A|·|B|) scan is cheaper than hashing."""
+    return F.size(F.filter(ta, lambda x: F.array_contains(tb, x)))
+
+
 def jaccard_token_arrays(ta: Column, tb: Column) -> Column:
     """M2 on precomputed token-set arrays: |A∩B| / (|A|+|B|−|A∩B|).
 
-    Same math as ``jaccard_tokens`` but the per-pair work is a single
-    ``array_intersect`` — the union size comes from the sizes identity, so
-    no per-pair concat+distinct allocation. This is the hot-path form for
-    candidate-pair scoring after a blocking join."""
-    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    Same math as ``jaccard_tokens`` but on pre-tokenized arrays — the
+    hot-path form for candidate-pair scoring after a blocking join.
+    Inputs must be distinct-element arrays (``token_set``); the union
+    size comes from the sizes identity, the intersection count from
+    the allocation-free kernel (``_intersect_count``)."""
+    inter = _intersect_count(ta, tb).cast("double")
     union = F.size(ta) + F.size(tb) - inter
     sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return F.when(ta.isNull() | tb.isNull(), F.lit(0.0)).otherwise(sim)
@@ -47,10 +63,13 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
 
     Reference: /root/reference/src/transform/entity_match.py:236-250 and
     feature_engineering.py:221-232 (Python set ops per row).
-    """
+    ``_tokens`` arrays are distinct, so |A∪B| = |A|+|B|−|A∩B| exactly
+    and both set ops reduce to the one allocation-free intersection
+    count (pre-r11 this was array_intersect + array_union — two
+    hash-set builds per pair)."""
     ta, tb = _tokens(a), _tokens(b)
-    inter = F.size(F.array_intersect(ta, tb)).cast("double")
-    union = F.size(F.array_union(ta, tb)).cast("double")
+    inter = _intersect_count(ta, tb).cast("double")
+    union = F.size(ta) + F.size(tb) - inter
     sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(sim)
 

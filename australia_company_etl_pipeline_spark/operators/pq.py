@@ -239,14 +239,20 @@ def pq_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                   rerank_df: DataFrame | None = None,
                   oversample: int = 5) -> DataFrame:
     """Probe a persisted PQ index: the scan reads the compact codes
-    table only; the collected codebook (m·n_codes rows, bounded)
-    feeds ``pq_topk``'s data-side LUT join."""
+    table only. The codebook feeds ``pq_topk``'s data-side LUT join
+    DIRECTLY as the persisted ``codebook/`` parquet frame (r11) — the
+    pre-r11 path collected it and re-created a DataFrame from the
+    rows, a pure driver round trip (~1 s of createDataFrame chatter
+    per probe); only the three shape scalars (m, n_codes, ds) come
+    from the collected rows, which the metadata-row cache serves for
+    free on repeat probes of the same artifact generation."""
     from ..catalog import read_parquet
 
     books = load_pq_codebook(spark, path)
     codes = read_parquet(spark, f"{path}/codes")
     return pq_topk(codes, queries, books, k, id_col, query_id_col,
-                   query_vec_col, rerank_df, oversample)
+                   query_vec_col, rerank_df, oversample,
+                   codebook_df=read_parquet(spark, f"{path}/codebook"))
 
 
 def pq_topk(codes_df: DataFrame, queries: DataFrame,
@@ -255,7 +261,8 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
             query_id_col: str = "query_id",
             query_vec_col: str = "query_vec",
             rerank_df: DataFrame | None = None,
-            oversample: int = 5) -> DataFrame:
+            oversample: int = 5,
+            codebook_df: DataFrame | None = None) -> DataFrame:
     """ADC top-k → ``(query_id, vec_id, cosine_sim, rank)``.
 
     ``cosine_sim`` is the ADC estimate ``dot(q, recon(x)) / (||q||
@@ -288,7 +295,11 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame,
     n_codes = len(books[0])
     ds = len(books[0][0])
     spark = codes_df.sparkSession
-    cb = spark.createDataFrame(
+    # codebook_df (r11): callers holding the codebook as a persisted
+    # table (pq_index_topk) pass its frame straight in — skipping the
+    # rows -> createDataFrame driver round trip; only m/n_codes/ds
+    # scalars are taken from ``books``
+    cb = codebook_df if codebook_df is not None else spark.createDataFrame(
         [(j, c, cv) for j, sub in enumerate(books)
          for c, cv in enumerate(sub)],
         "subspace int, code int, centroid_vec array<double>")

@@ -54,8 +54,29 @@ _DEFAULTS = {
     # gap, but on a real cluster whole-stage-codegen loops run in
     # EXECUTOR JVMs — leaving executors at the 240 MB default would
     # reintroduce the flush pathology exactly where the hot loops live.
-    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
-    "spark.executor.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    #
+    # GC (r11): +UseParallelGC — the residual multi-second stall class
+    # left after the r10 code-cache fix was adjudicated with in-stall
+    # thread dumps + GC.heap_info (scripts/r11_stall_probe.py): G1's
+    # pause-adaptive sizing collapses the young gen to a few regions
+    # (measured 80 MB of a 29 GB heap, 5% used) after any full GC, and
+    # the next allocation-heavy query — collection expressions like
+    # array_intersect allocate per ROW — then runs 30x slow, fully
+    # CPU-RUNNABLE, young-collecting every ~100 ms while G1 re-expands
+    # by feedback. The throughput collector sizes generations from the
+    # heap (young = 1/3) and holds them, which is the right trade for
+    # a batch engine: measured on the 22-query rotation, total median
+    # 76.0s -> 57.6s (-24%) and the stall class gone (worst rep of the
+    # blocking join 100.3s -> 3.0s). G1 remains the better default for
+    # latency-sensitive mixed services and very large (>64 GB) heaps —
+    # override via extra_conf/spark-submit there. The driver line is
+    # completed with -Xms in get_spark (a local[] driver otherwise
+    # starts at a tiny initial heap and pays the growth; cluster
+    # executors already get -Xms=-Xmx from Spark's launcher).
+    "spark.driver.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseParallelGC",
     # The second half of the same pathology: Spark's compiled-class
     # cache (source → loaded class) holds only 100 entries by default,
     # and a session rotating through the 22-query bench (~200+ distinct
@@ -294,6 +315,18 @@ def get_spark(app_name: str = "australia-company-etl-pipeline-spark",
         "SPARK_GRAFT_DRIVER_MEM", "16g")
     if extra_conf:
         conf.update(extra_conf)
+    # pre-commit the whole heap (-Xms == -Xmx): Spark's launcher does
+    # exactly this for cluster executors; a local[] driver otherwise
+    # starts small and the first allocation-heavy stages pay the
+    # growth + the collector's resize churn (see the GC note above).
+    # AFTER the extra_conf merge so -Xms tracks the FINAL driver
+    # memory (an extra_conf that shrinks the heap must shrink -Xms
+    # with it — -Xms > -Xmx aborts the JVM); a caller-supplied -Xms
+    # wins untouched.
+    if "-Xms" not in conf.get("spark.driver.extraJavaOptions", ""):
+        conf["spark.driver.extraJavaOptions"] = (
+            conf.get("spark.driver.extraJavaOptions", "")
+            + " -Xms" + conf["spark.driver.memory"]).strip()
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

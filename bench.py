@@ -382,6 +382,24 @@ def main() -> None:
         warmup_jvm[name]["sec"] = round(
             warmup_jvm[name]["t1"] - warmup_jvm[name]["t0"], 3)
         _release_operator_caches()
+    # SECOND warm-up pass for the heavy queries (r11, closes the r10
+    # "warm-up gap"): one execution leaves most codegen methods at C1 —
+    # C2 tiering triggers on the SECOND run, so rep 1 of every heavy
+    # query was paying 2-6x in residual JIT compilation (per-rep
+    # compile_ms deltas in the thousands for round 0, measured). A
+    # second untimed pass absorbs that tier-up where it is material;
+    # sub-2s queries don't move the total and skip it.
+    for name in names:
+        if warmup_jvm[name]["sec"] < 2.0:
+            continue
+        c0, w0 = jvm_counters(spark), time.time()
+        force(plans.REGISTRY[name].builder(spark, sf_dir))
+        warmup_jvm[name + "#2"] = _jvm_delta(c0, jvm_counters(spark),
+                                             w0, time.time())
+        warmup_jvm[name + "#2"]["sec"] = round(
+            warmup_jvm[name + "#2"]["t1"]
+            - warmup_jvm[name + "#2"]["t0"], 3)
+        _release_operator_caches()
 
     # REPS interleaved rounds (round-robin, not back-to-back, so a load
     # spike on the shared bench machine hits different queries each
