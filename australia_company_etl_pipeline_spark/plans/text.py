@@ -553,11 +553,21 @@ def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vocab_branches(spark: SparkSession, sf_dir: str,
                     kind: str | None) -> DataFrame:
     from ..operators import cms as cms_ops
+    from ..operators import dedup as dd
 
     d = table(spark, sf_dir, "documents")
     parts: list[DataFrame] = []
+    # ONE staged vocabulary aggregate (vocabulary-sized, never corpus-
+    # sized; released with the shingle caches) feeds the frequency
+    # table, the Zipf fit AND the CMS build — each previously
+    # re-tokenized and re-exploded the whole corpus (r11: three
+    # corpus passes → one for these three branches)
+    vocab_full = None
+    if kind in (None, "token", "zipf", "cms"):
+        vocab_full = dd.persist_tracked(ts.vocab_agg(d, "text"))
     if kind in (None, "token"):
-        parts.append(ts.vocab_counts(d, "text", min_count=3)
+        parts.append(ts.vocab_counts(d, "text", min_count=3,
+                                     agg=vocab_full)
                      .select(F.lit("token").alias("kind"),
                              F.col("token").alias("gram"),
                              "n_occurrences", "n_docs"))
@@ -582,8 +592,8 @@ def _vocab_branches(spark: SparkSession, sf_dir: str,
     if kind in (None, "zipf"):
         # kind='zipf' (r8): the Zipf-law corpus-health scalar — alpha
         # and r² surfaced on the 1e-6 integer grid, n_ranks raw
-        zf = ts.zipf_fit(ts.vocab_counts(d, "text", min_count=3),
-                         top_n=200)
+        zf = ts.zipf_fit(ts.vocab_counts(d, "text", min_count=3,
+                                         agg=vocab_full), top_n=200)
         grid = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
         zr = None
         for g, expr in (("n_ranks", F.col("n_ranks").cast("long")),
@@ -602,9 +612,15 @@ def _vocab_branches(spark: SparkSession, sf_dir: str,
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
-    tokdf = d.select(F.explode(ts.tokens(F.col("text"))).alias("gram"))
-    sketch = cms_ops.build_cms(tokdf, F.col("gram"), _CMS_D, _CMS_W,
-                               hash_fn="md5")
+    # weighted build over the staged vocabulary aggregate: CMS counters
+    # are sums, so hashing each DISTINCT token once with weight =
+    # occurrence count is bit-identical to hashing every occurrence
+    # (exceptAll-checked both ways at sf0.1) — md5 work drops from
+    # corpus-token to vocabulary cardinality and the corpus is not
+    # re-tokenized at all
+    sketch = cms_ops.build_cms(vocab_full, F.col("token"), _CMS_D,
+                               _CMS_W, hash_fn="md5",
+                               weight=F.col("n_occurrences"))
     cms_rows = sketch.select(
         F.lit("cms").alias("kind"),
         F.concat_ws(":", "row_idx", "col_idx").alias("gram"),

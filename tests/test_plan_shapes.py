@@ -410,7 +410,11 @@ _SCAN_BUDGET = {
     "stats_rollup": 1,
     "union_score_bands": 2,
     "user_sessions_pandas": 1,
-    "vocab_ngram_counts": 11,
+    "vocab_ngram_counts": 3,   # r11: token/zipf/cms share ONE staged
+    #                            vocabulary aggregate (was 3 separate
+    #                            tokenize passes) and kl derives all
+    #                            its frames from ONE staged
+    #                            (stratum, token) aggregate (was 3)
     "wet_scan_shred": 1,
 }
 
