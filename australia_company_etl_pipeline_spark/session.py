@@ -88,6 +88,21 @@ _DEFAULTS = {
     # memory cost is class metadata only — compiled-code size is
     # already bounded by ReservedCodeCacheSize above.
     "spark.sql.codegen.cache.maxEntries": "3000",
+    # Third half of the codegen-cache story (r11): the generated class
+    # name embeds codegenStageId (GeneratedIteratorForCodegenStage<N>),
+    # and the cache keys on the full source TEXT. Under AQE a folded
+    # query's stage numbering depends on the order runtime re-planning
+    # reaches each shuffle stage, which is nondeterministic across runs
+    # with many concurrent branches — so an IDENTICAL code body gets a
+    # different class name and misses the cache. Measured on the
+    # 9-branch doc_search_bm25 fold: 66-80 fresh Janino compilations
+    # (plus their class loads and C1/C2 JIT, 2.5-5.7s of background
+    # compile) on EVERY rep at steady state; with the id out of the
+    # class name, zero. Single-branch queries were already stable —
+    # this only fires where AQE + plan width meet. The id is a
+    # debugging nicety (SPARK-23032); stack traces still carry the
+    # stage comment.
+    "spark.sql.codegen.useIdInClassName": "false",
 }
 
 
