@@ -67,16 +67,14 @@ def hashed_ngram_buckets_t(toks: Column, n_buckets: int = 4096) -> Column:
     inside the bigram transform — O(tokens²) re-splits per document
     (staging measured the whole dsir_select probe 15.7s → 3.0s, ~5×,
     at sf0.1)."""
-    # sequence(1, size-1) would DESCEND for <2-token docs (Spark emits
-    # [1, 0]) — guard bigrams behind an explicit size check
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # bigrams as ONE zip_with over two shifted slices (the
+    # textstats.ngram_counts r11 form): 3 array allocations per ROW
+    # instead of an index array + per-element lambda work; a <2-token
+    # doc yields m == 0 → two empty slices → an empty (typed) array,
+    # so no explicit size guard is needed
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
     grams = F.concat(toks, bigrams)
     return F.transform(
         grams,
@@ -209,10 +207,25 @@ def dsir_select(spark: SparkSession, pool: DataFrame, target: DataFrame,
     a rerun of the same (pool, target, seed) ships the same corpus."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    from .dedup import persist_tracked
+
+    # Stage the pool's per-occurrence (id, bucket) features ONCE: the
+    # raw-model fit and the scoring pass both consume them, and each
+    # previously re-tokenized + re-hashed the whole pool (two corpus
+    # passes → one; md5 over every unigram+bigram occurrence is the
+    # dominant per-row cost here). Released with the shingle caches;
+    # at 100 TB the frame is corpus-token-sized — the DISK_ONLY
+    # process default (operators/staging.py) applies to it.
+    feats = persist_tracked(
+        _exploded_buckets(pool, text_col, id_col, n_buckets))
     t_counts = bucket_counts(target, text_col, n_buckets)
-    r_counts = bucket_counts(pool, text_col, n_buckets)
+    r_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     ratio = log_ratio_table(spark, t_counts, r_counts, n_buckets, alpha)
-    w = importance_weights(pool, text_col, id_col, ratio, n_buckets)
+    # inline importance_weights over the staged features (identical
+    # arithmetic — the decimal grid makes the per-occurrence sum exact)
+    w = (feats.join(F.broadcast(ratio), "bucket")
+         .groupBy(id_col)
+         .agg(F.round(F.sum("term").cast("double"), 6).alias("logw")))
     key = (F.col("logw") + gumbel_noise(F.col(id_col), seed)
            if sample else F.col("logw"))
     return (pool.join(w, id_col)
