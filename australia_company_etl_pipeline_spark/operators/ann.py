@@ -611,17 +611,24 @@ def semdedup(corpus: DataFrame, threshold: float = 0.95,
     # then plain dots (centroids come back unit-length already)
     unit = _unit(clean, "__v")
     # assign feeds FIVE consumers (both pair-join sides, the CC node
-    # frame, meta, the election) — materialize it once or each replays
-    # the corpus×centroids crossJoin + shuffle
-    assign = materialize(
+    # frame, meta, the election) — stage it once or each replays the
+    # corpus×centroids crossJoin + shuffle. A LAZY tracked persist
+    # (r11, was an eager localCheckpoint): no lineage truncation is
+    # needed here (the plan above is two narrow steps + one shuffle),
+    # and the eager checkpoint cost a dedicated driver job round —
+    # under AQE several scheduled jobs — per call before any consumer
+    # ran; the cache now fills inside the first consuming job.
+    # Released with the dedup shingle caches (unpersist_shingles).
+    from .dedup import persist_tracked
+
+    assign = persist_tracked(
         unit.crossJoin(F.broadcast(cents))
         .groupBy(id_col)
         .agg(_best_centroid(dot(F.col("__v"), F.col("centroid_vec"))),
              F.first("__v").alias("__v"))
         .select(F.col(id_col), F.col("__v"),
                 F.col("b.cid").alias("centroid_id"),
-                F.col("b.sim").alias("centroid_sim")),
-        checkpoint)
+                F.col("b.sim").alias("centroid_sim")))
     a = assign.select(F.col(id_col).alias("id_a"),
                       F.col("__v").alias("__va"), "centroid_id")
     b = assign.select(F.col(id_col).alias("id_b"),

@@ -646,17 +646,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     from ..session import materialize
 
+    # edges and the initial labels are loop INPUTS, not loop-carried
+    # state: their lineage is shallow and never grows, so they need
+    # staging (every iteration re-reads them), not truncation. Lazy
+    # tracked persists (r11, were eager localCheckpoints) fill inside
+    # iteration 1's first job instead of costing two dedicated driver
+    # job rounds up front; only the loop-carried ``jumped`` below keeps
+    # the eager localCheckpoint that the flat-lineage contract needs.
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = materialize(
+    edges = persist_tracked(
         half.unionByName(half.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst"))).distinct(),
-        checkpoint)
+                                     F.col("src").alias("dst"))).distinct())
     if nodes is not None:
         ids = nodes.select(F.col(node_col).alias("id")).distinct()
     else:
         ids = edges.select(F.col("src").alias("id")).distinct()
-    labels = materialize(ids.select("id", F.col("id").alias("cluster_id")),
-                         checkpoint)
+    labels = persist_tracked(ids.select("id",
+                                        F.col("id").alias("cluster_id")))
     converged = False
     for i in range(max_iter):
         nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
