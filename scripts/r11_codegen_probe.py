@@ -38,10 +38,11 @@ def codegen_counters():
     jvm = spark._jvm
     out = {}
     try:
-        cm = jvm.org.apache.spark.metrics.source.CodegenMetrics
-        # Scala object: py4j exposes the module via the $ class
-        mod = getattr(
-            jvm.org.apache.spark.metrics.source, "CodegenMetrics$").MODULE$
+        # Scala object: py4j exposes the module via the $ class's
+        # MODULE$ static field
+        mod = getattr(getattr(
+            jvm.org.apache.spark.metrics.source, "CodegenMetrics$"),
+            "MODULE$")
         out["janino_n"] = mod.METRIC_SOURCE_CODE_SIZE().getCount()
         out["compile_hist_n"] = mod.METRIC_COMPILATION_TIME().getCount()
     except Exception as e:  # noqa: BLE001
