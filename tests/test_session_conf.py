@@ -24,6 +24,15 @@ def test_codegen_class_cache_enlarged():
     assert int(_DEFAULTS["spark.sql.codegen.cache.maxEntries"]) >= 3000
 
 
+def test_codegen_class_name_id_disabled():
+    # AQE numbers a wide fold's codegen stages in nondeterministic
+    # order; with codegenStageId in the class name the cache (keyed on
+    # full source text) misses on identical bodies — measured 66-80
+    # fresh Janino compiles PER REP at steady state on the 9-branch
+    # doc_search_bm25 fold, zero with the id disabled (session.py).
+    assert _DEFAULTS["spark.sql.codegen.useIdInClassName"] == "false"
+
+
 def test_live_session_carries_code_cache_conf(spark):
     # the conftest session is built through get_spark, so the conf must
     # be visible on the live session for both JVM sides
