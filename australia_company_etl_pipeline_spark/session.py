@@ -103,12 +103,91 @@ _DEFAULTS = {
     # debugging nicety (SPARK-23032); stack traces still carry the
     # stage comment.
     "spark.sql.codegen.useIdInClassName": "false",
+    # Driver-side API latency (r11): PySpark 4's DataFrame-debugging
+    # layer wraps EVERY Column/DataFrame API call to capture the Python
+    # call site for error enrichment — per call that is a
+    # conf.get("spark.sql.stackTracesInDataFrameContext") py4j round
+    # trip, a PySparkCurrentOrigin.set + .clear round-trip pair, and an
+    # inspect-based stack walk. Measured on this rig: 1.31 ms/op -> 0.64
+    # ms/op with it off, and the two widest folded builders' driver-side
+    # construction dropped ~33% (corpus_filter_stats 9.6 -> 6.4 s,
+    # doc_search_bm25 5.2 -> 3.6 s per build). The cost is error
+    # messages losing the user-code line reference — the right trade
+    # for a production engine whose queries are library-built; flip it
+    # back on (extra_conf) when debugging a plan interactively.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
 def cpu_count() -> int:
     """Local parallelism knob; the driver exports SPARK_GRAFT_CPUS."""
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def _install_py4j_handle_cache() -> None:
+    """Memoize py4j's reflection lookups (r11, guide §5 driver
+    discipline: the driver's build latency is part of every query).
+
+    Every PySpark ``F.<fn>(...)`` call resolves its JVM handle from
+    scratch: ``getattr(sc._jvm, "org.apache.spark.sql.functions")`` is a
+    py4j REFLECTION round trip (JVMView.__getattr__), and
+    ``getattr(<functions class>, name)`` is a second one
+    (JavaClass.__getattr__) — both answered by the same immutable
+    JavaClass / static-JavaMember handles every time, yet re-fetched
+    over the socket per call. The same pattern fires in
+    ``_to_seq`` (``sc._jvm.PythonUtils``) under every varargs builder
+    (concat/struct/select/groupBy). Measured on this rig: 4 round trips
+    per simple column op, of which only ONE (the actual invocation)
+    does new work.
+
+    This patch caches, per JVMView / JavaClass INSTANCE, the successful
+    class/package/static-member results of ``__getattr__`` in the
+    instance ``__dict__``. Handles are stateless (name + gateway
+    client), so reuse is exact; field-VALUE results are never cached
+    (they can change); failures are never cached. Gateway restarts are
+    safe by construction: a new JVM means new JVMView/JavaClass
+    instances, whose caches start empty. Set
+    ``SPARK_GRAFT_NO_PY4J_CACHE=1`` to skip installing (debugging).
+
+    This is metadata/handle memoization — the same class of fix as the
+    catalog's parquet-schema cache — never data, never results.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_PY4J_CACHE"):
+        return
+    from py4j.java_gateway import JavaClass, JavaMember, JavaPackage, JVMView
+
+    if getattr(JVMView, "_acep_handle_cache", False):
+        return
+
+    orig_view_getattr = JVMView.__getattr__
+    orig_class_getattr = JavaClass.__getattr__
+
+    def view_getattr(self, name):
+        cache = self.__dict__.setdefault("_acep_cache", {})
+        hit = cache.get(name)
+        if hit is not None:
+            return hit
+        out = orig_view_getattr(self, name)
+        if isinstance(out, (JavaClass, JavaPackage)):
+            cache[name] = out
+        return out
+
+    def class_getattr(self, name):
+        cache = self.__dict__.setdefault("_acep_cache", {})
+        hit = cache.get(name)
+        if hit is not None:
+            return hit
+        out = orig_class_getattr(self, name)
+        # JavaMember here is always a STATIC method handle; JavaClass a
+        # nested class — both immutable. Anything else (static field
+        # VALUE) must stay uncached.
+        if isinstance(out, (JavaMember, JavaClass)):
+            cache[name] = out
+        return out
+
+    JVMView.__getattr__ = view_getattr
+    JavaClass.__getattr__ = class_getattr
+    JVMView._acep_handle_cache = True
 
 
 def contains_map_type(dtype) -> bool:
@@ -311,6 +390,7 @@ def get_spark(app_name: str = "australia-company-etl-pipeline-spark",
               shuffle_partitions: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-appropriate defaults."""
+    _install_py4j_handle_cache()
     cpus = cpu_count()
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
