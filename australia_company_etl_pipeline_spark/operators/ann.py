@@ -801,6 +801,58 @@ def _raise_on_dim(expected_dim: int, lo: int, hi: int, what: str) -> None:
                          "silently zero every similarity")
 
 
+def _local_dir_bytes(path: str) -> int | None:
+    """Total bytes of the LOCAL files under ``path`` — None when the
+    path is non-local/unstattable (remote FS: size unknown, stay on the
+    in-plan path)."""
+    import os
+
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if not os.path.isdir(p):
+        return None
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        return None
+    return total
+
+
+# Centroid tables at or under this on-disk size are inlined into the
+# probe expression as literals (driver-cached rows, shuffle-free probe
+# ranking). Production-scale IVF centroid sets (10^4-10^5 × high dim)
+# exceed it and keep the in-plan broadcast path.
+_CENTROID_INLINE_MAX = 256 * 1024
+
+
+def _centroid_array_sql(rows) -> str | None:
+    """Render a bounded centroid table as ONE SQL array literal —
+    ``array(named_struct('cid', …, 'cv', array(CAST('…' AS DOUBLE), …)))``
+    — so the probe ranking becomes a shuffle-free projection built in a
+    single parse round trip (guide §5: the driver's build latency is
+    part of every query). ``repr(float)`` is the shortest round-trip
+    decimal and ``CAST(string AS DOUBLE)`` parses correctly-rounded, so
+    the literal vectors are bit-identical to the parquet values.
+    Returns None (caller falls back to the in-plan path) on empty
+    tables or any non-finite component."""
+    import math
+
+    if not rows:
+        return None
+    parts = []
+    for r in rows:
+        vec = r["centroid_vec"]
+        if vec is None or any(v is None or not math.isfinite(v)
+                              for v in vec):
+            return None
+        comps = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec)
+        parts.append(f"named_struct('cid', {int(r['centroid_id'])}, "
+                     f"'cv', array({comps}))")
+    return "array(" + ", ".join(parts) + ")"
+
+
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -809,49 +861,90 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    expected_dim: int | None = None) -> DataFrame:
     """Top-k over a persisted ``build_ivf_index`` layout.
 
-    The query batch is assigned to its ``n_probe`` nearest centroids
-    (window over queries × k — small by definition), the distinct probed
-    list ids are collected driver-side (bounded by
+    The query batch is assigned to its ``n_probe`` nearest centroids,
+    the distinct probed list ids are collected driver-side (bounded by
     min(n_queries × n_probe, n_centroids) values — the same sanctioned
     K-value collect as the partitioned-MERGE sink), and the list scan is
     filtered with ``isin(probed)`` so Catalyst prunes every unprobed
     partition directory at planning time. Everything after the pruned
     scan is the plain broadcast-join + exact-cosine + top-k kernel.
 
+    Probe ranking (r11, guide §2.4/§5): a bounded LOCAL centroid table
+    (≤ ``_CENTROID_INLINE_MAX`` bytes on disk) is collected once through
+    the catalog's metadata row cache — index PARAMETERS, the same class
+    as ``meta/`` — and the n_probe-nearest selection becomes a
+    shuffle-free ``array_sort`` projection over a centroid literal:
+    ``sort by (-cosine asc, centroid_id asc)`` is exactly the previous
+    window's ``(cosine desc, centroid_id asc)`` (``cosine`` is total —
+    zero-denominator scores 0.0, never NULL), and the probe collect
+    drops from a crossJoin+window+agg (4 AQE job rounds per call) to
+    ONE single-stage projection job. Collecting the probe frame is
+    bounded by construction: the same frame is broadcast to the list
+    join below, so anything collectable here was already required to be
+    broadcast-sized. Large / non-local centroid tables keep the in-plan
+    crossJoin+window path unchanged.
+
     Query vectors are dimension-checked against the stored index; the
-    check's min/max-size aggregate rides the probe collect (one driver
-    job, not two — r11). ``expected_dim`` (when the caller already
-    knows the index dim, e.g. from a ``meta/`` block or the keyed-cache
-    params that built it) skips the centroid-sample job too; leave it
-    None to read the dim from the stored centroids."""
+    check's min/max sizes ride the probe collect (one driver job, not
+    two — r11). ``expected_dim`` (when the caller already knows the
+    index dim, e.g. from a ``meta/`` block or the keyed-cache params
+    that built it) skips the centroid-dim probe; leave it None to read
+    the dim from the stored centroids."""
     from pyspark.sql.window import Window
 
-    from ..catalog import read_parquet
+    from ..catalog import read_meta_rows, read_parquet
 
-    centroids = read_parquet(spark, f"{path}/centroids")
-    if expected_dim is None:
-        crow = centroids.select(F.size("centroid_vec").alias("d")) \
-            .limit(1).collect()
-        expected_dim = crow[0]["d"] if crow else None
-    pairs = queries.crossJoin(F.broadcast(centroids))
-    win = Window.partitionBy(query_id_col).orderBy(
-        F.desc("__csim"), F.asc("centroid_id"))
-    probes = (pairs
-              .withColumn("__csim", cosine(F.col(query_vec_col),
-                                           F.col("centroid_vec")))
-              .withColumn("__cr", F.row_number().over(win))
-              .filter(F.col("__cr") <= n_probe)
-              .drop("__csim", "__cr", "centroid_vec"))
-    # ONE bounded collect: the probed list ids (the sanctioned K-value
-    # collect) + the query batch's min/max vector size for the dim guard
-    qsize = F.size(F.col(query_vec_col))
-    prow = probes.agg(F.collect_set("centroid_id").alias("ids"),
-                      F.min(qsize).alias("lo"),
-                      F.max(qsize).alias("hi")).collect()[0]
-    probed = list(prow["ids"] or [])
-    if prow["lo"] is not None and expected_dim is not None:
-        _raise_on_dim(expected_dim, prow["lo"], prow["hi"],
-                      "query vector")
+    cpath = f"{path}/centroids"
+    inline_sql = None
+    if (_local_dir_bytes(cpath) or (_CENTROID_INLINE_MAX + 1)) \
+            <= _CENTROID_INLINE_MAX:
+        crows = read_meta_rows(spark, cpath)
+        inline_sql = _centroid_array_sql(crows)
+    if inline_sql is not None:
+        if expected_dim is None:
+            expected_dim = len(crows[0]["centroid_vec"])
+        qv = F.col(query_vec_col)
+        ranked = F.slice(F.array_sort(F.transform(
+            F.expr(inline_sql),
+            lambda c: F.struct((-cosine(qv, c["cv"])).alias("ns"),
+                               c["cid"].alias("cid")))), 1, n_probe)
+        probes = (queries
+                  .select("*", F.explode(F.transform(
+                      ranked, lambda s: s["cid"])).alias("centroid_id")))
+        qsize = F.size(F.col(query_vec_col))
+        prows = probes.select(F.col("centroid_id"),
+                              qsize.alias("__qs")).collect()
+        probed = list({r["centroid_id"] for r in prows})
+        sizes = [r["__qs"] for r in prows if r["__qs"] is not None]
+        if sizes and expected_dim is not None:
+            _raise_on_dim(expected_dim, min(sizes), max(sizes),
+                          "query vector")
+    else:
+        centroids = read_parquet(spark, cpath)
+        if expected_dim is None:
+            crow = centroids.select(F.size("centroid_vec").alias("d")) \
+                .limit(1).collect()
+            expected_dim = crow[0]["d"] if crow else None
+        pairs = queries.crossJoin(F.broadcast(centroids))
+        win = Window.partitionBy(query_id_col).orderBy(
+            F.desc("__csim"), F.asc("centroid_id"))
+        probes = (pairs
+                  .withColumn("__csim", cosine(F.col(query_vec_col),
+                                               F.col("centroid_vec")))
+                  .withColumn("__cr", F.row_number().over(win))
+                  .filter(F.col("__cr") <= n_probe)
+                  .drop("__csim", "__cr", "centroid_vec"))
+        # ONE bounded collect: the probed list ids (the sanctioned
+        # K-value collect) + the query batch's min/max vector size for
+        # the dim guard
+        qsize = F.size(F.col(query_vec_col))
+        prow = probes.agg(F.collect_set("centroid_id").alias("ids"),
+                          F.min(qsize).alias("lo"),
+                          F.max(qsize).alias("hi")).collect()[0]
+        probed = list(prow["ids"] or [])
+        if prow["lo"] is not None and expected_dim is not None:
+            _raise_on_dim(expected_dim, prow["lo"], prow["hi"],
+                          "query vector")
     lists = (read_parquet(spark, f"{path}/lists")
              .filter(F.col("centroid_id").isin(probed)))
     cands = lists.join(F.broadcast(probes), "centroid_id", "inner")
@@ -938,13 +1031,17 @@ def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
         "bucket", F.explode(F.array(*_probe_masks(F.col("__qb"),
                                                   n_planes, multiprobe))))
         .drop("__qb"))
+    # collect the probe PROJECTION in one stage (r11): the same frame
+    # is broadcast to the bucket join below, so its row count is
+    # broadcast-bounded by construction — the previous collect_set
+    # aggregate added an exchange + an AQE job round per call for data
+    # this small; set/min/max now fold driver-side
     qsize = F.size(F.col(query_vec_col))
-    prow = probes.agg(F.collect_set("bucket").alias("ids"),
-                      F.min(qsize).alias("lo"),
-                      F.max(qsize).alias("hi")).collect()[0]
-    probed = list(prow["ids"] or [])
-    if prow["lo"] is not None:
-        _raise_on_dim(dim, prow["lo"], prow["hi"],
+    prows = probes.select(F.col("bucket"), qsize.alias("__qs")).collect()
+    probed = list({r["bucket"] for r in prows})
+    sizes = [r["__qs"] for r in prows if r["__qs"] is not None]
+    if sizes:
+        _raise_on_dim(dim, min(sizes), max(sizes),
                       "query vector (vs stored LSH plane family)")
     buckets = (read_parquet(spark, f"{path}/buckets")
                .filter(F.col("bucket").isin(probed)))

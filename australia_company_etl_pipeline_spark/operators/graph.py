@@ -114,8 +114,8 @@ def host_graph(docs: DataFrame, url_col: str, text_col: str,
     # mega-node). Filter on != '' — an isNotNull guard alone is dead
     # code against these columns.
     return (docs.select(
-        key(F.col(url_col)).alias("src"),
+        key(url_col).alias("src"),
         F.explode(urls.extract_urls(F.col(text_col))).alias("__u"))
-        .select("src", key(F.col("__u")).alias("dst"))
+        .select("src", key("__u").alias("dst"))
         .filter((F.col("src") != "") & (F.col("dst") != "")
                 & (F.col("src") != F.col("dst"))))

@@ -70,6 +70,102 @@ SECOND_LEVEL_LABELS = ("com", "net", "org", "gov", "edu", "ac", "co", "asn")
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
 
 
+# ---------------------------------------------------------------------------
+# SQL-text twins (r11, guide §5 driver latency): the Column-tree forms
+# below build O(dozens) Column objects per call — one py4j round trip
+# each — and the url branch of corpus_filter_stats pays ~2,500 round
+# trips per build. When the caller knows its input as a COLUMN NAME
+# (every internal call site does), the whole canonicalization renders
+# as ONE SQL string and parses in ONE round trip. The templates are
+# 1:1 transcriptions of the Column builders — same operators, same
+# regexes, same CASE structure — so the parsed tree is semantically
+# identical (value-pinned by the corpus_filter_stats oracle and the
+# A/B test in tests/test_functions.py).
+# ---------------------------------------------------------------------------
+
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal (backslashes/quotes escaped —
+    the session keeps the default escapedStringLiterals=false)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _qcol(name: str) -> str:
+    """Backtick-quoted column identifier."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _u_sql(e: str) -> str:
+    c = f"coalesce({e}, '')"
+    s = _sq(_SCHEME_RE)
+    return (f"CASE WHEN {c} = '' THEN {c} ELSE "
+            f"CASE WHEN {c} RLIKE {s} THEN {c} "
+            f"ELSE concat('http://', {c}) END END")
+
+
+def _parts_sql(e: str) -> dict[str, str]:
+    u = _u_sql(e)
+    scheme_cap = _sq(r'^([a-zA-Z][a-zA-Z0-9+.\-]*)://')
+    query_cap = _sq(r'^[^?#]*\?([^#]*)')
+    rest = f"regexp_replace({u}, {_sq(_SCHEME_RE)}, '')"
+    tail = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    return {
+        "scheme": f"lower(regexp_extract({u}, {scheme_cap}, 1))",
+        "authority": f"regexp_extract({rest}, '^([^/?#]*)', 1)",
+        "path": f"regexp_extract({tail}, '^([^?#]*)', 1)",
+        "query": f"regexp_extract({tail}, {query_cap}, 1)",
+    }
+
+
+def _host_of_sql(authority: str, strip_www: bool) -> str:
+    trail_dot = _sq(r'\.$')
+    www = _sq(r'^www\.')
+    host = f"lower(regexp_replace({authority}, ':[0-9]*$', ''))"
+    host = f"regexp_replace({host}, {trail_dot}, '')"
+    if strip_www:
+        host = f"regexp_replace({host}, {www}, '')"
+    return host
+
+
+def _canonical_sql(e: str, *, strip_www: bool, with_scheme: bool,
+                   tracking_re: str, sort_params: bool) -> str:
+    p = _parts_sql(e)
+    host = _host_of_sql(p["authority"], strip_www)
+    port = f"regexp_extract({p['authority']}, ':([0-9]+)$', 1)"
+    default_port = (f"(({p['scheme']} = 'http' AND {port} = '80') OR "
+                    f"({p['scheme']} = 'https' AND {port} = '443'))")
+    portpart = (f"CASE WHEN ({port} = '' OR {default_port}) THEN '' "
+                f"ELSE concat(':', {port}) END")
+    path = f"regexp_replace({p['path']}, '/{{2,}}', '/')"
+    path = f"regexp_replace({path}, '/+$', '')"
+    params = (f"filter(split({p['query']}, '&'), "
+              f"q -> q != '' AND NOT (q RLIKE {_sq(tracking_re)}))")
+    if sort_params:
+        params = f"array_sort({params})"
+    qs = f"array_join({params}, '&')"
+    qspart = (f"CASE WHEN {qs} = '' THEN {qs} "
+              f"ELSE concat('?', {qs}) END")
+    prefix = (f"concat({p['scheme']}, '://'), " if with_scheme else "'', ")
+    return (f"CASE WHEN {host} = '' THEN '' ELSE "
+            f"concat({prefix}{host}, {portpart}, {path}, {qspart}) END")
+
+
+def _registrable_domain_sql(e: str) -> str:
+    host = _host_of_sql(_parts_sql(e)["authority"], strip_www=False)
+    dot = _sq(r'\.')
+    labels = f"split({host}, {dot})"
+    n = f"size({labels})"
+    last = f"element_at({labels}, -1)"
+    second = f"element_at({labels}, -2)"
+    in_list = ", ".join(_sq(x) for x in SECOND_LEVEL_LABELS)
+    suffix3 = (f"({n} >= 3 AND length({last}) <= 3 "
+               f"AND {second} IN ({in_list}))")
+    return (f"CASE WHEN {host} = '' THEN '' "
+            f"WHEN {n} <= 2 THEN {host} "
+            f"WHEN {suffix3} THEN concat_ws('.', "
+            f"element_at({labels}, -3), {second}, {last}) "
+            f"ELSE concat_ws('.', {second}, {last}) END")
+
+
 def _parts(url: Column) -> dict[str, Column]:
     """Split into scheme / authority / path / query (fragment dropped)."""
     u = F.coalesce(url, F.lit(""))
@@ -119,38 +215,56 @@ def _canonical(url: Column, *, strip_www: bool, with_scheme: bool,
         F.concat(prefix, host, portpart, path, qspart))
 
 
-def canonicalize_url(url: Column, *, strip_www: bool = False,
+def canonicalize_url(url: Column | str, *, strip_www: bool = False,
                      tracking_re: str = TRACKING_PARAM_RE,
                      sort_params: bool = True) -> Column:
-    """Full canonical URL string per the module contract ('' = bad)."""
+    """Full canonical URL string per the module contract ('' = bad).
+    ``url`` may be a Column or a COLUMN NAME — the name form renders
+    the whole chain as one parsed SQL expression (r11 driver-latency
+    fast path; identical semantics)."""
+    if isinstance(url, str):
+        return F.expr(_canonical_sql(
+            _qcol(url), strip_www=strip_www, with_scheme=True,
+            tracking_re=tracking_re, sort_params=sort_params))
     return _canonical(url, strip_www=strip_www, with_scheme=True,
                       tracking_re=tracking_re, sort_params=sort_params)
 
 
-def url_key(url: Column) -> Column:
+def url_key(url: Column | str) -> Column:
     """Dedup key: canonical form minus scheme, ``www.`` stripped — the
     form under which http/https and www/bare fetches of one page
     collide. '' = unparseable (callers should quarantine, not dedup,
-    the '' group)."""
+    the '' group). Column or column name (see ``canonicalize_url``)."""
+    if isinstance(url, str):
+        return F.expr(_canonical_sql(
+            _qcol(url), strip_www=True, with_scheme=False,
+            tracking_re=TRACKING_PARAM_RE, sort_params=True))
     return _canonical(url, strip_www=True, with_scheme=False,
                       tracking_re=TRACKING_PARAM_RE, sort_params=True)
 
 
-def host_key(url: Column) -> Column:
+def host_key(url: Column | str) -> Column:
     """Full lowercase host of a URL ('' = no host): port stripped,
     trailing dot dropped, ``www.`` KEPT (subdomains are signal — this
     is the key host-granularity PageRank and authority-weighted
     shaping rank on, where ``registrable_domain`` would collapse
     blog.example.com and spam.example.com into one node). Accepts full
-    URLs or bare hosts (scheme defaulted)."""
+    URLs or bare hosts (scheme defaulted). Column or column name (see
+    ``canonicalize_url``)."""
+    if isinstance(url, str):
+        return F.expr(_host_of_sql(_parts_sql(_qcol(url))["authority"],
+                                   strip_www=False))
     return _host_of(_parts(url)["authority"], strip_www=False)
 
 
-def registrable_domain(url: Column) -> Column:
+def registrable_domain(url: Column | str) -> Column:
     """Heuristic registrable domain ('' = no host): last two labels of
     the host, or last three when the TLD is ≤3 chars and the
     second-level label is in ``SECOND_LEVEL_LABELS`` (example.com.au).
-    Accepts full URLs or bare hosts (scheme defaulted)."""
+    Accepts full URLs or bare hosts (scheme defaulted). Column or
+    column name (see ``canonicalize_url``)."""
+    if isinstance(url, str):
+        return F.expr(_registrable_domain_sql(_qcol(url)))
     host = _host_of(_parts(url)["authority"], strip_www=False)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -175,7 +289,7 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     skew-safe — the same shape line_dedup mode='first' uses) + a semi
     join back on (key, id). No window, no row funnel.
     """
-    key = url_key(F.col(url_col))
+    key = url_key(url_col)  # name form: one parsed expression
     tagged = df.withColumn("__uk", key)
     firsts = (tagged.filter(F.col("__uk") != "")
               .groupBy("__uk").agg(F.min(id_col).alias(id_col)))
@@ -208,7 +322,7 @@ def domain_cap(df: DataFrame, url_col: str, n: int,
     from .textstats import cap_per_key
     if authority is not None and order_col is not None:
         raise ValueError("pass order_col OR authority, not both")
-    tagged = df.withColumn("__dom", registrable_domain(F.col(url_col)))
+    tagged = df.withColumn("__dom", registrable_domain(url_col))
     if authority is not None:
         node_col, rank_col = authority.columns[0], authority.columns[1]
         auth = authority.select(F.col(node_col).alias("__ahost"),
@@ -217,7 +331,7 @@ def domain_cap(df: DataFrame, url_col: str, n: int,
         # test scale (AQE broadcasts it anyway) but 10^8 rows on a full
         # crawl, where this must stay a shuffled equi-join with AQE
         # skew handling on the doc side's hot hosts
-        tagged = (tagged.withColumn("__host", host_key(F.col(url_col)))
+        tagged = (tagged.withColumn("__host", host_key(url_col))
                   .join(auth,
                         F.col("__host") == F.col("__ahost"), "left")
                   .withColumn("__neg_auth",
@@ -271,12 +385,13 @@ def filter_blocked_domains(df: DataFrame, url_col: str, blocked,
                                         "b string")
     bcol = blocked.columns[0]
     if mode == "domain":
-        key = registrable_domain(F.col(url_col))
-        bkey = registrable_domain(F.col(bcol))
+        key = registrable_domain(url_col)
+        bkey = registrable_domain(bcol)
     elif mode == "host":
-        key = _host_of(_parts(F.col(url_col))["authority"],
-                       strip_www=True)
-        bkey = _host_of(_parts(F.col(bcol))["authority"], strip_www=True)
+        key = F.expr(_host_of_sql(_parts_sql(_qcol(url_col))["authority"],
+                                  strip_www=True))
+        bkey = F.expr(_host_of_sql(_parts_sql(_qcol(bcol))["authority"],
+                                   strip_www=True))
     else:
         raise ValueError(f"mode must be 'domain' or 'host', got {mode!r}")
     blk = (blocked.select(bkey.alias("__blk")).where(F.col("__blk") != "")

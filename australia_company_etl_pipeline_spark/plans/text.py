@@ -2063,15 +2063,14 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
                  .otherwise(F.lit("/"))).alias("url"))
         parts.append(
             uf.filter(F.col("doc_id") % _URL_SAMPLE_MOD == 0)
-            .groupBy(url_ops.canonicalize_url(F.col("url")).alias("key"))
+            .groupBy(url_ops.canonicalize_url("url").alias("key"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").alias("n_hits"))
             .select(F.lit("urlnorm").alias("kind"), "key",
                     "n_docs", "n_hits"))
         parts.append(
             url_ops.url_dedup(uf, "url", "doc_id")
-            .groupBy(url_ops.registrable_domain(F.col("url"))
-                     .alias("key"))
+            .groupBy(url_ops.registrable_domain("url").alias("key"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doc_id").alias("n_hits"))
             .select(F.lit("urlkey").alias("kind"), "key",
@@ -2080,12 +2079,10 @@ def _corpus_filter_branches(spark: SparkSession, sf_dir: str,
             uf.withColumn("__ord", F.md5(F.col("doc_id").cast("string"))),
             "url", _URL_CAP_N, order_col="__ord")
         parts.append(
-            uf.groupBy(url_ops.registrable_domain(F.col("url"))
-                       .alias("key"))
+            uf.groupBy(url_ops.registrable_domain("url").alias("key"))
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .join(capped_u.groupBy(
-                      url_ops.registrable_domain(F.col("url"))
-                      .alias("key"))
+                      url_ops.registrable_domain("url").alias("key"))
                   .agg(F.sum("doc_id").alias("n_hits")), "key", "left")
             .select(F.lit("urlcap").alias("kind"), "key",
                     "n_docs", "n_hits"))

@@ -77,7 +77,7 @@ def stream_dedup_ingest(stream: DataFrame, out_path: str, index_path: str,
 
                 batch_df = dd.incremental_exact_dedup(
                     batch_df, f"{index_path}/urlkeys",
-                    url_ops.url_key(F.col(url_col)), id_col)
+                    url_ops.url_key(url_col), id_col)
             if lm_gate is not None:
                 from ..operators import lm as lm_ops
 

@@ -2096,3 +2096,45 @@ def test_dedup_eval_zero_guards(spark):
     r3 = dd.dedup_eval(_pairs_df(spark, [(1, 2)]),
                        _pairs_df(spark, [(3, 4)])).collect()[0]
     assert (r3.precision, r3.recall, r3.f1) == (0.0, 0.0, 0.0)
+
+
+def test_ivf_inline_probe_matches_inplan_path(spark, sf_dir, tmp_path):
+    """r11: small local centroid tables are inlined into the probe as a
+    literal and ranked with a shuffle-free array_sort — the results
+    must be IDENTICAL to the legacy crossJoin+window probe (same
+    n_probe selection under ties, same dim guard), and the probe's
+    centroid scan must leave the plan."""
+    import contextlib
+    import io
+
+    from australia_company_etl_pipeline_spark.catalog import table
+
+    corpus = table(spark, sf_dir, "embeddings")
+    queries = (corpus.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    path = str(tmp_path / "ivf")
+    ann.build_ivf_index(corpus, path, n_centroids=8, kmeans_iter=3)
+
+    inline = ann.ivf_index_topk(spark, path, queries, k=10, n_probe=2)
+    old_max = ann._CENTROID_INLINE_MAX
+    try:
+        ann._CENTROID_INLINE_MAX = 0  # force the legacy in-plan path
+        legacy = ann.ivf_index_topk(spark, path, queries, k=10,
+                                    n_probe=2)
+    finally:
+        ann._CENTROID_INLINE_MAX = old_max
+    assert (sorted(map(tuple, inline.collect()))
+            == sorted(map(tuple, legacy.collect())))
+
+    # the inline probe must not scan the centroids table at all
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inline.explain("formatted")
+    assert "centroids" not in buf.getvalue()
+
+    # the dim guard still fires on a mismatched query batch
+    bad = queries.select("query_id",
+                         F.slice("query_vec", 1, 3).alias("query_vec"))
+    with pytest.raises(ValueError, match="dimension"):
+        ann.ivf_index_topk(spark, path, bad, k=10, n_probe=2)

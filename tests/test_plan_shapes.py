@@ -353,7 +353,13 @@ def test_registry_wide_no_unexpected_nested_loops(spark, sf_dir):
 _SCAN_BUDGET = {
     "abn_validate_format": 1,
     "abr_xml_shred": 1,
-    "ann_approx_topk": 15,      # r11: the PQ codebook is now a direct
+    "ann_approx_topk": 13,      # r11 (2nd cut): ivf probe ranking is a
+    #                             shuffle-free projection over the
+    #                             driver-cached centroid literal — the
+    #                             centroid scan and the crossJoin's
+    #                             second query scan left the plan
+    #                             (15 -> 13). Earlier r11 notes:
+    #                             the PQ codebook is now a direct
     #                             parquet scan feeding the LUT join
     #                             (was collect + createDataFrame — a
     #                             per-probe driver round trip); +1
@@ -379,7 +385,10 @@ _SCAN_BUDGET = {
     "dedup_clusters": 0,        # answers from its materialized pair set
     "dedup_events": 4,
     "doc_profile": 1,
-    "doc_search_bm25": 14,      # 5 corpus + 2 embeddings build scans
+    "doc_search_bm25": 12,      # r11 (2nd cut): the rag branch's ivf
+    #                             probe inlines the centroid literal —
+    #                             2 index-root scans gone (14 -> 12).
+    #                             5 corpus + 2 embeddings build scans
     #                             (one per staged frame, r9) + 7 reads
     #                             of the kind='rag' persisted index
     #                             root — artifact reads, not corpus

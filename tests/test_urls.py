@@ -234,3 +234,33 @@ def test_filter_blocked_domains_plan_broadcasts(spark):
     with contextlib.redirect_stdout(buf):
         out.explain()
     assert "Broadcast" in buf.getvalue()
+
+
+def test_sql_text_twins_match_column_forms(spark):
+    """The r11 driver-latency fast path (column-NAME inputs render the
+    whole chain as one parsed SQL expression) must be value-identical
+    to the Column-tree forms for every key function, over the golden
+    cases plus hostile extras (ports, empty params, weird schemes)."""
+    cases = [g[0] for g in GOLDENS] + [
+        "https://sub.blog.example.co:8443//a///b//?z=9&utm_campaign&y=2#f",
+        "http://:80/nohost", "scheme://h.gov.au/p?a=%41&b=a",
+        "HtTpS://WWW.x.Y.asn.AU/p?utm_x=1&gclid=2", "just text",
+        "http://host/?&&", "http://host/??a=1", "http://h/p#a?b=1",
+        "http://h:8080:9090/p", "http://h/p?a=1&a=1&A=1", "//weird",
+        "www.foo.NET/path//", "ftp://Host.Org:21/p?q=1",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    pairs = [
+        ("canon", U.canonicalize_url(F.col("url")),
+         U.canonicalize_url("url")),
+        ("ukey", U.url_key(F.col("url")), U.url_key("url")),
+        ("hkey", U.host_key(F.col("url")), U.host_key("url")),
+        ("rdom", U.registrable_domain(F.col("url")),
+         U.registrable_domain("url")),
+    ]
+    sel = df.select("url", *[old.alias(f"{n}_o") for n, old, _ in pairs],
+                    *[new.alias(f"{n}_n") for n, _, new in pairs])
+    for r in sel.collect():
+        for n, _, _ in pairs:
+            assert r[f"{n}_o"] == r[f"{n}_n"], (
+                n, r["url"], r[f"{n}_o"], r[f"{n}_n"])
