@@ -844,8 +844,8 @@ def _centroid_array_sql(rows) -> str | None:
     parts = []
     for r in rows:
         vec = r["centroid_vec"]
-        if vec is None or any(v is None or not math.isfinite(v)
-                              for v in vec):
+        if (r["centroid_id"] is None or vec is None
+                or any(v is None or not math.isfinite(v) for v in vec)):
             return None
         comps = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec)
         parts.append(f"named_struct('cid', {int(r['centroid_id'])}, "
