@@ -80,7 +80,7 @@ _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
 # 1:1 transcriptions of the Column builders — same operators, same
 # regexes, same CASE structure — so the parsed tree is semantically
 # identical (value-pinned by the corpus_filter_stats oracle and the
-# A/B test in tests/test_functions.py).
+# A/B test in tests/test_urls.py).
 # ---------------------------------------------------------------------------
 
 def _sq(s: str) -> str:
