@@ -75,6 +75,13 @@ MIN + INSTABILITY (r11): with a heavy right tail, the per-query MIN is
 the contention-free estimator and median/min is a per-query
 instability score; both are recorded ("queries_min", "instability")
 so window health is visible without re-deriving it from queries_reps.
+
+HEADLINE CONTRACT (r12): the FINAL line's "queries" now carries the
+per-query medians (it was {} with the detail on the preceding,
+tail-truncated line — which left the driver's PERF comparison blind:
+n_common=0, null geomean, empty scaling.per_query in PERF_r11.json).
+Timed region unchanged; the drop-to-fit ladder sheds the redundant
+diagnostic fields first and the medians last.
 """
 
 from __future__ import annotations
@@ -548,7 +555,14 @@ def main() -> None:
         "queries_normalized_py": normalized_py,
         "instability_top": instability_top,
         "n_queries": len(per_query),
-        "queries": {},  # per-query detail on the preceding line
+        # r12 (headline contract fix): per-query MEDIANS in the FINAL
+        # line — r11's "queries": {} left the driver's PERF comparison
+        # blind (n_common=0, null geomean, empty scaling.per_query)
+        # because its bounded tail capture truncates the oversized
+        # detail line. ~660 bytes for 22 queries; the drop ladder below
+        # sheds redundant fields first and never sheds this one.
+        "queries": per_query,
+        "queries_min": per_query_min,
         "sf": sf,
     }
     # The final line must survive the driver's ~2000-char stdout tail
@@ -556,17 +570,24 @@ def main() -> None:
     # the round recorded no machine-readable headline). Never die after
     # printing (the r9 assert recreated the failure it guarded against,
     # and asserts strip under -O): drop optional fields until it fits.
-    for drop in ("queries_normalized_py", "py_queries_reps",
+    # Everything dropped here still lives in the detail line and in
+    # bench_detail_last.json; "queries" is what the driver's per-query
+    # regression gate reads, so it outlives every optional field.
+    for drop in ("py_queries_reps", "queries_normalized_py",
                  "py_sentinel_times", "sentinel_times",
-                 "instability_top"):
+                 "instability_top", "queries_min"):
         line = json.dumps(summary)
         if len(line) <= 1500:
             break
         summary.pop(drop, None)
-    # final guard (r11, ADVICE): the loop pops its last field without
-    # re-checking — if the BASE summary alone still exceeds the tail
-    # budget, fall back to a minimal headline rather than silently
-    # recreating the r8 no-machine-readable-headline failure
+    # final guards (r11, ADVICE): the loop pops its last field without
+    # re-checking — if the summary still exceeds the tail budget, fall
+    # back to a minimal headline (WITH the per-query medians while they
+    # fit; without them only as the very last resort) rather than
+    # silently recreating the r8 no-machine-readable-headline failure
+    if len(json.dumps(summary)) > 1500:
+        summary = {"metric": "headline_queries_total", "value": total,
+                   "unit": "sec", "queries": per_query, "sf": sf}
     if len(json.dumps(summary)) > 1500:
         summary = {"metric": "headline_queries_total", "value": total,
                    "unit": "sec", "sf": sf}

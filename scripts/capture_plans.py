@@ -17,7 +17,7 @@ from australia_company_etl_pipeline_spark.session import get_spark  # noqa: E402
 TAG = sys.argv[1]
 NAMES = sys.argv[2:] or list(plans.REGISTRY)
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join("plans", "r11")
+OUT = os.path.join("plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12"))
 os.makedirs(OUT, exist_ok=True)
 
 spark = get_spark("plan-capture")
