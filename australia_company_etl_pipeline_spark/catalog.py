@@ -63,16 +63,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # never corpus rows and never query results.
 _ROWS_CACHE: dict[tuple[str, int, int], list] = {}
 
+# Hard bound on what counts as a "parameter table" (r12, closing the
+# r11 verdict's item 7: the contract was docstring-only, and one misuse
+# pins a corpus in driver memory). 4096 rows is ~16x the largest real
+# meta block (centroid tables at n_centroids <= 256) and far below any
+# corpus. Enforced through a LIMIT read, so an oversized table fails
+# after transferring at most bound+1 rows — never after collecting the
+# whole corpus into the driver first.
+META_ROWS_MAX = 4096
+
 
 def read_meta_rows(spark: SparkSession, path: str) -> list:
     """Collect a SMALL parquet parameter table (an index ``meta/``
     block), cached by file identity. Only for bounded parameter tables
-    — a corpus read through this would pin corpus rows in driver
-    memory."""
+    (≤ ``META_ROWS_MAX`` rows, enforced) — a corpus read through this
+    would pin corpus rows in driver memory, so it raises instead."""
     key = _stat_key(path)
     if key is not None and key in _ROWS_CACHE:
         return _ROWS_CACHE[key]
-    rows = read_parquet(spark, path).collect()
+    rows = read_parquet(spark, path).limit(META_ROWS_MAX + 1).collect()
+    if len(rows) > META_ROWS_MAX:
+        raise ValueError(
+            f"read_meta_rows({path!r}): more than {META_ROWS_MAX} rows — "
+            "this helper is for bounded index-parameter tables only; "
+            "read corpus-sized data with read_parquet and keep it "
+            "distributed")
     if key is not None:
         _ROWS_CACHE[key] = rows
     return rows

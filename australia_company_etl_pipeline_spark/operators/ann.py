@@ -853,6 +853,38 @@ def _centroid_array_sql(rows) -> str | None:
     return "array(" + ", ".join(parts) + ")"
 
 
+# Probe-collect transfer bound (r12, closing the r11 advice): the
+# single-stage projection collect is the fast path for interactive
+# query batches, but its Python-side row transfer grows with
+# n_queries × n_probe where the old aggregate's didn't. Above this many
+# rows the helpers below abandon the limited collect and fall back to
+# one bounded collect_set/min/max aggregate row (an extra exchange —
+# negligible exactly when the batch is that large).
+_PROBE_COLLECT_MAX = 4096
+
+
+def _bounded_probe_collect(probes: DataFrame, key_col: str,
+                           qsize: Column) -> tuple[list, int | None,
+                                                   int | None]:
+    """Driver-side (probed keys, min qsize, max qsize) with a transfer
+    bounded INDEPENDENT of the query-batch size: a single-stage
+    ``limit(max+1)`` projection collect when the probe frame is small
+    (1 driver job round — the interactive fast path), else one
+    aggregate row (set/min/max fold on the JVM side)."""
+    rows = (probes.select(F.col(key_col).alias("__k"),
+                          qsize.alias("__qs"))
+            .limit(_PROBE_COLLECT_MAX + 1).collect())
+    if len(rows) <= _PROBE_COLLECT_MAX:
+        keys = list({r["__k"] for r in rows})
+        sizes = [r["__qs"] for r in rows if r["__qs"] is not None]
+        return (keys, min(sizes) if sizes else None,
+                max(sizes) if sizes else None)
+    row = (probes.agg(F.collect_set(F.col(key_col)).alias("ks"),
+                      F.min(qsize).alias("lo"),
+                      F.max(qsize).alias("hi")).collect()[0])
+    return list(row["ks"] or []), row["lo"], row["hi"]
+
+
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -912,13 +944,10 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                   .select("*", F.explode(F.transform(
                       ranked, lambda s: s["cid"])).alias("centroid_id")))
         qsize = F.size(F.col(query_vec_col))
-        prows = probes.select(F.col("centroid_id"),
-                              qsize.alias("__qs")).collect()
-        probed = list({r["centroid_id"] for r in prows})
-        sizes = [r["__qs"] for r in prows if r["__qs"] is not None]
-        if sizes and expected_dim is not None:
-            _raise_on_dim(expected_dim, min(sizes), max(sizes),
-                          "query vector")
+        probed, lo, hi = _bounded_probe_collect(probes, "centroid_id",
+                                                qsize)
+        if lo is not None and expected_dim is not None:
+            _raise_on_dim(expected_dim, lo, hi, "query vector")
     else:
         centroids = read_parquet(spark, cpath)
         if expected_dim is None:
@@ -1031,17 +1060,16 @@ def lsh_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
         "bucket", F.explode(F.array(*_probe_masks(F.col("__qb"),
                                                   n_planes, multiprobe))))
         .drop("__qb"))
-    # collect the probe PROJECTION in one stage (r11): the same frame
-    # is broadcast to the bucket join below, so its row count is
-    # broadcast-bounded by construction — the previous collect_set
-    # aggregate added an exchange + an AQE job round per call for data
-    # this small; set/min/max now fold driver-side
+    # collect the probe PROJECTION in one stage (r11): set/min/max fold
+    # driver-side without the collect_set aggregate's extra exchange +
+    # AQE job round. r12 (advice): the transfer is additionally bounded
+    # at _PROBE_COLLECT_MAX rows — a large query batch falls back to
+    # the one-row aggregate instead of shipping n_queries × probes rows
+    # through py4j.
     qsize = F.size(F.col(query_vec_col))
-    prows = probes.select(F.col("bucket"), qsize.alias("__qs")).collect()
-    probed = list({r["bucket"] for r in prows})
-    sizes = [r["__qs"] for r in prows if r["__qs"] is not None]
-    if sizes:
-        _raise_on_dim(dim, min(sizes), max(sizes),
+    probed, lo, hi = _bounded_probe_collect(probes, "bucket", qsize)
+    if lo is not None:
+        _raise_on_dim(dim, lo, hi,
                       "query vector (vs stored LSH plane family)")
     buckets = (read_parquet(spark, f"{path}/buckets")
                .filter(F.col("bucket").isin(probed)))

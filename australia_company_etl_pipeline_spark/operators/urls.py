@@ -90,8 +90,14 @@ def _sq(s: str) -> str:
 
 
 def _qcol(name: str) -> str:
-    """Backtick-quoted column identifier."""
-    return "`" + name.replace("`", "``") + "`"
+    """Backtick-quoted column reference with ``F.col``'s dotted-name
+    semantics: each dot-separated segment quotes separately, so a
+    caller passing ``"meta.url"`` gets nested-struct field access
+    (``\\`meta\\`.\\`url\\```) exactly as the Column form resolved it —
+    whole-name quoting would instead demand a top-level column
+    literally named ``meta.url`` (r12, closing the r11 advice)."""
+    return ".".join("`" + seg.replace("`", "``") + "`"
+                    for seg in name.split("."))
 
 
 def _u_sql(e: str) -> str:

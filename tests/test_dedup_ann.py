@@ -2138,3 +2138,47 @@ def test_ivf_inline_probe_matches_inplan_path(spark, sf_dir, tmp_path):
                          F.slice("query_vec", 1, 3).alias("query_vec"))
     with pytest.raises(ValueError, match="dimension"):
         ann.ivf_index_topk(spark, path, bad, k=10, n_probe=2)
+
+
+def test_bounded_probe_collect_agg_fallback_matches(spark, sf_dir,
+                                                    tmp_path):
+    """r12 (advice): the probe-collect helper ships at most
+    _PROBE_COLLECT_MAX rows through py4j; above that it falls back to
+    one collect_set/min/max aggregate row. Both paths must return the
+    same (probed keys, min, max) — pinned directly on the helper and
+    end-to-end on ivf_index_topk with the fallback forced."""
+    df = spark.createDataFrame(
+        [(i % 7, float(i % 3) + 1.0) for i in range(50)],
+        "k int, qs double")
+    qsize = F.col("qs")
+    fast = ann._bounded_probe_collect(df, "k", qsize)
+    old_max = ann._PROBE_COLLECT_MAX
+    try:
+        ann._PROBE_COLLECT_MAX = 10  # 50 rows > 10 -> aggregate path
+        slow = ann._bounded_probe_collect(df, "k", qsize)
+    finally:
+        ann._PROBE_COLLECT_MAX = old_max
+    assert sorted(fast[0]) == sorted(slow[0]) == list(range(7))
+    assert (fast[1], fast[2]) == (slow[1], slow[2]) == (1.0, 3.0)
+
+    from australia_company_etl_pipeline_spark.catalog import table
+    corpus = table(spark, sf_dir, "embeddings")
+    queries = (corpus.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    path = str(tmp_path / "ivf")
+    ann.build_ivf_index(corpus, path, n_centroids=8, kmeans_iter=3)
+    fast_rows = sorted(map(tuple, ann.ivf_index_topk(
+        spark, path, queries, k=10, n_probe=2).collect()))
+    try:
+        ann._PROBE_COLLECT_MAX = 0  # every batch takes the agg path
+        slow_rows = sorted(map(tuple, ann.ivf_index_topk(
+            spark, path, queries, k=10, n_probe=2).collect()))
+        # the dim guard still fires through the fallback path
+        bad = queries.select(
+            "query_id", F.slice("query_vec", 1, 3).alias("query_vec"))
+        with pytest.raises(ValueError, match="dimension"):
+            ann.ivf_index_topk(spark, path, bad, k=10, n_probe=2)
+    finally:
+        ann._PROBE_COLLECT_MAX = old_max
+    assert fast_rows == slow_rows

@@ -264,3 +264,27 @@ def test_sql_text_twins_match_column_forms(spark):
         for n, _, _ in pairs:
             assert r[f"{n}_o"] == r[f"{n}_n"], (
                 n, r["url"], r[f"{n}_o"], r[f"{n}_n"])
+
+
+def test_name_form_resolves_nested_struct_fields(spark):
+    """_qcol quotes dot-separated segments individually (r12, advice):
+    a caller passing "meta.url" through the name-form fast path gets
+    nested-struct field access exactly as F.col("meta.url") resolves
+    it — whole-name backtick quoting would instead demand a top-level
+    column literally named "meta.url" and raise."""
+    df = spark.createDataFrame(
+        [("x", ("HTTP://WWW.Example.com:80/a//b/?utm_source=x&b=2&a=1",))],
+        "id string, meta struct<url: string>")
+    out = df.select(
+        U.canonicalize_url("meta.url").alias("cn"),
+        U.canonicalize_url(F.col("meta.url")).alias("co"),
+        U.url_key("meta.url").alias("kn"),
+        U.url_key(F.col("meta.url")).alias("ko"),
+        U.host_key("meta.url").alias("hn"),
+        U.host_key(F.col("meta.url")).alias("ho"),
+        U.registrable_domain("meta.url").alias("rn"),
+        U.registrable_domain(F.col("meta.url")).alias("ro"))
+    r = out.collect()[0]
+    assert r["cn"] == r["co"] == "http://www.example.com/a/b?a=1&b=2"
+    assert r["kn"] == r["ko"]
+    assert r["hn"] == r["ho"] and r["rn"] == r["ro"] == "example.com"
