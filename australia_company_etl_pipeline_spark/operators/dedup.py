@@ -1033,7 +1033,9 @@ def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
                       text_col: str, id_col: str,
                       threshold: float = 0.8, shingle: int = 3,
                       corpus_shingles: DataFrame | None = None,
-                      on_short: str = "exclude") -> DataFrame:
+                      on_short: str = "exclude",
+                      benchmark_shingles: DataFrame | None = None,
+                      ) -> DataFrame:
     """Decontamination by n-gram CONTAINMENT — the GPT-3-style overlap
     rule (Brown et al. 2020 flag training docs sharing n-gram spans
     with an eval doc): score = |ngrams(benchmark) ∩ ngrams(corpus_doc)|
@@ -1076,6 +1078,21 @@ def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
     ``corpus_shingles`` shares an already-persisted corpus shingle
     pass (see ``shingle_frame``); built internally it is NOT persisted
     — this plan consumes it once, so a cache entry would buy nothing.
+    ``benchmark_shingles`` (r12) is the same sharing for the BENCHMARK
+    side, for callers whose eval set is a subset/projection of an
+    already-shingled frame. It matters more than size suggests: built
+    from raw text here, the benchmark explode sits over a non-attribute
+    array expression, and ``InferFiltersFromGenerate`` + predicate
+    pushdown re-inline the whole tokenize+shingle chain into an
+    interpreted Filter ~5× per row (measured 3.9 s of the registered
+    containment branch's 4.2 s at sf0.1 — the chain re-ran per
+    benchmark row in the pushed filter, the projection, and the
+    broadcast build). The sub-shingle exclusion still applies, recast
+    over the pre-built arrays: every element of a ≥``shingle``-token
+    doc's array is exactly ``shingle`` space-joined tokens
+    (``word_ngrams`` contract), while the fallback singleton of a
+    shorter doc carries fewer — so first-element token count <
+    ``shingle`` identifies exactly the rows the raw-text filter drops.
     Returns ``(corpus_id, benchmark_id, containment)``."""
     import warnings
 
@@ -1096,9 +1113,14 @@ def containment_pairs(corpus: DataFrame, benchmark: DataFrame,
             if on_short == "error":
                 raise ValueError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    bsh = shingle_frame(
-        benchmark.filter(F.size(tokens(F.col(text_col))) >= shingle),
-        text_col, id_col, shingle, persist=False)
+    if benchmark_shingles is not None:
+        bsh = benchmark_shingles.filter(
+            F.size(F.split(F.element_at(F.col("__sh"), 1), " ", -1))
+            >= shingle)
+    else:
+        bsh = shingle_frame(
+            benchmark.filter(F.size(tokens(F.col(text_col))) >= shingle),
+            text_col, id_col, shingle, persist=False)
     bex = (bsh.select(F.col(id_col).alias("benchmark_id"),
                       F.size("__sh").alias("__bn"),
                       F.explode("__sh").alias("__g")))
@@ -1130,7 +1152,8 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, text_col: str,
                                        id_col, threshold, **lsh_kwargs)
                 .select(F.col("corpus_id").alias(id_col)).distinct())
     elif metric == "containment":
-        allowed = {"shingle", "corpus_shingles", "on_short"}
+        allowed = {"shingle", "corpus_shingles", "on_short",
+                   "benchmark_shingles"}
         bad = set(lsh_kwargs) - allowed
         if bad:
             raise ValueError(f"containment metric takes {sorted(allowed)}"

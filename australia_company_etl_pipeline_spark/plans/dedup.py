@@ -564,10 +564,19 @@ def _ngram_jaccard_branches(spark: SparkSession, sf_dir: str,
     if method in (None, "containment"):
         bench = corpus.filter((F.col("doc_id") % 13 == 0)
                               & (F.col("doc_id") < 100000))
+        # r12: the benchmark is a subset of the corpus by doc_id, so
+        # its shingles come from the SAME persisted pass — built from
+        # raw text, the benchmark explode re-ran the tokenize+shingle
+        # chain ~5x per row through an inferred interpreted filter
+        # (measured 3.9s of this branch's 4.2s at sf0.1; see
+        # containment_pairs docstring)
+        bench_sh = shingles.filter((F.col("doc_id") % 13 == 0)
+                                   & (F.col("doc_id") < 100000))
         parts.append(
             dd.containment_pairs(corpus, bench, "text", "doc_id",
                                  threshold=0.8, shingle=3,
-                                 corpus_shingles=shingles)
+                                 corpus_shingles=shingles,
+                                 benchmark_shingles=bench_sh)
             .select(F.lit("containment").alias("method"),
                     F.col("corpus_id").alias("id_a"),
                     F.col("benchmark_id").alias("id_b"),
